@@ -1,0 +1,62 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized via a count-ish action (collect on aggregates,
+which all headline queries end in) so the measured time covers scan → shuffle →
+agg, not lazy plan construction. First query absorbs JVM/session warmup, so a
+warmup pass runs a trivial action before timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from matrixone_spark.queries import load_all
+from matrixone_spark.session import get_spark
+
+# Queries tagged "bench" are the headline set; keep them scan/join/agg heavy.
+BENCH_TAG = "bench"
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    registry = load_all()
+    names = sorted(n for n, q in registry.items() if BENCH_TAG in q.tags)
+
+    spark = get_spark("mospark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: JVM codegen + parquet footer caches
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        q = registry[name]
+        t0 = time.time()
+        rows = q.fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+        assert rows is not None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Catalog: parquet-backed table registry.
+
+Reference parity: the reference keeps a catalog of databases/tables/columns in
+system tables (``pkg/catalog/``, mo_database/mo_tables/mo_columns) with
+DDL-declared fixed schemas (``pkg/sql/plan/build_ddl.go``). Our analogue is a
+thin registry mapping table name → parquet path; the schema travels with the
+parquet footer (declared, never inferred at query time), and Spark's reader uses
+row-group min/max + dictionary + bloom metadata the same way the reference scans
+use per-block ZoneMaps/BloomFilters (``pkg/objectio/meta.go:296``).
+
+At 100 TB each "table" is a partitioned parquet directory; nothing here assumes a
+single file.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Driver-provided tables (TESTDATA.md). One parquet per table at sf dirs.
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always broadcast in joins.
+BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
+
+
+class Catalog:
+    """Name → DataFrame registry over a scale-factor directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def path(self, name: str) -> str:
+        p = os.path.join(self.sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            return p
+        # partitioned-directory layout (100 TB posture): <sf_dir>/<name>/
+        d = os.path.join(self.sf_dir, name)
+        if os.path.exists(d):
+            return d
+        raise FileNotFoundError(f"table {name!r} not found under {self.sf_dir}")
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = self.spark.read.parquet(self.path(name))
+        return self._cache[name]
+
+    def register_views(self) -> None:
+        """Register every table as a temp view so ``spark.sql`` sees them."""
+        for name in TABLES:
+            try:
+                self.table(name).createOrReplaceTempView(name)
+            except FileNotFoundError:
+                pass
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    cat = Catalog(spark, sf_dir)
+    return {name: cat.table(name) for name in TABLES}

@@ -1,0 +1,37 @@
+"""Engine façade: session + catalog + SQL entry point.
+
+Reference parity: the reference's query lifecycle (SURVEY §3.1 —
+``pkg/frontend/mysql_cmd_executor.go:4534`` doComQuery → parse → plan →
+compile → pipelines) maps 1:1 onto ``spark.sql``: Catalyst does
+parse/analyze/optimize/codegen, Spark stages replace hand-built pipelines.
+The Engine is deliberately thin — we declare plans, Catalyst schedules them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from matrixone_spark.catalog import Catalog
+from matrixone_spark.session import get_spark
+
+
+class Engine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.catalog: Catalog | None = None
+
+    @classmethod
+    def local(cls, app_name: str = "mospark") -> "Engine":
+        return cls(get_spark(app_name))
+
+    def load(self, sf_dir: str) -> "Engine":
+        self.catalog = Catalog(self.spark, sf_dir)
+        self.catalog.register_views()
+        return self
+
+    def table(self, name: str) -> DataFrame:
+        assert self.catalog is not None, "call load(sf_dir) first"
+        return self.catalog.table(name)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)

@@ -1,0 +1,339 @@
+"""TPC-H-shaped queries adapted to the driver's star schema.
+
+The reference carries TPC-H as its main end-to-end corpus
+(/root/reference/test/distributed/cases/benchmark/tpch/, plus planner goldens
+pkg/sql/plan/tpch/q1.sql..q22.sql). The driver's tables are a slim TPC-H: no
+partsupp, no l_commitdate/l_receiptdate/l_shipmode, o_orderdate is TIMESTAMP —
+each query below keeps the original's operator shape (the thing under test) on
+the available columns.
+
+Scale notes (100 TB posture), applied throughout this module:
+- nation/region/supplier/part are dimension tables → F.broadcast() so the big
+  fact joins never shuffle the fact side on dimension keys.
+- aggregations are expressed as groupBy().agg() → Catalyst plans two-phase
+  (partial + final) hash aggregation, the same shape as the reference's
+  Group→MergeGroup split (pkg/sql/compile/compile.go:1312-1338).
+- filters sit directly on the scan columns → parquet row-group pruning
+  (reference: per-block zonemap filters, pkg/sql/plan/stats.go:1708).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from matrixone_spark.catalog import Catalog
+from matrixone_spark.queries import register
+from matrixone_spark.queries._helpers import dec
+
+# Per-row double arithmetic is IEEE-deterministic and identical across engines;
+# only the SUM must be exact → cast the row value to decimal before aggregating.
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev_col() -> "F.Column":
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+
+
+@register(
+    "tpch_q1",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST({_REV} AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("tpch", "agg", "bench"),
+    doc="TPC-H Q1 pricing summary; reference golden tpch/03_QUERIES/q1.result, plan golden pkg/sql/plan/tpch/q1.sql. Exercises scan→filter→2-phase agg (Group/MergeGroup, colexec/group/exec2.go:231).",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_rev_col()).cast("double").alias("sum_disc_price"),
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.sum(dec("l_quantity")).cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double") / n, 6).alias("avg_price"),
+            F.round(F.sum(dec("l_discount")).cast("double") / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3",
+    oracle=f"""
+SELECT o.o_orderkey, o.o_orderdate,
+       CAST(SUM(CAST({_REV} AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+    tags=("tpch", "join", "topk", "bench"),
+    doc="TPC-H Q3 shipping priority (no o_shippriority column in fixture). Exercises 3-way hash join + agg + top-k (colexec/top/top.go:107 MergeTop parity → Spark TakeOrderedAndProject).",
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = cat.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = cat.table("orders").filter(F.col("o_orderdate") < cutoff)
+    l = cat.table("lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q4",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+    tags=("tpch", "semijoin"),
+    doc="TPC-H Q4 (late-shipment EXISTS; fixture lacks l_commitdate — semantics kept: semi join with non-equi residual). Reference: EXISTS→SEMI rewrite plan/flatten_subquery.go:59; hash join w/ residual colexec/hashjoin/join.go:162.",
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o = cat.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = cat.table("lineitem")
+    cond = (l.l_orderkey == o.o_orderkey) & (
+        l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q5",
+    oracle=f"""
+SELECT n.n_name, CAST(SUM(CAST({_REV} AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+    tags=("tpch", "join", "bench"),
+    doc="TPC-H Q5 local supplier volume: 6-way join; dims broadcast (reference picks broadcast vs shuffle by stats, compile.go:4081-4106 — Spark AQE + explicit F.broadcast here).",
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    c, o, l = cat.table("customer"), cat.table("orders"), cat.table("lineitem")
+    s, n, r = cat.table("supplier"), cat.table("nation"), cat.table("region")
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    dim = (
+        F.broadcast(s)
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(dim), (l.l_suppkey == dim.s_suppkey) & (c.c_nationkey == dim.s_nationkey))
+        .groupBy("n_name")
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q6",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+    tags=("tpch", "filter", "bench"),
+    doc="TPC-H Q6 forecast revenue: pure scan+filter+agg — checks predicate pushdown to parquet (reference zonemap block filters, readutil/expr_filter.go:448).",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "tpch_q7",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(YEAR(l.l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST({_REV} AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+    OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+GROUP BY n1.n_name, n2.n_name, CAST(YEAR(l.l_shipdate) AS INT)
+""",
+    tags=("tpch", "join"),
+    doc="TPC-H Q7 volume shipping: self-joined nation dim with OR-pair predicate (reference LoopJoin handles non-equi residual, colexec/loopjoin/join.go:95; here it stays a hash join + post-filter).",
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    s, l, o, c = (cat.table(t) for t in ("supplier", "lineitem", "orders", "customer"))
+    n1 = cat.table("nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = cat.table("nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    df = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
+            | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        )
+    )
+    return (
+        df.withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q10",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST({_REV} AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(c.c_acctbal AS DOUBLE) AS c_acctbal, n.n_name
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    tags=("tpch", "join", "topk", "bench"),
+    doc="TPC-H Q10 returned items: join + wide group keys + top-20.",
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    c, o, l, n = (cat.table(t) for t in ("customer", "orders", "lineitem", "nation"))
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = l.filter(F.col("l_returnflag") == "R")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14",
+    oracle=f"""
+SELECT ROUND(100.00 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST({_REV} AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+            / CAST(SUM(CAST({_REV} AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+""",
+    tags=("tpch", "join", "case"),
+    doc="TPC-H Q14 promo revenue: CASE-conditional aggregate ratio (p_type values in this fixture are plain categories, so = 'PROMO' replaces LIKE 'PROMO%%').",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    l = cat.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = cat.table("part")
+    rev = _rev_col()
+    zero = F.lit(0).cast("decimal(18,6)")
+    df = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return df.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_revenue")
+    )
