@@ -36,6 +36,22 @@ TABLES: tuple[str, ...] = (
 BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
 
 
+# Columns stored as TIMESTAMP(NANOS) in parquet; with
+# spark.sql.legacy.parquet.nanosAsLong they arrive as int64 ns and are
+# converted here via truncating division — identical to DuckDB's ns→us read.
+_NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def _fix_nanos_timestamps(df: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    for table, cols in _NANOS_TS_COLUMNS.items():
+        for c in cols:
+            if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
 class Catalog:
     """Name → DataFrame registry over a scale-factor directory."""
 
@@ -56,7 +72,8 @@ class Catalog:
 
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:
-            self._cache[name] = self.spark.read.parquet(self.path(name))
+            df = self.spark.read.parquet(self.path(name))
+            self._cache[name] = _fix_nanos_timestamps(df)
         return self._cache[name]
 
     def register_views(self) -> None:

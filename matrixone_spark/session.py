@@ -31,6 +31,10 @@ SPARK_CONF: dict[str, str] = {
     "spark.sql.cbo.joinReorder.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # testdata events.parquet stores TIMESTAMP(NANOS); Spark's vectorized reader
+    # rejects it — read as int64 ns and convert in the catalog (truncating to
+    # microseconds, matching DuckDB's ns→us read behavior).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
