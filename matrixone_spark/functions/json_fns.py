@@ -1,0 +1,154 @@
+"""JSON mutation functions Spark lacks — SURVEY §2.8 JSON family.
+
+Reference: binary-JSON functions in pkg/sql/plan/function/func_builtin_json.go
+over pkg/container/bytejson/ (json_set/insert/replace/remove/merge_patch...).
+Spark covers extraction (get_json_object, from_json, json_tuple) natively;
+the mutators below are Arrow-batched pandas UDFs over Python's json — the
+sanctioned slow path for semantics built-ins can't express (they never sit on
+the 100 TB hot path; extraction does, and stays JVM-side).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+
+def _dumps(obj) -> str:
+    return json.dumps(obj, separators=(",", ":"), ensure_ascii=False)
+
+
+def _loads_or_none(s):
+    try:
+        return json.loads(s)
+    except (TypeError, ValueError):
+        return None
+
+
+def _walk_set(doc, path: str, value, *, create: bool, replace: bool):
+    """Apply MySQL-style $.a.b / $.arr[i] path assignment."""
+    if not path.startswith("$"):
+        return doc
+    steps: list = []
+    i = 1
+    while i < len(path):
+        if path[i] == ".":
+            j = i + 1
+            while j < len(path) and path[j] not in ".[":
+                j += 1
+            steps.append(path[i + 1 : j])
+            i = j
+        elif path[i] == "[":
+            j = path.index("]", i)
+            steps.append(int(path[i + 1 : j]))
+            i = j + 1
+        else:
+            return doc
+    cur = doc
+    for s in steps[:-1]:
+        if isinstance(s, str) and isinstance(cur, dict) and s in cur:
+            cur = cur[s]
+        elif isinstance(s, int) and isinstance(cur, list) and s < len(cur):
+            cur = cur[s]
+        else:
+            return doc
+    last = steps[-1]
+    if isinstance(last, str) and isinstance(cur, dict):
+        exists = last in cur
+        if (exists and replace) or (not exists and create):
+            cur[last] = value
+    elif isinstance(last, int) and isinstance(cur, list):
+        if last < len(cur):
+            if replace:
+                cur[last] = value
+        elif create:
+            cur.append(value)
+    return doc
+
+
+def _json_mutator(create: bool, replace: bool):
+    @pandas_udf(StringType())
+    def fn(docs: pd.Series, paths: pd.Series, values: pd.Series) -> pd.Series:
+        out = []
+        for d, p, v in zip(docs, paths, values):
+            doc = _loads_or_none(d)
+            if doc is None:
+                out.append(None)
+                continue
+            val = _loads_or_none(v)
+            out.append(_dumps(_walk_set(doc, p, val, create=create, replace=replace)))
+        return pd.Series(out)
+
+    return fn
+
+
+_json_set_udf = _json_mutator(create=True, replace=True)
+_json_insert_udf = _json_mutator(create=True, replace=False)
+_json_replace_udf = _json_mutator(create=False, replace=True)
+
+
+def json_set(doc, path, value) -> Column:
+    """JSON_SET(doc, path, val): insert-or-replace (func_builtin_json.go)."""
+    return _json_set_udf(doc, path, value)
+
+
+def json_insert(doc, path, value) -> Column:
+    """JSON_INSERT: insert only if absent."""
+    return _json_insert_udf(doc, path, value)
+
+
+def json_replace(doc, path, value) -> Column:
+    """JSON_REPLACE: replace only if present."""
+    return _json_replace_udf(doc, path, value)
+
+
+@pandas_udf(StringType())
+def _json_remove_udf(docs: pd.Series, paths: pd.Series) -> pd.Series:
+    def rm(d, p):
+        doc = _loads_or_none(d)
+        if doc is None or not p.startswith("$."):
+            return None if doc is None else _dumps(doc)
+        key = p[2:]
+        if isinstance(doc, dict):
+            doc.pop(key, None)
+        return _dumps(doc)
+
+    return pd.Series([rm(d, p) for d, p in zip(docs, paths)])
+
+
+def json_remove(doc, path) -> Column:
+    """JSON_REMOVE(doc, '$.key') — top-level key removal."""
+    return _json_remove_udf(doc, path)
+
+
+@pandas_udf(StringType())
+def _json_merge_patch_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    def merge(x, y):
+        if not isinstance(x, dict) or not isinstance(y, dict):
+            return y
+        out = dict(x)
+        for k, v in y.items():
+            if v is None:
+                out.pop(k, None)
+            else:
+                out[k] = merge(out.get(k), v)
+        return out
+
+    res = []
+    for da, db in zip(a, b):
+        xa, xb = _loads_or_none(da), _loads_or_none(db)
+        if xa is None or xb is None:
+            res.append(None)
+        else:
+            res.append(_dumps(merge(xa, xb)))
+    return pd.Series(res)
+
+
+def json_merge_patch(a, b) -> Column:
+    """JSON_MERGE_PATCH (RFC 7396) — matches DuckDB/MySQL semantics."""
+    return _json_merge_patch_udf(a, b)

@@ -1,0 +1,277 @@
+"""MySQL-dialect scalar functions absent from (or differently named in) Spark.
+
+The reference registers ~700 function names (pkg/sql/plan/function/
+function_id.go:813-1420) with typed overloads in function/list_builtIn.go.
+Most map 1:1 to pyspark.sql.functions (SURVEY §2.8 table); this module fills
+the gaps as *expression builders* — pure Column compositions that stay inside
+whole-stage codegen (JVM), never row-at-a-time Python. The only Python UDF
+here is crc32 (zlib), Arrow-batched.
+
+Each builder cites the reference implementation it mirrors. MySQL semantic
+notes (zero-dates, implicit casts) follow the reference's BVT expectations.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+# ---------------------------------------------------------------- comparison
+
+
+def field(x, *options) -> Column:
+    """FIELD(x, a, b, ...) → 1-based index of x in list, 0 if absent.
+    Reference: function_id.go FIELD; func_builtin_string tests."""
+    x = _c(x)
+    expr = F.lit(0)
+    for i in range(len(options) - 1, -1, -1):
+        expr = F.when(x == F.lit(options[i]), F.lit(i + 1)).otherwise(expr)
+    return expr
+
+
+def strcmp(a, b) -> Column:
+    """STRCMP(a,b) → -1/0/1. Reference: supportedStringBuiltIns list_builtIn.go:79."""
+    a, b = _c(a), _c(b)
+    return F.when(a < b, -1).when(a > b, 1).otherwise(0)
+
+
+# ------------------------------------------------------------------- numeric
+
+
+def truncate_num(x, d: int) -> Column:
+    """TRUNCATE(x, d): truncate toward zero at d decimals.
+    Reference: func_unary.go truncate; MySQL semantics (not round)."""
+    x = _c(x)
+    scale = float(10**d)
+    return (x * scale).cast("long").cast("double") / scale
+
+
+def conv(x, from_base: int, to_base: int) -> Column:
+    """CONV(n, f, t) — Spark ships this builtin; re-exported for the MySQL
+    namespace. Reference: func_unary.go conv."""
+    return F.conv(_c(x), from_base, to_base)
+
+
+def oct_(x) -> Column:
+    """OCT(n) = CONV(n, 10, 8). Reference: function_id.go OCT."""
+    return F.conv(_c(x).cast("string"), 10, 8)
+
+
+@pandas_udf(LongType())
+def _crc32_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else zlib.crc32(str(v).encode("utf-8")))
+
+
+def crc32(x) -> Column:
+    """CRC32(s). Reference: func_unary.go crc32. Arrow-batched pandas UDF
+    (no Spark builtin); cheap enough off the hot path."""
+    return _crc32_udf(_c(x))
+
+
+# ---------------------------------------------------------------------- date
+
+
+# MySQL %-format → Java SimpleDateFormat-ish pattern used by Spark.
+_MYSQL_FMT = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%c": "M", "%d": "dd", "%e": "d",
+    "%H": "HH", "%k": "H", "%h": "hh", "%I": "hh", "%i": "mm", "%s": "ss",
+    "%S": "ss", "%f": "SSSSSS", "%b": "MMM", "%M": "MMMM", "%a": "EEE",
+    "%W": "EEEE", "%j": "DDD", "%T": "HH:mm:ss", "%r": "hh:mm:ss a",
+    "%p": "a", "%%": "%",
+}
+
+
+def mysql_format_to_java(fmt: str) -> str:
+    """Translate a MySQL date_format/str_to_date pattern to Spark's."""
+    out, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i : i + 2]
+            out.append(_MYSQL_FMT.get(tok, tok[1]))
+            i += 2
+        else:
+            ch = fmt[i]
+            # quote literal letters so SimpleDateFormat doesn't eat them
+            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            i += 1
+    return "".join(out)
+
+
+def date_format_mysql(x, fmt: str) -> Column:
+    """DATE_FORMAT(d, '%Y-%m-%d') with MySQL patterns.
+    Reference: func_unary.go date_format, generalTime.go."""
+    return F.date_format(_c(x), mysql_format_to_java(fmt))
+
+
+def str_to_date(x, fmt: str) -> Column:
+    """STR_TO_DATE(s, fmt). Reference: func_str_to_date.go."""
+    return F.to_timestamp(_c(x), mysql_format_to_java(fmt))
+
+
+# Days between year 0 ('0000-01-01') and epoch, per MySQL's proleptic calendar
+# (TO_DAYS('1970-01-01') = 719528).
+_TO_DAYS_EPOCH_OFFSET = 719528
+
+
+def to_days(x) -> Column:
+    """TO_DAYS(date). Reference: func_unary.go to_days (MySQL day-number)."""
+    return (F.datediff(_c(x), F.lit("1970-01-01")) + _TO_DAYS_EPOCH_OFFSET).cast("long")
+
+
+def from_days(x) -> Column:
+    """FROM_DAYS(n) — inverse of to_days. Reference: func_unary.go from_days."""
+    return F.date_add(F.lit("1970-01-01"), (_c(x) - _TO_DAYS_EPOCH_OFFSET).cast("int"))
+
+
+def period_add(p, n) -> Column:
+    """PERIOD_ADD(yyyymm, n) → yyyymm shifted by n months.
+    Reference: func_unary.go period_add."""
+    p = _c(p).cast("long")
+    nn = _c(n) if isinstance(n, Column) else F.lit(n)
+    months = (p / 100).cast("long") * 12 + (p % 100) - 1 + nn
+    return ((months / 12).cast("long") * 100 + months % 12 + 1).cast("long")
+
+
+def period_diff(p1, p2) -> Column:
+    """PERIOD_DIFF(p1, p2) in months. Reference: func_unary.go period_diff."""
+    p1, p2 = _c(p1).cast("long"), _c(p2).cast("long")
+    m1 = (p1 / 100).cast("long") * 12 + (p1 % 100)
+    m2 = (p2 / 100).cast("long") * 12 + (p2 % 100)
+    return m1 - m2
+
+
+def sec_to_time(x) -> Column:
+    """SEC_TO_TIME(n) → 'HH:MM:SS' string (MySQL TIME can exceed 24h).
+    Reference: func_unary.go sec_to_time."""
+    s = _c(x).cast("long")
+    out = F.concat_ws(
+        ":",
+        F.lpad((s / 3600).cast("long").cast("string"), 2, "0"),
+        F.lpad(((s % 3600) / 60).cast("long").cast("string"), 2, "0"),
+        F.lpad((s % 60).cast("string"), 2, "0"),
+    )
+    # concat_ws swallows NULL args; MySQL returns NULL for NULL input
+    return F.when(s.isNull(), F.lit(None).cast("string")).otherwise(out)
+
+
+def time_to_sec(x) -> Column:
+    """TIME_TO_SEC('HH:MM:SS'). Reference: func_unary.go time_to_sec."""
+    p = F.split(_c(x), ":")
+    return (
+        p.getItem(0).cast("long") * 3600
+        + p.getItem(1).cast("long") * 60
+        + p.getItem(2).cast("long")
+    )
+
+
+def yearweek(x) -> Column:
+    """YEARWEEK(d) ≈ ISO year*100 + ISO week (MySQL mode 3).
+    Reference: func_unary.go yearweek; mode-0 divergence documented."""
+    d = _c(x)
+    # ISO year = calendar year of the Thursday in d's ISO week.
+    iso_year = F.year(F.date_add(d.cast("date"), F.lit(3) - F.weekday(d)))
+    return (iso_year * 100 + F.weekofyear(d)).cast("long")
+
+
+# -------------------------------------------------------------------- string
+
+
+def insert_str(s, pos, length, repl) -> Column:
+    """INSERT(str, pos, len, newstr) = MySQL string splice → overlay.
+    Reference: list_builtIn.go insert."""
+    return F.overlay(_c(s), _c(repl) if isinstance(repl, Column) else F.lit(repl), pos, length)
+
+
+def export_set(bits, on: str, off: str, sep: str = ",", n_bits: int = 64) -> Column:
+    """EXPORT_SET(bits, on, off, sep, n) — bit i set → on else off, joined.
+    Reference: list_builtIn.go export_set. Pure array expression."""
+    b = _c(bits).cast("long")
+    items = F.array(
+        *[
+            F.when(b.bitwiseAND(F.lit(1 << i)) != 0, F.lit(on)).otherwise(F.lit(off))
+            for i in range(n_bits)
+        ]
+    )
+    return F.array_join(items, sep)
+
+
+def make_set(bits, *strings) -> Column:
+    """MAKE_SET(bits, s1, s2, ...) — strings whose bit is set, comma-joined.
+    Reference: list_builtIn.go make_set."""
+    b = _c(bits).cast("long")
+    parts = [
+        F.when(b.bitwiseAND(F.lit(1 << i)) != 0, F.lit(s)).otherwise(F.lit(None))
+        for i, s in enumerate(strings)
+    ]
+    return F.concat_ws(",", *parts)
+
+
+def quote(s) -> Column:
+    """QUOTE(s) → 'escaped'. Reference: list_builtIn.go quote."""
+    s = _c(s)
+    esc = F.regexp_replace(F.regexp_replace(s, r"\\", r"\\\\"), "'", r"\\'")
+    return F.when(s.isNull(), F.lit("NULL")).otherwise(F.concat(F.lit("'"), esc, F.lit("'")))
+
+
+# ---------------------------------------------------------------------- inet
+
+
+def inet_aton(ip) -> Column:
+    """INET_ATON('a.b.c.d') → number. Reference: func_binary.go inet_aton.
+    Pure expression (split + weighted sum)."""
+    p = F.split(_c(ip), r"\.")
+    return (
+        p.getItem(0).cast("long") * 16777216
+        + p.getItem(1).cast("long") * 65536
+        + p.getItem(2).cast("long") * 256
+        + p.getItem(3).cast("long")
+    )
+
+
+def inet_ntoa(n) -> Column:
+    """INET_NTOA(number) → 'a.b.c.d'. Reference: func_binary.go inet_ntoa."""
+    n = _c(n).cast("long")
+    return F.concat_ws(
+        ".",
+        ((n / 16777216).cast("long") % 256).cast("string"),
+        ((n / 65536).cast("long") % 256).cast("string"),
+        ((n / 256).cast("long") % 256).cast("string"),
+        (n % 256).cast("string"),
+    )
+
+
+def is_ipv4(s) -> Column:
+    """IS_IPV4(s). Reference: func_binary.go is_ipv4."""
+    octet = r"(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+    return _c(s).rlike(rf"^{octet}\.{octet}\.{octet}\.{octet}$").cast("int")
+
+
+# ---------------------------------------------------------------------- uuid
+
+
+def uuid_to_bin(u) -> Column:
+    """UUID_TO_BIN(uuid_str) → 16-byte binary. Reference: types/uuid.go."""
+    return F.unhex(F.regexp_replace(_c(u), "-", ""))
+
+
+def bin_to_uuid(b) -> Column:
+    """BIN_TO_UUID(bin) → canonical uuid string."""
+    h = F.lower(F.hex(_c(b)))
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )

@@ -8,6 +8,7 @@ the driver uses, matching here implies matching there.
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 import os
 from decimal import Decimal
@@ -47,6 +48,8 @@ def _norm_value(v):
         return ("f", repr(v))
     if isinstance(v, Decimal):
         return ("f", repr(float(v)))
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return ("t", pd.Timestamp(v).isoformat())
     if isinstance(v, (pd.Timestamp,)):
         if pd.isna(v):
             return "<null>"

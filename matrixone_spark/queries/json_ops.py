@@ -1,1 +1,127 @@
-"""Placeholder — filled in as operators are implemented."""
+"""JSON processing coverage — SURVEY §2.8 JSON family + §2.10 unnest.
+
+Reference: func_builtin_json.go (extract/valid/length/keys/set/insert/
+replace/remove/merge_patch/unquote), bytejson storage, unnest TVF
+(table_function/unnest.go). Spark: get_json_object/from_json/to_json stay
+JVM-side (hot path); mutators are pandas UDFs (functions/json_fns.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from matrixone_spark.catalog import Catalog
+from matrixone_spark.functions import json_fns as J
+from matrixone_spark.queries import register
+
+
+@register(
+    "json_extract_battery",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       json_valid(props)                                 AS is_valid,
+       CAST(len(json_keys(props)) AS INT)                AS n_keys,
+       json_extract_string(props, '$.missing')           AS missing
+FROM events WHERE event_id < 2000
+""",
+    tags=("json",),
+    doc="json_extract/json_valid/json_length/json_keys (func_builtin_json.go) → get_json_object + from_json; missing path → NULL both engines.",
+)
+def json_extract_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events").filter(F.col("event_id") < 2000)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.from_json("props", "map<string,string>").isNotNull().alias("is_valid"),
+        F.size(F.map_keys(F.from_json("props", "map<string,string>"))).alias("n_keys"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    )
+
+
+@register(
+    "json_construct_nested",
+    oracle="""
+SELECT o_orderkey,
+       to_json(struct_pack(key := o_orderkey,
+                           status := o_orderstatus,
+                           price := CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR))) AS obj,
+       to_json([o_orderkey % 10, o_orderkey % 100])  AS arr,
+       json_extract_string(
+         to_json(struct_pack(o := struct_pack(deep := o_orderpriority))),
+         '$.o.deep')                                  AS deep_val
+FROM orders WHERE o_orderkey <= 500
+""",
+    tags=("json",),
+    doc="json_object/json_array construction + nested path extraction (func_builtin_json.go json_object/json_array/json_extract).",
+)
+def json_construct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("key"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price"),
+            )
+        ).alias("obj"),
+        F.to_json(F.array(F.col("o_orderkey") % 10, F.col("o_orderkey") % 100)).alias("arr"),
+        F.get_json_object(
+            F.to_json(F.struct(F.struct(F.col("o_orderpriority").alias("deep")).alias("o"))),
+            "$.o.deep",
+        ).alias("deep_val"),
+    )
+
+
+@register(
+    "json_mutators",
+    oracle="""
+SELECT event_id,
+       json_merge_patch(props, '{"tag":"x","k":null}') AS patched,
+       json_merge_patch(props, CONCAT('{"u":', CAST(user_id AS VARCHAR), '}')) AS with_user
+FROM events WHERE event_id < 1000
+""",
+    tags=("json", "udf"),
+    doc="json_merge_patch RFC 7396 (func_builtin_json.go json_merge_patch) as Arrow-batched pandas UDF; json_set/insert/replace/remove covered in tests/test_json_fns.py.",
+)
+def json_mutators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events").filter(F.col("event_id") < 1000)
+    return e.select(
+        "event_id",
+        J.json_merge_patch(F.col("props"), F.lit('{"tag":"x","k":null}')).alias("patched"),
+        J.json_merge_patch(
+            F.col("props"),
+            F.concat(F.lit('{"u":'), F.col("user_id").cast("string"), F.lit("}")),
+        ).alias("with_user"),
+    )
+
+
+@register(
+    "json_unnest_array",
+    oracle="""
+SELECT event_id, u.elem
+FROM (SELECT event_id,
+             from_json(CONCAT('[', CAST(user_id AS VARCHAR), ',',
+                              CAST(event_id % 5 AS VARCHAR), ',7]'), '["BIGINT"]') AS arr
+      FROM events WHERE event_id < 300) t,
+     LATERAL (SELECT unnest(arr) AS elem) u
+""",
+    tags=("json", "tvf"),
+    doc="unnest(json_array) TVF (table_function/unnest.go) → from_json + explode (LATERAL VIEW).",
+)
+def json_unnest_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events").filter(F.col("event_id") < 300)
+    arr_json = F.concat(
+        F.lit("["),
+        F.col("user_id").cast("string"),
+        F.lit(","),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit(",7]"),
+    )
+    return e.select(
+        "event_id",
+        F.explode(F.from_json(arr_json, ArrayType(LongType()))).alias("elem"),
+    )

@@ -1,1 +1,281 @@
-"""Placeholder — filled in as operators are implemented."""
+"""Scalar function batteries — SURVEY §2.8 families, oracle-gated.
+
+Each query SELECTs a battery of expressions from one family over a real
+table, with the identical computation written in DuckDB SQL. Reference
+registry: pkg/sql/plan/function/function_id.go:813-1420; overloads
+list_builtIn.go. Families whose kernels are engine-specific by design
+(crypto AES, soundex variants) are covered by unit tests instead
+(tests/test_mysql_funcs.py).
+
+FP discipline: transcendental functions (exp/ln/sin/...) may differ in the
+last ULP between the JVM and libm → rounded to 9 decimals on both sides.
+Integer/string/date functions compare exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from matrixone_spark.catalog import Catalog
+from matrixone_spark.queries import register
+
+
+@register(
+    "func_string_battery",
+    oracle="""
+SELECT p_partkey,
+       CONCAT(p_brand, ':', p_type)                         AS cat,
+       CONCAT_WS('|', p_brand, p_type, CAST(p_size AS VARCHAR)) AS catws,
+       UPPER(p_name) AS up, LOWER(p_brand) AS lo,
+       SUBSTRING(p_name, 3, 5) AS sub,
+       SUBSTRING(p_name, 1, 4) AS left4,
+       SUBSTRING(p_name, LENGTH(p_name) - 2, 3) AS right3,
+       LPAD(CAST(p_size AS VARCHAR), 5, '0') AS lp,
+       RPAD(p_brand, 12, '*') AS rp,
+       TRIM(CONCAT('  ', p_brand, ' ')) AS trm,
+       REPLACE(p_type, 'A', '@') AS repl,
+       REVERSE(p_brand) AS rev,
+       REPEAT(p_brand, 2) AS rep,
+       LENGTH(p_name) AS len,
+       STRPOS(p_name, 'a') AS pos_a,
+       SPLIT_PART(p_brand, '#', 2) AS brand_num,
+       ASCII(p_brand) AS asc_first,
+       STARTS_WITH(p_type, 'PRO') AS sw,
+       CASE WHEN p_type LIKE '%DAR%' THEN 1 ELSE 0 END AS has_dar,
+       MD5(p_name) AS md5_name
+FROM part WHERE p_partkey <= 500
+""",
+    tags=("functions",),
+    doc="String family (list_builtIn.go:79 supportedStringBuiltIns): concat/concat_ws/upper/lower/substring/left/right/lpad/rpad/trim/replace/reverse/repeat/length/locate/split_part/ascii/startswith/like/md5.",
+)
+def func_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).table("part").filter(F.col("p_partkey") <= 500)
+    name, brand, ptype = F.col("p_name"), F.col("p_brand"), F.col("p_type")
+    return p.select(
+        "p_partkey",
+        F.concat(brand, F.lit(":"), ptype).alias("cat"),
+        F.concat_ws("|", brand, ptype, F.col("p_size").cast("string")).alias("catws"),
+        F.upper(name).alias("up"),
+        F.lower(brand).alias("lo"),
+        F.substring(name, 3, 5).alias("sub"),
+        F.substring(name, 1, 4).alias("left4"),
+        F.substring(name, F.length(name) - 2, F.lit(3)).alias("right3"),
+        F.lpad(F.col("p_size").cast("string"), 5, "0").alias("lp"),
+        F.rpad(brand, 12, "*").alias("rp"),
+        F.trim(F.concat(F.lit("  "), brand, F.lit(" "))).alias("trm"),
+        F.replace(ptype, F.lit("A"), F.lit("@")).alias("repl"),
+        F.reverse(brand).alias("rev"),
+        F.repeat(brand, 2).alias("rep"),
+        F.length(name).alias("len"),
+        F.instr(name, "a").alias("pos_a"),
+        F.split_part(brand, F.lit("#"), F.lit(2)).alias("brand_num"),
+        F.ascii(brand).alias("asc_first"),
+        F.startswith(ptype, F.lit("PRO")).alias("sw"),
+        F.when(ptype.like("%DAR%"), 1).otherwise(0).alias("has_dar"),
+        F.md5(name).alias("md5_name"),
+    )
+
+
+@register(
+    "func_regexp_battery",
+    oracle="""
+SELECT c_custkey,
+       REGEXP_MATCHES(c_name, '[0-9]{3}$')                    AS ends_3digits,
+       REGEXP_EXTRACT(c_name, '([0-9]+)', 1)                  AS digits,
+       REGEXP_REPLACE(c_name, '[0-9]', '#', 'g')              AS masked,
+       REGEXP_MATCHES(c_mktsegment, '^(BUILD|AUTO)')          AS seg_ba
+FROM customer WHERE c_custkey <= 300
+""",
+    tags=("functions",),
+    doc="Regex family (func_builtin_regexp.go: regexp_like/instr/replace/substr). DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all.",
+)
+def func_regexp_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer").filter(F.col("c_custkey") <= 300)
+    return c.select(
+        "c_custkey",
+        F.col("c_name").rlike("[0-9]{3}$").alias("ends_3digits"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
+        F.col("c_mktsegment").rlike("^(BUILD|AUTO)").alias("seg_ba"),
+    )
+
+
+@register(
+    "func_date_battery",
+    oracle="""
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS INT)      AS y,
+       CAST(QUARTER(o_orderdate) AS INT)   AS q,
+       CAST(MONTH(o_orderdate) AS INT)     AS mo,
+       CAST(DAY(o_orderdate) AS INT)       AS d,
+       CAST(HOUR(o_orderdate) AS INT)      AS h,
+       CAST(MINUTE(o_orderdate) AS INT)    AS mi,
+       CAST(SECOND(o_orderdate) AS INT)    AS s,
+       CAST(DAYOFYEAR(o_orderdate) AS INT) AS doy,
+       CAST(ISODOW(o_orderdate) AS INT)    AS isodow,
+       CAST(WEEK(o_orderdate) AS INT)      AS wk,
+       DATE_TRUNC('month', o_orderdate)    AS mstart,
+       LAST_DAY(CAST(o_orderdate AS DATE)) AS meand,
+       CAST(o_orderdate + INTERVAL 45 DAY AS TIMESTAMP)  AS plus45,
+       CAST(o_orderdate - INTERVAL 3 MONTH AS TIMESTAMP) AS minus3m,
+       DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+       CAST(EPOCH(o_orderdate) AS BIGINT)  AS unix_ts,
+       STRFTIME(o_orderdate, '%Y-%m')      AS ym,
+       MONTHNAME(o_orderdate)              AS mname,
+       DAYNAME(o_orderdate)                AS dname
+FROM orders WHERE o_orderkey <= 400
+""",
+    tags=("functions",),
+    doc="Date/time family (func_unary.go, generalTime.go): extract parts, ISO dow/week, trunc, last_day, interval arithmetic, datediff, unix epoch, format, monthname/dayname. Spark dayofweek is 1=Sunday; ISO dow = weekday()+1.",
+)
+def func_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders").filter(F.col("o_orderkey") <= 400)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("d"),
+        F.hour(d).alias("h"),
+        F.minute(d).alias("mi"),
+        F.second(d).alias("s"),
+        F.dayofyear(d).alias("doy"),
+        (F.weekday(d) + 1).alias("isodow"),
+        F.weekofyear(d).alias("wk"),
+        F.date_trunc("month", d).alias("mstart"),
+        F.last_day(d.cast("date")).alias("meand"),
+        (d + F.expr("INTERVAL 45 DAYS")).alias("plus45"),
+        (d - F.expr("INTERVAL 3 MONTHS")).alias("minus3m"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).alias("days_to_y2k"),
+        F.unix_timestamp(d).alias("unix_ts"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        F.date_format(d, "MMMM").alias("mname"),
+        F.date_format(d, "EEEE").alias("dname"),
+    )
+
+
+@register(
+    "func_math_battery",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_partkey,
+       ABS(l_quantity - 25)                        AS absv,
+       SIGN(l_quantity - 25)                       AS sgn,
+       CAST(l_suppkey % 7 AS BIGINT)               AS md,
+       CEIL(l_extendedprice / 1000)                AS ce,
+       FLOOR(l_extendedprice / 1000)               AS fl,
+       ROUND(l_extendedprice / 7, 2)               AS rnd,
+       ROUND(SQRT(l_extendedprice), 9)             AS sq,
+       ROUND(EXP(l_discount), 9)                   AS ex,
+       ROUND(LN(l_extendedprice), 9)               AS lnx,
+       ROUND(LOG10(l_extendedprice), 9)            AS lg10,
+       ROUND(LOG2(l_extendedprice), 9)             AS lg2,
+       ROUND(POW(l_quantity, 2), 4)                AS p2,
+       ROUND(SIN(l_discount), 9)                   AS sn,
+       ROUND(COS(l_discount), 9)                   AS cs,
+       ROUND(ATAN2(l_quantity, l_extendedprice), 9) AS at2,
+       ROUND(DEGREES(l_discount), 9)               AS dg,
+       ROUND(RADIANS(l_quantity), 9)               AS rd,
+       GREATEST(l_quantity, l_discount * 100)      AS gr,
+       LEAST(l_quantity, l_discount * 100)         AS ls,
+       ROUND(PI(), 9)                              AS pival
+FROM lineitem WHERE l_orderkey <= 300
+""",
+    tags=("functions",),
+    doc="Math family (func_unary.go, momath pkg): abs/sign/mod/ceil/floor/round/sqrt/exp/ln/log10/log2/pow/sin/cos/atan2/degrees/radians/greatest/least/pi. Transcendentals rounded to 9 dp (JVM vs libm last-ULP).",
+)
+def func_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = Catalog(spark, sf_dir).table("lineitem").filter(F.col("l_orderkey") <= 300)
+    q, e, dd = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.abs(q - 25).alias("absv"),
+        F.signum(q - 25).alias("sgn"),
+        (F.col("l_suppkey") % 7).cast("bigint").alias("md"),
+        F.ceil(e / 1000).alias("ce"),
+        F.floor(e / 1000).alias("fl"),
+        F.round(e / 7, 2).alias("rnd"),
+        F.round(F.sqrt(e), 9).alias("sq"),
+        F.round(F.exp(dd), 9).alias("ex"),
+        F.round(F.log(e), 9).alias("lnx"),
+        F.round(F.log10(e), 9).alias("lg10"),
+        F.round(F.log2(e), 9).alias("lg2"),
+        F.round(F.pow(q, 2), 4).alias("p2"),
+        F.round(F.sin(dd), 9).alias("sn"),
+        F.round(F.cos(dd), 9).alias("cs"),
+        F.round(F.atan2(q, e), 9).alias("at2"),
+        F.round(F.degrees(dd), 9).alias("dg"),
+        F.round(F.radians(q), 9).alias("rd"),
+        F.greatest(q, dd * 100).alias("gr"),
+        F.least(q, dd * 100).alias("ls"),
+        F.round(F.lit(3.141592653589793), 9).alias("pival"),
+    )
+
+
+@register(
+    "func_conditional_battery",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'neg'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END                                        AS bal_band,
+       CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'MACHINERY' THEN 2 ELSE 0 END AS seg_code,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '<bldg>')        AS seg_masked,
+       CASE WHEN c_mktsegment IN ('AUTOMOBILE','FURNITURE') THEN 1 ELSE 0 END AS in_set,
+       CASE WHEN c_acctbal BETWEEN 1000 AND 2000 THEN 1 ELSE 0 END AS in_range,
+       CASE WHEN c_name IS NULL THEN 1 ELSE 0 END                  AS name_null,
+       IF(c_acctbal > 0, 'credit', 'debit')                        AS direction
+FROM customer WHERE c_custkey <= 300
+""",
+    tags=("functions",),
+    doc="Comparison/conditional family (list_operator.go, operator_between.go, operator_in.go): searched CASE, simple CASE, nullif/coalesce, IN, BETWEEN, IS NULL, IF.",
+)
+def func_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer").filter(F.col("c_custkey") <= 300)
+    bal, seg = F.col("c_acctbal"), F.col("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "neg").when(bal < 5000, "low").otherwise("high").alias("bal_band"),
+        F.when(seg == "BUILDING", 1).when(seg == "MACHINERY", 2).otherwise(0).alias("seg_code"),
+        F.coalesce(F.nullif(seg, F.lit("BUILDING")), F.lit("<bldg>")).alias("seg_masked"),
+        seg.isin("AUTOMOBILE", "FURNITURE").cast("int").alias("in_set"),
+        bal.between(1000, 2000).cast("int").alias("in_range"),
+        F.col("c_name").isNull().cast("int").alias("name_null"),
+        F.when(bal > 0, "credit").otherwise("debit").alias("direction"),
+    )
+
+
+@register(
+    "func_cast_battery",
+    oracle="""
+SELECT p_partkey,
+       CAST(p_size AS VARCHAR)                 AS size_str,
+       CAST(CAST(p_retailprice AS DECIMAL(18,4)) AS VARCHAR) AS price_str,
+       CAST(p_size AS DOUBLE)                  AS size_dbl,
+       CAST(TRUNC(p_retailprice) AS BIGINT)    AS price_trunc,
+       CAST(ROUND(p_retailprice, 0) AS BIGINT) AS price_round,
+       CAST(CONCAT(CAST(p_partkey AS VARCHAR), '.5') AS DOUBLE) AS str_to_dbl,
+       TRY_CAST(p_brand AS INT)                AS bad_int,
+       CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE)    AS via_decimal
+FROM part WHERE p_partkey <= 300
+""",
+    tags=("functions",),
+    doc="Cast matrix (func_cast.go full matrix; cast/try_cast): numeric↔string, explicit trunc-vs-round to int (MySQL/Spark double→int truncates, DuckDB rounds — made explicit so semantics are pinned), failed cast → NULL via try_cast.",
+)
+def func_cast_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).table("part").filter(F.col("p_partkey") <= 300)
+    price = F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("string").alias("size_str"),
+        price.cast("decimal(18,4)").cast("string").alias("price_str"),
+        F.col("p_size").cast("double").alias("size_dbl"),
+        price.cast("long").alias("price_trunc"),
+        F.round(price, 0).cast("long").alias("price_round"),
+        F.concat(F.col("p_partkey").cast("string"), F.lit(".5")).cast("double").alias("str_to_dbl"),
+        F.expr("try_cast(p_brand AS INT)").alias("bad_int"),
+        price.cast("decimal(12,2)").cast("double").alias("via_decimal"),
+    )
