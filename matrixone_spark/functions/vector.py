@@ -1,0 +1,103 @@
+"""Vector/array math — SURVEY §2.8 vector family.
+
+Reference: vecf32/vecf64 column types (pkg/container/types/types.go:99-104)
+with kernels in pkg/vectorize/moarray/ — l1_norm, l2_norm, inner_product,
+cosine_similarity, l2_distance, cosine_distance, vector_dims, normalize_l2,
+summation, subvector (function/func_binary_array_distance_test.go).
+
+Spark-first: embeddings are ArrayType(FloatType) columns; every op below is a
+pure array expression (F.aggregate / F.transform / F.zip_with) that runs
+JVM-side inside codegen — no UDF, no Python, broadcast-friendly. Elements are
+cast to double before reduction; F.aggregate folds sequentially (index order),
+so results are IEEE-deterministic and reproducible across partitionings —
+required for the DuckDB hash-gate and for stable KNN ranking at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def _d(col) -> Column:
+    """array<float> → array<double> (widen before arithmetic)."""
+    return F.transform(_c(col), lambda v: v.cast("double"))
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Sequential in-order double sum of an array expression."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def vector_dims(col) -> Column:
+    """vector_dims(v). Reference: moarray dims."""
+    return F.size(_c(col))
+
+
+def l1_norm(col) -> Column:
+    """Σ|x_i|. Reference: moarray l1_norm."""
+    return _fold_sum(F.transform(_d(col), lambda v: F.abs(v)))
+
+
+def l2_norm_sq(col) -> Column:
+    return _fold_sum(F.transform(_d(col), lambda v: v * v))
+
+
+def l2_norm(col) -> Column:
+    """sqrt(Σx²). Reference: moarray l2_norm."""
+    return F.sqrt(l2_norm_sq(col))
+
+
+def summation(col) -> Column:
+    """Σx_i. Reference: moarray summation."""
+    return _fold_sum(_d(col))
+
+
+def inner_product(a, b) -> Column:
+    """a·b. Reference: moarray inner_product (SIMD in cgo; Tungsten here)."""
+    return _fold_sum(F.zip_with(_d(a), _d(b), lambda x, y: x * y))
+
+
+def l2_distance_sq(a, b) -> Column:
+    """Σ(a-b)². Reference: l2_distance_sq."""
+    return _fold_sum(F.zip_with(_d(a), _d(b), lambda x, y: (x - y) * (x - y)))
+
+
+def l2_distance(a, b) -> Column:
+    """Euclidean distance. Reference: moarray l2_distance; powers the L2 join
+    (colexec/productl2/product_l2.go:70)."""
+    return F.sqrt(l2_distance_sq(a, b))
+
+
+def cosine_similarity(a, b) -> Column:
+    """a·b / (|a||b|). Reference: moarray cosine_similarity."""
+    return inner_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_distance(a, b) -> Column:
+    """1 - cosine_similarity. Reference: moarray cosine_distance."""
+    return 1 - cosine_similarity(a, b)
+
+
+def normalize_l2(col) -> Column:
+    """v / |v|₂ (zero vector → NULL elements, matching reference error-free
+    mode). Reference: moarray normalize_l2."""
+    n = l2_norm(col)
+    return F.transform(_d(col), lambda v: F.when(n != 0, v / n))
+
+
+def subvector(col, start: int, length: "int | None" = None) -> Column:
+    """subvector(v, start[, len]) — 1-based like the SQL surface.
+    Reference: moarray subvector."""
+    return F.slice(_c(col), start, length) if length is not None else F.slice(
+        _c(col), start, F.size(_c(col))
+    )
+
+
+def lit_vector(vec: "list[float]") -> Column:
+    """Constant query vector as an array<double> literal."""
+    return F.array(*[F.lit(float(v)) for v in vec])

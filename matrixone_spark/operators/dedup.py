@@ -1,0 +1,184 @@
+"""Deduplication operators for LLM-data pipelines.
+
+Beyond the reference's own surface (its dedup machinery is OLTP-side:
+FuzzyFilter bloom+exact pk checks colexec/fuzzyfilter/filter.go:201, DedupJoin
+colexec/dedupjoin/join.go:188 — batch analogue per SURVEY §2.1). The pipeline
+operators here are the standard large-corpus techniques:
+
+- exact: hash-groupBy on content digest (one shuffle on the digest —
+  FuzzyFilter's exact path at batch scale).
+- n-gram Jaccard: word-shingle overlap via explode + pair-count — exact, the
+  oracle-checkable core.
+- MinHash+LSH: per-doc signature of num_perm minimum token hashes
+  (xxhash64(token, seed_i)), banded into buckets; candidate pairs share a
+  band bucket; exact-Jaccard verification after. Self-join cost drops from
+  O(n²) to Σ bucket².  All JVM expressions.
+- SimHash: 64-bit sign-of-weighted-bit-sums over token hashes; near-dups =
+  signatures within Hamming distance k.
+
+Scale: every operator shuffles on content-derived keys (digest / shingle /
+band bucket / simhash prefix) — no driver-side state, no O(n²) stage except
+the explicitly-bounded verification joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from matrixone_spark.functions.text import tokenize
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact content digest."""
+    digest = F.md5(F.col(content_col))
+    w = Window.partitionBy("_digest").orderBy(id_col)
+    return (
+        df.withColumn("_digest", digest)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_digest", "_rn")
+    )
+
+
+def word_shingles(col, n: int = 3):
+    """Distinct word n-grams of a text column (array expression)."""
+    toks = tokenize(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram shingle sets; pairs ≥ threshold.
+
+    shuffle plan: explode shingles → groupBy shingle (pair generation) →
+    groupBy pair (intersection counts) → broadcast set sizes.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, num_perm: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: min over shingles of xxhash64(shingle, seed_i)."""
+    sh = F.array_distinct(word_shingles(text_col, shingle_n))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_perm)
+        ]
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs + exact-Jaccard verification.
+
+    bands of rows=num_perm/bands; P(candidate) = 1-(1-j^rows)^bands — with
+    32 perms / 8 bands (rows=4), j=0.5 → ~0.42 per band, ≥0.98 overall.
+    Verification keeps only true pairs, so precision is exact; recall is the
+    LSH tradeoff (pytest-checked against the exact operator).
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_n)
+    rows = num_perm // bands
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("signature").getItem(b * rows + r) for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    left = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    right = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verification on the candidate set only
+    exact = ngram_jaccard_pairs(docs, id_col, text_col, shingle_n, threshold)
+    return candidates.join(exact, ["id_a", "id_b"])
+
+
+def simhash(col, bits: int = 64):
+    """64-bit SimHash of a text column: sign of per-bit weighted sums over
+    token hashes — pure array/bit expressions."""
+    toks = tokenize(col)
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_sums = [
+        F.aggregate(
+            h,
+            F.lit(0),
+            lambda acc, v: acc
+            + F.when(v.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
+        )
+        for i in range(bits)
+    ]
+    out = F.lit(0).cast("long")
+    for i, s in enumerate(bit_sums):
+        bit_val = F.lit(1 << i).cast("long") if i < 63 else F.lit(-(2**63)).cast("long")
+        out = out + F.when(s > 0, bit_val).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_pairs(docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k. Blocked on the top-16
+    bit prefix to avoid O(n²) (prefix-equal is a necessary condition only for
+    tight thresholds — documented recall tradeoff)."""
+    s = docs.select(F.col(id_col).alias("doc_id"), simhash(text_col).alias("sh"))
+    s = s.withColumn("block", F.shiftrightunsigned("sh", 48))
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "block")
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,102 @@
+"""Full-text search: inverted index + MATCH...AGAINST with BM25/TF-IDF.
+
+Reference semantics (SURVEY §2.8 fulltext):
+- Inverted index tables of (token, doc_id, tf) built by
+  fulltext_index_tokenize (table_function/fulltext_tokenize.go).
+- Scoring (pkg/fulltext/fulltext.go:208-232, constants types.go:19-20):
+    TFIDF: score = tf * idf²,  idf = log10(N / df)
+    BM25:  score = idf² * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+           k1 = 1.5, b = 0.75   (fulltext.go:222)
+  (note: the reference squares a log10 idf in BOTH modes — nonstandard but
+  it's the parity target.)
+- NATURAL LANGUAGE MODE: sum of per-term scores over matched terms.
+- BOOLEAN MODE: +term required (EvalPlusPlus AND), -term forbidden, bare
+  term optional (fulltext.go pattern eval).
+- Planner rewrite plan/apply_indices_fulltext.go turns MATCH...AGAINST into
+  an index join — here: score-join against the inverted-index DataFrame.
+
+Scale: the inverted index is a DataFrame keyed by token — at 100 TB it is
+written bucketed by token so a query's term lookup is a bucket-pruned scan;
+scoring is a broadcast of the (tiny) term stats + one aggregation by doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from matrixone_spark.functions.text import tokenize
+
+BM25_K1 = 1.5  # reference pkg/fulltext/types.go:19
+BM25_B = 0.75  # reference pkg/fulltext/types.go:20
+
+
+class FullTextIndex:
+    """Inverted index over (doc_id, text): postings (doc_id, token, tf) +
+    doc lengths + corpus stats."""
+
+    def __init__(self, postings: DataFrame, doc_stats: DataFrame, n_docs: int, avg_dl: float):
+        self.postings = postings      # doc_id, token, tf
+        self.doc_stats = doc_stats    # doc_id, dl (token count)
+        self.n_docs = n_docs
+        self.avg_dl = avg_dl
+
+    @classmethod
+    def build(cls, docs: DataFrame, id_col: str, text_col: str) -> "FullTextIndex":
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("token")
+        )
+        postings = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+        doc_stats = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        n_docs, avg_dl = docs.count(), None
+        row = doc_stats.agg(F.avg("dl")).collect()[0][0]
+        avg_dl = float(row) if row is not None else 0.0
+        return cls(postings, doc_stats, n_docs, avg_dl)
+
+    def _scored_terms(self, terms: "list[str]", algo: str) -> DataFrame:
+        """Per (doc, term) score for the query terms."""
+        t = self.postings.filter(F.col("token").isin([w.lower() for w in terms]))
+        df_stats = t.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+        idf = F.log10(F.lit(float(self.n_docs)) / F.col("df"))
+        scored = t.join(F.broadcast(df_stats), "token")
+        if algo == "tfidf":
+            score = F.col("tf") * idf * idf
+        elif algo == "bm25":
+            scored = scored.join(self.doc_stats, "doc_id")
+            tf = F.col("tf")
+            denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl") / self.avg_dl))
+            score = idf * idf * tf * (BM25_K1 + 1) / denom
+        else:
+            raise ValueError(f"unknown algo {algo!r}")
+        return scored.withColumn("term_score", score)
+
+    def match_natural(self, terms: "list[str]", algo: str = "bm25") -> DataFrame:
+        """NATURAL LANGUAGE MODE: Σ term scores per doc (fulltext.go EvalLeaf
+        summed over the pattern's terms). Returns (doc_id, score)."""
+        return (
+            self._scored_terms(terms, algo)
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("term_score"), 6).alias("score"))
+        )
+
+    def match_boolean(
+        self,
+        required: "list[str]",
+        forbidden: "list[str]",
+        optional: "list[str]",
+        algo: str = "bm25",
+    ) -> DataFrame:
+        """BOOLEAN MODE (+term / -term / term): required = semi-join per term,
+        forbidden = anti-join, optional contributes score only."""
+        docs = self.doc_stats.select("doc_id")
+        for term in required:
+            hits = self.postings.filter(F.col("token") == term.lower()).select("doc_id")
+            docs = docs.join(hits, "doc_id", "left_semi")
+        for term in forbidden:
+            hits = self.postings.filter(F.col("token") == term.lower()).select("doc_id")
+            docs = docs.join(hits, "doc_id", "left_anti")
+        score_terms = required + optional
+        scored = self._scored_terms(score_terms, algo).groupBy("doc_id").agg(
+            F.round(F.sum("term_score"), 6).alias("score")
+        )
+        return docs.join(scored, "doc_id", "left").fillna({"score": 0.0})

@@ -1,0 +1,136 @@
+"""KNN / similarity search: exact (ProductL2 parity) + IVF approximate.
+
+Reference:
+- ProductL2 (colexec/productl2/product_l2.go:70): brute-force vector-distance
+  join — every probe row scored against build rows, top-k kept. Exact KNN.
+- IVF-flat index (pkg/vectorindex/ivfflat/, kmeans training
+  pkg/vectorindex/ivfflat/kmeans/elkans/; `cluster_centers` aggregate,
+  ivf_create/ivf_search TVFs table_function/ivf_create.go): k-means centroids
+  partition the vectors; search probes the nprobe nearest centroid buckets.
+- Planner rewrite plan/apply_indices_ivfflat.go turns
+  `ORDER BY l2_distance(emb, q) LIMIT k` into an index probe.
+
+Spark-first design:
+- Exact single-query KNN: distance expression + orderBy().limit(k) — Catalyst
+  plans TakeOrderedAndProject (per-partition heap + driver merge), the same
+  shape as the reference's Top operator. No shuffle of the full table.
+- Exact KNN join (many queries): broadcast the (small) query set, compute
+  distances, per-query top-k via window row_number — one shuffle on query_id.
+- IVF: centroids from MLlib KMeans (cluster_centers parity); assignments
+  stored as a DataFrame partitioned by centroid_id. At 100 TB the assignment
+  table is written bucketed/partitioned by centroid_id so a probe reads only
+  nprobe/k of the data — mirroring the reference's index-table scan.
+
+Determinism: distances tie-break on the id column everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from matrixone_spark.functions import vector as V
+
+
+def knn_exact(
+    items: DataFrame,
+    emb_col: str,
+    query_vec: "list[float]",
+    k: int,
+    id_col: str,
+    metric: str = "l2",
+) -> DataFrame:
+    """Top-k rows nearest to query_vec. ProductL2 single-probe parity.
+
+    Plan shape: scan → project(distance) → TakeOrderedAndProject(k) — no
+    shuffle; scales linearly with executors.
+    """
+    q = V.lit_vector(query_vec)
+    dist = _metric(emb_col, q, metric)
+    return (
+        items.withColumn("distance", dist)
+        .orderBy(F.asc("distance"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    items: DataFrame,
+    queries: DataFrame,
+    item_emb: str,
+    query_emb: str,
+    k: int,
+    item_id: str,
+    query_id: str,
+    metric: str = "l2",
+) -> DataFrame:
+    """Per-query top-k: ProductL2 join parity (product_l2.go:70).
+
+    queries is broadcast (small side); the cross product never materializes —
+    Catalyst fuses distance + window into the broadcast-nested-loop output.
+    """
+    j = items.crossJoin(F.broadcast(queries))
+    dist = _metric(item_emb, F.col(query_emb), metric)
+    w = Window.partitionBy(query_id).orderBy(F.asc("distance"), F.asc(item_id))
+    return (
+        j.withColumn("distance", dist)
+        .withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+    )
+
+
+def _metric(emb_col, q, metric: str):
+    if metric == "l2":
+        return V.l2_distance(emb_col, q)
+    if metric == "cosine":
+        return V.cosine_distance(emb_col, q)
+    if metric == "ip":
+        return -V.inner_product(emb_col, q)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+class IvfIndex:
+    """IVF-flat index: k-means centroids + centroid-assigned vectors.
+
+    Build ≈ `cluster_centers` aggregate (MLlib KMeans — Elkan-equivalent
+    training, reference pkg/vectorindex/ivfflat/kmeans/); search ≈ ivf_search
+    TVF (probe nprobe buckets, exact distance inside).
+    """
+
+    def __init__(self, centroids: "list[tuple[int, list[float]]]", assignments: DataFrame,
+                 emb_col: str, id_col: str):
+        self.centroids = centroids  # [(centroid_id, center_vec)] — tiny, driver-held
+        self.assignments = assignments  # DataFrame[id_col, emb_col, centroid_id]
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    @classmethod
+    def build(cls, items: DataFrame, emb_col: str, id_col: str, n_centroids: int,
+              seed: int = 42, max_iter: int = 20) -> "IvfIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = items.withColumn("_features", array_to_vector(F.transform(F.col(emb_col), lambda v: v.cast("double"))))
+        model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="_features").fit(feat)
+        assignments = (
+            model.transform(feat)
+            .withColumnRenamed("prediction", "centroid_id")
+            .drop("_features")
+        )
+        # At scale: .repartition("centroid_id").write.partitionBy("centroid_id")
+        # so a probe scans only its buckets; cached here for local use.
+        centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+        return cls(centroids, assignments, emb_col, id_col)
+
+    def search(self, query_vec: "list[float]", k: int, nprobe: int = 4) -> DataFrame:
+        """Probe the nprobe nearest centroid buckets, exact top-k inside."""
+        import math
+
+        def d2(c):
+            return math.sqrt(sum((a - b) ** 2 for a, b in zip(c, query_vec)))
+
+        probe_ids = [cid for cid, _ in sorted(self.centroids, key=lambda t: d2(t[1]))[:nprobe]]
+        # centroid_id filter prunes partitions when assignments are written
+        # partitioned by centroid_id (partition pruning at 100 TB).
+        cand = self.assignments.filter(F.col("centroid_id").isin(probe_ids))
+        return knn_exact(cand, self.emb_col, query_vec, k, self.id_col)

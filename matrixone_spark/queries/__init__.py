@@ -66,6 +66,7 @@ def load_all() -> "dict[str, Query]":
         textops,
         dedup,
         table_funcs,
+        streaming_mm,
     )
 
     return REGISTRY

@@ -1,0 +1,106 @@
+"""Streaming + multimodal coverage.
+
+- Streaming queries run a REAL Structured Streaming job (readStream →
+  watermark → window agg → availableNow → memory sink) and are oracle-gated
+  against the equivalent batch SQL: bounded-source streaming must equal batch.
+- Multimodal: binary payload + metadata plumbing with mapInPandas feature
+  extraction; decode itself is stubbed (no codec libs in the container), the
+  Spark-side machinery is real and oracle-gated via deterministic features.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from matrixone_spark.catalog import Catalog
+from matrixone_spark.operators.multimodal import attach_media, extract_features
+from matrixone_spark.queries import register
+from matrixone_spark.streaming.events import (
+    run_streaming_aggregate,
+    session_windows,
+    sliding_user_activity,
+    tumbling_event_counts,
+)
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS _wstart,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming",),
+    doc="Structured Streaming tumbling-window counts with 1h watermark (CDC-analogue surface, SURVEY §2.11; pkg/cdc/ reader watermarks) — complete-mode result over the bounded source must equal batch SQL.",
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_aggregate(spark, sf_dir, tumbling_event_counts)
+
+
+@register(
+    "stream_session_windows",
+    oracle=None,  # session merge boundaries are engine-specific state logic;
+    # batch gaps-and-islands equivalence is gated in tests/test_streaming.py
+    tags=("streaming", "approx"),
+    doc="Native streaming session windows (F.session_window, 30-min gap) — the streaming counterpart of sessionize_events; equality with the batch gaps-and-islands sessionizer is pytest-gated.",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_aggregate(
+        spark, sf_dir, lambda s: session_windows(s.filter(F.col("user_id") <= 10))
+    )
+
+
+@register(
+    "stream_sliding_activity",
+    oracle=None,  # approx_count_distinct (streaming-safe distinct) is estimator-specific
+    tags=("streaming", "approx"),
+    doc="Sliding 2h/1h streaming window with approx_count_distinct users (exact distinct is not incrementally maintainable).",
+)
+def stream_sliding_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_aggregate(spark, sf_dir, sliding_user_activity)
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       md5(text) AS digest,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+                                    WHEN 1 THEN 'audio/wav'
+                                    ELSE 'video/mp4' END AS media_type
+FROM documents WHERE doc_id < 200
+""",
+    tags=("multimodal", "udf"),
+    doc="Multimodal binary-column pipeline: attach payload+metadata (datalink/blob parity, types.go:85-87), extract features via Arrow-batched mapInPandas. Deterministic fake decoder (real decode stubbed: no codec libs) keeps it oracle-checkable.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 200)
+    return extract_features(attach_media(d))
+
+
+@register(
+    "multimodal_metadata_stats",
+    oracle="""
+SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+                                    WHEN 1 THEN 'audio/wav'
+                                    ELSE 'video/mp4' END AS media_type,
+       COUNT(*) AS n,
+       CAST(SUM((doc_id % 16 + 1) * 64 * (doc_id % 9 + 1) * 64) AS BIGINT) AS total_pixels
+FROM documents
+GROUP BY 1
+""",
+    tags=("multimodal",),
+    doc="Typed-metadata aggregation over the media table (width/height stay queryable columns beside the opaque payload).",
+)
+def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    m = attach_media(d)
+    return m.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("width").cast("bigint") * F.col("height")).alias("total_pixels"),
+    )

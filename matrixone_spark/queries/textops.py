@@ -1,1 +1,217 @@
-"""Placeholder — filled in as operators are implemented."""
+"""Text analysis + full-text search coverage over the documents table.
+
+Reference: fulltext MATCH...AGAINST (parser tree/expr.go:1920, scoring
+pkg/fulltext/fulltext.go:208-232, BM25 constants types.go:19-20, planner
+rewrite plan/apply_indices_fulltext.go); LLM-pipeline text ops are north-star
+additions (language-ID, quality scoring, token stats, fingerprinting).
+
+Oracle notes: tokenization = lower + split non-alphanumerics, identical in
+DuckDB (string_split_regex) and Spark (F.split) → exact token parity; BM25
+scores rounded to 6dp on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from matrixone_spark.catalog import Catalog
+from matrixone_spark.functions import text as T
+from matrixone_spark.operators.fulltext import FullTextIndex
+from matrixone_spark.queries import register
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_TOKS_SQL}) AS INT) AS n_tokens,
+       LENGTH(text) AS n_chars_calc,
+       ROUND(CASE WHEN len({_TOKS_SQL}) > 0
+             THEN list_sum(list_transform({_TOKS_SQL}, x -> CAST(LENGTH(x) AS DOUBLE))) / len({_TOKS_SQL})
+             ELSE 0.0 END, 6) AS avg_tok_len,
+       ROUND(CASE WHEN LENGTH(text) > 0
+             THEN CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text)
+             ELSE 0.0 END, 6) AS punct_ratio
+FROM documents
+""",
+    tags=("text", "bench"),
+    doc="Token counting + quality inputs (LLM-pipeline text analysis): token count, char count, avg token length, punctuation ratio — all JVM-side expressions.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.char_count("text").alias("n_chars_calc"),
+        F.round(T.avg_token_len("text"), 6).alias("avg_tok_len"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+    )
+
+
+_LANGS = ("de", "en", "es", "fr")
+_SW_SQL = {
+    "en": "['the','a','of','and','is']",
+    "es": "['el','la','de','y','es']",
+    "fr": "['le','la','et','un','est']",
+    "de": "['der','die','und','ein','ist']",
+}
+_SCORE_SQL = {
+    lang: f"len(list_filter({_TOKS_SQL}, x -> list_contains({_SW_SQL[lang]}, x)))"
+    for lang in _LANGS
+}
+_BEST_SQL = "GREATEST(" + ",".join(_SCORE_SQL[lang] for lang in _LANGS) + ")"
+
+
+@register(
+    "text_lang_guess",
+    oracle=f"""
+SELECT lang AS actual_lang,
+       CASE
+         {' '.join(f"WHEN {_SCORE_SQL[lang]} = {_BEST_SQL} AND {_BEST_SQL} > 0 THEN '{lang}'" for lang in _LANGS)}
+         ELSE 'und' END AS guessed,
+       COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2
+""",
+    tags=("text",),
+    doc="Language-ID heuristic (stopword-signature argmax, deterministic tie-break) — confusion matrix vs the labeled lang column.",
+)
+def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    return (
+        d.select(F.col("lang").alias("actual_lang"), T.lang_guess("text").alias("guessed"))
+        .groupBy("actual_lang", "guessed")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_quality_filter",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         ROUND((
+           (CASE WHEN len({_TOKS_SQL}) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.4 END)
+         + (CASE WHEN (CASE WHEN len({_TOKS_SQL}) > 0
+                       THEN list_sum(list_transform({_TOKS_SQL}, x -> CAST(LENGTH(x) AS DOUBLE))) / len({_TOKS_SQL})
+                       ELSE 0.0 END) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+         + (1.0 - LEAST((CASE WHEN LENGTH(text) > 0
+                         THEN CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text)
+                         ELSE 0.0 END) * 5, 1.0))
+         ) / 3, 6) AS quality
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE quality >= 0.8) AS n_good,
+       ROUND(CAST(SUM(CAST(quality AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6) AS mean_quality
+FROM scored GROUP BY source
+""",
+    tags=("text",),
+    doc="Quality scoring + filter rates per source (LLM-pipeline quality gate).",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    scored = d.select("source", T.quality_score("text").alias("quality"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("quality") >= 0.8).alias("n_good"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(10,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_quality"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' ')) AS fp
+FROM documents WHERE doc_id < 200
+""",
+    tags=("text",),
+    doc="Order-insensitive document fingerprint (md5 over sorted distinct tokens) for dedup bucketing.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 200)
+    return d.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+_FT_QUERY_TERMS = ["table", "query", "spark"]
+_FT_ORACLE = """
+WITH postings AS (
+  SELECT doc_id, t.token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({toks}) AS token FROM documents) t(doc_id, token)
+  WHERE t.token IN ({terms})
+  GROUP BY doc_id, t.token
+), doc_stats AS (
+  SELECT doc_id, len({toks}) AS dl FROM documents
+), corpus AS (
+  SELECT COUNT(*) AS n, AVG(CAST(len({toks}) AS DOUBLE)) AS avg_dl FROM documents
+), term_df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM postings GROUP BY token
+)
+SELECT p.doc_id,
+       ROUND(SUM({score_expr}), 6) AS score
+FROM postings p
+JOIN term_df d USING (token)
+JOIN doc_stats s USING (doc_id)
+CROSS JOIN corpus c
+GROUP BY p.doc_id
+"""
+
+
+def _ft_oracle(algo: str) -> str:
+    toks = _TOKS_SQL
+    terms = ",".join(f"'{t}'" for t in _FT_QUERY_TERMS)
+    idf = "log10(CAST(c.n AS DOUBLE) / d.df)"
+    if algo == "tfidf":
+        score = f"p.tf * {idf} * {idf}"
+    else:
+        score = (
+            f"{idf} * {idf} * p.tf * (1.5 + 1) / "
+            f"(p.tf + 1.5 * (1.0 - 0.75 + 0.75 * (s.dl / c.avg_dl)))"
+        )
+    return _FT_ORACLE.format(toks=toks, terms=terms, score_expr=score)
+
+
+@register(
+    "fulltext_natural_bm25",
+    oracle=_ft_oracle("bm25"),
+    tags=("text", "fulltext", "bench"),
+    doc="MATCH(text) AGAINST('table query spark' IN NATURAL LANGUAGE MODE), BM25 scoring (fulltext.go:215-223: score = log10(N/df)² · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), k1=1.5 b=0.75).",
+)
+def fulltext_natural_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    idx = FullTextIndex.build(d, "doc_id", "text")
+    return idx.match_natural(_FT_QUERY_TERMS, algo="bm25")
+
+
+@register(
+    "fulltext_natural_tfidf",
+    oracle=_ft_oracle("tfidf"),
+    tags=("text", "fulltext"),
+    doc="Same pattern, TF-IDF scoring (fulltext.go:207-213: score = tf · log10(N/df)²).",
+)
+def fulltext_natural_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    idx = FullTextIndex.build(d, "doc_id", "text")
+    return idx.match_natural(_FT_QUERY_TERMS, algo="tfidf")
+
+
+@register(
+    "fulltext_boolean",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+SELECT doc_id FROM toks
+WHERE list_contains(t, 'table') AND list_contains(t, 'query')
+  AND NOT list_contains(t, 'slow')
+""",
+    tags=("text", "fulltext"),
+    doc="BOOLEAN MODE '+table +query -slow' (fulltext.go EvalPlusPlus/minus pattern): required → semi-joins, forbidden → anti-join. Doc set only (scores covered by the natural-mode queries).",
+)
+def fulltext_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    idx = FullTextIndex.build(d, "doc_id", "text")
+    return idx.match_boolean(["table", "query"], ["slow"], [], algo="bm25").select("doc_id")
