@@ -34,8 +34,21 @@ def main() -> None:
 
     spark = get_spark("mospark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warmup: JVM codegen + parquet footer caches
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # warmup: exercise scan + join + agg + window codegen paths once so the
+    # first timed query doesn't absorb JVM/codegen startup
+    from pyspark.sql import Window, functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    w = Window.partitionBy("l_returnflag").orderBy("l_orderkey")
+    (
+        li.limit(50000)
+        .join(o.limit(50000), li.l_orderkey == o.o_orderkey)
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity"), F.max("rn"))
+        .collect()
+    )
 
     timings: dict[str, float] = {}
     for name in names:

@@ -56,6 +56,7 @@ def load_all() -> "dict[str, Query]":
     """Import every query module (side-effect: fills REGISTRY)."""
     from matrixone_spark.queries import (  # noqa: F401
         tpch,
+        tpch2,
         relational,
         window,
         aggregates,

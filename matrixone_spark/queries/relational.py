@@ -475,6 +475,41 @@ def cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "recursive_cte_hierarchy",
+    oracle="""
+WITH RECURSIVE h(node, depth) AS (
+  SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+  UNION
+  SELECT p.p_partkey AS node, h.depth + 1 AS depth
+  FROM h JOIN part p ON p.p_partkey // 2 = h.node
+)
+SELECT depth, COUNT(*) AS n_nodes, MIN(node) AS min_node, MAX(node) AS max_node
+FROM h GROUP BY depth
+""",
+    tags=("cte", "recursive"),
+    doc="WITH RECURSIVE over an implicit binary hierarchy on part keys (parent = key div 2). Reference: MergeRecursive/MergeCTE loop (mergerecursive.go:47, batch Recursive flag types.go:46); BVT recursive_cte/. Spark: driver fixpoint loop, distributed steps (operators/recursive.py).",
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.operators.recursive import recursive_cte
+
+    p = Catalog(spark, sf_dir).table("part").select(F.col("p_partkey").alias("node"))
+    base = p.filter(F.col("node") == 1).select("node", F.lit(0).alias("depth"))
+
+    def step(frontier):
+        kids = frontier.select(F.col("node").alias("parent"), "depth").join(
+            p, (F.col("node") / 2).cast("bigint") == F.col("parent")
+        )
+        return kids.select("node", (F.col("depth") + 1).alias("depth"))
+
+    h = recursive_cte(base, step)
+    return h.groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
+
+
+@register(
     "scalar_subquery_uncorrelated",
     oracle="""
 SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
