@@ -52,13 +52,19 @@ def _fix_nanos_timestamps(df: DataFrame) -> DataFrame:
     return df
 
 
+# Shared across Catalog instances: the driver sweep constructs a fresh
+# Catalog per query; re-reading parquet footers 100+ times is pure waste.
+_TABLE_CACHE: "dict[tuple[int, str, str], DataFrame]" = {}
+
+
 class Catalog:
     """Name → DataFrame registry over a scale-factor directory."""
 
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.sf_dir = sf_dir
-        self._cache: dict[str, DataFrame] = {}
+        self._cache = _TABLE_CACHE
+        self._key = (id(spark), sf_dir)
 
     def path(self, name: str) -> str:
         p = os.path.join(self.sf_dir, f"{name}.parquet")
@@ -71,10 +77,11 @@ class Catalog:
         raise FileNotFoundError(f"table {name!r} not found under {self.sf_dir}")
 
     def table(self, name: str) -> DataFrame:
-        if name not in self._cache:
+        key = (*self._key, name)
+        if key not in self._cache:
             df = self.spark.read.parquet(self.path(name))
-            self._cache[name] = _fix_nanos_timestamps(df)
-        return self._cache[name]
+            self._cache[key] = _fix_nanos_timestamps(df)
+        return self._cache[key]
 
     def register_views(self) -> None:
         """Register every table as a temp view so ``spark.sql`` sees them."""

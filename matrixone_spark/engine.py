@@ -33,5 +33,14 @@ class Engine:
         assert self.catalog is not None, "call load(sf_dir) first"
         return self.catalog.table(name)
 
-    def sql(self, query: str) -> DataFrame:
+    def sql(self, query: str, args: "dict | list | None" = None) -> DataFrame:
+        """Run SQL over the registered views.
+
+        ``args`` gives parameterized execution (named ``:name`` or positional
+        ``?``) — the batch analogue of the reference's PREPARE/EXECUTE
+        surface (pkg/frontend/session.go:793 plan cache; SURVEY §3.2: Spark
+        needs no plan cache, parameter binding covers the semantics).
+        """
+        if args is not None:
+            return self.spark.sql(query, args)
         return self.spark.sql(query)
