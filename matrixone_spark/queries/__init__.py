@@ -68,6 +68,7 @@ def load_all() -> "dict[str, Query]":
         dedup,
         table_funcs,
         streaming_mm,
+        advanced,
     )
 
     return REGISTRY

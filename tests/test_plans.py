@@ -1,0 +1,45 @@
+"""Plan-shape regression gates: the optimizations PERF.md claims must stay
+in the executed plans (broadcasts, pushdown, pruning, no-shuffle top-k)."""
+
+from __future__ import annotations
+
+import re
+
+from matrixone_spark.queries import load_all
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    return load_all()[name].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q5_broadcasts_dims_no_sort_merge(spark):
+    plan = _plan(spark, "tpch_q5")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q6_pushdown_and_pruning(spark):
+    plan = _plan(spark, "tpch_q6")
+    scan = plan.split("FileScan")[1]
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in scan, scan[:400]
+    # column pruning: only the 4 needed columns in ReadSchema
+    m = re.search(r"ReadSchema: struct<([^>]*)>", scan)
+    cols = m.group(1).count(":") if m else 99
+    assert cols == 4, scan[:400]
+
+
+def test_knn_plans_take_ordered_no_exchange(spark):
+    plan = _plan(spark, "knn_exact_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_aggregates_are_two_phase(spark):
+    # partial→merge split (Group→MergeGroup parity); physical flavor may be
+    # Hash- or SortAggregate depending on buffer types
+    plan = _plan(spark, "agg_basic")
+    assert "merge_count" in plan or "partial_count" in plan, plan
+    assert plan.count("Aggregate(") >= 2, plan
+    plan_q1 = _plan(spark, "tpch_q1")
+    assert "HashAggregate" in plan_q1, plan_q1
