@@ -152,6 +152,41 @@ def nested_subquery_two_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mysql_compat_battery",
+    oracle="""
+SELECT n_nationkey,
+       CASE n_name WHEN 'FRANCE' THEN 1 WHEN 'GERMANY' THEN 2 WHEN 'CHINA' THEN 3 ELSE 0 END AS fld,
+       CASE WHEN n_name < 'JAPAN' THEN -1 WHEN n_name > 'JAPAN' THEN 1 ELSE 0 END AS cmp_japan,
+       (10 * 16777216 + 0 * 65536 + 5 * 256 + n_nationkey) AS ip_num,
+       CONCAT(CAST(10 AS VARCHAR), '.0.5.', CAST(n_nationkey AS VARCHAR)) AS ip_str,
+       DATEDIFF('day', DATE '1970-01-01', DATE '1995-03-15') + 719528 AS todays,
+       ((200801 // 100) * 12 + (200801 % 100) - 1 + n_nationkey) // 12 * 100
+         + ((200801 // 100) * 12 + (200801 % 100) - 1 + n_nationkey) % 12 + 1 AS period_shift,
+       LPAD(CAST(n_nationkey * 97 // 3600 AS VARCHAR), 2, '0') || ':' ||
+       LPAD(CAST((n_nationkey * 97 % 3600) // 60 AS VARCHAR), 2, '0') || ':' ||
+       LPAD(CAST(n_nationkey * 97 % 60 AS VARCHAR), 2, '0') AS sec_time
+FROM nation
+""",
+    tags=("functions", "mysql"),
+    doc="MySQL-compat shims driver-gated (functions/mysql.py): field/strcmp/inet arithmetic/to_days/period_add/sec_to_time vs hand-expanded ANSI equivalents (unit tests pin MySQL doc values; this pins cross-engine expression behavior).",
+)
+def mysql_compat_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.functions import mysql as M
+
+    n = Catalog(spark, sf_dir).table("nation")
+    return n.select(
+        "n_nationkey",
+        M.field("n_name", "FRANCE", "GERMANY", "CHINA").alias("fld"),
+        M.strcmp(F.col("n_name"), F.lit("JAPAN")).alias("cmp_japan"),
+        M.inet_aton(F.concat(F.lit("10.0.5."), F.col("n_nationkey").cast("string"))).alias("ip_num"),
+        M.inet_ntoa(F.lit(10 * 16777216 + 5 * 256) + F.col("n_nationkey")).alias("ip_str"),
+        M.to_days(F.lit("1995-03-15").cast("date")).alias("todays"),
+        M.period_add(F.lit(200801), F.col("n_nationkey")).alias("period_shift"),
+        M.sec_to_time(F.col("n_nationkey") * 97).alias("sec_time"),
+    )
+
+
+@register(
     "approx_percentile_tdigest",
     oracle=None,  # approx sketch values are engine-specific (t-digest vs GK)
     tags=("agg", "approx"),
