@@ -44,3 +44,11 @@ class Engine:
         if args is not None:
             return self.spark.sql(query, args)
         return self.spark.sql(query)
+
+    def mysql_sql(self, query: str, args: "dict | list | None" = None) -> DataFrame:
+        """Run MySQL-dialect SQL: translates the known pattern divergences
+        (DATE_FORMAT %-patterns, STR_TO_DATE, GROUP_CONCAT) then executes
+        (matrixone_spark/mysql_dialect.py)."""
+        from matrixone_spark.mysql_dialect import translate
+
+        return self.sql(translate(query), args)

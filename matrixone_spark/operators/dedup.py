@@ -61,8 +61,12 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col, n)).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    # shingles held by a single doc can't form a pair — prefiltering them
+    # shrinks the self-join input before the quadratic pair expansion
+    shared = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") > 1).select("shingle")
+    sh2 = sh.join(shared, "shingle", "left_semi")
+    a = sh2.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh2.select(F.col("doc_id").alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))

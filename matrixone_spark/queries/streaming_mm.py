@@ -65,6 +65,33 @@ def stream_sliding_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_join",
+    oracle="""
+SELECT c.c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY c.c_mktsegment
+""",
+    tags=("streaming", "join"),
+    doc="Stream-static join: streaming events joined to the static customer dim (broadcast), aggregated per segment — the canonical streaming-enrichment shape; complete-mode result equals batch SQL.",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = Catalog(spark, sf_dir).table("customer")
+
+    def agg(stream: DataFrame) -> DataFrame:
+        enriched = stream.filter(F.col("event_type") == "purchase").join(
+            F.broadcast(customer), F.col("user_id") == F.col("c_custkey")
+        )
+        return enriched.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+
+    return run_streaming_aggregate(spark, sf_dir, agg, watermark=None)
+
+
+@register(
     "multimodal_features",
     oracle="""
 SELECT doc_id,

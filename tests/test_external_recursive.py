@@ -43,6 +43,19 @@ def test_jsonl_roundtrip(spark, tmpdir):
     assert {x.r_name for x in back.collect()} == {x.r_name for x in r.collect()}
 
 
+def test_csv_gzip_roundtrip(spark, tmpdir):
+    """Compression path (reference auto-detects compressed LOAD DATA inputs,
+    colexec/external compression handling)."""
+    import glob
+
+    r = Catalog(spark, SF_DIR).table("region")
+    out = f"{tmpdir}/region_gz"
+    r.write.option("compression", "gzip").option("header", True).csv(out)
+    assert glob.glob(f"{out}/*.csv.gz")
+    back = read_csv(spark, out, schema=r.schema)
+    assert {x.r_name for x in back.collect()} == {x.r_name for x in r.collect()}
+
+
 def test_write_partitioned_parquet_prunes(spark, tmpdir):
     o = Catalog(spark, SF_DIR).table("orders")
     out = f"{tmpdir}/orders_part"

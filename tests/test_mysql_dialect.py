@@ -1,0 +1,43 @@
+"""MySQL-dialect SQL text translation through Engine.mysql_sql."""
+
+from __future__ import annotations
+
+from matrixone_spark.engine import Engine
+from matrixone_spark.mysql_dialect import translate
+from tests.conftest import SF_DIR
+
+
+def test_translate_patterns():
+    assert (
+        translate("SELECT DATE_FORMAT(o_orderdate, '%Y-%m') FROM orders")
+        == "SELECT date_format(o_orderdate, 'yyyy-MM') FROM orders"
+    )
+    assert (
+        translate("SELECT STR_TO_DATE(s, '%d/%m/%Y') FROM t")
+        == "SELECT to_timestamp(s, 'dd/MM/yyyy') FROM t"
+    )
+    assert (
+        translate("SELECT GROUP_CONCAT(n_name SEPARATOR '|') FROM nation")
+        == "SELECT concat_ws('|', array_sort(collect_list(n_name))) FROM nation"
+    )
+    assert (
+        translate("SELECT GROUP_CONCAT(n_name) FROM nation")
+        == "SELECT concat_ws(',', array_sort(collect_list(n_name))) FROM nation"
+    )
+
+
+def test_mysql_sql_end_to_end(spark):
+    eng = Engine(spark)
+    eng.load(SF_DIR)
+    rows = eng.mysql_sql("""
+        SELECT DATE_FORMAT(o_orderdate, '%Y-%m') AS ym,
+               GROUP_CONCAT(DISTINCT o_orderstatus SEPARATOR '/') AS statuses,
+               COUNT(*) AS n
+        FROM `orders`
+        WHERE o_orderkey % 100 = 0
+        GROUP BY DATE_FORMAT(o_orderdate, '%Y-%m')
+        ORDER BY ym LIMIT 5
+    """).collect()
+    assert len(rows) == 5
+    assert all(len(r.ym) == 7 and r.n > 0 for r in rows)
+    assert all(set(r.statuses.split("/")) <= {"F", "O", "P"} for r in rows)
