@@ -191,7 +191,7 @@ def join_single_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey")
         .agg(F.max(dec("s_acctbal")).cast("double").alias("max_bal"))
     )
-    return n.join(F.broadcast(s), n.n_nationkey == s.s_nationkey, "left").select("n_name", "max_bal")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "left").select("n_name", "max_bal")
 
 
 @register(

@@ -81,7 +81,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def agg(stream: DataFrame) -> DataFrame:
         enriched = stream.filter(F.col("event_type") == "purchase").join(
-            F.broadcast(customer), F.col("user_id") == F.col("c_custkey")
+            customer, F.col("user_id") == F.col("c_custkey")
         )
         return enriched.groupBy("c_mktsegment").agg(
             F.count(F.lit(1)).alias("n"),

@@ -8,8 +8,12 @@ each query below keeps the original's operator shape (the thing under test) on
 the available columns.
 
 Scale notes (100 TB posture), applied throughout this module:
-- nation/region/supplier/part are dimension tables → F.broadcast() so the big
-  fact joins never shuffle the fact side on dimension keys.
+- explicit F.broadcast ONLY on bounded-cardinality frames (region=5,
+  nation=25, single-row scalar aggregates). supplier/part/customer scale
+  with SF, so their joins stay plain — AQE converts them to broadcast at
+  runtime when the actual size allows (it does at test SFs), and keeps them
+  shuffled at 100 TB where a forced broadcast would OOM. This mirrors the
+  reference's stats-based choice (compile.go:4081-4106).
 - aggregations are expressed as groupBy().agg() → Catalyst plans two-phase
   (partial + final) hash aggregation, the same shape as the reference's
   Group→MergeGroup split (pkg/sql/compile/compile.go:1312-1338).
@@ -162,7 +166,7 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 """,
     tags=("tpch", "join", "bench"),
-    doc="TPC-H Q5 local supplier volume: 6-way join; dims broadcast (reference picks broadcast vs shuffle by stats, compile.go:4081-4106 — Spark AQE + explicit F.broadcast here).",
+    doc="TPC-H Q5 local supplier volume: 6-way join; bounded dims (nation/region) broadcast explicitly, supplier-sized frames left to AQE's runtime broadcast decision (reference picks broadcast vs shuffle by stats, compile.go:4081-4106).",
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
@@ -173,14 +177,14 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     dim = (
-        F.broadcast(s)
+        s
         .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
         .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(dim), (l.l_suppkey == dim.s_suppkey) & (c.c_nationkey == dim.s_nationkey))
+        .join(dim, (l.l_suppkey == dim.s_suppkey) & (c.c_nationkey == dim.s_nationkey))
         .groupBy("n_name")
         .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
     )
@@ -243,7 +247,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     df = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -328,7 +332,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = cat.table("part")
     rev = _rev_col()
     zero = F.lit(0).cast("decimal(18,6)")
-    df = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    df = l.join(p, l.l_partkey == p.p_partkey)
     return df.agg(
         F.round(
             100.0

@@ -49,8 +49,8 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         unit.join(best, ["l_partkey"])
         .filter(F.col("unit_price") == F.col("best_price"))
-        .join(F.broadcast(p.filter(F.col("p_size") == 15)), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(p.filter(F.col("p_size") == 15), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "s_name", "unit_price")
     )
 
@@ -93,7 +93,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("n1k"))
         .join(F.broadcast(r), F.col("n1r") == r.r_regionkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2k"))
         .withColumn("o_year", F.year("o_orderdate").cast("int"))
         .groupBy("o_year")
@@ -128,8 +128,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     l, o = cat.table("lineitem"), cat.table("orders")
     s, p, n = cat.table("supplier"), cat.table("part"), cat.table("nation")
     return (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(p.filter(F.col("p_name").like("%a%"))), l.l_partkey == p.p_partkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(p.filter(F.col("p_name").like("%a%")), l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year"), _rev_col().alias("rev"))
@@ -253,7 +253,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = p.filter((F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
     return (
         l.join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -281,7 +281,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(0.2 * F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6).alias("qty_thresh")
     )
     return (
-        l.join(F.broadcast(p.filter(F.col("p_brand") == "Brand#23")), l.l_partkey == p.p_partkey)
+        l.join(p.filter(F.col("p_brand") == "Brand#23"), l.l_partkey == p.p_partkey)
         .join(pa.withColumnRenamed("l_partkey", "pk"), F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(F.round(F.sum(dec("l_extendedprice")).cast("double") / 7.0, 6).alias("avg_yearly"))
@@ -347,7 +347,7 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BET
 def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     l, p = cat.table("lineitem"), cat.table("part")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
@@ -381,7 +381,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")), l.l_partkey == p.p_partkey)
+        .join(p.filter(F.col("p_type") == "ECONOMY"), l.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(dec("l_quantity")).alias("sq"))
         .filter(F.col("sq") > 300)
@@ -427,7 +427,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         l3, (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")), "left_anti"
     )
     return (
-        only_late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        only_late.join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -13,10 +13,16 @@ def _plan(spark, name: str) -> str:
     return load_all()[name].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
 
 
-def test_q5_broadcasts_dims_no_sort_merge(spark):
-    plan = _plan(spark, "tpch_q5")
+def test_q5_broadcasts_dims_after_aqe(spark):
+    """Bounded dims broadcast statically; supplier-sized frames convert to
+    broadcast at runtime via AQE at this SF (and stay shuffled at 100 TB —
+    the point of not forcing them). Assert on the POST-execution final plan."""
+    df = load_all()["tpch_q5"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 4, plan
-    assert "SortMergeJoin" not in plan, plan
+    # fact-fact joins (lineitem⋈orders) may legitimately stay sort-merge
+    assert plan.count("SortMergeJoin") <= 2, plan
 
 
 def test_q6_pushdown_and_pruning(spark):
