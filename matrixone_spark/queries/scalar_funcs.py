@@ -249,6 +249,66 @@ def func_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "func_encode_battery",
+    oracle="""
+SELECT s_suppkey,
+       hex(encode(s_name))                    AS hx,
+       lower(hex(encode(s_name)))             AS hx_lo,
+       CAST(s_suppkey * 7 AS BIGINT)          AS n7,
+       bin(CAST(s_suppkey * 7 AS BIGINT))     AS bin_str,
+       to_base64(encode(s_name))              AS b64,
+       decode(from_base64(to_base64(encode(s_name))))  AS b64_roundtrip,
+       CASE ((s_suppkey % 3) + 1) WHEN 1 THEN 'one' WHEN 2 THEN 'two' WHEN 3 THEN 'three' END AS elt_pick,
+       CASE WHEN 'GERMANY' IN ('FRANCE','GERMANY','CHINA') THEN 2 ELSE 0 END AS fis
+FROM supplier WHERE s_suppkey <= 60
+""",
+    tags=("functions",),
+    doc="Encode family (func_binary.go, list_builtIn.go): hex, bin, base64 roundtrip, elt (list_builtIn ELT), find_in_set — DuckDB equivalents via CASE/encode.",
+)
+def func_encode_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = Catalog(spark, sf_dir).table("supplier").filter(F.col("s_suppkey") <= 60)
+    name_bin = F.encode("s_name", "utf-8")
+    return s.select(
+        "s_suppkey",
+        F.hex(name_bin).alias("hx"),
+        F.lower(F.hex(name_bin)).alias("hx_lo"),
+        (F.col("s_suppkey") * 7).cast("bigint").alias("n7"),
+        F.bin((F.col("s_suppkey") * 7).cast("bigint")).alias("bin_str"),
+        F.base64(name_bin).alias("b64"),
+        F.decode(F.unbase64(F.base64(name_bin)), "utf-8").alias("b64_roundtrip"),
+        F.elt((F.col("s_suppkey") % 3 + 1).cast("int"), F.lit("one"), F.lit("two"), F.lit("three")).alias("elt_pick"),
+        F.find_in_set(F.lit("GERMANY"), F.lit("FRANCE,GERMANY,CHINA")).alias("fis"),
+    )
+
+
+@register(
+    "func_uint64_decimal",
+    oracle="""
+SELECT l_orderkey,
+       CAST((CAST(l_orderkey AS DECIMAL(20,0)) + 92233720368) * 100000000 + l_partkey AS DECIMAL(20,0)) AS packed,
+       CAST((CAST(l_orderkey AS DECIMAL(20,0)) + 92233720368) * 100000000 + l_partkey AS VARCHAR) AS packed_str,
+       CAST(((CAST(l_orderkey AS DECIMAL(20,0)) + 92233720368) * 100000000 + l_partkey) % 100000000 AS BIGINT) AS unpacked_part
+FROM lineitem WHERE l_orderkey <= 100
+""",
+    tags=("functions", "types"),
+    doc="uint64 semantics via DECIMAL(20,0) (SURVEY §1.2: Spark has no unsigned 64-bit — reference types.go:49 uint64). The 92233720368e8 offset pushes every packed value past int64 max (9.22e18), so arithmetic, string rendering, and modulo round-trip genuinely run in uint64 territory.",
+)
+def func_uint64_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = Catalog(spark, sf_dir).table("lineitem").filter(F.col("l_orderkey") <= 100)
+    packed = (
+        (F.col("l_orderkey").cast("decimal(20,0)") + F.lit(92233720368).cast("decimal(20,0)"))
+        * F.lit(100000000).cast("decimal(20,0)")
+        + F.col("l_partkey")
+    ).cast("decimal(20,0)")
+    return l.select(
+        "l_orderkey",
+        packed.alias("packed"),
+        packed.cast("string").alias("packed_str"),
+        (packed % 100000000).cast("bigint").alias("unpacked_part"),
+    )
+
+
+@register(
     "func_cast_battery",
     oracle="""
 SELECT p_partkey,

@@ -91,6 +91,36 @@ def sliding_user_activity(stream: DataFrame) -> DataFrame:
     )
 
 
+def run_cdc_sink(
+    spark: SparkSession,
+    sf_dir: str,
+    target_path: str,
+    checkpoint: str,
+    transform=None,
+) -> None:
+    """CDC-style sink: stream the append-only events source into a parquet
+    target via foreachBatch — the Spark analogue of the reference's CDC
+    pipeline (pkg/cdc/sinker.go:60 sinks tailed changes into MySQL with
+    resumable watermarks; here the checkpoint is the resume point).
+
+    foreachBatch gives per-micro-batch batch-DataFrame semantics, so the same
+    sink code could MERGE into anything (JDBC, Delta); parquet append here.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform else batch_df
+        out.write.mode("append").parquet(target_path)
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Native streaming session windows (F.session_window) — the streaming
     counterpart of operators/timewindow.sessionize."""

@@ -32,6 +32,38 @@ def test_stream_sessions_equal_batch(spark):
     ]
 
 
+def test_cdc_sink_foreachbatch_exactly_once(spark):
+    """CDC sink: all source rows land once; a re-run with the same checkpoint
+    is a no-op (resume semantics, pkg/cdc reader watermark parity)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from matrixone_spark.streaming.events import run_cdc_sink
+
+    tmp = "/root/repo/.tmp_test_cdc"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        run_cdc_sink(
+            spark, SF_DIR, f"{tmp}/out", f"{tmp}/ckpt",
+            transform=lambda df: df.filter(F.col("event_type") == "purchase"),
+        )
+        src_n = (
+            Catalog(spark, SF_DIR).table("events")
+            .filter(F.col("event_type") == "purchase").count()
+        )
+        got_n = spark.read.parquet(f"{tmp}/out").count()
+        assert got_n == src_n
+        # resume: no new files → no duplicate rows
+        run_cdc_sink(
+            spark, SF_DIR, f"{tmp}/out", f"{tmp}/ckpt",
+            transform=lambda df: df.filter(F.col("event_type") == "purchase"),
+        )
+        assert spark.read.parquet(f"{tmp}/out").count() == src_n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_multimodal_decoder_stub_raises(spark):
     from matrixone_spark.operators.multimodal import real_decoder
 
