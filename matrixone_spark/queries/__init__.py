@@ -69,6 +69,7 @@ def load_all() -> "dict[str, Query]":
         table_funcs,
         streaming_mm,
         advanced,
+        geo_bitmap,
     )
 
     return REGISTRY
