@@ -57,10 +57,32 @@ def _fix_nanos_timestamps(df: DataFrame) -> DataFrame:
 _TABLE_CACHE: "dict[tuple[int, str, str], DataFrame]" = {}
 
 
+# Correctness-critical session confs that are runtime-settable. The round
+# driver calls queries() with ITS OWN SparkSession (not ours) — without
+# nanosAsLong the events table is unreadable, and without UTC the timestamp
+# literals/epochs diverge from the DuckDB oracle. Applied idempotently on
+# every Catalog construction so results don't depend on who built the session.
+_REQUIRED_RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            spark.conf.set(k, v)
+
+
 class Catalog:
     """Name → DataFrame registry over a scale-factor directory."""
 
     def __init__(self, spark: SparkSession, sf_dir: str):
+        ensure_session_confs(spark)
         self.spark = spark
         self.sf_dir = sf_dir
         self._cache = _TABLE_CACHE
