@@ -31,9 +31,22 @@ _GROUP_CONCAT_RE = re.compile(
     r"group_concat\s*\(\s*([^()]+?)\s*(?:separator\s+'([^']*)')?\s*\)", re.IGNORECASE
 )
 
+# System/meta no-arg calls (VERSION(), DATABASE(), CONNECTION_ID(), ...) are
+# session-context lookups in the reference (function_id.go:1053-1081); here
+# they fold to literals at translate time (functions/system.py rationale).
+_SYSTEM_FN_RE = re.compile(
+    r"\b(version|git_version|database|schema|user|current_user|session_user"
+    r"|system_user|current_role|connection_id|charset|collation"
+    r"|last_insert_id|found_rows|row_count)\s*\(\s*\)",
+    re.IGNORECASE,
+)
+
 
 def translate(sql: str) -> str:
     """Rewrite MySQL-dialect constructs into Spark SQL."""
+    from matrixone_spark.functions.system import DEFAULT_CONTEXT, sql_literals
+
+    sys_lits = sql_literals(DEFAULT_CONTEXT)
 
     def fmt_repl(m: "re.Match") -> str:
         fn, arg, fmt = m.group(1).lower(), m.group(2), mysql_format_to_java(m.group(3))
@@ -47,4 +60,5 @@ def translate(sql: str) -> str:
 
     out = _DATE_FORMAT_RE.sub(fmt_repl, sql)
     out = _GROUP_CONCAT_RE.sub(gc_repl, out)
+    out = _SYSTEM_FN_RE.sub(lambda m: sys_lits[m.group(1).lower()], out)
     return out

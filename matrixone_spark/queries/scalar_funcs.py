@@ -339,3 +339,51 @@ def func_cast_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(p_brand AS INT)").alias("bad_int"),
         price.cast("decimal(12,2)").cast("double").alias("via_decimal"),
     )
+
+
+@register(
+    "system_meta_battery",
+    oracle="""
+SELECT n_nationkey, n_name,
+       '8.0.30-MatrixOne-v1.3.0' AS server_version,
+       'mo'                      AS current_db,
+       'root@localhost'          AS sess_user,
+       'moadmin'                 AS sess_role,
+       CAST(1 AS BIGINT)         AS conn_id,
+       'utf8mb4'                 AS charset_name,
+       'utf8mb4_general_ci'      AS collation_name,
+       CAST(0 AS BIGINT)         AS last_ins_id,
+       CAST(0 AS BIGINT)         AS n_found,
+       CAST(-1 AS BIGINT)        AS n_row_count
+FROM nation
+""",
+    tags=("functions", "system"),
+    doc=(
+        "System/meta functions VERSION/DATABASE/USER/CURRENT_ROLE/"
+        "CONNECTION_ID/CHARSET/COLLATION/LAST_INSERT_ID/FOUND_ROWS/ROW_COUNT "
+        "(function_id.go:1053-1081; Version resolves the 'version' session "
+        "variable, func_unary.go:9082). Runs through Engine.mysql_sql so the "
+        "dialect layer's literal-fold rewrite is what's under test "
+        "(functions/system.py + mysql_dialect.py)."
+    ),
+)
+def system_meta_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.engine import Engine
+
+    eng = Engine(spark).load(sf_dir)
+    return eng.mysql_sql(
+        """
+        SELECT n_nationkey, n_name,
+               VERSION()        AS server_version,
+               DATABASE()       AS current_db,
+               USER()           AS sess_user,
+               CURRENT_ROLE()   AS sess_role,
+               CONNECTION_ID()  AS conn_id,
+               CHARSET()        AS charset_name,
+               COLLATION()      AS collation_name,
+               LAST_INSERT_ID() AS last_ins_id,
+               FOUND_ROWS()     AS n_found,
+               ROW_COUNT()      AS n_row_count
+        FROM nation
+        """
+    )

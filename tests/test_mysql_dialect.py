@@ -41,3 +41,25 @@ def test_mysql_sql_end_to_end(spark):
     assert len(rows) == 5
     assert all(len(r.ym) == 7 and r.n > 0 for r in rows)
     assert all(set(r.statuses.split("/")) <= {"F", "O", "P"} for r in rows)
+
+
+def test_system_meta_fold():
+    # No-arg system calls fold to session-context literals (functions/system.py)
+    out = translate("SELECT VERSION() AS v, DATABASE() AS d, CONNECTION_ID() AS c")
+    assert out == (
+        "SELECT '8.0.30-MatrixOne-v1.3.0' AS v, 'mo' AS d, "
+        "CAST(1 AS BIGINT) AS c"
+    )
+    # Arg-taking calls are NOT touched (user-defined or column-applied forms)
+    assert translate("SELECT charset(x) FROM t") == "SELECT charset(x) FROM t"
+
+
+def test_system_meta_end_to_end(spark):
+    eng = Engine(spark)
+    eng.load(SF_DIR)
+    row = eng.mysql_sql(
+        "SELECT VERSION() AS v, USER() AS u, CURRENT_ROLE() AS r, "
+        "FOUND_ROWS() AS f FROM region LIMIT 1"
+    ).collect()[0]
+    assert row.v.startswith("8.0.30-MatrixOne-v")
+    assert row.u == "root@localhost" and row.r == "moadmin" and row.f == 0
