@@ -387,3 +387,56 @@ def system_meta_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nation
         """
     )
+
+
+@register(
+    "func_crypto_battery",
+    oracle="""
+SELECT s_suppkey,
+       sha256(s_name)                                    AS sha256_hex,
+       upper(sha256(concat(s_name, ':', CAST(s_suppkey AS VARCHAR)))) AS sha256_cat,
+       md5(concat(s_name, '#', CAST(s_nationkey AS VARCHAR)))         AS md5_tag,
+       s_name                                            AS aes_ecb_roundtrip,
+       concat(s_name, '-', CAST(s_suppkey AS VARCHAR))   AS aes_cbc_roundtrip
+FROM supplier WHERE s_suppkey <= 80
+""",
+    tags=("functions", "crypto"),
+    doc=(
+        "Crypto family (func_binary.go:12240-12460 generateAESKey/getAESMode/"
+        "AESEncrypt/AESDecrypt; function_id.go:1203 sha2): sha2-256 vs DuckDB "
+        "sha256; MySQL-compatible AES (key-fold + ECB default, 256-CBC with "
+        "explicit IV, MySQL ciphertext layout without IV prefix) gated "
+        "end-to-end by encrypt->decrypt->utf8 equaling the source column — "
+        "the oracle is the plaintext, so a layout or key-fold bug mismatches. "
+        "sha1/sha512 have no DuckDB twin; gated vs hashlib in tests/test_crypto.py."
+    ),
+)
+def func_crypto_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.functions import crypto as C
+
+    s = Catalog(spark, sf_dir).table("supplier").filter(F.col("s_suppkey") <= 80)
+    iv = "0123456789abcdef"
+    return s.select(
+        "s_suppkey",
+        C.sha2(F.col("s_name"), 256).alias("sha256_hex"),
+        F.upper(
+            C.sha2(F.concat_ws(":", "s_name", F.col("s_suppkey").cast("string")), 256)
+        ).alias("sha256_cat"),
+        F.md5(F.concat_ws("#", "s_name", F.col("s_nationkey").cast("string"))).alias("md5_tag"),
+        C.aes_decrypt(C.aes_encrypt("s_name", "bvt-key"), "bvt-key")
+        .cast("string")
+        .alias("aes_ecb_roundtrip"),
+        C.aes_decrypt(
+            C.aes_encrypt(
+                F.concat_ws("-", "s_name", F.col("s_suppkey").cast("string")),
+                "cbc-key-32",
+                "aes-256-cbc",
+                iv,
+            ),
+            "cbc-key-32",
+            "aes-256-cbc",
+            iv,
+        )
+        .cast("string")
+        .alias("aes_cbc_roundtrip"),
+    )
