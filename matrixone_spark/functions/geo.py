@@ -54,3 +54,221 @@ def mbr_contains(xmin, ymin, xmax, ymax, p) -> Column:
     """MBR containment (reference mbr* family): point inside bbox."""
     px, py = st_x(p), st_y(p)
     return (px >= _c(xmin)) & (px <= _c(xmax)) & (py >= _c(ymin)) & (py <= _c(ymax))
+
+
+# ---------------------------------------------------------------------------
+# WKT geometry core: LINESTRING / POLYGON as array<struct<x,y>> expressions.
+#
+# Reference surface: st_geomfromtext/st_astext/st_numpoints/st_pointn/
+# st_startpoint/st_endpoint/st_isclosed/st_length/st_area/st_centroid/
+# st_envelope/st_makeenvelope/st_contains/st_distance_sphere
+# (function_id.go:1234-1363; geodetic kernel pkg/geo/geodetic.go:205
+# DistanceMeters = S2 chord angle × EarthRadiusMeters 6371008.8).
+#
+# Spark-first: a geometry is struct<gtype:string, pts:array<struct<x,y>>>
+# built with regexp/split/transform and measured with zip_with/aggregate —
+# every function below stays inside whole-stage codegen (no UDF, no geometry
+# library), so it distributes like any other column expression. Polygons
+# keep the outer ring only (interior rings are out of round scope).
+# ---------------------------------------------------------------------------
+
+EARTH_RADIUS_M = 6371008.8  # pkg/geo/geodetic.go:30 (IUGG mean radius R1)
+
+
+def st_geomfromtext(wkt) -> Column:
+    """Parse POINT/LINESTRING/POLYGON WKT → struct(gtype, pts).
+
+    POLYGON keeps the exterior ring (closed: first point repeated last,
+    as WKT writes it). Unknown/malformed text → gtype NULL, empty pts.
+    """
+    w = F.trim(_c(wkt))
+    gtype = F.upper(F.regexp_extract(w, r"^\s*([A-Za-z]+)", 1))
+    gtype = F.when(gtype.isin("POINT", "LINESTRING", "POLYGON"), gtype)
+    body = (
+        F.when(gtype == "POLYGON", F.regexp_extract(w, r"\(\(\s*([^()]*?)\s*\)", 1))
+        .otherwise(F.regexp_extract(w, r"\(\s*([^()]*?)\s*\)", 1))
+    )
+    pts = F.transform(
+        F.split(body, r"\s*,\s*"),
+        lambda s: F.struct(
+            F.split(F.trim(s), r"\s+").getItem(0).cast("double").alias("x"),
+            F.split(F.trim(s), r"\s+").getItem(1).cast("double").alias("y"),
+        ),
+    )
+    pts = F.when(body == "", F.expr("array()").cast("array<struct<x:double,y:double>>")).otherwise(pts)
+    return F.struct(gtype.alias("gtype"), pts.alias("pts"))
+
+
+def st_astext(g) -> Column:
+    """Render struct(gtype, pts) back to WKT."""
+    g = _c(g)
+    coords = F.array_join(
+        F.transform(
+            g.pts, lambda p: F.concat(p.x.cast("string"), F.lit(" "), p.y.cast("string"))
+        ),
+        ", ",
+    )
+    return (
+        F.when(g.gtype == "POINT", F.concat(F.lit("POINT("), coords, F.lit(")")))
+        .when(g.gtype == "LINESTRING", F.concat(F.lit("LINESTRING("), coords, F.lit(")")))
+        .when(g.gtype == "POLYGON", F.concat(F.lit("POLYGON(("), coords, F.lit("))")))
+    )
+
+
+def st_geometrytype(g) -> Column:
+    return _c(g).gtype
+
+
+def st_numpoints(g) -> Column:
+    return F.size(_c(g).pts)
+
+
+def st_pointn(g, n) -> Column:
+    """N-th point (1-based) as WKT POINT (NULL out of range)."""
+    p = F.element_at(_c(g).pts, n if not isinstance(n, int) else F.lit(n))
+    return F.when(p.isNotNull(), F.concat(
+        F.lit("POINT("), p.x.cast("string"), F.lit(" "), p.y.cast("string"), F.lit(")")))
+
+
+def st_startpoint(g) -> Column:
+    return st_pointn(g, 1)
+
+
+def st_endpoint(g) -> Column:
+    return st_pointn(g, F.size(_c(g).pts))
+
+
+def st_isclosed(g) -> Column:
+    g = _c(g)
+    first, last = F.element_at(g.pts, 1), F.element_at(g.pts, F.size(g.pts))
+    return (first.x == last.x) & (first.y == last.y)
+
+
+def _segments(g: Column) -> Column:
+    """Consecutive point pairs: array<struct<ax,ay,bx,by>>."""
+    pts = g.pts
+    n = F.size(pts)
+    return F.zip_with(
+        F.slice(pts, 1, n - 1),
+        F.slice(pts, 2, n - 1),
+        lambda a, b: F.struct(
+            a.x.alias("ax"), a.y.alias("ay"), b.x.alias("bx"), b.y.alias("by")
+        ),
+    )
+
+
+def st_length(g) -> Column:
+    """LINESTRING length: index-ordered fold of segment lengths (bit-exact
+    vs an explicit per-segment sum in the oracle — left fold from 0.0)."""
+    segs = _segments(_c(g))
+    return F.aggregate(
+        segs,
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.sqrt((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay)),
+    )
+
+
+def _shoelace(g: Column) -> Column:
+    """Signed double-area Σ(x_i·y_j − x_j·y_i) over the closed ring."""
+    return F.aggregate(
+        _segments(g),
+        F.lit(0.0),
+        lambda acc, s: acc + (s.ax * s.by - s.bx * s.ay),
+    )
+
+
+def st_area(g) -> Column:
+    """POLYGON area via the shoelace formula (outer ring)."""
+    return F.abs(_shoelace(_c(g))) / 2.0
+
+
+def st_centroid(g) -> Column:
+    """POLYGON centroid (standard shoelace centroid) as WKT POINT."""
+    g = _c(g)
+    cross = _shoelace(g)
+    cx = F.aggregate(
+        _segments(g), F.lit(0.0),
+        lambda acc, s: acc + (s.ax + s.bx) * (s.ax * s.by - s.bx * s.ay),
+    ) / (3.0 * cross)
+    cy = F.aggregate(
+        _segments(g), F.lit(0.0),
+        lambda acc, s: acc + (s.ay + s.by) * (s.ax * s.by - s.bx * s.ay),
+    ) / (3.0 * cross)
+    return F.concat(F.lit("POINT("), cx.cast("string"), F.lit(" "), cy.cast("string"), F.lit(")"))
+
+
+def st_envelope_bounds(g) -> Column:
+    """Envelope as struct(xmin, ymin, xmax, ymax) — the oracle-friendly form."""
+    pts = _c(g).pts
+    return F.struct(
+        F.array_min(F.transform(pts, lambda p: p.x)).alias("xmin"),
+        F.array_min(F.transform(pts, lambda p: p.y)).alias("ymin"),
+        F.array_max(F.transform(pts, lambda p: p.x)).alias("xmax"),
+        F.array_max(F.transform(pts, lambda p: p.y)).alias("ymax"),
+    )
+
+
+def st_makeenvelope(xmin, ymin, xmax, ymax) -> Column:
+    """Axis-aligned rectangle POLYGON WKT (reference st_makeenvelope)."""
+    x0, y0, x1, y1 = (_c(xmin).cast("string"), _c(ymin).cast("string"),
+                      _c(xmax).cast("string"), _c(ymax).cast("string"))
+    sp, cm = F.lit(" "), F.lit(", ")
+    return F.concat(
+        F.lit("POLYGON(("),
+        x0, sp, y0, cm, x1, sp, y0, cm, x1, sp, y1, cm, x0, sp, y1, cm, x0, sp, y0,
+        F.lit("))"),
+    )
+
+
+def st_contains_point(poly, px, py) -> Column:
+    """Point-in-polygon via ray casting (crossing parity over ring edges).
+
+    Boundary behavior follows the raw parity rule (points exactly on an edge
+    are implementation-defined, as in MySQL's planar st_contains on the
+    boundary) — callers gating results pick probe points off the boundary.
+    """
+    px, py = _c(px), _c(py)
+    crossings = F.aggregate(
+        _segments(_c(poly)),
+        F.lit(0),
+        lambda acc, s: acc
+        + F.when(
+            ((s.ay > py) != (s.by > py))
+            & (px < (s.bx - s.ax) * (py - s.ay) / (s.by - s.ay) + s.ax),
+            1,
+        ).otherwise(0),
+    )
+    return crossings % 2 == 1
+
+
+def st_distance_sphere(p1, p2) -> Column:
+    """Great-circle meters between two WKT POINTs (x=lon, y=lat degrees).
+
+    Haversine × EarthRadiusMeters — for two points this equals the
+    reference's S2 chord-angle × R (geodetic.go:205-217). Out-of-range
+    lon/lat → NULL (reference validates [-180,180]/[-90,90] and errors;
+    NULL is the non-throwing batch analogue).
+    """
+    lon1, lat1 = F.radians(st_x(p1)), F.radians(st_y(p1))
+    lon2, lat2 = F.radians(st_x(p2)), F.radians(st_y(p2))
+    dlat, dlon = lat2 - lat1, lon2 - lon1
+    h = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(lat1) * F.cos(lat2) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    dist = 2.0 * F.asin(F.sqrt(h)) * EARTH_RADIUS_M
+    valid = (
+        (F.abs(st_x(p1)) <= 180) & (F.abs(st_y(p1)) <= 90)
+        & (F.abs(st_x(p2)) <= 180) & (F.abs(st_y(p2)) <= 90)
+    )
+    return F.when(valid, dist)
+
+
+def st_swapxy(g) -> Column:
+    """Swap x/y of every coordinate (reference st_swapxy)."""
+    g = _c(g)
+    return F.struct(
+        g.gtype.alias("gtype"),
+        F.transform(g.pts, lambda p: F.struct(p.y.alias("x"), p.x.alias("y"))).alias("pts"),
+    )

@@ -120,3 +120,164 @@ def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bitmap_count").cast("bigint").alias("exact_distinct"),
         F.count(F.lit(1)).alias("n_buckets"),
     )
+
+
+@register(
+    "geo_linestring_metrics",
+    oracle="""
+WITH c AS (
+  SELECT s_suppkey,
+         CAST(s_suppkey % 7 AS DOUBLE)                          AS x1,
+         CAST(s_suppkey % 5 AS DOUBLE)                          AS y1,
+         CAST(s_suppkey % 7 + (s_suppkey % 3 + 1) AS DOUBLE)    AS x2,
+         CAST(s_suppkey % 5 + (s_suppkey % 4 + 1) AS DOUBLE)    AS y2,
+         CAST(s_suppkey % 7 + (s_suppkey % 3 + 1) + 2 AS DOUBLE) AS x3,
+         CAST(s_suppkey % 5 AS DOUBLE)                          AS y3
+  FROM supplier WHERE s_suppkey <= 200)
+SELECT s_suppkey,
+       3                        AS np,
+       sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))
+         + sqrt((x3-x2)*(x3-x2) + (y3-y2)*(y3-y2)) AS seg_len,
+       CONCAT('POINT(', CAST(x1 AS VARCHAR), ' ', CAST(y1 AS VARCHAR), ')') AS start_pt,
+       CONCAT('POINT(', CAST(x3 AS VARCHAR), ' ', CAST(y3 AS VARCHAR), ')') AS end_pt,
+       CASE WHEN x1 = x3 AND y1 = y3 THEN 1 ELSE 0 END AS closed,
+       LEAST(x1, x2, x3)  AS env_xmin,
+       GREATEST(y1, y2, y3) AS env_ymax
+FROM c
+""",
+    tags=("geo",),
+    doc=(
+        "LINESTRING WKT build->parse->measure (st_linefromtext function_id.go"
+        ":1245, st_numpoints :1353, st_startpoint/st_endpoint :1346-1347, "
+        "st_isclosed :1354, st_length :1334, st_envelope :1359). The Spark "
+        "side renders WKT text, re-parses it with st_geomfromtext, and folds "
+        "segment lengths with aggregate() — index-ordered, bit-exact vs the "
+        "oracle's explicit two-term sum."
+    ),
+)
+def geo_linestring_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = Catalog(spark, sf_dir).table("supplier").filter(F.col("s_suppkey") <= 200)
+    k = F.col("s_suppkey")
+    x1, y1 = (k % 7).cast("double"), (k % 5).cast("double")
+    x2, y2 = (k % 7 + (k % 3 + 1)).cast("double"), (k % 5 + (k % 4 + 1)).cast("double")
+    x3, y3 = (k % 7 + (k % 3 + 1) + 2).cast("double"), (k % 5).cast("double")
+    sp = F.lit(" ")
+    wkt = F.concat(
+        F.lit("LINESTRING("),
+        x1.cast("string"), sp, y1.cast("string"), F.lit(", "),
+        x2.cast("string"), sp, y2.cast("string"), F.lit(", "),
+        x3.cast("string"), sp, y3.cast("string"), F.lit(")"),
+    )
+    g = G.st_geomfromtext(wkt)
+    return s.select(
+        "s_suppkey",
+        G.st_numpoints(g).alias("np"),
+        G.st_length(g).alias("seg_len"),
+        G.st_startpoint(g).alias("start_pt"),
+        G.st_endpoint(g).alias("end_pt"),
+        F.when(G.st_isclosed(g), 1).otherwise(0).alias("closed"),
+        G.st_envelope_bounds(g).getField("xmin").alias("env_xmin"),
+        G.st_envelope_bounds(g).getField("ymax").alias("env_ymax"),
+    )
+
+
+@register(
+    "geo_polygon_battery",
+    oracle="""
+WITH d AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 10 AS DOUBLE)    AS cx,
+         CAST(c_custkey % 7 AS DOUBLE)     AS cy,
+         CAST(c_custkey % 3 + 2 AS DOUBLE) AS r
+  FROM customer WHERE c_custkey <= 300)
+SELECT c_custkey,
+       CAST(2 * r * r AS DOUBLE) AS area,
+       CONCAT('POINT(', CAST(cx AS VARCHAR), ' ', CAST(cy AS VARCHAR), ')') AS centroid,
+       CASE WHEN (ABS(CAST(c_custkey % 5 AS DOUBLE) - 1.25) + 0.875) < r
+            THEN 1 ELSE 0 END AS probe_inside,
+       cx - r AS env_xmin, cy + r AS env_ymax,
+       5 AS ring_points
+FROM d
+""",
+    tags=("geo",),
+    doc=(
+        "POLYGON WKT build->parse->measure on a diamond ring (st_polyfromtext "
+        "function_id.go:1247, st_area :1335, st_centroid :1360, st_contains "
+        ":1336, st_envelope :1359). Diamond centered (cx,cy) radius r: "
+        "shoelace area is exactly 2r² and the centroid is the center, so the "
+        "oracle states closed forms while Spark runs the general aggregate() "
+        "folds; ray-casting containment is gated against the diamond's L1 "
+        "inequality with probe points chosen off the boundary."
+    ),
+)
+def geo_polygon_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer").filter(F.col("c_custkey") <= 300)
+    k = F.col("c_custkey")
+    cx, cy = (k % 10).cast("double"), (k % 7).cast("double")
+    r = (k % 3 + 2).cast("double")
+    sp, cm = F.lit(" "), F.lit(", ")
+    wkt = F.concat(
+        F.lit("POLYGON(("),
+        (cx + r).cast("string"), sp, cy.cast("string"), cm,
+        cx.cast("string"), sp, (cy + r).cast("string"), cm,
+        (cx - r).cast("string"), sp, cy.cast("string"), cm,
+        cx.cast("string"), sp, (cy - r).cast("string"), cm,
+        (cx + r).cast("string"), sp, cy.cast("string"),
+        F.lit("))"),
+    )
+    g = G.st_geomfromtext(wkt)
+    px = cx + (k % 5).cast("double") - 1.25
+    py = cy + 0.875
+    return c.select(
+        "c_custkey",
+        G.st_area(g).alias("area"),
+        G.st_centroid(g).alias("centroid"),
+        F.when(G.st_contains_point(g, px, py), 1).otherwise(0).alias("probe_inside"),
+        G.st_envelope_bounds(g).getField("xmin").alias("env_xmin"),
+        G.st_envelope_bounds(g).getField("ymax").alias("env_ymax"),
+        G.st_numpoints(g).alias("ring_points"),
+    )
+
+
+@register(
+    "geo_sphere_distance",
+    oracle="""
+WITH p AS (
+  SELECT c_custkey, c_nationkey,
+         CAST((c_custkey % 720) AS DOUBLE) / 2.0 - 179.5  AS lon1,
+         CAST((c_custkey % 340) AS DOUBLE) / 2.0 - 84.5   AS lat1,
+         CAST((c_nationkey % 720) AS DOUBLE) / 2.0 - 179.0 AS lon2,
+         CAST((c_nationkey % 340) AS DOUBLE) / 2.0 - 84.0  AS lat2
+  FROM customer WHERE c_custkey <= 500)
+SELECT c_custkey,
+       ROUND(2.0 * ASIN(SQRT(
+           SIN((RADIANS(lat2) - RADIANS(lat1))/2) * SIN((RADIANS(lat2) - RADIANS(lat1))/2)
+         + COS(RADIANS(lat1)) * COS(RADIANS(lat2))
+           * SIN((RADIANS(lon2) - RADIANS(lon1))/2) * SIN((RADIANS(lon2) - RADIANS(lon1))/2)
+       )) * 6371008.8, 3) AS dist_m
+FROM p
+""",
+    tags=("geo",),
+    doc=(
+        "ST_Distance_Sphere (func_binary.go:9142 stDistanceSphere; "
+        "pkg/geo/geodetic.go:205 DistanceMeters = S2 chord angle × "
+        "EarthRadiusMeters 6371008.8): haversine great-circle meters between "
+        "WKT points built from customer/nation-derived lon/lat (exact binary "
+        "fractions so WKT text round-trips losslessly). ROUND 3 (mm) absorbs "
+        "libm-vs-JVM transcendental ULP drift."
+    ),
+)
+def geo_sphere_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer").filter(F.col("c_custkey") <= 500)
+    k, nk = F.col("c_custkey"), F.col("c_nationkey")
+    lon1 = (k % 720).cast("double") / 2.0 - 179.5
+    lat1 = (k % 340).cast("double") / 2.0 - 84.5
+    lon2 = (nk % 720).cast("double") / 2.0 - 179.0
+    lat2 = (nk % 340).cast("double") / 2.0 - 84.0
+    sp = F.lit(" ")
+    p1 = F.concat(F.lit("POINT("), lon1.cast("string"), sp, lat1.cast("string"), F.lit(")"))
+    p2 = F.concat(F.lit("POINT("), lon2.cast("string"), sp, lat2.cast("string"), F.lit(")"))
+    return c.select(
+        "c_custkey",
+        F.round(G.st_distance_sphere(p1, p2), 3).alias("dist_m"),
+    )

@@ -1,0 +1,80 @@
+"""Geometry-core property tests (WKT parse/measure layer, functions/geo.py).
+
+Reference: st_* surface function_id.go:1234-1363; sphere kernel
+pkg/geo/geodetic.go:205 (S2 chord angle × 6371008.8).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from matrixone_spark.functions import geo as G
+
+
+def vals(spark, **cols):
+    return spark.range(1).select(*(c.alias(k) for k, c in cols.items())).collect()[0]
+
+
+def test_wkt_roundtrip_and_types(spark):
+    r = vals(
+        spark,
+        pt=G.st_astext(G.st_geomfromtext(F.lit("  point(1.5 -2.25) "))),
+        ls_t=G.st_geometrytype(G.st_geomfromtext(F.lit("LINESTRING(0 0, 1 1)"))),
+        bad_t=G.st_geometrytype(G.st_geomfromtext(F.lit("MULTIPOINT(1 1, 2 2)"))),
+        garbage=G.st_geometrytype(G.st_geomfromtext(F.lit("not wkt at all"))),
+    )
+    assert r.pt == "POINT(1.5 -2.25)"
+    assert r.ls_t == "LINESTRING"
+    assert r.bad_t is None and r.garbage is None  # unsupported → NULL, not garbage
+
+
+def test_polygon_shoelace_nonconvex(spark):
+    # L-shaped (non-convex) hexagon: area 12, known centroid
+    wkt = "POLYGON((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"
+    g = G.st_geomfromtext(F.lit(wkt))
+    r = vals(spark, a=G.st_area(g), c=G.st_centroid(g), n=G.st_numpoints(g),
+             closed=G.st_isclosed(g))
+    assert r.a == 12.0 and r.n == 7 and r.closed
+    # centroid of the L: ((8*1 + 4*3)/12, (8*1+4*3)/12) = (5/3, 5/3)
+    assert r.c.startswith("POINT(1.666666") and " 1.666666" in r.c
+
+
+def test_ray_casting_nonconvex(spark):
+    wkt = "POLYGON((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"
+    g = G.st_geomfromtext(F.lit(wkt))
+    cases = {  # (x, y) -> expected containment in the L-shape
+        (1.0, 1.0): True, (3.0, 1.0): True, (1.0, 3.0): True,
+        (3.0, 3.0): False,  # the notch
+        (-0.5, 1.0): False, (5.0, 5.0): False,
+    }
+    for (x, y), want in cases.items():
+        got = vals(spark, v=G.st_contains_point(g, F.lit(x), F.lit(y))).v
+        assert got == want, (x, y, got)
+
+
+def test_length_and_sphere(spark):
+    g = G.st_geomfromtext(F.lit("LINESTRING(0 0, 3 4, 3 0, 0 0)"))
+    r = vals(spark, ln=G.st_length(g), closed=G.st_isclosed(g))
+    assert r.ln == 12.0 and r.closed
+    # half-circumference: antipodal points on the equator
+    d = vals(spark, d=G.st_distance_sphere(F.lit("POINT(-90 0)"), F.lit("POINT(90 0)"))).d
+    assert abs(d - math.pi * G.EARTH_RADIUS_M) < 1e-3
+    # out-of-range latitude → NULL (reference validates [-90, 90])
+    assert vals(spark, d=G.st_distance_sphere(F.lit("POINT(0 91)"), F.lit("POINT(0 0)"))).d is None
+
+
+def test_envelope_swap_makeenvelope(spark):
+    g = G.st_geomfromtext(F.lit("LINESTRING(-1 5, 3 -2, 0 0)"))
+    r = vals(
+        spark,
+        env=G.st_envelope_bounds(g),
+        sw=G.st_astext(G.st_swapxy(g)),
+        mk=G.st_makeenvelope(F.lit(0), F.lit(0), F.lit(2), F.lit(3)),
+    )
+    assert (r.env.xmin, r.env.ymin, r.env.xmax, r.env.ymax) == (-1.0, -2.0, 3.0, 5.0)
+    assert r.sw == "LINESTRING(5.0 -1.0, -2.0 3.0, 0.0 0.0)"
+    assert r.mk == "POLYGON((0 0, 2 0, 2 3, 0 3, 0 0))"
+    # makeenvelope output re-parses to the right area
+    assert vals(spark, a=G.st_area(G.st_geomfromtext(F.lit(r.mk)))).a == 6.0
