@@ -54,22 +54,37 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram shingle sets; pairs ≥ threshold.
 
-    shuffle plan: explode shingles → groupBy shingle (pair generation) →
-    groupBy pair (intersection counts) → broadcast set sizes.
+    Shuffle plan (2 shuffles, no self-join): explode shingles → groupBy
+    shingle collecting the sorted posting list → expand each posting list to
+    its id pairs with a pure array expression → groupBy pair (intersection
+    counts) → broadcast set sizes. Posting-list pair expansion beats the
+    shingle self-join: the quadratic blowup happens inside one projection
+    instead of a join shuffle, and single-doc shingles drop with a size
+    filter instead of a separate semi-join pass.
+
+    Scale note (100 TB): a stop-shingle shared by k docs expands to k²/2
+    pairs in one task. Real corpora at that scale drop ultra-common shingles
+    (they carry no near-dup signal); pass the posting-length cap the pipeline
+    uses. The exact gate runs uncapped.
     """
     sh = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col, n)).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    # shingles held by a single doc can't form a pair — prefiltering them
-    # shrinks the self-join input before the quadratic pair expansion
-    shared = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") > 1).select("shingle")
-    sh2 = sh.join(shared, "shingle", "left_semi")
-    a = sh2.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh2.select(F.col("doc_id").alias("id_b"), "shingle")
+    posts = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # pair expansion as two flat generators (posexplode the anchor, explode
+    # the tail slice) — same pairs as a nested-transform struct array but a
+    # far smaller expression tree, which keeps analysis + codegen cheap
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        posts.select(F.posexplode("ids").alias("_i", "id_a"), "ids")
+        .select(
+            "id_a",
+            F.explode(F.slice("ids", F.col("_i") + 2, F.size("ids"))).alias("id_b"),
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -92,15 +107,26 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     docs: DataFrame, id_col: str, text_col: str, num_perm: int = 32, shingle_n: int = 3
 ) -> DataFrame:
-    """Per-doc MinHash signature: min over shingles of xxhash64(shingle, seed_i)."""
-    sh = F.array_distinct(word_shingles(text_col, shingle_n))
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_perm)
-        ]
+    """Per-doc MinHash signature: min over shingles of xxhash64(shingle, seed_i).
+
+    Shape: explode shingles → one groupBy(doc) with num_perm JVM min
+    aggregates → pack into an array. The array_min(transform(...)) × num_perm
+    alternative inlines the whole shingle derivation into every permutation
+    (Catalyst collapses the projection), exploding codegen ~num_perm× — the
+    explode/agg form hashes each shingle once per permutation with map-side
+    partial mins, which is also the shape that scales (docs never need their
+    full shingle array in one task). Docs with zero shingles drop out, which
+    is equivalent: an empty set can never reach threshold Jaccard.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
     )
-    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("signature"))
+    mins = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"_h{i}") for i in range(num_perm)]
+    )
+    sig = F.array(*[F.col(f"_h{i}") for i in range(num_perm)])
+    return mins.select("doc_id", sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -145,9 +171,26 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verification on the candidate set only
-    exact = ngram_jaccard_pairs(docs, id_col, text_col, shingle_n, threshold)
-    return candidates.join(exact, ["id_a", "id_b"])
+    # exact verification on the candidate set only: join each candidate pair
+    # to the two docs' shingle sets and intersect the arrays — work scales
+    # with |candidates|, not |all pairs| (that asymmetry is the point of LSH)
+    sets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh_set"),
+    )
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("set_a"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("sh_set").alias("set_b"))
+    n_inter = F.size(F.array_intersect("set_a", "set_b"))
+    jac = F.round(
+        n_inter / (F.size("set_a") + F.size("set_b") - n_inter), 6
+    )
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash(col, bits: int = 64):
@@ -171,11 +214,40 @@ def simhash(col, bits: int = 64):
     return out
 
 
+def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc SimHash-64 via explode → one groupBy with 64 conditional-sum
+    aggregates. Bit-identical to the Column-level ``simhash`` (sum over
+    token ±1 votes is commutative) but avoids inlining the tokenizer into
+    all 64 fold expressions — same codegen-explosion fix and map-side
+    partial-agg scale shape as ``minhash_signatures``. Docs with zero
+    tokens drop out (the Column form gives them signature 0; a no-token
+    doc has no similarity signal either way)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("_t")
+    )
+    h = F.xxhash64("_t")
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    h.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(2**63))) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"_b{i}")
+            for i in range(64)
+        ]
+    )
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        bit_val = F.lit(1 << i).cast("long") if i < 63 else F.lit(-(2**63)).cast("long")
+        out = out + F.when(F.col(f"_b{i}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
+    return sums.select("doc_id", out.alias("sh"))
+
+
 def simhash_pairs(docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ k. Blocked on the top-16
     bit prefix to avoid O(n²) (prefix-equal is a necessary condition only for
     tight thresholds — documented recall tradeoff)."""
-    s = docs.select(F.col(id_col).alias("doc_id"), simhash(text_col).alias("sh"))
+    s = simhash_signatures(docs, id_col, text_col)
     s = s.withColumn("block", F.shiftrightunsigned("sh", 48))
     a = s.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "block")
     b = s.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), "block")

@@ -35,23 +35,28 @@ class FullTextIndex:
     """Inverted index over (doc_id, text): postings (doc_id, token, tf) +
     doc lengths + corpus stats."""
 
-    def __init__(self, postings: DataFrame, doc_stats: DataFrame, n_docs: int, avg_dl: float):
-        self.postings = postings      # doc_id, token, tf
-        self.doc_stats = doc_stats    # doc_id, dl (token count)
+    def __init__(self, postings: DataFrame, doc_stats: DataFrame, n_docs: int, corpus_stats: DataFrame):
+        self.postings = postings          # doc_id, token, tf
+        self.doc_stats = doc_stats        # doc_id, dl (token count)
         self.n_docs = n_docs
-        self.avg_dl = avg_dl
+        self.corpus_stats = corpus_stats  # 1 row: avg_dl (kept lazy/in-plan)
 
     @classmethod
     def build(cls, docs: DataFrame, id_col: str, text_col: str) -> "FullTextIndex":
+        """Build postings in ONE tokenize pass: doc lengths derive from the
+        postings (dl = Σ tf — a reaggregation of the small index, not a
+        second scan of the corpus), and avg_dl stays a lazy 1-row frame
+        broadcast into the scoring plan instead of an eager collect. Only
+        n_docs is materialized (a parquet metadata count). At 100 TB the
+        postings frame is the thing you persist bucketed by token; everything
+        else here derives from it."""
         toks = docs.select(
             F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("token")
         )
         postings = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-        doc_stats = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-        n_docs, avg_dl = docs.count(), None
-        row = doc_stats.agg(F.avg("dl")).collect()[0][0]
-        avg_dl = float(row) if row is not None else 0.0
-        return cls(postings, doc_stats, n_docs, avg_dl)
+        doc_stats = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        corpus_stats = doc_stats.agg(F.avg("dl").alias("avg_dl"))
+        return cls(postings, doc_stats, docs.count(), corpus_stats)
 
     def _scored_terms(self, terms: "list[str]", algo: str) -> DataFrame:
         """Per (doc, term) score for the query terms."""
@@ -62,9 +67,11 @@ class FullTextIndex:
         if algo == "tfidf":
             score = F.col("tf") * idf * idf
         elif algo == "bm25":
-            scored = scored.join(self.doc_stats, "doc_id")
+            scored = scored.join(self.doc_stats, "doc_id").crossJoin(
+                F.broadcast(self.corpus_stats)
+            )
             tf = F.col("tf")
-            denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl") / self.avg_dl))
+            denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl") / F.col("avg_dl")))
             score = idf * idf * tf * (BM25_K1 + 1) / denom
         else:
             raise ValueError(f"unknown algo {algo!r}")
