@@ -131,3 +131,49 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("width").cast("bigint") * F.col("height")).alias("total_pixels"),
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+SELECT v.event_id AS v_id, c.event_id AS c_id, v.user_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+FROM events v
+JOIN events c ON v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+""",
+    tags=("streaming", "join"),
+    doc=(
+        "Stream-stream inner interval join (views × clicks per user within 30 "
+        "minutes), both sides watermarked so join state is bounded — the "
+        "streaming counterpart of the CDC feed join (pkg/cdc/). Append-mode "
+        "drain over the bounded source must equal the batch interval join."
+    ),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.streaming.events import stream_stream_interval_join
+
+    return stream_stream_interval_join(spark, sf_dir, window="30 minutes")
+
+
+@register(
+    "stream_stateful_user_stats",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY user_id
+""",
+    tags=("streaming", "udf"),
+    doc=(
+        "Custom stateful operator via applyInPandasWithState: per-user "
+        "running (count, cents-sum) in the keyed state store across "
+        "micro-batches (Spark-native analogue of the reference's resumable "
+        "CDC consumers, pkg/cdc/ reader watermarks). Integer-cents state "
+        "keeps accumulation exact; converged totals equal the batch groupBy."
+    ),
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.streaming.events import stateful_user_stats
+
+    return stateful_user_stats(spark, sf_dir)

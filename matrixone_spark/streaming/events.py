@@ -134,3 +134,128 @@ def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "n_events",
         )
     )
+
+
+def stream_stream_interval_join(
+    spark: SparkSession, sf_dir: str, window: str = "5 minutes"
+) -> DataFrame:
+    """Stream-stream INNER interval join: each view matched to the same
+    user's clicks within [view.ts, view.ts + window].
+
+    Both sides are real readStream sources with event-time watermarks; the
+    time-range predicate bounds the join state (Spark evicts buffered rows
+    once the other side's watermark passes the interval — the scale story
+    for unbounded streams). Inner-join matches emit immediately, so the
+    bounded availableNow drain produces exactly the batch join result —
+    that equality is the oracle gate. (CDC-analogue surface, SURVEY §2.11:
+    the reference joins change feeds by tailing logs, pkg/cdc/.)
+    """
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {window}")),
+        "inner",
+    ).select(
+        "v_id",
+        "c_id",
+        F.col("v_user").alias("user_id"),
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (event count, value-cents sum) held in GroupState
+    across micro-batches, emitting the updated totals each batch.
+
+    This is the Spark-native form of the reference's stateful CDC consumers
+    (pkg/cdc/ watermarked readers): state lives in the state store
+    (checkpointable, partitioned by key), updates are Arrow-batched pandas.
+    Value sums are held in integer cents so cross-batch accumulation is
+    exact regardless of arrival order. On a bounded drain the final row per
+    user equals the batch groupBy — the oracle gate.
+    """
+    import pandas as pd  # noqa: F401  (worker-side import)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]})
+
+    stream = _events_stream(spark, sf_dir).select("user_id", "value", "ts")
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    name = f"sus_{uuid.uuid4().hex[:8]}"
+    q = (
+        updated.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # multiple micro-batches emit successive totals; the final row per user
+    # (max n_events) is the converged state
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

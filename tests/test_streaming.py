@@ -71,3 +71,69 @@ def test_multimodal_decoder_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         real_decoder(b"bytes", "image/png")
+
+
+def test_stateful_state_survives_micro_batches(spark, tmp_path):
+    """applyInPandasWithState must accumulate across micro-batches: split the
+    events into two files, force one file per trigger, and check the
+    converged totals equal the batch aggregate over everything."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from matrixone_spark.catalog import Catalog
+    from matrixone_spark.streaming import events as E
+
+    src = Catalog(spark, "/root/testdata/sf0.001").table("events").select("user_id", "value", "ts")
+    half = src.count() // 2
+    pdf = src.toPandas()
+    two_files = tmp_path / "events_split"
+    two_files.mkdir()
+    pdf.iloc[:half].to_parquet(two_files / "part1.parquet", index=False)
+    pdf.iloc[half:].to_parquet(two_files / "part2.parquet", index=False)
+
+    schema = spark.read.parquet(str(two_files)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(two_files))
+    )
+    # same operator body as stateful_user_stats, driven by the 2-batch stream
+    import uuid as _uuid
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType([
+        StructField("user_id", LongType()), StructField("n_events", LongType()),
+        StructField("sum_cents", LongType()),
+    ])
+    state_schema = StructType([StructField("n", LongType()), StructField("cents", LongType())])
+
+    def update(key, pdf_iter, state):
+        n, cents = state.get if state.exists else (0, 0)
+        for p in pdf_iter:
+            n += len(p)
+            cents += int(p["value"].mul(100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]})
+
+    name = f"t_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    sink = spark.table(name).toPandas()
+    # at least one user must have emitted twice (proof of multi-batch state)
+    assert sink.groupby("user_id").size().max() >= 2
+    final = sink.sort_values("n_events").groupby("user_id").last().reset_index()
+    expect = (
+        src.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        ).toPandas()
+    )
+    merged = final.merge(expect, on="user_id", suffixes=("_s", "_b"))
+    assert len(merged) == len(expect)
+    assert (merged.n_events_s == merged.n_events_b).all()
+    assert (merged.sum_cents_s == merged.sum_cents_b).all()
