@@ -258,3 +258,58 @@ def simhash_pairs(docs: DataFrame, id_col: str, text_col: str, max_hamming: int 
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Connected components by min-label propagation: every node converges
+    to the smallest node id reachable from it. Input: nodes(node),
+    edges(src, dst) — treated as undirected. Output: (node, component).
+
+    This is the dedup-clustering step of a training pipeline: near-dup
+    PAIRS (MinHash/ngram output) become canonical GROUPS (keep
+    component == node, drop the rest). Each iteration is one distributed
+    join+min-agg; convergence takes O(component diameter) rounds — near-dup
+    graphs are shallow (dup clusters are cliques or stars), so a handful.
+    localCheckpoint per round truncates lineage, the classic driver-loop
+    failure mode at scale. The large-star/small-star variant halves rounds
+    on adversarial chains; min-propagation keeps the plan to one shuffle
+    per round and is the textbook batch form.
+
+    Reference: the reference resolves duplicates pairwise at ingest
+    (fuzzyfilter/filter.go); grouping transitive dup chains is the batch
+    generalization the reference leaves to the user.
+    """
+    sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = nodes.select(F.col("node"), F.col("node").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            return labels
+    raise RuntimeError(f"components did not converge in {max_iter} rounds")

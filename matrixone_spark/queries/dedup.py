@@ -108,3 +108,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 150)
     return simhash_pairs(d, "doc_id", "text", max_hamming=10)
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents WHERE doc_id < 250
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+  WHERE len(t) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.2
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM toks
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
+""",
+    tags=("dedup",),
+    doc=(
+        "Near-dup clustering: ngram-Jaccard pairs (j ≥ 0.2) → connected "
+        "components by min-label propagation (operators/dedup.py "
+        "connected_components) — dedup PAIRS become canonical GROUPS "
+        "(component = smallest reachable doc_id; keep component == doc_id). "
+        "Oracle: DuckDB recursive-CTE reachability over the same edge set."
+    ),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.operators.dedup import connected_components
+
+    d = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 250)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+    nodes = d.select(F.col("doc_id").alias("node"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return connected_components(nodes, edges).select(
+        F.col("node").alias("doc_id"), "component"
+    )
