@@ -272,3 +272,58 @@ def st_swapxy(g) -> Column:
         g.gtype.alias("gtype"),
         F.transform(g.pts, lambda p: F.struct(p.y.alias("x"), p.x.alias("y"))).alias("pts"),
     )
+
+
+# --- MBR relation family (reference mbrcontains/within/intersects/disjoint/
+# equals/touches/overlaps/covers/coveredby, function_id.go:1306-1325 mbr*) —
+# all pure inequalities over envelope structs (st_envelope_bounds shape),
+# the pruning predicates a spatial index pushes into the scan at scale. ---
+
+
+def _b(box) -> Column:
+    return F.col(box) if isinstance(box, str) else box
+
+
+def mbr_within(a, b) -> Column:
+    """a's box fully inside b's box (closed boundaries, as MySQL MBR ops)."""
+    a, b = _b(a), _b(b)
+    return (
+        (a.xmin >= b.xmin) & (a.xmax <= b.xmax) & (a.ymin >= b.ymin) & (a.ymax <= b.ymax)
+    )
+
+
+def mbr_contains_box(a, b) -> Column:
+    return mbr_within(b, a)
+
+
+def mbr_disjoint(a, b) -> Column:
+    a, b = _b(a), _b(b)
+    return (a.xmax < b.xmin) | (b.xmax < a.xmin) | (a.ymax < b.ymin) | (b.ymax < a.ymin)
+
+
+def mbr_intersects(a, b) -> Column:
+    return ~mbr_disjoint(a, b)
+
+
+def mbr_equals(a, b) -> Column:
+    a, b = _b(a), _b(b)
+    return (
+        (a.xmin == b.xmin) & (a.xmax == b.xmax) & (a.ymin == b.ymin) & (a.ymax == b.ymax)
+    )
+
+
+def mbr_touches(a, b) -> Column:
+    """Boundaries meet but interiors don't: intersecting with zero-width
+    overlap in at least one axis."""
+    a, b = _b(a), _b(b)
+    x_olap = F.least(a.xmax, b.xmax) - F.greatest(a.xmin, b.xmin)
+    y_olap = F.least(a.ymax, b.ymax) - F.greatest(a.ymin, b.ymin)
+    return mbr_intersects(a, b) & ((x_olap == 0) | (y_olap == 0))
+
+
+def mbr_overlaps(a, b) -> Column:
+    """Interiors strictly overlap but neither box contains the other."""
+    a, b = _b(a), _b(b)
+    x_olap = F.least(a.xmax, b.xmax) - F.greatest(a.xmin, b.xmin)
+    y_olap = F.least(a.ymax, b.ymax) - F.greatest(a.ymin, b.ymin)
+    return (x_olap > 0) & (y_olap > 0) & ~mbr_within(a, b) & ~mbr_within(b, a)

@@ -275,3 +275,39 @@ def bin_to_uuid(b) -> Column:
         F.substring(h, 17, 4),
         F.substring(h, 21, 12),
     )
+
+
+def makedate(year, dayofyear) -> Column:
+    """MAKEDATE(year, dayofyear) (func_binary.go makedate): day-of-year 1
+    anchors Jan 1; NULL for dayofyear < 1 (MySQL)."""
+    y, n = _c(year), _c(dayofyear)
+    return F.when(n >= 1, F.date_add(F.make_date(y, F.lit(1), F.lit(1)), n.cast("int") - 1))
+
+
+def maketime(hour, minute, second) -> Column:
+    """MAKETIME(h, m, s) → 'HH:MM:SS' string (TIME renders as text here;
+    the reference's TIME type maps to string/interval in Spark)."""
+    return F.format_string(
+        "%02d:%02d:%02d", _c(hour).cast("int"), _c(minute).cast("int"), _c(second).cast("int")
+    )
+
+
+def timestampdiff(unit: str, start, end) -> Column:
+    """TIMESTAMPDIFF(unit, a, b): complete units between timestamps
+    (MySQL truncation semantics — NOT calendar-boundary crossings)."""
+    return F.expr(f"timestampdiff({unit}, {_name(start)}, {_name(end)})")
+
+
+def timestampadd(unit: str, n: int, ts) -> Column:
+    return F.expr(f"timestampadd({unit}, {n}, {_name(ts)})")
+
+
+def convert_tz(ts, from_tz: str, to_tz: str) -> Column:
+    """CONVERT_TZ (func_binary.go convert_tz): rebase a wall-clock timestamp
+    between IANA zones."""
+    return F.convert_timezone(F.lit(from_tz), F.lit(to_tz), _c(ts))
+
+
+def _name(x) -> str:
+    """SQL text for a column reference (expr-based MySQL shims)."""
+    return x if isinstance(x, str) else x._jc.toString()

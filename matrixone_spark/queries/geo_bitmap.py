@@ -281,3 +281,70 @@ def geo_sphere_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.round(G.st_distance_sphere(p1, p2), 3).alias("dist_m"),
     )
+
+
+@register(
+    "geo_mbr_battery",
+    oracle="""
+WITH d AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 9 AS DOUBLE)      AS ax0,
+         CAST(c_custkey % 6 AS DOUBLE)      AS ay0,
+         CAST(c_custkey % 9 + (c_custkey % 4) + 1 AS DOUBLE) AS ax1,
+         CAST(c_custkey % 6 + (c_custkey % 3) + 1 AS DOUBLE) AS ay1,
+         CAST(c_custkey % 5 AS DOUBLE)      AS bx0,
+         CAST(c_custkey % 7 AS DOUBLE)      AS by0,
+         CAST(c_custkey % 5 + (c_custkey % 6) + 1 AS DOUBLE) AS bx1,
+         CAST(c_custkey % 7 + (c_custkey % 2) + 1 AS DOUBLE) AS by1
+  FROM customer WHERE c_custkey <= 400)
+SELECT c_custkey,
+  CASE WHEN ax0 >= bx0 AND ax1 <= bx1 AND ay0 >= by0 AND ay1 <= by1 THEN 1 ELSE 0 END AS a_within_b,
+  CASE WHEN bx0 >= ax0 AND bx1 <= ax1 AND by0 >= ay0 AND by1 <= ay1 THEN 1 ELSE 0 END AS a_contains_b,
+  CASE WHEN ax1 < bx0 OR bx1 < ax0 OR ay1 < by0 OR by1 < ay0 THEN 1 ELSE 0 END AS disjoint,
+  CASE WHEN NOT (ax1 < bx0 OR bx1 < ax0 OR ay1 < by0 OR by1 < ay0) THEN 1 ELSE 0 END AS intersects,
+  CASE WHEN ax0 = bx0 AND ax1 = bx1 AND ay0 = by0 AND ay1 = by1 THEN 1 ELSE 0 END AS equals_,
+  CASE WHEN NOT (ax1 < bx0 OR bx1 < ax0 OR ay1 < by0 OR by1 < ay0)
+        AND (LEAST(ax1, bx1) - GREATEST(ax0, bx0) = 0
+          OR LEAST(ay1, by1) - GREATEST(ay0, by0) = 0) THEN 1 ELSE 0 END AS touches,
+  CASE WHEN LEAST(ax1, bx1) - GREATEST(ax0, bx0) > 0
+        AND LEAST(ay1, by1) - GREATEST(ay0, by0) > 0
+        AND NOT (ax0 >= bx0 AND ax1 <= bx1 AND ay0 >= by0 AND ay1 <= by1)
+        AND NOT (bx0 >= ax0 AND bx1 <= ax1 AND by0 >= ay0 AND by1 <= ay1)
+       THEN 1 ELSE 0 END AS overlaps_
+FROM d
+""",
+    tags=("geo",),
+    doc=(
+        "MBR relation family (function_id.go:1306-1325 mbrcontains/within/"
+        "disjoint/intersects/equals/touches/overlaps) as pure envelope "
+        "inequalities (functions/geo.py) — the index-pruning predicates; "
+        "envelopes derived from customer keys so every relation fires on "
+        "some rows."
+    ),
+)
+def geo_mbr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer").filter(F.col("c_custkey") <= 400)
+    k = F.col("c_custkey")
+    box_a = F.struct(
+        (k % 9).cast("double").alias("xmin"),
+        (k % 6).cast("double").alias("ymin"),
+        (k % 9 + (k % 4) + 1).cast("double").alias("xmax"),
+        (k % 6 + (k % 3) + 1).cast("double").alias("ymax"),
+    )
+    box_b = F.struct(
+        (k % 5).cast("double").alias("xmin"),
+        (k % 7).cast("double").alias("ymin"),
+        (k % 5 + (k % 6) + 1).cast("double").alias("xmax"),
+        (k % 7 + (k % 2) + 1).cast("double").alias("ymax"),
+    )
+    as_int = lambda col: F.when(col, 1).otherwise(0)
+    return c.select(
+        "c_custkey",
+        as_int(G.mbr_within(box_a, box_b)).alias("a_within_b"),
+        as_int(G.mbr_contains_box(box_a, box_b)).alias("a_contains_b"),
+        as_int(G.mbr_disjoint(box_a, box_b)).alias("disjoint"),
+        as_int(G.mbr_intersects(box_a, box_b)).alias("intersects"),
+        as_int(G.mbr_equals(box_a, box_b)).alias("equals_"),
+        as_int(G.mbr_touches(box_a, box_b)).alias("touches"),
+        as_int(G.mbr_overlaps(box_a, box_b)).alias("overlaps_"),
+    )

@@ -440,3 +440,60 @@ def func_crypto_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("aes_cbc_roundtrip"),
     )
+
+
+@register(
+    "func_mysql2_battery",
+    oracle="""
+SELECT o_orderkey,
+       array_to_string((string_split(o_orderpriority, '-'))[1:1], '-') AS prio_num,
+       ltrim(concat('  ', o_orderstatus))                  AS lt,
+       rtrim(concat(o_orderstatus, '  '))                  AS rt,
+       bit_length(o_orderpriority)                         AS bitlen,
+       length(o_orderpriority)                             AS charlen,
+       ends_with(o_orderpriority, 'LOW')                   AS ew,
+       regexp_extract(o_orderpriority, '[0-9]+')           AS re_sub,
+       position(regexp_extract(o_orderpriority, '[0-9]+') IN o_orderpriority) AS re_pos,
+       strftime(CAST(to_timestamp(o_orderkey * 1000) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS fut,
+       CAST(o_orderdate AS DATE) - 30                      AS d_sub,
+       CAST(floor((epoch_us(o_orderdate) - epoch_us(TIMESTAMP '1994-01-01 00:00:00')) / 3600000000) AS BIGINT) AS h_diff,
+       o_orderdate + INTERVAL 90 MINUTE                    AS ts_add,
+       CAST(timezone('America/New_York', o_orderdate AT TIME ZONE 'UTC') AS TIMESTAMP) AS nyc,
+       make_date(1996, 1, 1) + (CAST(o_orderkey % 365 AS INT) + 1 - 1) AS md,
+       printf('%02d:%02d:%02d', CAST(o_orderkey % 24 AS INT), CAST(o_orderkey % 60 AS INT), 30) AS mt
+FROM orders WHERE o_orderkey <= 400
+""",
+    tags=("functions", "mysql"),
+    doc=(
+        "Second MySQL-function battery (function_id.go gaps audit): "
+        "substring_index, ltrim/rtrim, bit_length/char_length, endswith, "
+        "regexp_substr/regexp_instr, from_unixtime, date_sub, "
+        "timestampdiff/timestampadd (complete-unit MySQL semantics — the "
+        "oracle uses epoch arithmetic, NOT DuckDB date_diff which counts "
+        "calendar-boundary crossings), convert_tz (IANA rebase), makedate, "
+        "maketime."
+    ),
+)
+def func_mysql2_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.functions import mysql as M
+
+    o = Catalog(spark, sf_dir).table("orders").filter(F.col("o_orderkey") <= 400)
+    prio, od = F.col("o_orderpriority"), F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.substring_index(prio, "-", 1).alias("prio_num"),
+        F.ltrim(F.concat(F.lit("  "), F.col("o_orderstatus"))).alias("lt"),
+        F.rtrim(F.concat(F.col("o_orderstatus"), F.lit("  "))).alias("rt"),
+        F.bit_length(prio).alias("bitlen"),
+        F.char_length(prio).alias("charlen"),
+        F.endswith(prio, F.lit("LOW")).alias("ew"),
+        F.regexp_substr(prio, F.lit("[0-9]+")).alias("re_sub"),
+        F.regexp_instr(prio, F.lit("[0-9]+")).alias("re_pos"),
+        F.from_unixtime(F.col("o_orderkey") * 1000).alias("fut"),
+        F.date_sub(od, 30).alias("d_sub"),
+        M.timestampdiff("HOUR", F.lit("1994-01-01 00:00:00").cast("timestamp"), od).alias("h_diff"),
+        M.timestampadd("MINUTE", 90, od).alias("ts_add"),
+        M.convert_tz(od, "UTC", "America/New_York").alias("nyc"),
+        M.makedate(F.lit(1996), F.col("o_orderkey") % 365 + 1).alias("md"),
+        M.maketime(F.col("o_orderkey") % 24, F.col("o_orderkey") % 60, F.lit(30)).alias("mt"),
+    )
