@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import BooleanType, StringType
 
 
 def _dumps(obj) -> str:
@@ -152,3 +152,104 @@ def _json_merge_patch_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 def json_merge_patch(a, b) -> Column:
     """JSON_MERGE_PATCH (RFC 7396) — matches DuckDB/MySQL semantics."""
     return _json_merge_patch_udf(a, b)
+
+
+# --- bytejson query/type surface (func_builtin_json.go: json_type,
+# json_quote/json_unquote, json_contains; function_id.go:870-1131) ---
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def json_type(j) -> Column:
+    """MySQL JSON_TYPE over JSON text: OBJECT/ARRAY/STRING/BOOLEAN/NULL/
+    INTEGER/DOUBLE — a pure first-token classifier, no parse needed (the
+    reference tags the type in the bytejson header byte; text sniffing is
+    the equivalent over serialized JSON)."""
+    j = _c(j)
+    t = F.trim(j)
+    c = F.substring(t, 1, 1)
+    return (
+        F.when(j.isNull(), F.lit(None))
+        .when(c == "{", "OBJECT")
+        .when(c == "[", "ARRAY")
+        .when(c == '"', "STRING")
+        .when(t.isin("true", "false"), "BOOLEAN")
+        .when(t == "null", "NULL")
+        .when(t.rlike(r"^-?[0-9]+$"), "INTEGER")
+        .otherwise("DOUBLE")
+    )
+
+
+def json_quote(s) -> Column:
+    """MySQL JSON_QUOTE: wrap a string as a JSON string literal (escaping
+    backslash and double-quote; control-char escaping follows the same
+    replace chain when needed)."""
+    s = _c(s)
+    esc = F.regexp_replace(F.regexp_replace(s, r"\\", r"\\\\"), '"', r'\\"')
+    return F.concat(F.lit('"'), esc, F.lit('"'))
+
+
+def json_unquote(j) -> Column:
+    """MySQL JSON_UNQUOTE: '$' extraction unquotes string scalars and
+    passes other JSON through as text (get_json_object semantics match)."""
+    return F.get_json_object(_c(j), "$")
+
+
+def _mysql_json_contains(target, candidate) -> bool:
+    """MySQL containment rules (func_builtin_json.go json_contains →
+    bytejson containment): arrays contain a candidate if some element
+    does (every element, for an array candidate); objects contain object
+    candidates with a subset of keys and contained values; scalars compare
+    with numeric coercion."""
+    if isinstance(target, list):
+        if isinstance(candidate, list):
+            return all(
+                any(_mysql_json_contains(e, c) for e in target) for c in candidate
+            )
+        return any(_mysql_json_contains(e, candidate) for e in target)
+    if isinstance(target, dict):
+        if not isinstance(candidate, dict):
+            return False
+        return all(
+            k in target and _mysql_json_contains(target[k], v)
+            for k, v in candidate.items()
+        )
+    if isinstance(candidate, list) or isinstance(candidate, dict):
+        return False
+    tb, cb = isinstance(target, bool), isinstance(candidate, bool)
+    if tb or cb:
+        return tb and cb and target == candidate
+    if isinstance(target, (int, float)) and isinstance(candidate, (int, float)):
+        return float(target) == float(candidate)
+    return target == candidate
+
+
+@pandas_udf(BooleanType())
+def _json_contains_udf(targets: pd.Series, candidates: pd.Series) -> pd.Series:
+    def one(t, c):
+        if t is None or c is None:
+            return None
+        try:
+            return _mysql_json_contains(json.loads(t), json.loads(c))
+        except (ValueError, TypeError):
+            return None
+
+    return pd.Series([one(t, c) for t, c in zip(targets, candidates)], dtype="object")
+
+
+def json_contains(target, candidate) -> Column:
+    """MySQL JSON_CONTAINS(target, candidate) — Arrow-batched UDF (the
+    recursive containment walk has no Column-expression form)."""
+    return _json_contains_udf(_c(target), _c(candidate))
+
+
+def json_objectagg_sorted(key, value) -> Column:
+    """JSON_OBJECTAGG rendered with sorted keys: deterministic under
+    parallel aggregation (MySQL emits insertion order, which is not
+    reproducible distributed — sorted keys is the batch-stable contract)."""
+    entry = F.concat(F.lit('"'), _c(key), F.lit('":'), _c(value).cast("string"))
+    return F.concat(
+        F.lit("{"), F.concat_ws(",", F.array_sort(F.collect_list(entry))), F.lit("}")
+    )

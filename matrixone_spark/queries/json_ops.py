@@ -125,3 +125,91 @@ def json_unnest_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.explode(F.from_json(arr_json, ArrayType(LongType()))).alias("elem"),
     )
+
+
+@register(
+    "json_type_quote_battery",
+    oracle="""
+WITH v AS (
+  SELECT event_id, event_type, props,
+         CASE CAST(event_id % 6 AS INT)
+           WHEN 0 THEN props
+           WHEN 1 THEN concat('[1, 2, ', CAST(event_id % 9 AS VARCHAR), ']')
+           WHEN 2 THEN concat('"', event_type, '"')
+           WHEN 3 THEN CAST(event_id % 100 AS VARCHAR)
+           WHEN 4 THEN concat(CAST(event_id % 100 AS VARCHAR), '.25')
+           ELSE 'true' END AS j
+  FROM events WHERE event_id < 600)
+SELECT event_id,
+       CASE json_type(CAST(j AS JSON))
+         WHEN 'VARCHAR' THEN 'STRING'
+         WHEN 'UBIGINT' THEN 'INTEGER'
+         WHEN 'BIGINT'  THEN 'INTEGER'
+         ELSE json_type(CAST(j AS JSON)) END              AS jt,
+       concat('"', replace(replace(event_type, '\\', '\\\\'), '"', '\\"'), '"') AS jq,
+       CAST(j AS JSON) ->> '$'                            AS uq,
+       json_contains(concat('[1, 2, 3, ', CAST(event_id % 9 AS VARCHAR), ']'),
+                     CAST(event_id % 5 AS VARCHAR))       AS in_arr,
+       json_contains(props, concat('{"k": ', CAST(event_id % 100 AS VARCHAR), '}')) AS in_obj
+FROM v
+""",
+    tags=("json",),
+    doc=(
+        "JSON type/quote/containment family (func_builtin_json.go json_type/"
+        "json_quote/json_unquote/json_contains; function_id.go:870-1131): "
+        "first-token type classifier and quote/unquote as pure expressions, "
+        "MySQL containment walk as an Arrow-batched UDF — gated against "
+        "DuckDB's json_type (name-mapped) and json_contains."
+    ),
+)
+def json_type_quote_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events").filter(F.col("event_id") < 600)
+    k = F.col("event_id")
+    j = (
+        F.when(k % 6 == 0, F.col("props"))
+        .when(k % 6 == 1, F.concat(F.lit("[1, 2, "), (k % 9).cast("string"), F.lit("]")))
+        .when(k % 6 == 2, F.concat(F.lit('"'), F.col("event_type"), F.lit('"')))
+        .when(k % 6 == 3, (k % 100).cast("string"))
+        .when(k % 6 == 4, F.concat((k % 100).cast("string"), F.lit(".25")))
+        .otherwise(F.lit("true"))
+    )
+    arr = F.concat(F.lit("[1, 2, 3, "), (k % 9).cast("string"), F.lit("]"))
+    obj_cand = F.concat(F.lit('{"k": '), (k % 100).cast("string"), F.lit("}"))
+    return e.select(
+        "event_id",
+        J.json_type(j).alias("jt"),
+        J.json_quote(F.col("event_type")).alias("jq"),
+        J.json_unquote(j).alias("uq"),
+        J.json_contains(arr, (k % 5).cast("string")).alias("in_arr"),
+        J.json_contains(F.col("props"), obj_cand).alias("in_obj"),
+    )
+
+
+@register(
+    "json_objectagg_sorted",
+    oracle="""
+SELECT event_type,
+       concat('{', string_agg(entry, ',' ORDER BY entry), '}') AS agg_obj
+FROM (
+  SELECT event_type,
+         concat('"u', CAST(user_id AS VARCHAR), '":', CAST(COUNT(*) AS VARCHAR)) AS entry
+  FROM events WHERE user_id < 40
+  GROUP BY event_type, user_id)
+GROUP BY event_type
+""",
+    tags=("json", "agg"),
+    doc=(
+        "JSON_OBJECTAGG (function_id.go json_objectagg) with sorted keys — "
+        "MySQL's insertion order is not reproducible under distributed "
+        "aggregation, so sorted-key rendering is the batch-stable contract "
+        "(functions/json_fns.py json_objectagg_sorted)."
+    ),
+)
+def json_objectagg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events").filter(F.col("user_id") < 40)
+    per_user = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    return per_user.groupBy("event_type").agg(
+        J.json_objectagg_sorted(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")), F.col("n")
+        ).alias("agg_obj")
+    )

@@ -33,3 +33,39 @@ def test_json_remove_and_merge(spark):
     assert _run(spark, merged) == '{"a":1,"b":2}'  # RFC 7396: null deletes
     bad = J.json_merge_patch(F.lit("{bad"), F.lit("{}"))
     assert _run(spark, bad) is None
+
+
+def test_json_type_classifier(spark):
+    from matrixone_spark.functions.json_fns import json_type
+    from pyspark.sql import functions as F
+
+    cases = {
+        '{"a":1}': "OBJECT", "[1,2]": "ARRAY", '"x"': "STRING",
+        "true": "BOOLEAN", "false": "BOOLEAN", "null": "NULL",
+        "-42": "INTEGER", "3.25": "DOUBLE", "1e3": "DOUBLE",
+    }
+    df = spark.createDataFrame([(j,) for j in cases], "j string")
+    got = {r.j: r.t for r in df.select("j", json_type("j").alias("t")).collect()}
+    assert got == cases
+
+
+def test_json_contains_mysql_semantics(spark):
+    from matrixone_spark.functions.json_fns import json_contains
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("[1,2,3]", "1", True),          # scalar in array
+        ("[1,2,3]", "[1,3]", True),      # array subset
+        ("[1,2,3]", "[1,4]", False),
+        ('{"a":1,"b":{"c":2}}', '{"b":{"c":2}}', True),   # nested object subset
+        ('{"a":1}', '{"a":2}', False),
+        ('{"a":1}', '{"a":1,"z":9}', False),              # extra key
+        ("[1,2]", "1.0", True),          # numeric coercion int/float
+        ("[true]", "1", False),          # bool is NOT numeric 1 (MySQL)
+        ("5", "5", True),                # scalar target
+        ("not json", "1", None),         # malformed -> NULL
+    ]
+    df = spark.createDataFrame([(t, c, e) for t, c, e in cases], "t string, c string, e boolean")
+    got = df.select("t", "c", "e", json_contains("t", "c").alias("g")).collect()
+    for r in got:
+        assert r.g == r.e, (r.t, r.c, r.g, r.e)
