@@ -14,6 +14,7 @@ declared out of round-1 scope (SURVEY §2.12).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -327,3 +328,124 @@ def mbr_overlaps(a, b) -> Column:
     x_olap = F.least(a.xmax, b.xmax) - F.greatest(a.xmin, b.xmin)
     y_olap = F.least(a.ymax, b.ymax) - F.greatest(a.ymin, b.ymin)
     return (x_olap > 0) & (y_olap > 0) & ~mbr_within(a, b) & ~mbr_within(b, a)
+
+
+# --- Geohash family (function_id.go:1278-1281 st_geohash/st_latfromgeohash/
+# st_longfromgeohash/st_pointfromgeohash). Arrow-batched UDFs: the encode is
+# a 5·precision-step bisection loop — as a Column expression the interval
+# updates nest one level per bit (codegen explosion), so the batched Python
+# loop is the right trade for a non-hot-path function. ---
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_encode(lon: float, lat: float, precision: int) -> "str | None":
+    if lon is None or lat is None or not (-180 <= lon <= 180 and -90 <= lat <= 90):
+        return None
+    lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+    bits, even, out = 0, True, []
+    n = 0
+    while len(out) < precision:
+        if even:
+            mid = (lo_lon + hi_lon) / 2
+            if lon >= mid:
+                bits = (bits << 1) | 1
+                lo_lon = mid
+            else:
+                bits <<= 1
+                hi_lon = mid
+        else:
+            mid = (lo_lat + hi_lat) / 2
+            if lat >= mid:
+                bits = (bits << 1) | 1
+                lo_lat = mid
+            else:
+                bits <<= 1
+                hi_lat = mid
+        even = not even
+        n += 1
+        if n == 5:
+            out.append(_GH32[bits])
+            bits, n = 0, 0
+    return "".join(out)
+
+
+def _geohash_decode(gh: str) -> "tuple[float, float] | None":
+    if not gh:
+        return None
+    lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+    even = True
+    for ch in gh.lower():
+        idx = _GH32.find(ch)
+        if idx < 0:
+            return None
+        for b in (16, 8, 4, 2, 1):
+            if even:
+                mid = (lo_lon + hi_lon) / 2
+                if idx & b:
+                    lo_lon = mid
+                else:
+                    hi_lon = mid
+            else:
+                mid = (lo_lat + hi_lat) / 2
+                if idx & b:
+                    lo_lat = mid
+                else:
+                    hi_lat = mid
+            even = not even
+    return ((lo_lon + hi_lon) / 2, (lo_lat + hi_lat) / 2)
+
+
+def st_geohash(lon, lat, precision: int = 9) -> Column:
+    """Geohash of lon/lat (cell-prefix property: shared prefixes = nearby
+    cells — the bucketing key for geo joins at scale)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def enc(lons: pd.Series, lats: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_geohash_encode(lo, la, precision) for lo, la in zip(lons, lats)],
+            dtype="object",
+        )
+
+    return enc(_c(lon), _c(lat))
+
+
+def st_longfromgeohash(gh) -> Column:
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def dec(ghs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [(r[0] if (r := _geohash_decode(g)) else None) for g in ghs],
+            dtype="float64",
+        )
+
+    return dec(_c(gh))
+
+
+def st_latfromgeohash(gh) -> Column:
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def dec(ghs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [(r[1] if (r := _geohash_decode(g)) else None) for g in ghs],
+            dtype="float64",
+        )
+
+    return dec(_c(gh))
+
+
+def st_pointfromgeohash(gh) -> Column:
+    """Cell-center WKT POINT from a geohash."""
+    return F.concat(
+        F.lit("POINT("),
+        st_longfromgeohash(gh).cast("string"),
+        F.lit(" "),
+        st_latfromgeohash(gh).cast("string"),
+        F.lit(")"),
+    )

@@ -348,3 +348,30 @@ def geo_mbr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_int(G.mbr_touches(box_a, box_b)).alias("touches"),
         as_int(G.mbr_overlaps(box_a, box_b)).alias("overlaps_"),
     )
+
+
+@register(
+    "geo_geohash",
+    oracle=None,  # no geohash in DuckDB; known-vector + roundtrip gates in tests/test_geo.py
+    tags=("geo", "udf"),
+    doc=(
+        "Geohash encode/decode family (function_id.go:1278-1281 st_geohash/"
+        "st_latfromgeohash/st_longfromgeohash/st_pointfromgeohash): "
+        "Arrow-batched bisection codec; shared prefixes = spatial buckets "
+        "(the geo-join bucketing key at scale). Gated by canonical public "
+        "vectors (u4pruydqqvj / ezs42) and encode(decode(gh)) == gh."
+    ),
+)
+def geo_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer").filter(F.col("c_custkey") <= 500)
+    k = F.col("c_custkey")
+    lon = (k % 720).cast("double") / 2.0 - 179.5
+    lat = (k % 340).cast("double") / 2.0 - 84.5
+    gh = G.st_geohash(lon, lat, 9)
+    return c.select(
+        "c_custkey",
+        gh.alias("gh"),
+        G.st_longfromgeohash(gh).alias("cell_lon"),
+        G.st_latfromgeohash(gh).alias("cell_lat"),
+        F.substring(gh, 1, 4).alias("bucket4"),
+    )

@@ -405,7 +405,7 @@ WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
                     AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
 GROUP BY s.s_name
 """,
-    tags=("tpch", "join", "subquery"),
+    tags=("tpch", "join", "subquery", "bench"),
     doc="TPC-H Q21 waiting suppliers (lateness = shipdate > orderdate+90d, no commitdate): EXISTS + correlated NOT EXISTS → semi + anti joins over the same fact table.",
 )
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:

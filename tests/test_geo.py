@@ -78,3 +78,30 @@ def test_envelope_swap_makeenvelope(spark):
     assert r.mk == "POLYGON((0 0, 2 0, 2 3, 0 3, 0 0))"
     # makeenvelope output re-parses to the right area
     assert vals(spark, a=G.st_area(G.st_geomfromtext(F.lit(r.mk)))).a == 6.0
+
+
+def test_geohash_known_vectors_and_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    # canonical public vectors
+    df = spark.createDataFrame(
+        [(10.40744, 57.64911), (-5.6, 42.6), (0.0, 0.0)], "lon double, lat double"
+    )
+    got = df.select(G.st_geohash("lon", "lat", 11).alias("gh")).collect()
+    assert got[0].gh == "u4pruydqqvj"   # Jutland, the classic example
+    assert got[1].gh.startswith("ezs42")  # Wikipedia's ezs42 cell
+    # decode returns the cell center; re-encoding the center gives the hash back
+    r = (
+        df.select(G.st_geohash("lon", "lat", 9).alias("gh"))
+        .select("gh", G.st_longfromgeohash("gh").alias("clon"), G.st_latfromgeohash("gh").alias("clat"))
+        .select("gh", G.st_geohash("clon", "clat", 9).alias("gh2"),
+                G.st_pointfromgeohash("gh").alias("wkt"))
+        .collect()
+    )
+    for row in r:
+        assert row.gh == row.gh2
+        assert row.wkt.startswith("POINT(")
+    # invalid inputs -> NULL
+    bad = spark.createDataFrame([(200.0, 0.0)], "lon double, lat double")
+    assert bad.select(G.st_geohash("lon", "lat").alias("g")).collect()[0].g is None
+    assert spark.range(1).select(G.st_latfromgeohash(F.lit("!!")).alias("v")).collect()[0].v is None
