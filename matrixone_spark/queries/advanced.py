@@ -209,3 +209,78 @@ def approx_percentile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).table("orders")
     return o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_custkey")
+
+
+@register(
+    "agg_null_group_keys",
+    oracle="""
+SELECT o_orderstatus,
+       CASE WHEN grp_key IS NULL THEN 'NULL' ELSE CAST(grp_key AS VARCHAR) END AS customer_key,
+       COUNT(*) AS cnt
+FROM (
+  SELECT o.o_orderstatus,
+         CASE WHEN o.o_custkey <= 700 THEN o.o_custkey % 10 ELSE NULL END AS grp_key
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+GROUP BY o_orderstatus, grp_key
+""",
+    tags=("agg", "regression"),
+    doc=(
+        "NULL group keys must survive partial/merge aggregation after a join "
+        "(reference regression test/distributed/cases/benchmark/tpcds/"
+        "01_issue_24208.sql: a partial batch with only non-null keys, a "
+        "later batch introducing the NULL group — the merge-group path "
+        "dropped it). Spark's two-phase HashAggregate treats NULL as a "
+        "normal grouping value; this query pins that across a shuffle join."
+    ),
+)
+def agg_null_group_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    o, l = c.table("orders"), c.table("lineitem")
+    grp = F.when(F.col("o_custkey") <= 700, F.col("o_custkey") % 10)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select("o_orderstatus", grp.alias("grp_key"))
+        .groupBy("o_orderstatus", "grp_key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "o_orderstatus",
+            F.when(F.col("grp_key").isNull(), "NULL")
+            .otherwise(F.col("grp_key").cast("string"))
+            .alias("customer_key"),
+            "cnt",
+        )
+    )
+
+
+@register(
+    "join_exists_or_exists",
+    oracle="""
+SELECT c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE c.c_custkey = o.o_custkey AND o.o_totalprice > 400000)
+   OR EXISTS (SELECT 1 FROM lineitem l
+              WHERE c.c_custkey = l.l_suppkey AND l.l_quantity >= 49)
+""",
+    tags=("join", "subquery", "regression"),
+    doc=(
+        "OR of two EXISTS subqueries: each outer row emitted exactly once "
+        "even when a subquery side produces many matching batches "
+        "(reference regression tpcds/02_issue_24219.sql — the catalog-side "
+        "EXISTS spanning several batches duplicated the outer row). "
+        "Catalyst plans ExistenceJoin markers + a disjunction filter; runs "
+        "through Engine.sql (SQL surface) to exercise that rewrite."
+    ),
+)
+def join_exists_or_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.engine import Engine
+
+    eng = Engine(spark).load(sf_dir)
+    return eng.sql(
+        """
+        SELECT c_custkey FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE c.c_custkey = o.o_custkey AND o.o_totalprice > 400000)
+           OR EXISTS (SELECT 1 FROM lineitem l
+                      WHERE c.c_custkey = l.l_suppkey AND l.l_quantity >= 49)
+        """
+    )
