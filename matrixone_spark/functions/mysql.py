@@ -311,3 +311,71 @@ def convert_tz(ts, from_tz: str, to_tz: str) -> Column:
 def _name(x) -> str:
     """SQL text for a column reference (expr-based MySQL shims)."""
     return x if isinstance(x, str) else x._jc.toString()
+
+
+# --- COMPRESS/UNCOMPRESS/UNCOMPRESSED_LENGTH (func_unary.go:5920 Compress:
+# MySQL layout = 4-byte little-endian uncompressed length + zlib stream;
+# empty string compresses to empty). Arrow-batched zlib UDFs. ---
+
+import struct as _struct
+import zlib as _zlib
+
+from pyspark.sql.functions import pandas_udf as _pandas_udf
+from pyspark.sql.types import BinaryType as _BinaryType
+from pyspark.sql.types import LongType as _LongType
+
+
+@_pandas_udf(_BinaryType())
+def _compress_udf(ss: pd.Series) -> pd.Series:
+    def one(s):
+        if s is None:
+            return None
+        b = s if isinstance(s, (bytes, bytearray)) else str(s).encode("utf-8")
+        if not b:
+            return b""
+        return _struct.pack("<I", len(b)) + _zlib.compress(b)
+
+    return pd.Series([one(s) for s in ss], dtype="object")
+
+
+@_pandas_udf(_BinaryType())
+def _uncompress_udf(ss: pd.Series) -> pd.Series:
+    def one(s):
+        if s is None:
+            return None
+        if not s:
+            return b""
+        try:
+            n = _struct.unpack("<I", bytes(s[:4]))[0]
+            out = _zlib.decompress(bytes(s[4:]))
+            return out if len(out) == n else None
+        except Exception:
+            return None
+
+    return pd.Series([one(s) for s in ss], dtype="object")
+
+
+@_pandas_udf(_LongType())
+def _uncompressed_length_udf(ss: pd.Series) -> pd.Series:
+    def one(s):
+        if s is None:
+            return None
+        if not s:
+            return 0
+        return int(_struct.unpack("<I", bytes(s[:4]))[0])
+
+    return pd.Series([one(s) for s in ss], dtype="object")
+
+
+def compress(s) -> Column:
+    """MySQL COMPRESS (func_unary.go:5920): 4-byte LE length + zlib."""
+    return _compress_udf(_c(s))
+
+
+def uncompress(b) -> Column:
+    """MySQL UNCOMPRESS: NULL on corrupt stream or length mismatch."""
+    return _uncompress_udf(_c(b))
+
+
+def uncompressed_length(b) -> Column:
+    return _uncompressed_length_udf(_c(b))

@@ -101,3 +101,79 @@ def subvector(col, start: int, length: "int | None" = None) -> Column:
 def lit_vector(vec: "list[float]") -> Column:
     """Constant query vector as an array<double> literal."""
     return F.array(*[F.lit(float(v)) for v in vec])
+
+
+# --- base64 vector codecs (func_unary.go:5849 VecFromBase64: base64 of the
+# raw little-endian element bytes, as produced by to_base64(vec);
+# function_id.go vecf32/vecf64/vecf16/vecbf16/vecint8/vecuint8_from_base64).
+# Arrow-batched numpy codecs — byte reinterpretation has no Column form. ---
+
+import base64 as _b64
+
+import numpy as _np
+import pandas as _pd
+from pyspark.sql.functions import pandas_udf as _pandas_udf
+from pyspark.sql.types import ArrayType as _ArrayType
+from pyspark.sql.types import DoubleType as _DoubleType
+from pyspark.sql.types import FloatType as _FloatType
+from pyspark.sql.types import StringType as _StringType
+
+_NP_DTYPES = {
+    "float32": "<f4",
+    "float64": "<f8",
+    "float16": "<f2",
+    "int8": "i1",
+    "uint8": "u1",
+}
+
+
+def vec_to_base64(col, dtype: str = "float32") -> Column:
+    """to_base64(vector): base64 of the little-endian element bytes."""
+    nd = _NP_DTYPES[dtype]
+
+    @_pandas_udf(_StringType())
+    def enc(vs: _pd.Series) -> _pd.Series:
+        return _pd.Series(
+            [
+                None
+                if v is None
+                else _b64.b64encode(_np.asarray(v, dtype=nd).tobytes()).decode()
+                for v in vs
+            ],
+            dtype="object",
+        )
+
+    return enc(_c(col))
+
+
+def vec_from_base64(col, dtype: str = "float32") -> Column:
+    """vecf32_from_base64 et al.: decode base64 → element array (NULL on
+    invalid base64 / length not a multiple of the element size — the
+    batch analogue of the reference's per-row error)."""
+    nd = _NP_DTYPES[dtype]
+    out_type = _ArrayType(_FloatType() if dtype in ("float32", "float16") else _DoubleType())
+    as_float = dtype in ("float32", "float16")
+
+    @_pandas_udf(out_type)
+    def dec(ss: _pd.Series) -> _pd.Series:
+        out = []
+        for s in ss:
+            if s is None:
+                out.append(None)
+                continue
+            try:
+                raw = _b64.b64decode(s, validate=True)
+            except Exception:
+                out.append(None)
+                continue
+            size = _np.dtype(nd).itemsize
+            if len(raw) % size != 0:
+                out.append(None)
+                continue
+            arr = _np.frombuffer(raw, dtype=nd)
+            out.append(
+                [float(x) for x in arr.astype("<f4" if as_float else "<f8")]
+            )
+        return _pd.Series(out, dtype="object")
+
+    return dec(_c(col))

@@ -497,3 +497,32 @@ def func_mysql2_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.makedate(F.lit(1996), F.col("o_orderkey") % 365 + 1).alias("md"),
         M.maketime(F.col("o_orderkey") % 24, F.col("o_orderkey") % 60, F.lit(30)).alias("mt"),
     )
+
+
+@register(
+    "func_compress_battery",
+    oracle="""
+SELECT s_suppkey,
+       s_name                         AS roundtrip,
+       CAST(octet_length(encode(s_name)) AS BIGINT) AS unc_len,
+       ''                             AS empty_roundtrip
+FROM supplier WHERE s_suppkey <= 100
+""",
+    tags=("functions", "udf"),
+    doc=(
+        "COMPRESS/UNCOMPRESS/UNCOMPRESSED_LENGTH (func_unary.go:5920: MySQL "
+        "layout 4-byte LE uncompressed length + zlib; ''→''): gated by "
+        "decompress(compress(x)) == x, the length prefix equaling the "
+        "oracle's octet_length, and the empty-string special case."
+    ),
+)
+def func_compress_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.functions.mysql import compress, uncompress, uncompressed_length
+
+    s = Catalog(spark, sf_dir).table("supplier").filter(F.col("s_suppkey") <= 100)
+    return s.select(
+        "s_suppkey",
+        uncompress(compress("s_name")).cast("string").alias("roundtrip"),
+        uncompressed_length(compress("s_name")).alias("unc_len"),
+        uncompress(compress(F.lit(""))).cast("string").alias("empty_roundtrip"),
+    )

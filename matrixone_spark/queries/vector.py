@@ -191,3 +191,34 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).table("embeddings")
     idx = IvfIndex.build(e, "embedding", "vec_id", n_centroids=8)
     return idx.search(_QVEC, 10, nprobe=3).select("vec_id", "label", "distance")
+
+
+@register(
+    "vec_base64_roundtrip",
+    oracle="""
+SELECT vec_id,
+       len(embedding)                               AS dims,
+       list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vec_sum
+FROM embeddings WHERE vec_id < 400
+""",
+    tags=("vector", "udf"),
+    doc=(
+        "Base64 vector codec (func_unary.go:5849 VecFromBase64: base64 of "
+        "raw little-endian element bytes): encode the float32 embedding, "
+        "decode it back, then index-order-sum the DECODED array — the "
+        "oracle sums the ORIGINAL parquet floats, so any endianness/width "
+        "bug in the codec mismatches. f32→bytes→f32 is lossless."
+    ),
+)
+def vec_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.functions.vector import vec_from_base64, vec_to_base64
+
+    e = Catalog(spark, sf_dir).table("embeddings").filter(F.col("vec_id") < 400)
+    decoded = vec_from_base64(vec_to_base64("embedding", "float32"), "float32")
+    return e.select(
+        "vec_id",
+        F.size(decoded).alias("dims"),
+        F.aggregate(
+            decoded, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ).alias("vec_sum"),
+    )

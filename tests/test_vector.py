@@ -36,3 +36,45 @@ def test_knn_exact_plan_has_no_shuffle_before_topk(spark):
     e = Catalog(spark, SF_DIR).table("embeddings")
     plan = knn_exact(e, "embedding", QVEC, 10, "vec_id")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_vec_base64_dtypes_and_errors(spark):
+    from pyspark.sql import functions as F
+    from matrixone_spark.functions.vector import vec_from_base64, vec_to_base64
+    import base64, struct
+
+    df = spark.createDataFrame([([1.5, -2.25, 0.125],)], "v array<double>")
+    # f64 roundtrip is exact
+    r = df.select(vec_from_base64(vec_to_base64("v", "float64"), "float64").alias("d")).collect()[0].d
+    assert r == [1.5, -2.25, 0.125]
+    # known bytes: little-endian f32 of [1.0] is 0000803f
+    b = base64.b64encode(struct.pack("<f", 1.0)).decode()
+    got = spark.range(1).select(vec_from_base64(F.lit(b), "float32").alias("d")).collect()[0].d
+    assert got == [1.0]
+    # int8 path
+    bi = base64.b64encode(struct.pack("bbb", -1, 0, 7)).decode()
+    gi = spark.range(1).select(vec_from_base64(F.lit(bi), "int8").alias("d")).collect()[0].d
+    assert gi == [-1.0, 0.0, 7.0]
+    # invalid base64 and wrong-multiple length -> NULL
+    bad = spark.createDataFrame([("!!notb64!!",), (base64.b64encode(b"abc").decode(),)], "s string")
+    out = bad.select(vec_from_base64("s", "float32").alias("d")).collect()
+    assert out[0].d is None and out[1].d is None
+
+
+def test_compress_mysql_layout(spark):
+    from pyspark.sql import functions as F
+    from matrixone_spark.functions.mysql import compress, uncompress, uncompressed_length
+    import struct, zlib
+
+    r = spark.range(1).select(
+        compress(F.lit("hello hello hello")).alias("c"),
+        uncompress(compress(F.lit("hello hello hello"))).cast("string").alias("rt"),
+        uncompressed_length(compress(F.lit("hello hello hello"))).alias("n"),
+        compress(F.lit("")).alias("empty"),
+        uncompress(F.lit(b"garbage here")).alias("bad"),
+    ).collect()[0]
+    assert r.rt == "hello hello hello" and r.n == 17
+    # MySQL layout: LE length prefix then a real zlib stream
+    assert struct.unpack("<I", bytes(r.c[:4]))[0] == 17
+    assert zlib.decompress(bytes(r.c[4:])) == b"hello hello hello"
+    assert bytes(r.empty) == b"" and r.bad is None
