@@ -52,3 +52,24 @@ class Engine:
         from matrixone_spark.mysql_dialect import translate
 
         return self.sql(translate(query), args)
+
+    def explain(self, query: str, mode: str = "formatted") -> str:
+        """EXPLAIN <sql> (reference: explain statement → plan tree over
+        pkg/sql/plan; SURVEY §3.1). Returns Catalyst's plan text —
+        modes: simple | extended | codegen | cost | formatted."""
+        return _explain_text(self.sql(query), mode)
+
+    def explain_mysql(self, query: str, mode: str = "formatted") -> str:
+        """EXPLAIN for MySQL-dialect text (translated first)."""
+        from matrixone_spark.mysql_dialect import translate
+
+        return _explain_text(self.sql(translate(query)), mode)
+
+
+def _explain_text(df: DataFrame, mode: str = "formatted") -> str:
+    """Plan text for a DataFrame (shared by Engine.explain/explain_mysql)."""
+    if mode not in ("simple", "extended", "codegen", "cost", "formatted"):
+        raise ValueError(f"unknown explain mode {mode!r}")
+    jvm = df.sparkSession._sc._jvm  # type: ignore[attr-defined]
+    j_mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(j_mode)  # type: ignore[attr-defined]

@@ -55,3 +55,24 @@ def test_sql_window_and_cte_text(spark):
         SELECT n_name, s_name FROM ranked WHERE rn = 1
     """).collect()
     assert len(rows) > 0
+
+
+def test_engine_explain_modes(spark):
+    from matrixone_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.load(SF_DIR)
+    sql = "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus"
+    formatted = eng.explain(sql)
+    assert "HashAggregate" in formatted and "ReadSchema" in formatted
+    # column pruning visible at the scan
+    assert "struct<o_orderstatus:string>" in formatted
+    simple = eng.explain(sql, "simple")
+    assert "Physical Plan" in simple
+    # MySQL-dialect path translates before planning
+    my = eng.explain_mysql(
+        "SELECT DATE_FORMAT(o_orderdate, '%Y') AS y FROM orders LIMIT 5", "simple")
+    assert "yyyy" in my  # java pattern visible post-translation
+    import pytest
+    with pytest.raises(ValueError):
+        eng.explain(sql, "bogus")
