@@ -379,3 +379,23 @@ def uncompress(b) -> Column:
 
 def uncompressed_length(b) -> Column:
     return _uncompressed_length_udf(_c(b))
+
+
+# --- serial / serial_extract (func_builtin_serial.go opSerial +
+# serial_contract.go: order-preserving tuple encoding used for composite
+# index keys; function_id.go serial/serial_full/serial_extract). Spark
+# analogue for non-negative integer components: fixed-width big-endian hex
+# per part — lexicographic order of the packed string equals tuple order,
+# which is the property the reference's packer exists to provide. ---
+
+
+def serial_pack(*cols) -> Column:
+    """Pack non-negative bigint components into one order-preserving key."""
+    parts = [F.lower(F.lpad(F.hex(_c(c).cast("bigint")), 16, "0")) for c in cols]
+    return F.concat(*parts)
+
+
+def serial_extract(packed, idx: int) -> Column:
+    """Unpack component idx (0-based) of a serial_pack key."""
+    part = F.substring(_c(packed), idx * 16 + 1, 16)
+    return F.conv(part, 16, 10).cast("bigint")

@@ -526,3 +526,42 @@ def func_compress_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         uncompressed_length(compress("s_name")).alias("unc_len"),
         uncompress(compress(F.lit(""))).cast("string").alias("empty_roundtrip"),
     )
+
+
+@register(
+    "func_serial_pack",
+    oracle="""
+SELECT o_orderkey,
+       printf('%016x%016x', o_custkey, o_orderkey) AS packed,
+       o_custkey  AS part0,
+       o_orderkey AS part1,
+       ROW_NUMBER() OVER (ORDER BY o_custkey, o_orderkey) AS tuple_rank,
+       ROW_NUMBER() OVER (ORDER BY printf('%016x%016x', o_custkey, o_orderkey)) AS packed_rank
+FROM orders WHERE o_orderkey <= 500
+""",
+    tags=("functions", "types"),
+    doc=(
+        "serial/serial_extract (func_builtin_serial.go opSerial, "
+        "serial_contract.go tuple encoding): order-preserving composite-key "
+        "packing as fixed-width big-endian hex. The gate checks BOTH the "
+        "roundtrip (extract(pack) == parts) and the defining property — "
+        "rank by packed string equals rank by tuple."
+    ),
+)
+def func_serial_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from matrixone_spark.functions.mysql import serial_extract, serial_pack
+
+    o = Catalog(spark, sf_dir).table("orders").filter(F.col("o_orderkey") <= 500)
+    packed = serial_pack("o_custkey", "o_orderkey")
+    w_t = Window.orderBy("o_custkey", "o_orderkey")
+    w_p = Window.orderBy(packed)
+    return o.select(
+        "o_orderkey",
+        packed.alias("packed"),
+        serial_extract(packed, 0).alias("part0"),
+        serial_extract(packed, 1).alias("part1"),
+        F.row_number().over(w_t).alias("tuple_rank"),
+        F.row_number().over(w_p).alias("packed_rank"),
+    )

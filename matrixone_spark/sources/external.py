@@ -90,3 +90,35 @@ def write_outfile(
         writer.parquet(path)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
+
+
+def read_connector(
+    spark: SparkSession, kind: str, options: "dict[str, str] | None" = None
+) -> DataFrame:
+    """Connector scans (reference MongoScan pkg/sql/colexec/mongodbscan/,
+    Iceberg table scans pkg/datasync/ — SURVEY §2.1).
+
+    Spark-first mapping: both are DataSource V2 formats —
+    ``spark.read.format("mongodb")`` (mongo-spark-connector) and
+    ``spark.read.format("iceberg")`` / catalog tables
+    (iceberg-spark-runtime). The connector JARs are not present in this
+    container, so this raises a clear error naming the package to add; on
+    a real cluster the happy path is exactly the builder below.
+    """
+    options = options or {}
+    jars = {
+        "mongodb": "org.mongodb.spark:mongo-spark-connector_2.13",
+        "iceberg": "org.apache.iceberg:iceberg-spark-runtime-3.5_2.13",
+    }
+    if kind not in jars:
+        raise ValueError(f"unknown connector {kind!r} (supported: {sorted(jars)})")
+    reader = spark.read.format(kind)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as e:  # connector jar absent in this container
+        raise NotImplementedError(
+            f"{kind} connector requires --packages {jars[kind]} on the cluster; "
+            f"underlying error: {type(e).__name__}"
+        ) from e

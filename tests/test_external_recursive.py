@@ -100,3 +100,14 @@ def test_recursive_cte_cycle_terminates(spark):
 
     out = recursive_cte(base, step, max_iter=10)
     assert {r.node for r in out.collect()} == {1, 2, 3}
+
+
+def test_read_connector_surface(spark):
+    import pytest
+    from matrixone_spark.sources.external import read_connector
+
+    with pytest.raises(ValueError, match="unknown connector"):
+        read_connector(spark, "cassandra")
+    # without the jar, the surface fails with the actionable package name
+    with pytest.raises(NotImplementedError, match="mongo-spark-connector"):
+        read_connector(spark, "mongodb", {"connection.uri": "mongodb://x", "database": "d", "collection": "c"})
