@@ -289,3 +289,24 @@ def agg_collect_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.groupBy("n_regionkey").agg(
         F.to_json(F.array_sort(F.collect_list("n_name"))).alias("names_json")
     )
+
+
+@register(
+    "agg_approx_percentile",
+    oracle=None,  # sketch-specific (Greenwald-Khanna); error bound pytest-gated
+    tags=("agg", "approx"),
+    doc=(
+        "approx_percentile (Greenwald-Khanna sketch, accuracy 10000): the "
+        "scalable percentile path — exact percentile needs a full sort per "
+        "group while the sketch merges map-side in fixed memory. Rows-only "
+        "driver check; tests/test_approx.py gates |approx − exact| against "
+        "the 1/accuracy rank-error bound."
+    ),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = Catalog(spark, sf_dir).table("lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).cast("double").alias("p50"),
+        F.percentile_approx("l_quantity", 0.9, 10000).cast("double").alias("p90"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).cast("double").alias("p99_price"),
+    )
