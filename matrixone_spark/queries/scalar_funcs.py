@@ -565,3 +565,33 @@ def func_serial_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_t).alias("tuple_rank"),
         F.row_number().over(w_p).alias("packed_rank"),
     )
+
+
+@register(
+    "func_regexp2_battery",
+    oracle="""
+SELECT p_partkey,
+       len(regexp_extract_all(p_name, '[aeiou]+'))        AS vowel_runs,
+       CASE WHEN regexp_matches(p_name, '(?i)^[a-m]') THEN 1 ELSE 0 END AS starts_am,
+       coalesce(array_to_string(regexp_extract_all(p_name, '[0-9]+'), '|'), '') AS digit_groups,
+       regexp_replace(p_name, '[aeiou]', '*', 'g')        AS starred
+FROM part WHERE p_partkey <= 400
+""",
+    tags=("functions", "regexp"),
+    doc=(
+        "regexp_count / regexp_like (case-insensitive flag) / "
+        "regexp_extract_all / global regexp_replace (reference reg_match + "
+        "regexp_* family, function_id.go) — DuckDB needs the 'g' flag to "
+        "match Spark's replace-all default."
+    ),
+)
+def func_regexp2_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).table("part").filter(F.col("p_partkey") <= 400)
+    name = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.regexp_count(name, F.lit("[aeiou]+")).alias("vowel_runs"),
+        F.when(F.regexp_like(name, F.lit("(?i)^[a-m]")), 1).otherwise(0).alias("starts_am"),
+        F.array_join(F.regexp_extract_all(name, F.lit("([0-9]+)")), "|").alias("digit_groups"),
+        F.regexp_replace(name, "[aeiou]", "*").alias("starred"),
+    )
