@@ -101,7 +101,15 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         key = (*self._key, name)
         if key not in self._cache:
-            df = self.spark.read.parquet(self.path(name))
+            from matrixone_spark.sources.layout_cache import split_layout_path
+
+            path = self.path(name)
+            # Ingest-layout step (reference TAE block ingest parity): a
+            # single-file single-row-group table can't be split, so every
+            # scan of it is one task; rewrite once into a clustered
+            # multi-file copy and scan that. No-op for directory tables.
+            split = split_layout_path(path, name)
+            df = self.spark.read.parquet(split or path)
             self._cache[key] = _fix_nanos_timestamps(df)
         return self._cache[key]
 

@@ -469,3 +469,55 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q11",
+    oracle="""
+WITH base AS (
+  SELECT l_partkey,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+), per_part AS (
+  SELECT l_partkey, SUM(v) AS pv FROM base GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(pv AS DOUBLE) AS part_value
+FROM per_part
+WHERE pv * 1000 > (SELECT SUM(pv) FROM per_part)
+ORDER BY part_value DESC, l_partkey
+""",
+    tags=("tpch", "join", "subquery", "bench-extra"),
+    doc=(
+        "TPC-H Q11 important-stock shape (partsupp value replaced by observed "
+        "lineitem revenue per part for one nation's suppliers): group-by + "
+        "scalar-subquery global threshold (reference plan golden "
+        "pkg/sql/plan/tpch/q11.sql flattens to agg + cross-join of the "
+        "1-row total). Threshold comparison kept in exact decimal via an "
+        "integer multiplier so Spark and DuckDB agree at the boundary; the "
+        "1-row total is broadcast (no shuffle of the big side at scale)."
+    ),
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    l, s, n = cat.table("lineitem"), cat.table("supplier"), cat.table("nation")
+    nation_sup = (
+        s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    v = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    per_part = (
+        l.join(F.broadcast(nation_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(v).alias("pv"))
+    )
+    total = per_part.agg(F.sum("pv").alias("tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("pv") * 1000 > F.col("tot"))
+        .select("l_partkey", F.col("pv").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )

@@ -37,7 +37,14 @@ SPARK_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Split-size sizing is per-deployment: production 100 TB keeps the 128 MB
+    # default (12.5M tasks of metadata otherwise); this harness reads MB-scale
+    # files where 128 MB bins collapse every table to one task. 4 MB bins give
+    # one task per layout-cache slice (each slice costs openCostInBytes=4 MB in
+    # the bin-packer), i.e. full local[32] scan parallelism.
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)
+    ),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
     "spark.ui.enabled": "false",
     "spark.sql.ansi.enabled": "false",  # MySQL-ish permissive semantics (SURVEY §7)
