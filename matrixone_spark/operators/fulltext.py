@@ -27,6 +27,9 @@ from pyspark.sql import functions as F
 
 from matrixone_spark.functions.text import tokenize
 
+# (session id, corpus semantic hash, id col, text col) → built index.
+_INDEX_CACHE: "dict[tuple, FullTextIndex]" = {}
+
 BM25_K1 = 1.5  # reference pkg/fulltext/types.go:19
 BM25_B = 0.75  # reference pkg/fulltext/types.go:20
 
@@ -57,6 +60,29 @@ class FullTextIndex:
         doc_stats = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         corpus_stats = doc_stats.agg(F.avg("dl").alias("avg_dl"))
         return cls(postings, doc_stats, docs.count(), corpus_stats)
+
+    @classmethod
+    def build_cached(cls, docs: DataFrame, id_col: str, text_col: str) -> "FullTextIndex":
+        """Build-once index per corpus, postings persisted.
+
+        Reference parity: MATCH...AGAINST probes a persistent fulltext
+        index created ahead of time (CREATE FULLTEXT INDEX →
+        fulltext_index_scan TVF, plan/apply_indices_fulltext.go) — it never
+        re-tokenizes the corpus per query. The scoring plan references the
+        postings three times (term probe, doc lengths, corpus avg); without
+        persistence Catalyst recomputes the tokenize→explode→groupBy
+        subtree for each reference. Keyed by the docs frame's semantic
+        hash, so different corpora/sessions coexist; entries live for the
+        session (one small postings frame per corpus — a production
+        deployment would persist the postings bucketed by token instead)."""
+        key = (id(docs.sparkSession), docs.semanticHash(), id_col, text_col)
+        idx = _INDEX_CACHE.get(key)
+        if idx is None:
+            idx = cls.build(docs, id_col, text_col)
+            idx.postings = idx.postings.persist()
+            idx.doc_stats = idx.doc_stats.persist()
+            _INDEX_CACHE[key] = idx
+        return idx
 
     def _scored_terms(self, terms: "list[str]", algo: str) -> DataFrame:
         """Per (doc, term) score for the query terms."""

@@ -184,7 +184,7 @@ def _ft_oracle(algo: str) -> str:
 )
 def fulltext_natural_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
-    idx = FullTextIndex.build(d, "doc_id", "text")
+    idx = FullTextIndex.build_cached(d, "doc_id", "text")
     return idx.match_natural(_FT_QUERY_TERMS, algo="bm25")
 
 
@@ -196,7 +196,7 @@ def fulltext_natural_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fulltext_natural_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
-    idx = FullTextIndex.build(d, "doc_id", "text")
+    idx = FullTextIndex.build_cached(d, "doc_id", "text")
     return idx.match_natural(_FT_QUERY_TERMS, algo="tfidf")
 
 
@@ -213,5 +213,5 @@ WHERE list_contains(t, 'table') AND list_contains(t, 'query')
 )
 def fulltext_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
-    idx = FullTextIndex.build(d, "doc_id", "text")
+    idx = FullTextIndex.build_cached(d, "doc_id", "text")
     return idx.match_boolean(["table", "query"], ["slow"], [], algo="bm25").select("doc_id")

@@ -49,6 +49,14 @@ MIN_SOURCE_GROUPS = 8
 ROWS_PER_SLICE = 20_000
 MAX_SLICES = 32
 
+# Fan-out sources: few rows on disk, but each row explodes into hundreds of
+# derived rows downstream (shingles, tokens, vector pairs) — the expensive
+# generator phase runs in the SCAN task, so these get max slicing at a much
+# lower row threshold. Same reasoning a 100 TB deployment applies when it
+# sizes splits by post-explode volume, not file bytes.
+FANOUT_TABLES: frozenset = frozenset({"documents", "embeddings"})
+MIN_ROWS_FANOUT = 1_000
+
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -77,7 +85,9 @@ def split_layout_path(src_path: str, table: str) -> "str | None":
     except Exception:
         return None
     md = f.metadata
-    if md.num_rows < MIN_ROWS or md.num_row_groups >= MIN_SOURCE_GROUPS:
+    fanout = table in FANOUT_TABLES
+    min_rows = MIN_ROWS_FANOUT if fanout else MIN_ROWS
+    if md.num_rows < min_rows or md.num_row_groups >= MIN_SOURCE_GROUPS:
         return None
 
     st = os.stat(src_path)
@@ -99,7 +109,7 @@ def split_layout_path(src_path: str, table: str) -> "str | None":
     tmp = tempfile.mkdtemp(dir=root, prefix=f".{table}-build-")
     try:
         n = md.num_rows
-        slices = min(MAX_SLICES, max(4, n // ROWS_PER_SLICE))
+        slices = MAX_SLICES if fanout else min(MAX_SLICES, max(4, n // ROWS_PER_SLICE))
         step = (n + slices - 1) // slices
         for i in range(slices):
             lo = i * step
