@@ -253,3 +253,153 @@ def json_objectagg_sorted(key, value) -> Column:
     return F.concat(
         F.lit("{"), F.concat_ws(",", F.array_sort(F.collect_list(entry))), F.lit("}")
     )
+
+
+def _paths_steps(path: str):
+    """Parse a MySQL '$.a.b[i]' path into step list, or None if malformed."""
+    if not path or not path.startswith("$"):
+        return None
+    steps: list = []
+    i = 1
+    while i < len(path):
+        if path[i] == ".":
+            j = i + 1
+            while j < len(path) and path[j] not in ".[":
+                j += 1
+            steps.append(path[i + 1 : j])
+            i = j
+        elif path[i] == "[":
+            j = path.index("]", i)
+            steps.append(int(path[i + 1 : j]))
+            i = j + 1
+        else:
+            return None
+    return steps
+
+
+def _path_exists(doc, path: str) -> bool:
+    steps = _paths_steps(path)
+    if steps is None:
+        return False
+    cur = doc
+    for s in steps:
+        if isinstance(s, str) and isinstance(cur, dict) and s in cur:
+            cur = cur[s]
+        elif isinstance(s, int) and isinstance(cur, list) and -len(cur) <= s < len(cur):
+            cur = cur[s]
+        else:
+            return False
+    return True
+
+
+@pandas_udf(BooleanType())
+def _json_contains_path_udf(docs: pd.Series, modes: pd.Series, paths: pd.Series) -> pd.Series:
+    def one(d, m, ps):
+        if d is None or ps is None:
+            return None
+        obj = _loads_or_none(d)
+        if obj is None and d.strip() != "null":
+            return None
+        checks = [_path_exists(obj, p) for p in ps.split("|")]
+        return all(checks) if (m or "one").lower() == "all" else any(checks)
+
+    return pd.Series([one(d, m, p) for d, m, p in zip(docs, modes, paths)], dtype="object")
+
+
+def json_contains_path(doc, mode, paths) -> Column:
+    """MySQL JSON_CONTAINS_PATH(doc, 'one'|'all', path...) —
+    func_builtin_json.go registry. ``paths`` is a '|'-joined path list
+    column (the variadic surface flattened for a single UDF signature)."""
+    return _json_contains_path_udf(_c(doc), _c(mode), _c(paths))
+
+
+def _scalar_overlap(a, b) -> bool:
+    ab, bb = isinstance(a, bool), isinstance(b, bool)
+    if ab or bb:
+        return ab and bb and a == b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return float(a) == float(b)
+    return type(a) is type(b) and a == b
+
+
+@pandas_udf(BooleanType())
+def _json_overlaps_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    def over(x, y):
+        if x is None or y is None:
+            return None
+        xo, yo = _loads_or_none(x), _loads_or_none(y)
+        xa = xo if isinstance(xo, list) else [xo]
+        ya = yo if isinstance(yo, list) else [yo]
+        if isinstance(xo, dict) and isinstance(yo, dict):
+            return any(k in yo and _scalar_overlap(v, yo[k]) for k, v in xo.items())
+        return any(
+            _scalar_overlap(e, f) if not isinstance(e, (dict, list)) else e == f
+            for e in xa
+            for f in ya
+        )
+
+    return pd.Series([over(x, y) for x, y in zip(a, b)], dtype="object")
+
+
+def json_overlaps(a, b) -> Column:
+    """MySQL JSON_OVERLAPS: arrays overlap on any shared element, objects
+    on any shared key/value pair, scalars on equality (numeric-coercing)."""
+    return _json_overlaps_udf(_c(a), _c(b))
+
+
+@pandas_udf(StringType())
+def _json_pretty_udf(docs: pd.Series) -> pd.Series:
+    def pretty(d):
+        obj = _loads_or_none(d)
+        if obj is None and (d is None or d.strip() != "null"):
+            return None
+        return json.dumps(obj, indent=2, ensure_ascii=False)
+
+    return pd.Series([pretty(d) for d in docs], dtype="object")
+
+
+def json_pretty(doc) -> Column:
+    """MySQL JSON_PRETTY: 2-space-indented canonical rendering."""
+    return _json_pretty_udf(_c(doc))
+
+
+def _merge_preserve(x, y):
+    """MySQL JSON_MERGE_PRESERVE: arrays concatenate, objects merge
+    per-key recursively, scalars pair into arrays."""
+    if isinstance(x, dict) and isinstance(y, dict):
+        out = dict(x)
+        for k, v in y.items():
+            out[k] = _merge_preserve(out[k], v) if k in out else v
+        return out
+    xa = x if isinstance(x, list) else [x]
+    ya = y if isinstance(y, list) else [y]
+    return xa + ya
+
+
+@pandas_udf(StringType())
+def _json_merge_preserve_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    def merge(x, y):
+        if x is None or y is None:
+            return None
+        xo, yo = _loads_or_none(x), _loads_or_none(y)
+        return _dumps(_merge_preserve(xo, yo))
+
+    return pd.Series([merge(x, y) for x, y in zip(a, b)], dtype="object")
+
+
+def json_merge_preserve(a, b) -> Column:
+    """MySQL JSON_MERGE_PRESERVE (the pre-8.0 JSON_MERGE semantics)."""
+    return _json_merge_preserve_udf(_c(a), _c(b))
+
+
+def json_value(doc, path, cast_to: str = "string") -> Column:
+    """MySQL 8 JSON_VALUE(doc, path RETURNING type): extract + unquote +
+    cast — composes Spark's native get_json_object with a cast, all
+    JVM-side (no UDF; this one IS hot-path shaped)."""
+    return F.get_json_object(_c(doc), path).cast(cast_to)
+
+
+def json_extract_float64(doc, path) -> Column:
+    """Reference json_extract_float64 (func_builtin_json.go): numeric
+    extraction as double."""
+    return json_value(doc, path, "double")

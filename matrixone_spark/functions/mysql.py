@@ -399,3 +399,54 @@ def serial_extract(packed, idx: int) -> Column:
     """Unpack component idx (0-based) of a serial_pack key."""
     part = F.substring(_c(packed), idx * 16 + 1, 16)
     return F.conv(part, 16, 10).cast("bigint")
+
+
+def addtime(ts, t) -> Column:
+    """ADDTIME(ts, 'HH:MM:SS'): shift by a TIME-string offset.
+    Reference: func_binary.go addtime."""
+    return F.timestamp_micros(F.unix_micros(_c(ts)) + time_to_sec(t) * 1_000_000)
+
+
+def subtime(ts, t) -> Column:
+    """SUBTIME(ts, 'HH:MM:SS'). Reference: func_binary.go subtime."""
+    return F.timestamp_micros(F.unix_micros(_c(ts)) - time_to_sec(t) * 1_000_000)
+
+
+def timediff(a, b) -> Column:
+    """TIMEDIFF(a, b) → signed 'HH:MM:SS' (whole seconds, truncated toward
+    zero like MySQL's second precision). Reference: func_binary.go timediff."""
+    us = F.unix_micros(_c(a)) - F.unix_micros(_c(b))
+    s = (us / 1_000_000).cast("long")
+    return F.when(s < 0, F.concat(F.lit("-"), sec_to_time(-s))).otherwise(sec_to_time(s))
+
+
+_TIME_FORMAT_MAP = (
+    ("%H", "HH"),  # hour 00-23
+    ("%i", "mm"),  # minute
+    ("%s", "ss"),  # second
+    ("%h", "hh"),  # hour 01-12
+    ("%p", "a"),   # AM/PM
+)
+
+
+def time_format(x, fmt: str) -> Column:
+    """TIME_FORMAT(t, '%H:%i:%s') — translate the MySQL %-codes (the subset
+    meaningful for TIME values) to Spark's SimpleDateFormat pattern.
+    Reference: func_binary.go time_format / generalTime.go format table."""
+    for mysql_code, spark_code in _TIME_FORMAT_MAP:
+        fmt = fmt.replace(mysql_code, spark_code)
+    return F.date_format(_c(x), fmt)
+
+
+def to_seconds(x) -> Column:
+    """TO_SECONDS(ts) = TO_DAYS(date part)·86400 + second-of-day.
+    Reference: func_unary.go to_seconds."""
+    c = _c(x)
+    sod = (F.unix_micros(c) / 1_000_000).cast("long") % 86400
+    return to_days(c.cast("date")) * 86400 + sod
+
+
+def microsecond(x) -> Column:
+    """MICROSECOND(ts): fractional-second part in µs.
+    Reference: func_unary.go microsecond."""
+    return F.unix_micros(_c(x)) % 1_000_000

@@ -310,3 +310,37 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_quantity", 0.9, 10000).cast("double").alias("p90"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).cast("double").alias("p99_price"),
     )
+
+
+@register(
+    "agg_stddev_exact",
+    oracle="""
+SELECT c_nationkey,
+       COUNT(*) AS n,
+       ROUND(SQRT(CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(24,4))) AS DOUBLE) / COUNT(*)
+             - POW(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2)), 6) AS sd_pop,
+       ROUND(SQRT((CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(24,4))) AS DOUBLE)
+             - COUNT(*) * POW(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2))
+             / (COUNT(*) - 1)), 6) AS sd_samp
+FROM customer GROUP BY c_nationkey
+""",
+    tags=("agg",),
+    doc=(
+        "stddev_pop/stddev_samp/std (std ≡ stddev_pop in MySQL; reference "
+        "list_agg.go stddev registrations) via exact decimal power sums + "
+        "sqrt — same order-independence discipline as agg_variance_exact; "
+        "sqrt over bit-identical doubles is correctly rounded per IEEE 754, "
+        "so no extra divergence."
+    ),
+)
+def agg_stddev_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer")
+    n = F.count(F.lit(1))
+    s1 = F.sum(dec("c_acctbal")).cast("double")
+    s2 = F.sum((F.col("c_acctbal") * F.col("c_acctbal")).cast("decimal(24,4)")).cast("double")
+    mean = s1 / n
+    return c.groupBy("c_nationkey").agg(
+        n.alias("n"),
+        F.round(F.sqrt(s2 / n - F.pow(mean, 2)), 6).alias("sd_pop"),
+        F.round(F.sqrt((s2 - n * F.pow(mean, 2)) / (n - 1)), 6).alias("sd_samp"),
+    )

@@ -213,3 +213,47 @@ def json_objectagg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("u"), F.col("user_id").cast("string")), F.col("n")
         ).alias("agg_obj")
     )
+
+
+@register(
+    "json2_battery",
+    oracle="""
+SELECT event_id,
+       (json_extract(props, '$.k') IS NOT NULL
+        OR json_extract(props, '$.missing') IS NOT NULL)  AS cp_one,
+       (json_extract(props, '$.k') IS NOT NULL
+        AND json_extract(props, '$.missing') IS NOT NULL) AS cp_all,
+       ((user_id % 5 = user_id % 3) OR (7 = user_id % 3)
+        OR (user_id % 5 = 8))                             AS ovl_arr,
+       CAST(json_object('k', json_array(json_extract(props, '$.k'), 5),
+                        't', 'x') AS VARCHAR)             AS mp,
+       11 + length(CAST(json_extract(props, '$.k') AS VARCHAR)) AS pretty_len,
+       CAST(json_extract_string(props, '$.k') AS BIGINT)  AS jv_int,
+       CAST(json_extract_string(props, '$.k') AS DOUBLE)  AS jx_f64
+FROM events WHERE event_id < 1000
+""",
+    tags=("json", "udf"),
+    doc=(
+        "JSON family part 2 (func_builtin_json.go registry): "
+        "json_contains_path one/all, json_overlaps (array element overlap), "
+        "json_merge_preserve (scalar→array pairing), json_pretty (2-space "
+        "canonical form, checked via rendered length), json_value RETURNING "
+        "cast, json_extract_float64. Oracle expresses each via DuckDB-native "
+        "json_extract + reconstructed expected values."
+    ),
+)
+def json2_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events").filter(F.col("event_id") < 1000)
+    props = F.col("props")
+    arr_a = F.concat(F.lit("["), (F.col("user_id") % 5).cast("string"), F.lit(", 7]"))
+    arr_b = F.concat(F.lit("["), (F.col("user_id") % 3).cast("string"), F.lit(", 8]"))
+    return e.select(
+        "event_id",
+        J.json_contains_path(props, F.lit("one"), F.lit("$.k|$.missing")).alias("cp_one"),
+        J.json_contains_path(props, F.lit("all"), F.lit("$.k|$.missing")).alias("cp_all"),
+        J.json_overlaps(arr_a, arr_b).alias("ovl_arr"),
+        J.json_merge_preserve(props, F.lit('{"k": 5, "t": "x"}')).alias("mp"),
+        F.length(J.json_pretty(props)).alias("pretty_len"),
+        J.json_value(props, "$.k", "bigint").alias("jv_int"),
+        J.json_extract_float64(props, "$.k").alias("jx_f64"),
+    )

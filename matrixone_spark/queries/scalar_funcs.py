@@ -595,3 +595,93 @@ def func_regexp2_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.regexp_extract_all(name, F.lit("([0-9]+)")), "|").alias("digit_groups"),
         F.regexp_replace(name, "[aeiou]", "*").alias("starred"),
     )
+
+
+@register(
+    "func_time_battery",
+    oracle="""
+SELECT event_id,
+       ts + ((user_id % 12) * 3600 + 1845) * INTERVAL '1 second'   AS add1,
+       ts - 8130 * INTERVAL '1 second'                             AS sub1,
+       LPAD(CAST((epoch_us(ts) // 1000000 % 86400) // 3600 AS VARCHAR), 2, '0')
+         || ':' ||
+       LPAD(CAST((epoch_us(ts) // 1000000 % 3600) // 60 AS VARCHAR), 2, '0')
+         || ':' ||
+       LPAD(CAST(epoch_us(ts) // 1000000 % 60 AS VARCHAR), 2, '0') AS td,
+       strftime(ts, '%H:%M:%S')                                    AS tf,
+       (DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) + 719528) * 86400
+         + epoch_us(ts) // 1000000 % 86400                         AS tsec,
+       epoch_us(ts) % 1000000                                      AS micro
+FROM events WHERE event_id < 1500
+""",
+    tags=("functions", "date"),
+    doc=(
+        "TIME-function family (func_binary.go addtime/subtime/timediff/"
+        "time_format, func_unary.go to_seconds/microsecond): ADDTIME with a "
+        "per-row varying TIME string, SUBTIME, TIMEDIFF vs day start "
+        "(= time-of-day HH:MM:SS), TIME_FORMAT %-code translation, "
+        "TO_SECONDS day-number arithmetic, MICROSECOND. Exact-parity rule: "
+        "all second arithmetic via unix_micros (memory: unix_timestamp "
+        "floors vs DuckDB fractional epochs)."
+    ),
+)
+def func_time_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.functions import mysql as M
+
+    e = Catalog(spark, sf_dir).table("events").filter(F.col("event_id") < 1500)
+    ts = F.col("ts")
+    tstr = F.concat(
+        F.lpad((F.col("user_id") % 12).cast("string"), 2, "0"), F.lit(":30:45")
+    )
+    return e.select(
+        "event_id",
+        M.addtime(ts, tstr).alias("add1"),
+        M.subtime(ts, F.lit("02:15:30")).alias("sub1"),
+        M.timediff(ts, F.date_trunc("day", ts)).alias("td"),
+        M.time_format(ts, "%H:%i:%s").alias("tf"),
+        M.to_seconds(ts).alias("tsec"),
+        M.microsecond(ts).alias("micro"),
+    )
+
+
+@register(
+    "func_math2_battery",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(ACOS(l_discount), 9)                    AS ac,
+       ROUND(ATAN(l_quantity), 9)                    AS at1,
+       ROUND(ATAN2(l_quantity, 7.5), 9)              AS at2,
+       ROUND(TAN(l_discount), 9)                     AS tn,
+       ROUND(COS(l_discount + 0.05) / SIN(l_discount + 0.05), 9) AS ct,
+       ROUND((EXP(l_discount * 5) - EXP(-l_discount * 5)) / 2, 9) AS sh,
+       printf('%o', CAST(l_suppkey AS BIGINT))       AS oc,
+       ASCII(l_returnflag)                           AS ord_rf,
+       xor(CAST(l_orderkey AS BIGINT), CAST(l_partkey AS BIGINT)) AS xr
+FROM lineitem WHERE l_orderkey <= 300
+""",
+    tags=("functions", "math"),
+    doc=(
+        "Math family part 2 (func_unary.go registry: acos/atan/tan/cot/"
+        "sinh/oct/ord, operator xor). Transcendentals rounded to 9 (JVM vs "
+        "libm last-ULP rule); inputs kept in low-derivative domains so the "
+        "rounding is stable (tan/cot near poles would amplify input ULPs). "
+        "cot/sinh expressed via cos/sin and exp on the oracle side; oct via "
+        "printf('%o'); ord ≡ ascii for 1-byte charsets (func_unary.go ord)."
+    ),
+)
+def func_math2_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = Catalog(spark, sf_dir).table("lineitem").filter(F.col("l_orderkey") <= 300)
+    disc, qty = F.col("l_discount"), F.col("l_quantity")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.acos(disc), 9).alias("ac"),
+        F.round(F.atan(qty), 9).alias("at1"),
+        F.round(F.atan2(qty, F.lit(7.5)), 9).alias("at2"),
+        F.round(F.tan(disc), 9).alias("tn"),
+        F.round(F.cot(disc + 0.05), 9).alias("ct"),
+        F.round(F.sinh(disc * 5), 9).alias("sh"),
+        F.conv(F.col("l_suppkey").cast("string"), 10, 8).alias("oc"),
+        F.ascii("l_returnflag").alias("ord_rf"),
+        F.col("l_orderkey").cast("long").bitwiseXOR(F.col("l_partkey").cast("long")).alias("xr"),
+    )
