@@ -450,3 +450,103 @@ def microsecond(x) -> Column:
     """MICROSECOND(ts): fractional-second part in µs.
     Reference: func_unary.go microsecond."""
     return F.unix_micros(_c(x)) % 1_000_000
+
+
+# --- IPv6 / UUID validity family -------------------------------------------
+# Reference: func_binary.go inet6_aton/inet6_ntoa, is_ipv4_compat/
+# is_ipv4_mapped/is_ipv6 (operate on the 16-byte binary form), is_uuid.
+# Binary addresses surface as lowercase hex strings here: parquet-friendly,
+# byte-faithful, and directly comparable across engines.
+
+from pyspark.sql.types import BooleanType as _BooleanType
+from pyspark.sql.types import StringType as _StringType
+
+
+@pandas_udf(_StringType())
+def _inet6_aton_hex_udf(addrs: pd.Series) -> pd.Series:
+    import ipaddress
+
+    def conv(a):
+        if a is None:
+            return None
+        try:
+            return ipaddress.ip_address(a.strip()).packed.hex()
+        except ValueError:
+            return None
+
+    return pd.Series([conv(a) for a in addrs], dtype="object")
+
+
+def inet6_aton_hex(addr) -> Column:
+    """INET6_ATON(addr) → packed bytes as lowercase hex (16 for v6 with
+    full '::' decompression, 4 for dotted-quad input, NULL if invalid)."""
+    return _inet6_aton_hex_udf(_c(addr))
+
+
+@pandas_udf(_StringType())
+def _inet6_ntoa_hex_udf(hexes: pd.Series) -> pd.Series:
+    import ipaddress
+
+    def conv(h):
+        if h is None:
+            return None
+        try:
+            b = bytes.fromhex(h)
+        except ValueError:
+            return None
+        if len(b) == 4:
+            return str(ipaddress.IPv4Address(b))
+        if len(b) == 16:
+            v6 = ipaddress.IPv6Address(b)
+            # MySQL keeps the dotted-quad rendering for mapped addresses
+            if v6.ipv4_mapped is not None:
+                return f"::ffff:{v6.ipv4_mapped}"
+            return str(v6)  # RFC 5952 compressed form
+        return None
+
+    return pd.Series([conv(h) for h in hexes], dtype="object")
+
+
+def inet6_ntoa_hex(h) -> Column:
+    """INET6_NTOA over the hex-string binary form (inverse of
+    inet6_aton_hex; v6 renders RFC 5952 compressed, matching MySQL)."""
+    return _inet6_ntoa_hex_udf(_c(h))
+
+
+@pandas_udf(_BooleanType())
+def _is_ipv6_udf(addrs: pd.Series) -> pd.Series:
+    import ipaddress
+
+    def chk(a):
+        if a is None:
+            return None
+        try:
+            return ipaddress.ip_address(a.strip()).version == 6
+        except ValueError:
+            return False
+
+    return pd.Series([chk(a) for a in addrs], dtype="object")
+
+
+def is_ipv6(addr) -> Column:
+    """IS_IPV6(addr)."""
+    return _is_ipv6_udf(_c(addr))
+
+
+def is_ipv4_compat(h) -> Column:
+    """IS_IPV4_COMPAT over hex binary: 16 bytes with a zero 96-bit prefix
+    ('::a.b.c.d'). Pure Column expression — no UDF needed."""
+    h = _c(h)
+    return (F.length(h) == 32) & F.substring(h, 1, 24).rlike("^0{24}$")
+
+
+def is_ipv4_mapped(h) -> Column:
+    """IS_IPV4_MAPPED over hex binary: '::ffff:a.b.c.d' prefix form."""
+    h = _c(h)
+    return (F.length(h) == 32) & F.substring(h, 1, 24).rlike("^0{20}ffff$")
+
+
+def is_uuid(s) -> Column:
+    """IS_UUID: 8-4-4-4-12 hex with optional braces/dashes per MySQL."""
+    s = F.lower(F.regexp_replace(_c(s).cast("string"), r"[{}-]", ""))
+    return s.rlike("^[0-9a-f]{32}$") & (F.length(s) == 32)

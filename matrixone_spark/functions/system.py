@@ -50,6 +50,9 @@ class SessionContext:
     last_insert_id: int = 0
     found_rows: int = 0
     row_count: int = field(default=-1)  # MySQL: -1 after non-DML
+    # Statement-start timestamp ("YYYY-MM-DD HH:MM:SS[.ffffff]"); None →
+    # Spark current_timestamp() (still per-statement-constant).
+    statement_ts: "str | None" = None
 
 
 DEFAULT_CONTEXT = SessionContext()
@@ -119,3 +122,49 @@ def sql_literals(ctx: SessionContext = DEFAULT_CONTEXT) -> "dict[str, str]":
         "found_rows": f"CAST({ctx.found_rows} AS BIGINT)",
         "row_count": f"CAST({ctx.row_count} AS BIGINT)",
     }
+
+
+# --- Statement-time clock family -------------------------------------------
+# Reference: now()/curdate()/current_timestamp evaluate ONCE per statement
+# from the txn's timestamp (function_id.go NOW; frontend binds the clock at
+# statement start), NOT per row. The batch analogue: fold the whole family
+# from an injectable statement timestamp; with no injection, Spark's own
+# current_timestamp() — itself statement-constant by SQL semantics — is used.
+# Session timezone is UTC (session.py), so local and UTC variants coincide.
+
+
+def statement_ts(ctx: SessionContext = DEFAULT_CONTEXT) -> Column:
+    if ctx.statement_ts is None:
+        return F.current_timestamp()
+    return F.lit(ctx.statement_ts).cast("timestamp")
+
+
+def now(ctx: SessionContext = DEFAULT_CONTEXT) -> Column:
+    return statement_ts(ctx)
+
+
+def sysdate(ctx: SessionContext = DEFAULT_CONTEXT) -> Column:
+    """MySQL SYSDATE() re-reads the wall clock per row; in a deterministic
+    batch engine that is indistinguishable from the statement clock, and the
+    reference's BVT treatment pins it the same way."""
+    return statement_ts(ctx)
+
+
+def curdate(ctx: SessionContext = DEFAULT_CONTEXT) -> Column:
+    return statement_ts(ctx).cast("date")
+
+
+def curtime(ctx: SessionContext = DEFAULT_CONTEXT) -> Column:
+    return F.date_format(statement_ts(ctx), "HH:mm:ss")
+
+
+def utc_timestamp(ctx: SessionContext = DEFAULT_CONTEXT) -> Column:
+    return statement_ts(ctx)
+
+
+def utc_date(ctx: SessionContext = DEFAULT_CONTEXT) -> Column:
+    return curdate(ctx)
+
+
+def utc_time(ctx: SessionContext = DEFAULT_CONTEXT) -> Column:
+    return curtime(ctx)

@@ -685,3 +685,93 @@ def func_math2_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii("l_returnflag").alias("ord_rf"),
         F.col("l_orderkey").cast("long").bitwiseXOR(F.col("l_partkey").cast("long")).alias("xr"),
     )
+
+
+@register(
+    "func_inet6_battery",
+    oracle="""
+SELECT n_nationkey,
+       printf('20010db800000000000000000000%04x', 4096 + n_nationkey) AS v6_hex,
+       printf('00000000000000000000ffff0a0005%02x', n_nationkey) AS mapped_hex,
+       printf('0a0005%02x', n_nationkey)                         AS v4_hex,
+       '2001:db8::' || printf('%x', 4096 + n_nationkey)          AS v6_rt,
+       '::ffff:10.0.5.' || CAST(n_nationkey AS VARCHAR)          AS mapped_rt,
+       TRUE  AS is6_a, FALSE AS is6_b,
+       FALSE AS compat_m, TRUE AS mapped_m, TRUE AS compat_c,
+       TRUE  AS uuid_ok, FALSE AS uuid_bad
+FROM nation
+""",
+    tags=("functions", "mysql"),
+    doc=(
+        "INET6 family (func_binary.go inet6_aton/inet6_ntoa/is_ipv6/"
+        "is_ipv4_compat/is_ipv4_mapped, is_uuid): binary addresses as hex "
+        "strings; aton exercises '::' decompression + dotted-quad dual "
+        "output width, ntoa round-trips to RFC 5952 compressed form, "
+        "compat/mapped prefix classification are pure Column expressions. "
+        "Oracle reconstructs the packed hex with printf and pins the "
+        "booleans per constructed input class."
+    ),
+)
+def func_inet6_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.functions import mysql as M
+
+    n = Catalog(spark, sf_dir).table("nation")
+    key = F.col("n_nationkey")
+    v6 = F.concat(F.lit("2001:db8::"), F.lower(F.conv((key + 4096).cast("string"), 10, 16)))
+    mapped = F.concat(F.lit("::ffff:10.0.5."), key.cast("string"))
+    compat = F.concat(F.lit("::10.0.5."), key.cast("string"))
+    v4 = F.concat(F.lit("10.0.5."), key.cast("string"))
+    uuid_s = F.concat(F.lit("550e8400-e29b-41d4-a716-"), F.lpad(key.cast("string"), 12, "0"))
+    return n.select(
+        "n_nationkey",
+        M.inet6_aton_hex(v6).alias("v6_hex"),
+        M.inet6_aton_hex(mapped).alias("mapped_hex"),
+        M.inet6_aton_hex(v4).alias("v4_hex"),
+        M.inet6_ntoa_hex(M.inet6_aton_hex(v6)).alias("v6_rt"),
+        M.inet6_ntoa_hex(M.inet6_aton_hex(mapped)).alias("mapped_rt"),
+        M.is_ipv6(v6).alias("is6_a"),
+        M.is_ipv6(v4).alias("is6_b"),
+        M.is_ipv4_mapped(M.inet6_aton_hex(compat)).alias("compat_m"),
+        M.is_ipv4_mapped(M.inet6_aton_hex(mapped)).alias("mapped_m"),
+        M.is_ipv4_compat(M.inet6_aton_hex(compat)).alias("compat_c"),
+        M.is_uuid(uuid_s).alias("uuid_ok"),
+        M.is_uuid(F.concat(F.lit("not-a-uuid-"), key.cast("string"))).alias("uuid_bad"),
+    )
+
+
+@register(
+    "system_clock_battery",
+    oracle="""
+SELECT n_nationkey,
+       TIMESTAMP '2024-06-15 12:34:56.789'                    AS now_ts,
+       DATE '2024-06-15'                                      AS cur_d,
+       '12:34:56'                                             AS cur_t,
+       TIMESTAMP '2024-06-15 12:34:56.789'
+         + n_nationkey * INTERVAL '1 day'                     AS due,
+       DATEDIFF('day', DATE '1995-06-15',
+                DATE '2024-06-15') - n_nationkey              AS age_days
+FROM nation
+""",
+    tags=("functions", "system"),
+    doc=(
+        "Statement-clock family (function_id.go NOW/CURDATE/CURTIME/SYSDATE/"
+        "UTC_*): the reference binds the clock once per statement from the "
+        "txn timestamp; SessionContext(statement_ts=...) injects that "
+        "binding, making now()-relative queries deterministic and oracle-"
+        "checkable. UTC variants coincide under the UTC session zone."
+    ),
+)
+def system_clock_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.functions import system as S
+
+    ctx = S.SessionContext(statement_ts="2024-06-15 12:34:56.789")
+    n = Catalog(spark, sf_dir).table("nation")
+    key = F.col("n_nationkey")
+    return n.select(
+        "n_nationkey",
+        S.now(ctx).alias("now_ts"),
+        S.curdate(ctx).alias("cur_d"),
+        S.curtime(ctx).alias("cur_t"),
+        (S.utc_timestamp(ctx) + F.make_interval(days=key)).alias("due"),
+        (F.datediff(S.curdate(ctx), F.lit("1995-06-15").cast("date")) - key).alias("age_days"),
+    )
