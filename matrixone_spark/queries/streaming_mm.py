@@ -177,3 +177,24 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matrixone_spark.streaming.events import stateful_user_stats
 
     return stateful_user_stats(spark, sf_dir)
+
+
+@register(
+    "stream_dedup_exactly_once",
+    oracle="""
+SELECT event_id, event_type, user_id
+FROM events WHERE user_id <= 5
+""",
+    tags=("streaming",),
+    doc=(
+        "Streaming dedup under at-least-once delivery: stream unioned with "
+        "itself (every event delivered twice) → dropDuplicatesWithinWatermark "
+        "on event_id emits each exactly once, with dedup state bounded by "
+        "the 1h watermark horizon (unbounded dedup state is the classic "
+        "streaming OOM at scale). Oracle = the undoubled batch relation."
+    ),
+)
+def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.streaming.events import dedup_within_watermark
+
+    return dedup_within_watermark(spark, sf_dir)

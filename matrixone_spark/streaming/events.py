@@ -259,3 +259,36 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def run_streaming_append(agg: DataFrame) -> DataFrame:
+    """Run an append-mode streaming transform to completion (availableNow)
+    and return the emitted rows as a batch DataFrame."""
+    name = f"stream_result_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return agg.sparkSession.table(name)
+
+
+def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the events stream unioned with itself
+    (every event arrives twice — the at-least-once delivery a CDC pipeline
+    actually sees, pkg/cdc/ retry semantics) is deduplicated on event_id
+    with dropDuplicatesWithinWatermark, which bounds the dedup state to the
+    watermark horizon — the scale-critical property: unbounded-key dedup
+    state OOMs a 100 TB stream; watermarked state is O(events per horizon).
+    """
+    a = _events_stream(spark, sf_dir).filter(F.col("user_id") <= 5)
+    b = _events_stream(spark, sf_dir).filter(F.col("user_id") <= 5)
+    doubled = a.unionAll(b).withWatermark("ts", "1 hour")
+    return run_streaming_append(
+        doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
+            "event_id", "event_type", "user_id"
+        )
+    )
