@@ -775,3 +775,42 @@ def system_clock_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (S.utc_timestamp(ctx) + F.make_interval(days=key)).alias("due"),
         (F.datediff(S.curdate(ctx), F.lit("1995-06-15").cast("date")) - key).alias("age_days"),
     )
+
+
+@register(
+    "func_misc_battery",
+    oracle="""
+SELECT c_custkey,
+       (['alpha','beta','gamma'])[1 + c_custkey % 4]          AS elt_pick,
+       chr(65 + c_nationkey)                                  AS char_code,
+       CASE WHEN c_acctbal < 0 THEN '-' ELSE '' END
+         || format('{:,}', CAST(trunc(abs(c_acctbal)) AS BIGINT))
+         || '.' || substr(CAST(CAST(abs(c_acctbal) AS DECIMAL(18,2)) AS VARCHAR), -2) AS fmt_bal,
+       NULLIF(c_nationkey, 5) IS NOT DISTINCT FROM
+         NULLIF(c_custkey % 25, 5)                            AS nse,
+       repeat(' ', c_nationkey % 4) || '|'                    AS spaced
+FROM customer WHERE c_custkey <= 500
+""",
+    tags=("functions", "mysql"),
+    doc=(
+        "Misc MySQL-compat family (function_id.go ELT/CHAR/FORMAT/SPACE, "
+        "operator.go null-safe equal <=>; BVT func_string_elt, "
+        "func_string_char, func_string_format, func_null_safe_equal, "
+        "func_string_space): ELT out-of-range index yields NULL in both "
+        "engines; FORMAT = format_number thousands grouping (oracle composes "
+        "integer grouping + exact 2-dec fraction since DuckDB fmt rejects "
+        "grouped floats); <=> = eqNullSafe with NULLs manufactured via "
+        "NULLIF so the null=null branch is exercised."
+    ),
+)
+def func_misc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer").filter(F.col("c_custkey") <= 500)
+    key, nk, bal = F.col("c_custkey"), F.col("c_nationkey"), F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.elt(1 + key % 4, F.lit("alpha"), F.lit("beta"), F.lit("gamma")).alias("elt_pick"),
+        F.char(65 + nk).alias("char_code"),
+        F.format_number(bal.cast("decimal(18,2)"), 2).alias("fmt_bal"),
+        F.nullif(nk, F.lit(5)).eqNullSafe(F.nullif(key % 25, F.lit(5))).alias("nse"),
+        F.concat(F.repeat(F.lit(" "), (nk % 4).cast("int")), F.lit("|")).alias("spaced"),
+    )
