@@ -814,3 +814,52 @@ def func_misc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(nk, F.lit(5)).eqNullSafe(F.nullif(key % 25, F.lit(5))).alias("nse"),
         F.concat(F.repeat(F.lit(" "), (nk % 4).cast("int")), F.lit("|")).alias("spaced"),
     )
+
+
+@register(
+    "operator_battery",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 2730                                      AS band,
+       o_orderkey | 85                                        AS bor,
+       xor(o_orderkey, 255)                                   AS bxor,
+       ~o_orderkey                                            AS bnot,
+       o_orderkey << 3                                        AS shl,
+       o_orderkey >> 2                                        AS shr,
+       o_orderkey // 7                                        AS idiv,
+       o_orderkey % 7                                         AS imod,
+       (o_orderkey BETWEEN 100 AND 200)                       AS betw,
+       (o_orderstatus IN ('O','F'))                           AS inset,
+       (o_orderpriority IS NOT NULL)                          AS nn,
+       ((o_orderkey % 2 = 0) != (o_orderkey % 3 = 0))         AS lxor
+FROM orders WHERE o_orderkey <= 2000
+""",
+    tags=("functions",),
+    doc=(
+        "Operator family (BVT operator/bit_operator, math_operator, "
+        "between_and_operator, in_range_operator, is_operator, "
+        "mysql_compat_bitwise/logical_expr; kernels pkg/sql/plan/function/"
+        "operator.go): bitwise & | ^ ~ << >>, integer DIV, MOD, BETWEEN, "
+        "IN-list, IS NOT NULL, logical XOR (MySQL a XOR b = boolean "
+        "inequality). DuckDB spells bit-xor as xor() and integer division "
+        "as //."
+    ),
+)
+def operator_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders").filter(F.col("o_orderkey") <= 2000)
+    key = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        key.bitwiseAND(F.lit(2730)).alias("band"),
+        key.bitwiseOR(F.lit(85)).alias("bor"),
+        key.bitwiseXOR(F.lit(255)).alias("bxor"),
+        F.expr("~o_orderkey").alias("bnot"),
+        F.shiftleft(key, 3).alias("shl"),
+        F.shiftright(key, 2).alias("shr"),
+        F.expr("o_orderkey div 7").alias("idiv"),
+        (key % 7).alias("imod"),
+        key.between(100, 200).alias("betw"),
+        F.col("o_orderstatus").isin("O", "F").alias("inset"),
+        F.col("o_orderpriority").isNotNull().alias("nn"),
+        ((key % 2 == 0) != (key % 3 == 0)).alias("lxor"),
+    )
