@@ -65,6 +65,32 @@ class Engine:
 
         return _explain_text(self.sql(translate(query)), mode)
 
+    def prepare(self, query: str, dialect: str = "ansi") -> "Prepared":
+        """PREPARE stmt FROM '<sql with ? or :name params>' (reference:
+        pkg/frontend/session.go:793 prepareStmts map + plan cache;
+        tree/prepare.go). Returns a handle whose execute() binds params —
+        Catalyst re-analyzes per execute, but the parse/translate work and
+        the statement text live on the handle, and parameter markers keep
+        the plan shape stable so AQE/codegen caches hit across executes."""
+        if dialect == "mysql":
+            from matrixone_spark.mysql_dialect import translate
+
+            query = translate(query)
+        elif dialect != "ansi":
+            raise ValueError(f"unknown dialect {dialect!r}")
+        return Prepared(self, query)
+
+
+class Prepared:
+    """A prepared statement: EXECUTE ... USING analogue (SURVEY §3.2)."""
+
+    def __init__(self, engine: Engine, query: str):
+        self.engine = engine
+        self.query = query
+
+    def execute(self, args: "dict | list | None" = None) -> DataFrame:
+        return self.engine.sql(self.query, args)
+
 
 def _explain_text(df: DataFrame, mode: str = "formatted") -> str:
     """Plan text for a DataFrame (shared by Engine.explain/explain_mysql)."""

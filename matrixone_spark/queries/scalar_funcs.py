@@ -863,3 +863,52 @@ def operator_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").isNotNull().alias("nn"),
         ((key % 2 == 0) != (key % 3 == 0)).alias("lxor"),
     )
+
+
+@register(
+    "collation_ci_battery",
+    oracle="""
+WITH mixed AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 2 = 0 THEN UPPER(c_mktsegment)
+              ELSE LOWER(c_mktsegment) END AS seg
+  FROM customer WHERE c_custkey <= 1000
+)
+SELECT lower(seg)        AS seg_ci,
+       COUNT(*)          AS cnt,
+       MIN(c_custkey)    AS first_key,
+       length('café')    AS nchars,
+       strlen('café')    AS nbytes
+FROM mixed GROUP BY lower(seg)
+""",
+    tags=("functions", "mysql"),
+    doc=(
+        "Collation family (BVT charset_collation/, utf8mb4_general_ci "
+        "semantics; charset/collation registry pkg/sql/plan/function/"
+        "function_id.go): case-insensitive grouping expressed with Spark 4 "
+        "native collations (collate(col,'UTF8_LCASE') — hash/compare under "
+        "the collation, the engine-level analogue of *_ci, not a lower() "
+        "rewrite), plus multibyte char vs byte length (utf8mb4: LENGTH=bytes "
+        "in MySQL, CHAR_LENGTH=chars; here nchars/nbytes on a non-ASCII "
+        "literal). Oracle spells CI as lower() since DuckDB collations "
+        "are connection-level."
+    ),
+)
+def collation_ci_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer").filter(F.col("c_custkey") <= 1000)
+    key, seg = F.col("c_custkey"), F.col("c_mktsegment")
+    mixed = c.select(
+        "c_custkey",
+        F.when(key % 2 == 0, F.upper(seg)).otherwise(F.lower(seg)).alias("seg"),
+    )
+    return (
+        mixed.groupBy(F.collate(F.col("seg"), "UTF8_LCASE").alias("g"))
+        .agg(F.count("*").alias("cnt"), F.min("c_custkey").alias("first_key"))
+        .select(
+            F.lower(F.col("g")).cast("string").alias("seg_ci"),
+            "cnt",
+            "first_key",
+            F.char_length(F.lit("café")).alias("nchars"),
+            F.octet_length(F.lit("café")).alias("nbytes"),
+        )
+    )

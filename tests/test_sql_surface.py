@@ -76,3 +76,25 @@ def test_engine_explain_modes(spark):
     import pytest
     with pytest.raises(ValueError):
         eng.explain(sql, "bogus")
+
+
+def test_prepare_execute(spark):
+    eng = _engine(spark)
+    stmt = eng.prepare(
+        "SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+        "WHERE o_orderpriority = :prio GROUP BY o_orderpriority"
+    )
+    for prio in ("1-URGENT", "2-HIGH"):
+        rows = stmt.execute({"prio": prio}).collect()
+        assert len(rows) == 1 and rows[0].o_orderpriority == prio and rows[0].n > 0
+
+
+def test_prepare_mysql_dialect(spark):
+    eng = _engine(spark)
+    stmt = eng.prepare(
+        "SELECT DATE_FORMAT(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS n "
+        "FROM orders WHERE o_orderpriority = ? GROUP BY ym ORDER BY ym LIMIT 3",
+        dialect="mysql",
+    )
+    rows = stmt.execute(["1-URGENT"]).collect()
+    assert rows and all(len(r.ym) == 7 and r.n > 0 for r in rows)
