@@ -49,3 +49,29 @@ def test_aggregates_are_two_phase(spark):
     assert plan.count("Aggregate(") >= 2, plan
     plan_q1 = _plan(spark, "tpch_q1")
     assert "HashAggregate" in plan_q1, plan_q1
+
+
+def test_sql_join_hints_respected(spark):
+    """Optimizer hints (BVT hint/; reference parses MySQL-style optimizer
+    hints): Spark SQL comment hints steer the physical join strategy."""
+    from matrixone_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.load(SF_DIR)
+    q = (
+        "SELECT /*+ {h} */ COUNT(*) AS n FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # kill auto-broadcast so only the hint can produce a broadcast join
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bcast = eng.sql(q.format(h="BROADCAST(c)"))
+        plan = bcast._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        merge = eng.sql(q.format(h="MERGE(c)"))
+        plan_m = merge._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan_m, plan_m
+        assert bcast.first().n == merge.first().n > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
