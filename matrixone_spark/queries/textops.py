@@ -215,3 +215,82 @@ def fulltext_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
     idx = FullTextIndex.build_cached(d, "doc_id", "text")
     return idx.match_boolean(["table", "query"], ["slow"], [], algo="bm25").select("doc_id")
+
+
+_QUALITY_SQL = f"""ROUND((
+           (CASE WHEN len({_TOKS_SQL}) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.4 END)
+         + (CASE WHEN (CASE WHEN len({_TOKS_SQL}) > 0
+                       THEN list_sum(list_transform({_TOKS_SQL}, x -> CAST(LENGTH(x) AS DOUBLE))) / len({_TOKS_SQL})
+                       ELSE 0.0 END) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+         + (1.0 - LEAST((CASE WHEN LENGTH(text) > 0
+                         THEN CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text)
+                         ELSE 0.0 END) * 5, 1.0))
+         ) / 3, 6)"""
+
+_GUESS_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN {_SCORE_SQL[lang]} = {_BEST_SQL} AND {_BEST_SQL} > 0 THEN '{lang}'"
+        for lang in _LANGS
+    )
+    + " ELSE 'und' END"
+)
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(len({_TOKS_SQL}) AS INT)                       AS n_tokens,
+         {_QUALITY_SQL}                                      AS quality,
+         {_GUESS_SQL}                                        AS guessed,
+         md5(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' ')) AS fp
+  FROM documents
+), kept AS (
+  SELECT * FROM scored WHERE quality >= 0.8 AND guessed = 'en'
+), dedup AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept
+)
+SELECT source,
+       COUNT(*)                                             AS n_candidates,
+       CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT)       AS n_kept,
+       CAST(COALESCE(SUM(n_tokens) FILTER (WHERE rn = 1), 0) AS BIGINT) AS tokens_kept
+FROM dedup GROUP BY source
+""",
+    tags=("text", "dedup", "bench"),
+    doc=(
+        "End-to-end LLM training-data cleaning pipeline in ONE declarative "
+        "plan: quality gate (composite score >= 0.8) -> language-ID keep-"
+        "English -> exact dedup on order-insensitive content fingerprint "
+        "(keep lowest doc_id per fp via window) -> per-source yield stats. "
+        "Scale shape: all scoring is JVM expressions inside the scan stage "
+        "(one pass, no UDFs), dedup is one shuffle keyed by fingerprint "
+        "(uniform md5 distribution — no skew), final rollup is a tiny "
+        "agg. This is the composition story: the same registered pieces "
+        "(text_quality_filter, text_lang_guess, text_fingerprint, "
+        "dedup_exact_keep) fused by Catalyst into a single pipeline."
+    ),
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir).table("documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        T.token_count("text").alias("n_tokens"),
+        T.quality_score("text").alias("quality"),
+        T.lang_guess("text").alias("guessed"),
+        T.fingerprint("text").alias("fp"),
+    )
+    kept = scored.filter((F.col("quality") >= 0.8) & (F.col("guessed") == "en"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    dedup = kept.withColumn("rn", F.row_number().over(w))
+    return dedup.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count_if(F.col("rn") == 1).alias("n_kept"),
+        F.coalesce(F.sum(F.when(F.col("rn") == 1, F.col("n_tokens"))), F.lit(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )
