@@ -257,3 +257,48 @@ def json2_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         J.json_value(props, "$.k", "bigint").alias("jv_int"),
         J.json_extract_float64(props, "$.k").alias("jx_f64"),
     )
+
+
+@register(
+    "func_jq_battery",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey AS VARCHAR)                            AS jq_key,
+       '"' || o_orderpriority || '"'                          AS jq_prio,
+       '2'                                                    AS jq_len,
+       '["key","prio","tags"]'                                AS jq_keys,
+       '"' || o_orderstatus || '"'                            AS jq_tag0,
+       CAST(NULL AS VARCHAR)                                  AS jq_err
+FROM orders WHERE o_orderkey <= 300
+""",
+    tags=("json", "udf"),
+    doc=(
+        "jq / try_jq (func_builtin_jq.go, gojq-backed in the reference; here "
+        "a mini-jq pandas UDF covering identity, multi-segment paths, array "
+        "index/iterate, pipes, keys/length/add): programs run against a "
+        "per-row JSON doc built with to_json(struct(...)); try_jq on an "
+        "invalid program (indexing a scalar) yields NULL. Oracle "
+        "reconstructs each program's output from the base columns — "
+        "engine-neutral since extracted scalars serialize identically."
+    ),
+)
+def func_jq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders").filter(F.col("o_orderkey") <= 300)
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_orderpriority").alias("prio"),
+            F.array(F.col("o_orderstatus"), F.col("o_orderpriority")).alias("tags"),
+        )
+    )
+    base = o.select("o_orderkey", doc.alias("doc"))
+    d = F.col("doc")
+    return base.select(
+        "o_orderkey",
+        J.jq(d, F.lit(".key")).alias("jq_key"),
+        J.jq(d, F.lit(".prio")).alias("jq_prio"),
+        J.jq(d, F.lit(".tags | length")).alias("jq_len"),
+        J.jq(d, F.lit("keys")).alias("jq_keys"),
+        J.jq(d, F.lit(".tags[0]")).alias("jq_tag0"),
+        J.try_jq(d, F.lit(".key[0]")).alias("jq_err"),
+    )

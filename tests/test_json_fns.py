@@ -69,3 +69,36 @@ def test_json_contains_mysql_semantics(spark):
     got = df.select("t", "c", "e", json_contains("t", "c").alias("g")).collect()
     for r in got:
         assert r.g == r.e, (r.t, r.c, r.g, r.e)
+
+
+def test_jq_mini_evaluator():
+    from matrixone_spark.functions.json_fns import _jq_run
+
+    doc = '{"a":{"b":[1,2,3]},"z":"s"}'
+    assert _jq_run(doc, ".") == doc.replace(" ", "")
+    assert _jq_run(doc, ".a.b[1]") == "2"
+    assert _jq_run(doc, ".a.b | length") == "3"
+    assert _jq_run(doc, ".a.b | add") == "6"
+    assert _jq_run(doc, "keys") == '["a","z"]'
+    assert _jq_run(doc, ".a.b[]") == "1\n2\n3"
+    assert _jq_run(doc, ".missing") == "null"
+    assert _jq_run(doc, ".a.b[9]") == "null"
+    assert _jq_run(None, ".a") is None
+    import pytest as _pytest
+
+    for bad in (".z[0]", ".a.b | keys", "garbage", ".z | add"):
+        with _pytest.raises(ValueError):
+            _jq_run(doc, bad)
+
+
+def test_jq_udfs_on_spark(spark):
+    from matrixone_spark.functions import json_fns as J
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([('{"a":[1,2]}',), (None,)], "doc string")
+    rows = df.select(
+        J.jq("doc", F.lit(".a | add")).alias("s"),
+        J.try_jq("doc", F.lit(".a.b")).alias("e"),
+    ).collect()
+    assert rows[0].s == "3" and rows[0].e is None  # .a.b: field access on array -> error -> NULL
+    assert rows[1].s is None and rows[1].e is None
