@@ -550,3 +550,14 @@ def is_uuid(s) -> Column:
     """IS_UUID: 8-4-4-4-12 hex with optional braces/dashes per MySQL."""
     s = F.lower(F.regexp_replace(_c(s).cast("string"), r"[{}-]", ""))
     return s.rlike("^[0-9a-f]{32}$") & (F.length(s) == 32)
+
+
+def interval_rank(x, *thresholds) -> Column:
+    """MySQL INTERVAL(N, t1, t2, ...): number of thresholds <= N (equality
+    advances past equal thresholds); NULL N yields -1
+    (func_interval BVT; reference operator registry function_id.go)."""
+    n = _c(x)
+    cnt: Column = F.lit(0)
+    for t in thresholds:
+        cnt = cnt + F.when(n >= F.lit(t), 1).otherwise(0)
+    return F.when(n.isNull(), F.lit(-1)).otherwise(cnt)

@@ -788,7 +788,11 @@ SELECT c_custkey,
          || '.' || substr(CAST(CAST(abs(c_acctbal) AS DECIMAL(18,2)) AS VARCHAR), -2) AS fmt_bal,
        NULLIF(c_nationkey, 5) IS NOT DISTINCT FROM
          NULLIF(c_custkey % 25, 5)                            AS nse,
-       repeat(' ', c_nationkey % 4) || '|'                    AS spaced
+       repeat(' ', c_nationkey % 4) || '|'                    AS spaced,
+       (CASE WHEN c_nationkey >= 5 THEN 1 ELSE 0 END
+        + CASE WHEN c_nationkey >= 10 THEN 1 ELSE 0 END
+        + CASE WHEN c_nationkey >= 20 THEN 1 ELSE 0 END)      AS iv,
+       'const_col'                                            AS nc
 FROM customer WHERE c_custkey <= 500
 """,
     tags=("functions", "mysql"),
@@ -804,6 +808,8 @@ FROM customer WHERE c_custkey <= 500
     ),
 )
 def func_misc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.functions import mysql as M
+
     c = Catalog(spark, sf_dir).table("customer").filter(F.col("c_custkey") <= 500)
     key, nk, bal = F.col("c_custkey"), F.col("c_nationkey"), F.col("c_acctbal")
     return c.select(
@@ -813,6 +819,8 @@ def func_misc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_number(bal.cast("decimal(18,2)"), 2).alias("fmt_bal"),
         F.nullif(nk, F.lit(5)).eqNullSafe(F.nullif(key % 25, F.lit(5))).alias("nse"),
         F.concat(F.repeat(F.lit(" "), (nk % 4).cast("int")), F.lit("|")).alias("spaced"),
+        M.interval_rank(nk, 5, 10, 20).alias("iv"),
+        F.lit("const_col").alias("nc"),  # NAME_CONST(name, value) -> named literal
     )
 
 
