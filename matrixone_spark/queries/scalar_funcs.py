@@ -839,7 +839,9 @@ SELECT o_orderkey,
        (o_orderkey BETWEEN 100 AND 200)                       AS betw,
        (o_orderstatus IN ('O','F'))                           AS inset,
        (o_orderpriority IS NOT NULL)                          AS nn,
-       ((o_orderkey % 2 = 0) != (o_orderkey % 3 = 0))         AS lxor
+       ((o_orderkey % 2 = 0) != (o_orderkey % 3 = 0))         AS lxor,
+       o_orderkey / (o_orderkey % 3)                          AS div0,
+       o_orderkey % (o_orderkey % 3)                          AS mod0
 FROM orders WHERE o_orderkey <= 2000
 """,
     tags=("functions",),
@@ -849,8 +851,9 @@ FROM orders WHERE o_orderkey <= 2000
         "mysql_compat_bitwise/logical_expr; kernels pkg/sql/plan/function/"
         "operator.go): bitwise & | ^ ~ << >>, integer DIV, MOD, BETWEEN, "
         "IN-list, IS NOT NULL, logical XOR (MySQL a XOR b = boolean "
-        "inequality). DuckDB spells bit-xor as xor() and integer division "
-        "as //."
+        "inequality), and non-strict divide/modulo by zero -> NULL "
+        "(func_div_by_zero; both engines agree with ANSI off). DuckDB "
+        "spells bit-xor as xor() and integer division as //."
     ),
 )
 def operator_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -870,6 +873,9 @@ def operator_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").isin("O", "F").alias("inset"),
         F.col("o_orderpriority").isNotNull().alias("nn"),
         ((key % 2 == 0) != (key % 3 == 0)).alias("lxor"),
+        # non-strict div-by-zero -> NULL (BVT func_div_by_zero; ANSI off)
+        (key / (key % 3)).alias("div0"),
+        (key % (key % 3)).alias("mod0"),
     )
 
 
