@@ -54,7 +54,9 @@ def _fix_nanos_timestamps(df: DataFrame) -> DataFrame:
 
 # Shared across Catalog instances: the driver sweep constructs a fresh
 # Catalog per query; re-reading parquet footers 100+ times is pure waste.
-_TABLE_CACHE: "dict[tuple[int, str, str], DataFrame]" = {}
+# Keyed by applicationId (stable for a session's lifetime, never reused by a
+# later session the way id(spark) can be after GC) + sf_dir + table name.
+_TABLE_CACHE: "dict[tuple[str, str, str], DataFrame]" = {}
 
 
 # Correctness-critical session confs that are runtime-settable. The round
@@ -86,7 +88,7 @@ class Catalog:
         self.spark = spark
         self.sf_dir = sf_dir
         self._cache = _TABLE_CACHE
-        self._key = (id(spark), sf_dir)
+        self._key = (spark.sparkContext.applicationId, sf_dir)
 
     def path(self, name: str) -> str:
         p = os.path.join(self.sf_dir, f"{name}.parquet")

@@ -243,6 +243,94 @@ def st_contains_point(poly, px, py) -> Column:
     return crossings % 2 == 1
 
 
+def _cross(ox, oy, px, py, qx, qy):
+    """2D cross product (p−o)×(q−o): sign = orientation of o→p→q."""
+    return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+
+def _seg_pair_intersects(s, t) -> Column:
+    """Segment-segment intersection (proper crossing OR endpoint/collinear
+    touch) via the standard orientation test — pure JVM expressions."""
+    d1 = _cross(t.ax, t.ay, t.bx, t.by, s.ax, s.ay)
+    d2 = _cross(t.ax, t.ay, t.bx, t.by, s.bx, s.by)
+    d3 = _cross(s.ax, s.ay, s.bx, s.by, t.ax, t.ay)
+    d4 = _cross(s.ax, s.ay, s.bx, s.by, t.bx, t.by)
+    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+        ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+    )
+
+    def onseg(d, px, py, seg):
+        return (
+            (d == 0)
+            & (px >= F.least(seg.ax, seg.bx))
+            & (px <= F.greatest(seg.ax, seg.bx))
+            & (py >= F.least(seg.ay, seg.by))
+            & (py <= F.greatest(seg.ay, seg.by))
+        )
+
+    return (
+        proper
+        | onseg(d1, s.ax, s.ay, t)
+        | onseg(d2, s.bx, s.by, t)
+        | onseg(d3, t.ax, t.ay, s)
+        | onseg(d4, t.bx, t.by, s)
+    )
+
+
+def _edges_intersect(a: Column, b: Column) -> Column:
+    """Any edge of a touches/crosses any edge of b — nested EXISTS over the
+    segment arrays (O(n·m) per row, JVM-side; polygons are per-row small)."""
+    segs_b = _segments(b)
+    return F.exists(
+        _segments(a), lambda s: F.exists(segs_b, lambda t: _seg_pair_intersects(s, t))
+    )
+
+
+def st_intersects(a, b) -> Column:
+    """Real polygon-polygon intersects (beyond MBR): edges touch/cross, or
+    one geometry lies entirely inside the other (checked via one vertex —
+    valid because no edge crossing means all-in or all-out). Supports
+    POLYGON×POLYGON and POINT×POLYGON (reference pkg/geo/ predicates;
+    boundary-exact point cases follow ray-cast parity, see
+    st_contains_point)."""
+    a, b = _c(a), _c(b)
+    pa, pb = F.element_at(a.pts, 1), F.element_at(b.pts, 1)
+    point_cases = (
+        F.when(
+            (a.gtype == "POINT") & (b.gtype == "POINT"),
+            (pa.x == pb.x) & (pa.y == pb.y),
+        )
+        .when(a.gtype == "POINT", st_contains_point(b, pa.x, pa.y))
+        .when(b.gtype == "POINT", st_contains_point(a, pb.x, pb.y))
+    )
+    poly_case = (
+        _edges_intersect(a, b)
+        | st_contains_point(b, pa.x, pa.y)
+        | st_contains_point(a, pb.x, pb.y)
+    )
+    return F.coalesce(point_cases, poly_case)
+
+
+def st_contains(a, b) -> Column:
+    """Polygon a strictly contains geometry b: every vertex of b interior to
+    a (ray cast) and no edge contact. Boundary-touching is excluded (strict
+    interior), the deterministic planar convention — probe geometries off
+    the boundary for exact gating."""
+    a, b = _c(a), _c(b)
+    all_in = F.forall(b.pts, lambda p: st_contains_point(a, p.x, p.y))
+    no_edge = F.when(b.gtype == "POINT", F.lit(True)).otherwise(~_edges_intersect(a, b))
+    return all_in & no_edge
+
+
+def st_within(a, b) -> Column:
+    """a within b ⇔ contains(b, a)."""
+    return st_contains(b, a)
+
+
+def st_disjoint(a, b) -> Column:
+    return ~st_intersects(a, b)
+
+
 def st_distance_sphere(p1, p2) -> Column:
     """Great-circle meters between two WKT POINTs (x=lon, y=lat degrees).
 

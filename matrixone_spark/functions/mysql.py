@@ -97,7 +97,10 @@ def mysql_format_to_java(fmt: str) -> str:
     while i < len(fmt):
         if fmt[i] == "%" and i + 1 < len(fmt):
             tok = fmt[i : i + 2]
-            out.append(_MYSQL_FMT.get(tok, tok[1]))
+            # unknown %-tokens are literal characters in MySQL; quote alpha
+            # fallbacks so Spark's pattern engine doesn't read them as
+            # pattern letters (e.g. '%x' must emit 'x', not week-based-year)
+            out.append(_MYSQL_FMT.get(tok, f"'{tok[1]}'" if tok[1].isalpha() else tok[1]))
             i += 2
         else:
             ch = fmt[i]
@@ -165,13 +168,18 @@ def sec_to_time(x) -> Column:
 
 
 def time_to_sec(x) -> Column:
-    """TIME_TO_SEC('HH:MM:SS'). Reference: func_unary.go time_to_sec."""
-    p = F.split(_c(x), ":")
-    return (
+    """TIME_TO_SEC('HH:MM:SS'). Reference: func_unary.go time_to_sec.
+    The sign of a negative TIME ('-01:30:00' = -5400) applies to the WHOLE
+    value, so compute on the absolute value and negate."""
+    s = _c(x)
+    neg = s.startswith("-")
+    p = F.split(F.regexp_replace(s, "^-", ""), ":")
+    total = (
         p.getItem(0).cast("long") * 3600
         + p.getItem(1).cast("long") * 60
         + p.getItem(2).cast("long")
     )
+    return F.when(neg, -total).otherwise(total)
 
 
 def yearweek(x) -> Column:

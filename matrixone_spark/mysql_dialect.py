@@ -10,11 +10,17 @@ heavily with Spark's). This module rewrites the known divergences:
 - STR_TO_DATE(s, fmt)      → to_timestamp(s, java-fmt)
 - GROUP_CONCAT(x SEPARATOR s) → concat_ws + collect_list (sorted for
   determinism, matching the reference's ordered group_concat)
-- RAND(seed)               → rand(seed)  (name-compatible already)
+- TRUNCATE(x, d)           → numeric truncate-toward-zero (Spark's trunc is
+  date-only)
+- system/meta no-arg calls → literal fold (functions/system.py)
 
-Translation is token-light regex on string literals — not a full parser; the
-aim is the common BVT query shapes, with the DataFrame API as the complete
-surface underneath.
+Translation is regex-based, but NEVER inside string literals: the text is
+first tokenized into literal/identifier spans (single-quote strings with ''
+and backslash escapes, double-quote strings, backtick identifiers) which are
+masked to \\x01<n>\\x01 placeholders before any substitution runs and
+restored afterwards — ``SELECT 'call version() now'`` passes through
+untouched. Not a full parser; the aim is the common BVT query shapes, with
+the DataFrame API as the complete surface underneath.
 """
 
 from __future__ import annotations
@@ -23,13 +29,23 @@ import re
 
 from matrixone_spark.functions.mysql import mysql_format_to_java
 
+# quoted spans: 'str' (with '' or \' escapes), "str", `ident`
+_SPAN_RE = re.compile(
+    r"""'(?:[^'\\]|\\.|'')*'|"(?:[^"\\]|\\.)*"|`[^`]*`""",
+    re.DOTALL,
+)
+
+_PH = "\x01{}\x01"
+_PH_RE = re.compile("\x01(\\d+)\x01")
+
 _DATE_FORMAT_RE = re.compile(
-    r"(date_format|str_to_date)\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*'([^']*)'\s*\)",
+    r"(date_format|str_to_date)\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*\x01(\d+)\x01\s*\)",
     re.IGNORECASE,
 )
 _GROUP_CONCAT_RE = re.compile(
-    r"group_concat\s*\(\s*([^()]+?)\s*(?:separator\s+'([^']*)')?\s*\)", re.IGNORECASE
+    r"group_concat\s*\(\s*([^()]+?)\s*(?:separator\s+\x01(\d+)\x01)?\s*\)", re.IGNORECASE
 )
+_TRUNCATE_RE = re.compile(r"\btruncate\s*\(", re.IGNORECASE)
 
 # System/meta no-arg calls (VERSION(), DATABASE(), CONNECTION_ID(), ...) are
 # session-context lookups in the reference (function_id.go:1053-1081); here
@@ -42,23 +58,95 @@ _SYSTEM_FN_RE = re.compile(
 )
 
 
+def mask_literals(sql: str) -> "tuple[str, list[str]]":
+    """Replace every quoted span with an opaque placeholder; return
+    (masked_text, span_table)."""
+    spans: "list[str]" = []
+
+    def repl(m: "re.Match") -> str:
+        spans.append(m.group(0))
+        return _PH.format(len(spans) - 1)
+
+    return _SPAN_RE.sub(repl, sql), spans
+
+
+def unmask_literals(masked: str, spans: "list[str]") -> str:
+    # emitted replacements may append new spans, so resolve iteratively
+    while True:
+        out = _PH_RE.sub(lambda m: spans[int(m.group(1))], masked)
+        if out == masked:
+            return out
+        masked = out
+
+
+def _literal_text(spans: "list[str]", idx: int) -> str:
+    """Unquoted content of span #idx (only called for '...' format strings)."""
+    s = spans[idx]
+    return s[1:-1] if s and s[0] in "'\"" else s
+
+
+def _truncate_rewrite(masked: str) -> str:
+    """TRUNCATE(x, d) → sign-aware truncation toward zero via floor/ceil.
+    MySQL: truncate(1.999,1)=1.9, truncate(-1.999,1)=-1.9."""
+    out = []
+    pos = 0
+    for m in _TRUNCATE_RE.finditer(masked):
+        start = m.end()  # just past '('
+        depth, i = 1, start
+        while i < len(masked) and depth:
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+            i += 1
+        inner = masked[start : i - 1]
+        # split top-level comma
+        depth2, cut = 0, -1
+        for j, ch in enumerate(inner):
+            if ch == "(":
+                depth2 += 1
+            elif ch == ")":
+                depth2 -= 1
+            elif ch == "," and depth2 == 0:
+                cut = j
+                break
+        if cut < 0:  # TRUNCATE(x) — leave alone (DDL TRUNCATE TABLE etc.)
+            continue
+        x, d = inner[:cut], inner[cut + 1 :]
+        repl = (
+            f"(CASE WHEN ({x}) >= 0 THEN floor(({x}) * pow(10, {d})) "
+            f"ELSE ceil(({x}) * pow(10, {d})) END / pow(10, {d}))"
+        )
+        out.append(masked[pos : m.start()])
+        out.append(repl)
+        pos = i
+    out.append(masked[pos:])
+    return "".join(out)
+
+
 def translate(sql: str) -> str:
-    """Rewrite MySQL-dialect constructs into Spark SQL."""
+    """Rewrite MySQL-dialect constructs into Spark SQL (literal-safe)."""
     from matrixone_spark.functions.system import DEFAULT_CONTEXT, sql_literals
 
     sys_lits = sql_literals(DEFAULT_CONTEXT)
+    masked, spans = mask_literals(sql)
 
     def fmt_repl(m: "re.Match") -> str:
-        fn, arg, fmt = m.group(1).lower(), m.group(2), mysql_format_to_java(m.group(3))
+        fn, arg = m.group(1).lower(), m.group(2)
+        fmt = mysql_format_to_java(_literal_text(spans, int(m.group(3))))
+        spans.append(f"'{fmt}'")
+        ph = _PH.format(len(spans) - 1)
         if fn == "str_to_date":
-            return f"to_timestamp({arg}, '{fmt}')"
-        return f"date_format({arg}, '{fmt}')"
+            return f"to_timestamp({arg}, {ph})"
+        return f"date_format({arg}, {ph})"
 
     def gc_repl(m: "re.Match") -> str:
-        arg, sep = m.group(1), m.group(2) if m.group(2) is not None else ","
-        return f"concat_ws('{sep}', array_sort(collect_list({arg})))"
+        arg = m.group(1)
+        sep_ph = _PH.format(int(m.group(2))) if m.group(2) is not None else "','"
+        return f"concat_ws({sep_ph}, array_sort(collect_list({arg})))"
 
-    out = _DATE_FORMAT_RE.sub(fmt_repl, sql)
-    out = _GROUP_CONCAT_RE.sub(gc_repl, out)
-    out = _SYSTEM_FN_RE.sub(lambda m: sys_lits[m.group(1).lower()], out)
-    return out
+    masked = _DATE_FORMAT_RE.sub(fmt_repl, masked)
+    masked = _GROUP_CONCAT_RE.sub(gc_repl, masked)
+    masked = _truncate_rewrite(masked)
+    masked = _SYSTEM_FN_RE.sub(lambda m: sys_lits[m.group(1).lower()], masked)
+    return unmask_literals(masked, spans)

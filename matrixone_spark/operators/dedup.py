@@ -50,7 +50,12 @@ def word_shingles(col, n: int = 3):
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_posting_len: "int | None" = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram shingle sets; pairs ≥ threshold.
 
@@ -63,9 +68,14 @@ def ngram_jaccard_pairs(
     filter instead of a separate semi-join pass.
 
     Scale note (100 TB): a stop-shingle shared by k docs expands to k²/2
-    pairs in one task. Real corpora at that scale drop ultra-common shingles
-    (they carry no near-dup signal); pass the posting-length cap the pipeline
-    uses. The exact gate runs uncapped.
+    pairs in one task. ``max_posting_len`` bounds that: shingles whose
+    posting list exceeds the cap are dropped before expansion, so no task
+    expands more than cap²/2 pairs per shingle. Ultra-common shingles carry
+    no near-dup signal, and dropping one can only shrink an intersection
+    count — capped output pairs are always a SUBSET of the uncapped output
+    (property-tested in tests/test_dedup.py), biased toward missing pairs
+    whose overlap rode on corpus-wide boilerplate. None = exact (the oracle
+    gate runs uncapped).
     """
     sh = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col, n)).alias("shingle")
@@ -76,6 +86,8 @@ def ngram_jaccard_pairs(
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_posting_len is not None:
+        posts = posts.filter(F.size("ids") <= max_posting_len)
     # pair expansion as two flat generators (posexplode the anchor, explode
     # the tail slice) — same pairs as a nested-transform struct array but a
     # far smaller expression tree, which keeps analysis + codegen cheap

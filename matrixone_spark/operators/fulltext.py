@@ -22,13 +22,20 @@ scoring is a broadcast of the (tiny) term stats + one aggregation by doc.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from matrixone_spark.functions.text import tokenize
 
-# (session id, corpus semantic hash, id col, text col) → built index.
-_INDEX_CACHE: "dict[tuple, FullTextIndex]" = {}
+# (app id, corpus semantic hash, id col, text col) → built index. Bounded
+# LRU: a long-lived session building many corpora must not accumulate
+# persisted postings in executor storage memory — evicted entries are
+# unpersisted (blocking=False: scoring plans already materialized keep
+# their results; only the cached blocks are dropped).
+_INDEX_CACHE: "OrderedDict[tuple, FullTextIndex]" = OrderedDict()
+_INDEX_CACHE_MAX = 8
 
 BM25_K1 = 1.5  # reference pkg/fulltext/types.go:19
 BM25_B = 0.75  # reference pkg/fulltext/types.go:20
@@ -75,14 +82,29 @@ class FullTextIndex:
         hash, so different corpora/sessions coexist; entries live for the
         session (one small postings frame per corpus — a production
         deployment would persist the postings bucketed by token instead)."""
-        key = (id(docs.sparkSession), docs.semanticHash(), id_col, text_col)
+        key = (
+            docs.sparkSession.sparkContext.applicationId,
+            docs.semanticHash(),
+            id_col,
+            text_col,
+        )
         idx = _INDEX_CACHE.get(key)
         if idx is None:
             idx = cls.build(docs, id_col, text_col)
             idx.postings = idx.postings.persist()
             idx.doc_stats = idx.doc_stats.persist()
             _INDEX_CACHE[key] = idx
+            while len(_INDEX_CACHE) > _INDEX_CACHE_MAX:
+                _, old = _INDEX_CACHE.popitem(last=False)
+                old.unpersist()
+        else:
+            _INDEX_CACHE.move_to_end(key)
         return idx
+
+    def unpersist(self) -> None:
+        """Release this index's cached executor storage."""
+        self.postings.unpersist(blocking=False)
+        self.doc_stats.unpersist(blocking=False)
 
     def _scored_terms(self, terms: "list[str]", algo: str) -> DataFrame:
         """Per (doc, term) score for the query terms."""

@@ -134,3 +134,78 @@ class IvfIndex:
         # partitioned by centroid_id (partition pruning at 100 TB).
         cand = self.assignments.filter(F.col("centroid_id").isin(probe_ids))
         return knn_exact(cand, self.emb_col, query_vec, k, self.id_col)
+
+
+class LshAnnIndex:
+    """ANN index with the HNSW search CONTRACT (top-k approximate neighbors,
+    tunable recall) via random-hyperplane bucketed-projection LSH.
+
+    Reference: HNSW is the reference's default ANN path
+    (pkg/vectorindex/hnsw/, TVFs colexec/table_function/hnsw_create.go /
+    hnsw_search.go: build an index, then top-k probes with tunable ef/recall).
+    A faithful HNSW is a sequential graph walk with per-hop random access —
+    the wrong shape for a distributed scan engine (every hop is a driver
+    round-trip). The same user contract (`CREATE INDEX ... USING hnsw` +
+    ORDER BY l2_distance LIMIT k) maps to MLlib's
+    BucketedRandomProjectionLSH: build = one pass hashing every vector into
+    `num_tables` bucket ids (embarrassingly parallel, no graph); search =
+    bucket-pruned candidate scan + exact top-k, recall tuned by
+    num_tables × bucket_length exactly as HNSW tunes ef/M. At 100 TB the
+    hashed table is written bucketed by (table, hash) so a probe reads only
+    matching buckets — same pruning story as the IVF path, different
+    geometry (hyperplane slabs vs Voronoi cells).
+
+    Recall is gated in tests/test_vector.py against exact KNN, mirroring the
+    IVF gate.
+    """
+
+    def __init__(self, model, hashed: DataFrame, emb_col: str, id_col: str):
+        self.model = model
+        self.hashed = hashed  # input cols + _features(vector) + _hashes
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    @classmethod
+    def build(
+        cls,
+        items: DataFrame,
+        emb_col: str,
+        id_col: str,
+        bucket_length: float = 2.0,
+        num_tables: int = 8,
+        seed: int = 42,
+    ) -> "LshAnnIndex":
+        from pyspark.ml.feature import BucketedRandomProjectionLSH
+        from pyspark.ml.functions import array_to_vector
+
+        feat = items.withColumn(
+            "_features",
+            array_to_vector(F.transform(F.col(emb_col), lambda v: v.cast("double"))),
+        )
+        lsh = BucketedRandomProjectionLSH(
+            inputCol="_features",
+            outputCol="_hashes",
+            bucketLength=bucket_length,
+            numHashTables=num_tables,
+            seed=seed,
+        )
+        model = lsh.fit(feat)
+        # hnsw_create parity: materialize the hashed index once; searches
+        # reuse it (persist ≈ the index table the reference writes).
+        hashed = model.transform(feat).persist()
+        return cls(model, hashed, emb_col, id_col)
+
+    def search(self, query_vec: "list[float]", k: int) -> DataFrame:
+        """hnsw_search parity: top-k approximate neighbors of query_vec.
+        Bucket-filtered candidates, exact L2 + id tie-break inside."""
+        from pyspark.ml.linalg import Vectors
+
+        nn = self.model.approxNearestNeighbors(
+            self.hashed, Vectors.dense(query_vec), k, distCol="distance"
+        )
+        return nn.select(self.id_col, "distance").orderBy(
+            F.asc("distance"), F.asc(self.id_col)
+        )
+
+    def unpersist(self) -> None:
+        self.hashed.unpersist(blocking=False)

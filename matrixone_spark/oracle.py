@@ -84,6 +84,39 @@ def canonical_rows(pdf: pd.DataFrame) -> "tuple[list, list[str]]":
     return rows, cols
 
 
+def _dtype_kind(dtype) -> str:
+    """Bucket a pandas dtype the way the driver's type-sensitive hash sees it:
+    integer / float / bool / datetime / other."""
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in ("M", "m"):
+        return "datetime"
+    return "other"
+
+
+def compare_dtypes(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> "list[str]":
+    """Driver-hash parity check the value-normalisation cannot provide:
+    _norm_value folds ints < 2^52 and Decimals to float repr, but the driver's
+    value hash is dtype-sensitive (tpch_q12 r01: DuckDB HUGEINT fetched as
+    float64 vs Spark bigint → hash_match false with identical values). Compare
+    fetched pandas dtype kinds column-by-column so that divergence fails here
+    first."""
+    problems: list[str] = []
+    for c in sorted(set(spark_pdf.columns) & set(oracle_pdf.columns)):
+        sk, ok = _dtype_kind(spark_pdf[c].dtype), _dtype_kind(oracle_pdf[c].dtype)
+        if sk != ok:
+            # all-null columns legitimately fetch as float64(NaN) vs object
+            if spark_pdf[c].isna().all() and oracle_pdf[c].isna().all():
+                continue
+            problems.append(f"dtype mismatch on {c!r}: spark={spark_pdf[c].dtype} ({sk}) oracle={oracle_pdf[c].dtype} ({ok})")
+    return problems
+
+
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> "list[str]":
     """Return a list of mismatch descriptions (empty = exact match)."""
     problems: list[str] = []
@@ -92,6 +125,8 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> "list[s
     if s_cols != o_cols:
         problems.append(f"column mismatch: spark={s_cols} oracle={o_cols}")
         return problems
+    if len(spark_pdf) or len(oracle_pdf):
+        problems.extend(compare_dtypes(spark_pdf, oracle_pdf))
     if len(s_rows) != len(o_rows):
         problems.append(f"row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}")
     for i, (a, b) in enumerate(zip(s_rows, o_rows)):

@@ -1,0 +1,250 @@
+"""BVT cross-engine parity battery — real reference .sql content end-to-end.
+
+The reference's user surface is MySQL SQL text exercised by 959 BVT .sql
+files (test/distributed/cases/README.md). This battery is the stateless
+slice of that corpus: constant SELECT expressions harvested from the
+function/ suite by matrixone_spark/bvt_harvest.py (quote-aware statement
+split, constant-select filter, nondeterminism exclusions), then
+cross-engine curated offline (``python -m matrixone_spark.bvt_harvest``):
+every expression below parses and runs BOTH through Engine.mysql_sql
+(mysql_dialect.translate → Spark) AND DuckDB, with matching engine-rounded
+values.
+
+Curation stats for this snapshot: {'harvested': 6167, 'exprs': 6073, 'kept': 160, 'spark_fail': 71, 'duck_fail': 962, 'mismatch': 16}
+(duck_fail ≈ MySQL-only syntax DuckDB cannot parse — those still run on the
+Spark side via tests/test_bvt.py's harvest sweep; mismatches are excluded
+and counted.)
+
+The registry entry evaluates the whole battery as ONE Spark SQL statement
+(constant-folded by Catalyst — no scan, no shuffle) against the DuckDB
+oracle running the raw MySQL text, giving a driver CORRECTNESS row over
+160 reference-derived expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from matrixone_spark.mysql_dialect import translate
+from matrixone_spark.queries import register
+
+# (source file under test/distributed/cases/, expression) — harvested +
+# curated; regenerate with `python -m matrixone_spark.bvt_harvest`.
+BVT_NUMERIC = [
+    ('function/builtin.sql', 'greatest(1, 2, 3)'),
+    ('function/builtin.sql', 'least(1, 2, 3)'),
+    ('function/builtin.sql', 'greatest(3, 2, 1)'),
+    ('function/builtin.sql', 'least(3, 2, 1)'),
+    ('function/builtin.sql', 'greatest(null, 1)'),
+    ('function/builtin.sql', 'greatest(1, null)'),
+    ('function/date_trunc.sql', "date_trunc('hour', cast(null as timestamp))"),
+    ('function/func_ascii.sql', 'ascii(null)'),
+    ('function/func_ascii.sql', "ascii('a')"),
+    ('function/func_ascii.sql', "ascii('ab')"),
+    ('function/func_ascii.sql', "ascii('qaq')"),
+    ('function/func_ascii.sql', "ascii('啊咋')"),
+    ('function/func_ascii.sql', "ascii('1.2121')"),
+    ('function/func_ascii.sql', "ascii('1.2121a')"),
+    ('function/func_ascii.sql', "ascii('')"),
+    ('function/func_ascii.sql', "ascii(' ')"),
+    ('function/func_bit.sql', 'BIT_AND(0)'),
+    ('function/func_bit.sql', 'BIT_OR(0)'),
+    ('function/func_bit.sql', 'BIT_XOR(0)'),
+    ('function/func_bit.sql', 'BIT_AND(1)'),
+    ('function/func_bit.sql', 'BIT_OR(1)'),
+    ('function/func_bit.sql', 'BIT_XOR(1)'),
+    ('function/func_bit.sql', 'BIT_AND(-1)'),
+    ('function/func_bit.sql', 'BIT_OR(-1)'),
+    ('function/func_bit.sql', 'BIT_XOR(-1)'),
+    ('function/func_bit.sql', 'BIT_AND(ABS(-1))'),
+    ('function/func_div_by_zero.sql', '10 / 0'),
+    ('function/func_div_by_zero.sql', '10 % 0'),
+    ('function/func_div_by_zero.sql', 'CAST(10.5 AS DECIMAL(10,2)) / CAST(0 AS DECIMAL(10,2))'),
+    ('function/func_div_by_zero.sql', 'CAST(10.5 AS DECIMAL(10,2)) % CAST(0 AS DECIMAL(10,2))'),
+    ('function/func_div_by_zero.sql', '10.5 / 0.0'),
+    ('function/func_div_by_zero.sql', '10.5 % 0.0'),
+    ('function/func_div_by_zero.sql', '(10 + 20) / (5 - 5)'),
+    ('function/func_div_by_zero.sql', 'CASE WHEN 1=1 THEN 10/0 ELSE 5 END'),
+    ('function/func_div_by_zero.sql', 'NULL / 3'),
+    ('function/func_div_by_zero.sql', '10 / NULL'),
+    ('function/func_div_by_zero_strict_mode.sql', '10/0'),
+    ('function/func_encode_decode.sql', "hex('abc')"),
+    ('function/func_hex_unhex.sql', 'hex(2147483649)'),
+    ('function/func_hex_unhex.sql', 'hex(1092)'),
+    ('function/func_hex_unhex.sql', "hex('qqqqq')"),
+    ('function/func_hex_unhex.sql', "hex('edwrgewgrewrwe')"),
+    ('function/func_hex_unhex.sql', "hex('123')"),
+    ('function/func_hex_unhex.sql', "hex('4321413432')"),
+    ('function/func_last_day.sql', 'LAST_DAY(NULL)'),
+    ('function/func_md5.sql', 'md5(NULL)'),
+    ('function/func_string_repeat.sql', "repeat('abc', null)"),
+    ('function/func_unhex.sql', "hex(unhex('616263'))"),
+    ('function/function_instr.sql', "INSTR('ejwnqke','wn')"),
+    ('function/function_instr.sql', "INSTR('wn','ejwnqke')"),
+    ('function/function_instr.sql', "INSTR('hvjdke3qj','a')"),
+    ('function/function_instr.sql', "INSTR('今天是晴天ok.are yioeore;wmv','晴天')"),
+    ('function/function_instr.sql', "INSTR('ewhihjreiwhvrejw8344332￥#……@#@￥#@￥DSCSVRERGEWvefw','')"),
+    ('function/function_instr.sql', "INSTR('edhjw 38902&A**',' ')"),
+    ('function/function_instr.sql', "INSTR('reuwYHWJMQ781///-+++','fe3232')"),
+    ('function/function_instr.sql', "INSTR('','')"),
+    ('function/function_instr.sql', "INSTR('','ehwj32')"),
+    ('function/function_instr.sql', "INSTR('251625%$#@*(ejf2f32f','')"),
+    ('function/function_split_part.sql', "split_part('43728943902493-24fjk43nmfjkwek432','3',3)"),
+    ('function/function_split_part.sql', "split_part('ABC*123*()(','*',2)"),
+    ('function/function_split_part.sql', "split_part('12345*&+789*&dhejwfew2','*&',2)"),
+    ('function/greatest_least_numeric.sql', 'greatest(1, 2.0)'),
+    ('function/greatest_least_numeric.sql', 'least(1, 2.0)'),
+    ('function/greatest_least_numeric.sql', 'greatest(cast(1 as bigint), cast(2.0 as double))'),
+    ('function/greatest_least_numeric.sql', 'least(cast(1 as bigint), cast(2.0 as double))'),
+    ('function/greatest_least_numeric.sql', 'greatest(cast(5 as bigint), cast(2.5 as decimal(10,2)))'),
+    ('function/greatest_least_numeric.sql', 'least(cast(5 as bigint), cast(2.5 as decimal(10,2)))'),
+    ('function/greatest_least_numeric.sql', 'greatest(cast(1 as bigint), cast(2 as bigint))'),
+    ('function/greatest_least_numeric.sql', 'greatest(cast(1.0 as double), cast(2.0 as double))'),
+    ('function/greatest_least_numeric.sql', 'greatest(cast(1 as tinyint), cast(2000 as int))'),
+    ('function/greatest_least_numeric.sql', 'least(cast(1 as tinyint), cast(2000 as int))'),
+    ('function/left_function.sql', "LEFT('ABCDEFG', NULL)"),
+    ('function/left_function.sql', 'LEFT(NULL, 1)'),
+    ('function/left_function.sql', 'LEFT(NULL, 0)'),
+    ('function/left_function.sql', 'LEFT(NULL, -1)'),
+    ('function/func_aggr_avg.test', 'avg(null)'),
+    ('function/func_aggr_avg.test', 'AVG(2)'),
+    ('function/func_aggr_avg.test', 'BIT_AND(2)'),
+    ('function/func_aggr_avg.test', 'BIT_OR(2)'),
+    ('function/func_aggr_avg.test', 'BIT_XOR(2)'),
+    ('function/func_aggr_avg.test', 'COUNT(*)'),
+    ('function/func_aggr_avg.test', 'COUNT(12)'),
+    ('function/func_aggr_avg.test', 'COUNT(DISTINCT 12)'),
+    ('function/func_aggr_avg.test', 'MIN(2)'),
+    ('function/func_aggr_avg.test', 'MAX(2)'),
+    ('function/func_aggr_bitwise.test', 'bit_and(null)'),
+    ('function/func_aggr_bitwise.test', 'bit_or(null)'),
+    ('function/func_aggr_bitwise.test', 'bit_xor(null)'),
+    ('function/func_aggr_bitwise.test', 'BIT_AND(1)<BIT_AND(2)'),
+    ('function/func_aggr_bitwise.test', 'BIT_AND(1)>BIT_OR(3)'),
+    ('function/func_aggr_bitwise.test', 'BIT_AND(3)>BIT_XOR(5)'),
+    ('function/func_aggr_bitwise.test', 'BIT_AND(1 - 1)'),
+    ('function/func_aggr_bitwise.test', 'BIT_OR(1 - (-1))'),
+    ('function/func_aggr_count.test', 'COUNT(NULL)'),
+    ('function/func_aggr_max.test', 'max(null)'),
+    ('function/func_aggr_median.test', 'median(null)'),
+    ('function/func_aggr_median.test', 'median(1)'),
+    ('function/func_aggr_median.test', 'median(-6372.2)'),
+    ('function/func_aggr_median.test', 'median(ABS(-99))'),
+    ('function/func_aggr_median.test', 'median(COS(0) + 2)'),
+]
+BVT_STRING = [
+    ('function/builtin.sql', "trim(' abc ')"),
+    ('function/builtin.sql', "trim('abc ')"),
+    ('function/builtin.sql', "trim(' abc')"),
+    ('function/builtin.sql', "trim('abc')"),
+    ('function/date_trunc.sql', "date_trunc('hour', cast('2024-05-16 12:34:56.123456' as timestamp))"),
+    ('function/date_trunc.sql', "date_trunc('minute', cast('2024-05-16 12:34:56.123456' as timestamp))"),
+    ('function/date_trunc.sql', "date_trunc('second', cast('2024-05-16 12:34:56.123456' as timestamp))"),
+    ('function/date_trunc.sql', "date_trunc('hour', cast('2024-05-16' as date))"),
+    ('function/date_trunc.sql', "date_trunc('minute', cast('2024-05-16' as date))"),
+    ('function/date_trunc.sql', "date_trunc('second', cast('2024-05-16' as date))"),
+    ('function/func_encode_decode.sql', "unhex('616263')"),
+    ('function/func_encode_decode.sql', "UNHEX(HEX('abc'))"),
+    ('function/func_hex_unhex.sql', 'hex(123)'),
+    ('function/func_hex_unhex.sql', 'hex(32432)'),
+    ('function/func_hex_unhex.sql', 'hex(2178342143)'),
+    ('function/func_hex_unhex.sql', "hex('abcdefghijklmnopqrstuvwxyz')"),
+    ('function/func_json_row.sql', "'agg'"),
+    ('function/func_make_date.sql', "'生日快乐！'"),
+    ('function/func_md5.sql', "md5('616263')"),
+    ('function/func_md5.sql', "md5('')"),
+    ('function/func_md5.sql', "md5('abc')"),
+    ('function/func_md5.sql', "md5('kfieli3453l5lj')"),
+    ('function/func_md5.sql', "md5('  ')"),
+    ('function/func_md5.sql', "md5('中文')"),
+    ('function/func_md5.sql', "md5('0x45df')"),
+    ('function/func_md5.sql', "md5(concat('aife',' 883fdg'))"),
+    ('function/func_md5.sql', "md5('2008-09-09')"),
+    ('function/func_starlark.sql', "'Test will fail if code depends on space/formatting.   keep spaces'"),
+    ('function/func_string_repeat.sql', "repeat('abc', -1)"),
+    ('function/func_string_repeat.sql', "repeat('abc', 0)"),
+    ('function/func_string_repeat.sql', "repeat('abc', 1)"),
+    ('function/func_string_repeat.sql', "repeat('abc', 2)"),
+    ('function/func_string_repeat.sql', "repeat('abc', 3)"),
+    ('function/func_string_repeat.sql', "repeat('372891uhj4r23uj4r3fv()(*)W@', -10)"),
+    ('function/func_string_repeat.sql', "repeat('efhwuh4ejkwn433qwieu^%^&&(*(%$%^',-100)"),
+    ('function/func_string_repeat.sql', "repeat('database数据库',0)"),
+    ('function/func_string_repeat.sql', "repeat('qyf783y82y489u32y49u39204i032i9589ijfiekwfjkw432r435g34f',0)"),
+    ('function/func_unhex.sql', "unhex('68656c6c6f')"),
+    ('function/func_upper_lower.sql', "upper('abc')"),
+    ('function/func_upper_lower.sql', "upper('abc 123')"),
+    ('function/func_upper_lower.sql', "lower('ABC')"),
+    ('function/func_upper_lower.sql', "lower('AbC 123')"),
+    ('function/func_upper_lower.sql', "upper(rtrim('  3782dfw23123123123   '))"),
+    ('function/func_upper_lower.sql', "upper(substring('21214avewwe12',3,20))"),
+    ('function/func_upper_lower.sql', "upper(reverse('sjkdakjevenjwvev'))"),
+    ('function/func_upper_lower.sql', "lower(ltrim('   uEENjfwabc123'))"),
+    ('function/func_upper_lower.sql', "lower(trim('  32431 %^ 3829  3huICN2432g23   '))"),
+    ('function/func_upper_lower.sql', "lower(reverse('sjkDAKjeveBJwvev'))"),
+    ('function/function_split_part.sql', "split_part('abc^123^ioo','^',1)"),
+    ('function/function_split_part.sql', "split_part('efjq34','4r832r432094-3',2)"),
+    ('function/function_split_part.sql', "split_part('床前明月光，疑是地上霜，举头望明月，低头思故乡','，',4)"),
+    ('function/function_split_part.sql', "split_part('jewkrje的jdksvfe32893**(的——++））（）（  的', '的', 3)"),
+    ('function/function_split_part.sql', "split_part('fhew嗯嗯圣诞节chejwk嗯嗯__++__w嗯嗯','嗯嗯',2)"),
+    ('function/function_split_part.sql', "split_part('v23dnnr###ewjrfkjewm#vrewnvrenjvnewmvrdjvrnjerewmvrjenjwvewmvrrnenjvrenjvrejnvewvrevrjewvrnew','ewmvr',8)"),
+    ('function/function_split_part.sql', "split_part('www.baidu.com','.',1)"),
+    ('function/left_function.sql', "LEFT('ABCDEFG', 2)"),
+    ('function/left_function.sql', "LEFT('ABCDEFG', 0)"),
+    ('function/left_function.sql', "LEFT('ABCDEFG', 2+1)"),
+    ('function/left_function.sql', "LEFT('ABCDEFG', ABS(-2))"),
+    ('function/left_function.sql', "LEFT('ABCDEFG', LENGTH('KING'))"),
+]
+
+
+def _spark_sql() -> str:
+    rows = []
+    for i, (_, e) in enumerate(BVT_NUMERIC):
+        v = translate(e)
+        rows.append(
+            f"SELECT CAST({i} AS INT) AS sid, "
+            f"CASE WHEN isnan(ROUND(CAST(({v}) AS DOUBLE), 6)) THEN CAST(NULL AS DOUBLE) "
+            f"ELSE ROUND(CAST(({v}) AS DOUBLE), 6) END AS val_num, "
+            f"CAST(NULL AS STRING) AS val_str"
+        )
+    base = len(BVT_NUMERIC)
+    for i, (_, e) in enumerate(BVT_STRING):
+        v = translate(e)
+        rows.append(
+            f"SELECT CAST({base + i} AS INT) AS sid, CAST(NULL AS DOUBLE) AS val_num, "
+            f"CAST(({v}) AS STRING) AS val_str"
+        )
+    return " UNION ALL ".join(rows)
+
+
+def _oracle_sql() -> str:
+    rows = []
+    for i, (_, e) in enumerate(BVT_NUMERIC):
+        rows.append(
+            f"SELECT CAST({i} AS INT) AS sid, "
+            f"CASE WHEN isnan(ROUND(CAST(({e}) AS DOUBLE), 6)) THEN CAST(NULL AS DOUBLE) "
+            f"ELSE ROUND(CAST(({e}) AS DOUBLE), 6) END AS val_num, "
+            f"CAST(NULL AS VARCHAR) AS val_str"
+        )
+    base = len(BVT_NUMERIC)
+    for i, (_, e) in enumerate(BVT_STRING):
+        rows.append(
+            f"SELECT CAST({base + i} AS INT) AS sid, CAST(NULL AS DOUBLE) AS val_num, "
+            f"CAST(({e}) AS VARCHAR) AS val_str"
+        )
+    return " UNION ALL ".join(rows)
+
+
+@register(
+    "bvt_select_battery",
+    oracle=_oracle_sql(),
+    tags=("bvt", "dialect"),
+    doc=(
+        "Stateless BVT slice: constant SELECT expressions from the "
+        "reference's function/ BVT suite run through the MySQL dialect "
+        "translator as one constant-folded Spark statement "
+        "(test/distributed/cases/function/*.sql; harvest tool "
+        "matrixone_spark/bvt_harvest.py)."
+    ),
+)
+def bvt_select_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_spark_sql())

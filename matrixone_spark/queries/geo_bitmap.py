@@ -375,3 +375,80 @@ def geo_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
         G.st_latfromgeohash(gh).alias("cell_lat"),
         F.substring(gh, 1, 4).alias("bucket4"),
     )
+
+
+@register(
+    "geo_polygon_predicates",
+    oracle="""
+WITH geo AS (
+  SELECT a.n_nationkey AS ak, b.n_nationkey AS bk,
+         CAST(a.n_nationkey % 7 AS DOUBLE)                       AS ax0,
+         CAST(a.n_nationkey % 5 AS DOUBLE)                       AS ay0,
+         CAST(a.n_nationkey % 7 + a.n_nationkey % 4 + 1 AS DOUBLE) AS ax1,
+         CAST(a.n_nationkey % 5 + a.n_nationkey % 3 + 1 AS DOUBLE) AS ay1,
+         CAST(b.n_nationkey % 6 AS DOUBLE) + 0.25                AS cx,
+         CAST(b.n_nationkey % 4 AS DOUBLE) + 0.25                AS cy,
+         CAST(b.n_nationkey % 3 + 1 AS DOUBLE)                   AS r
+  FROM nation a CROSS JOIN nation b)
+SELECT ak, bk,
+       CAST((GREATEST(ax0 - cx, cx - ax1, 0) + GREATEST(ay0 - cy, cy - ay1, 0)) <= r AS INT) AS intersects,
+       CAST((ax0 < cx - r AND cx + r < ax1 AND ay0 < cy - r AND cy + r < ay1) AS INT)        AS a_contains_b,
+       CAST((ABS(ax0 - cx) + ABS(ay0 - cy) < r AND ABS(ax1 - cx) + ABS(ay0 - cy) < r AND
+             ABS(ax0 - cx) + ABS(ay1 - cy) < r AND ABS(ax1 - cx) + ABS(ay1 - cy) < r) AS INT) AS b_contains_a,
+       CAST(NOT ((GREATEST(ax0 - cx, cx - ax1, 0) + GREATEST(ay0 - cy, cy - ay1, 0)) <= r) AS INT) AS disjoint
+FROM geo
+""",
+    tags=("geo",),
+    doc=(
+        "REAL polygon-polygon predicates (pkg/geo/ st_intersects/st_contains/"
+        "st_within/st_disjoint beyond MBR): Spark runs the GENERAL machinery "
+        "— WKT parse, segment-orientation intersection tests, ray-cast "
+        "containment (functions/geo.py st_intersects/st_contains) — over "
+        "625 rectangle×diamond pairs, while the oracle recomputes the truth "
+        "independently via interval/L1-ball arithmetic (valid only for these "
+        "shapes). Fractional diamond centers (+0.25) guarantee no "
+        "boundary-degenerate cases; touch/collinear semantics are covered by "
+        "tests/test_geo_polygon.py."
+    ),
+)
+def geo_polygon_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = Catalog(spark, sf_dir).table("nation").select("n_nationkey")
+    a = n.select(F.col("n_nationkey").alias("ak"))
+    b = n.select(F.col("n_nationkey").alias("bk"))
+    ak, bk = F.col("ak"), F.col("bk")
+    pairs = a.crossJoin(F.broadcast(b)).select(
+        "ak",
+        "bk",
+        (ak % 7).cast("double").alias("ax0"),
+        (ak % 5).cast("double").alias("ay0"),
+        (ak % 7 + ak % 4 + 1).cast("double").alias("ax1"),
+        (ak % 5 + ak % 3 + 1).cast("double").alias("ay1"),
+        ((bk % 6).cast("double") + 0.25).alias("cx"),
+        ((bk % 4).cast("double") + 0.25).alias("cy"),
+        (bk % 3 + 1).cast("double").alias("r"),
+    )
+    cx, cy, r = F.col("cx"), F.col("cy"), F.col("r")
+    sp, cm = F.lit(" "), F.lit(", ")
+
+    def _n(c):
+        return c.cast("string")
+
+    diamond_wkt = F.concat(
+        F.lit("POLYGON(("),
+        _n(cx + r), sp, _n(cy), cm,
+        _n(cx), sp, _n(cy + r), cm,
+        _n(cx - r), sp, _n(cy), cm,
+        _n(cx), sp, _n(cy - r), cm,
+        _n(cx + r), sp, _n(cy),
+        F.lit("))"),
+    )
+    ga = G.st_geomfromtext(G.st_makeenvelope(F.col("ax0"), F.col("ay0"), F.col("ax1"), F.col("ay1")))
+    gb = G.st_geomfromtext(diamond_wkt)
+    return pairs.select(
+        "ak",
+        "bk",
+        G.st_intersects(ga, gb).cast("int").alias("intersects"),
+        G.st_contains(ga, gb).cast("int").alias("a_contains_b"),
+        G.st_within(ga, gb).cast("int").alias("b_contains_a"),
+        G.st_disjoint(ga, gb).cast("int").alias("disjoint"),
+    )

@@ -116,7 +116,7 @@ SELECT o_orderkey,
        CAST(ISODOW(o_orderdate) AS INT)    AS isodow,
        CAST(WEEK(o_orderdate) AS INT)      AS wk,
        DATE_TRUNC('month', o_orderdate)    AS mstart,
-       LAST_DAY(CAST(o_orderdate AS DATE)) AS meand,
+       CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS meand,
        CAST(o_orderdate + INTERVAL 45 DAY AS TIMESTAMP)  AS plus45,
        CAST(o_orderdate - INTERVAL 3 MONTH AS TIMESTAMP) AS minus3m,
        DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
@@ -145,7 +145,7 @@ def func_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.weekday(d) + 1).alias("isodow"),
         F.weekofyear(d).alias("wk"),
         F.date_trunc("month", d).alias("mstart"),
-        F.last_day(d.cast("date")).alias("meand"),
+        F.last_day(d.cast("date")).cast("timestamp").alias("meand"),
         (d + F.expr("INTERVAL 45 DAYS")).alias("plus45"),
         (d - F.expr("INTERVAL 3 MONTHS")).alias("minus3m"),
         F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).alias("days_to_y2k"),
@@ -161,10 +161,10 @@ def func_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey, l_linenumber, l_partkey,
        ABS(l_quantity - 25)                        AS absv,
-       SIGN(l_quantity - 25)                       AS sgn,
+       CAST(SIGN(l_quantity - 25) AS DOUBLE)       AS sgn,
        CAST(l_suppkey % 7 AS BIGINT)               AS md,
-       CEIL(l_extendedprice / 1000)                AS ce,
-       FLOOR(l_extendedprice / 1000)               AS fl,
+       CAST(CEIL(l_extendedprice / 1000) AS BIGINT)  AS ce,
+       CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS fl,
        ROUND(l_extendedprice / 7, 2)               AS rnd,
        ROUND(SQRT(l_extendedprice), 9)             AS sq,
        ROUND(EXP(l_discount), 9)                   AS ex,
@@ -285,7 +285,7 @@ def func_encode_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "func_uint64_decimal",
     oracle="""
 SELECT l_orderkey,
-       CAST((CAST(l_orderkey AS DECIMAL(20,0)) + 92233720368) * 100000000 + l_partkey AS DECIMAL(20,0)) AS packed,
+       CAST(CAST((CAST(l_orderkey AS DECIMAL(20,0)) + 92233720368) * 100000000 + l_partkey AS DECIMAL(20,0)) AS DOUBLE) AS packed,
        CAST((CAST(l_orderkey AS DECIMAL(20,0)) + 92233720368) * 100000000 + l_partkey AS VARCHAR) AS packed_str,
        CAST(((CAST(l_orderkey AS DECIMAL(20,0)) + 92233720368) * 100000000 + l_partkey) % 100000000 AS BIGINT) AS unpacked_part
 FROM lineitem WHERE l_orderkey <= 100
@@ -302,7 +302,9 @@ def func_uint64_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(20,0)")
     return l.select(
         "l_orderkey",
-        packed.alias("packed"),
+        # display form as DOUBLE (both engines fetch >int64 decimals
+        # lossily/differently); packed_str carries the exact uint64 value
+        packed.cast("double").alias("packed"),
         packed.cast("string").alias("packed_str"),
         (packed % 100000000).cast("bigint").alias("unpacked_part"),
     )
@@ -455,11 +457,11 @@ SELECT o_orderkey,
        regexp_extract(o_orderpriority, '[0-9]+')           AS re_sub,
        position(regexp_extract(o_orderpriority, '[0-9]+') IN o_orderpriority) AS re_pos,
        strftime(CAST(to_timestamp(o_orderkey * 1000) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS fut,
-       CAST(o_orderdate AS DATE) - 30                      AS d_sub,
+       CAST(CAST(o_orderdate AS DATE) - 30 AS TIMESTAMP)   AS d_sub,
        CAST(floor((epoch_us(o_orderdate) - epoch_us(TIMESTAMP '1994-01-01 00:00:00')) / 3600000000) AS BIGINT) AS h_diff,
        o_orderdate + INTERVAL 90 MINUTE                    AS ts_add,
        CAST(timezone('America/New_York', o_orderdate AT TIME ZONE 'UTC') AS TIMESTAMP) AS nyc,
-       make_date(1996, 1, 1) + (CAST(o_orderkey % 365 AS INT) + 1 - 1) AS md,
+       CAST(make_date(1996, 1, 1) + (CAST(o_orderkey % 365 AS INT) + 1 - 1) AS TIMESTAMP) AS md,
        printf('%02d:%02d:%02d', CAST(o_orderkey % 24 AS INT), CAST(o_orderkey % 60 AS INT), 30) AS mt
 FROM orders WHERE o_orderkey <= 400
 """,
@@ -490,11 +492,11 @@ def func_mysql2_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_substr(prio, F.lit("[0-9]+")).alias("re_sub"),
         F.regexp_instr(prio, F.lit("[0-9]+")).alias("re_pos"),
         F.from_unixtime(F.col("o_orderkey") * 1000).alias("fut"),
-        F.date_sub(od, 30).alias("d_sub"),
+        F.date_sub(od, 30).cast("timestamp").alias("d_sub"),
         M.timestampdiff("HOUR", F.lit("1994-01-01 00:00:00").cast("timestamp"), od).alias("h_diff"),
         M.timestampadd("MINUTE", 90, od).alias("ts_add"),
         M.convert_tz(od, "UTC", "America/New_York").alias("nyc"),
-        M.makedate(F.lit(1996), F.col("o_orderkey") % 365 + 1).alias("md"),
+        M.makedate(F.lit(1996), F.col("o_orderkey") % 365 + 1).cast("timestamp").alias("md"),
         M.maketime(F.col("o_orderkey") % 24, F.col("o_orderkey") % 60, F.lit(30)).alias("mt"),
     )
 
@@ -744,7 +746,7 @@ def func_inet6_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT n_nationkey,
        TIMESTAMP '2024-06-15 12:34:56.789'                    AS now_ts,
-       DATE '2024-06-15'                                      AS cur_d,
+       TIMESTAMP '2024-06-15 00:00:00'                        AS cur_d,
        '12:34:56'                                             AS cur_t,
        TIMESTAMP '2024-06-15 12:34:56.789'
          + n_nationkey * INTERVAL '1 day'                     AS due,
@@ -770,7 +772,7 @@ def system_clock_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.select(
         "n_nationkey",
         S.now(ctx).alias("now_ts"),
-        S.curdate(ctx).alias("cur_d"),
+        S.curdate(ctx).cast("timestamp").alias("cur_d"),
         S.curtime(ctx).alias("cur_t"),
         (S.utc_timestamp(ctx) + F.make_interval(days=key)).alias("due"),
         (F.datediff(S.curdate(ctx), F.lit("1995-06-15").cast("date")) - key).alias("age_days"),

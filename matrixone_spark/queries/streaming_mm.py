@@ -134,6 +134,33 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_decode",
+    oracle="""
+SELECT doc_id,
+       CAST(doc_id % 16 + 1 AS INT) AS width,
+       CAST(doc_id % 9 + 1 AS INT) AS height,
+       'png' AS fmt
+FROM documents WHERE doc_id < 300
+""",
+    tags=("multimodal", "udf"),
+    doc=(
+        "REAL image decode path end-to-end: synthesize a spec-valid "
+        "zlib-compressed PNG per row (operators/multimodal.py png_bytes), "
+        "then recover its dimensions by actually parsing the bytes "
+        "(decode_image_meta: PNG IHDR; PIL pixel decode when importable). "
+        "The oracle recomputes the dimensions from the id formula — any "
+        "synthesis or parse bug mismatches. Both steps are Arrow-batched "
+        "mapInPandas (load_file_chunks/blob parity, types.go:85-87)."
+    ),
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.operators.multimodal import decode_png_media, attach_png_media
+
+    d = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 300)
+    return decode_png_media(attach_png_media(d))
+
+
+@register(
     "stream_stream_join",
     oracle="""
 SELECT v.event_id AS v_id, c.event_id AS c_id, v.user_id,

@@ -165,7 +165,7 @@ WITH flagged AS (
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end
 FROM sess GROUP BY user_id, session_id
 """,

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from matrixone_spark.catalog import Catalog
 from matrixone_spark.functions import vector as V
-from matrixone_spark.operators.knn import IvfIndex, knn_exact, knn_join
+from matrixone_spark.operators.knn import IvfIndex, LshAnnIndex, knn_exact, knn_join
 from matrixone_spark.queries import register
 
 # Deterministic query vector (shared by Spark and oracle SQL).
@@ -191,6 +191,36 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).table("embeddings")
     idx = IvfIndex.build(e, "embedding", "vec_id", n_centroids=8)
     return idx.search(_QVEC, 10, nprobe=3).select("vec_id", "label", "distance")
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # approximate: recall vs exact gated in tests/test_vector.py
+    tags=("vector", "approx"),
+    doc=(
+        "ANN top-k with the HNSW search contract (hnsw_create/hnsw_search "
+        "TVFs, pkg/vectorindex/hnsw/) via BucketedRandomProjectionLSH: "
+        "build = one-pass bucket hashing (no graph walk — the Spark-shaped "
+        "equivalent), search = bucket-pruned candidates + exact top-k. "
+        "Recall ≥0.9 vs exact KNN pytest-gated (operators/knn.py LshAnnIndex)."
+    ),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _lsh_index_cached(spark, sf_dir)
+    return idx.search(_QVEC, 10)
+
+
+_LSH_CACHE: "dict[tuple[str, str], LshAnnIndex]" = {}
+
+
+def _lsh_index_cached(spark: SparkSession, sf_dir: str) -> "LshAnnIndex":
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _LSH_CACHE.get(key)
+    if idx is None:
+        e = Catalog(spark, sf_dir).table("embeddings")
+        idx = LshAnnIndex.build(e, "embedding", "vec_id", bucket_length=2.0, num_tables=8)
+        _LSH_CACHE[key] = idx
+    return idx
 
 
 @register(

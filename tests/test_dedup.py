@@ -31,6 +31,37 @@ def test_minhash_lsh_recall(spark):
         assert recall >= 0.8, f"LSH recall {recall:.2f} < 0.8 over {len(exact)} true pairs"
 
 
+def test_ngram_posting_cap_is_subset(spark):
+    """max_posting_len (the 100 TB stop-shingle bound) may only REMOVE pairs:
+    capped output ⊆ uncapped output at every cap, and a generous cap changes
+    nothing on a corpus whose max posting length is below it."""
+    d = Catalog(spark, SF_DIR).table("documents").filter(F.col("doc_id") < 250)
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.2).collect()
+    }
+    assert uncapped, "need true pairs for the subset property to be meaningful"
+    for cap in (2, 5, 20):
+        capped = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(
+                d, "doc_id", "text", 3, 0.2, max_posting_len=cap
+            ).collect()
+        }
+        assert set(capped) <= set(uncapped), f"cap={cap} produced pairs not in uncapped output"
+        # dropping shingles can only shrink the measured intersection
+        for pair, j in capped.items():
+            assert j <= uncapped[pair] + 1e-9, f"cap={cap} raised jaccard for {pair}"
+    # posting lists here are shorter than 10^6 → a huge cap is a no-op
+    huge = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            d, "doc_id", "text", 3, 0.2, max_posting_len=10**6
+        ).collect()
+    }
+    assert huge == uncapped
+
+
 def test_simhash_identity_and_stability(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog"),

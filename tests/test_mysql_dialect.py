@@ -43,6 +43,45 @@ def test_mysql_sql_end_to_end(spark):
     assert all(set(r.statuses.split("/")) <= {"F", "O", "P"} for r in rows)
 
 
+def test_string_literals_never_rewritten():
+    """Quoted spans are masked before any regex runs: function-looking text
+    inside a string literal must pass through byte-identical."""
+    sql = "SELECT 'call version() now', 'date_format(x, ''%Y'')', \"group_concat(a)\" FROM t"
+    assert translate(sql) == sql
+    # mixed: literal untouched, real call outside the literal still rewritten
+    out = translate("SELECT 'version()', VERSION() FROM t")
+    assert out == "SELECT 'version()', '8.0.30-MatrixOne-v1.3.0' FROM t"
+    out = translate("SELECT DATE_FORMAT(d, '%Y'), 'DATE_FORMAT(d, ''%Y'')' FROM t")
+    assert out == "SELECT date_format(d, 'yyyy'), 'DATE_FORMAT(d, ''%Y'')' FROM t"
+
+
+def test_unknown_format_tokens_stay_literal():
+    """MySQL treats unknown %-tokens as literal chars; '%x' must not leak the
+    bare pattern letter x (week-based year) into Spark's engine."""
+    from matrixone_spark.functions.mysql import mysql_format_to_java
+
+    assert mysql_format_to_java("%x") == "'x'"
+    assert mysql_format_to_java("%Y-%x") == "yyyy-'x'"
+    assert mysql_format_to_java("%1") == "1"
+
+
+def test_time_to_sec_negative(spark):
+    from matrixone_spark.functions.mysql import time_to_sec
+
+    df = spark.createDataFrame(
+        [("01:30:00",), ("-01:30:00",), ("-00:00:30",), (None,)], "t string"
+    )
+    vals = [r.s for r in df.select(time_to_sec("t").alias("s")).collect()]
+    assert vals == [5400, -5400, -30, None]
+
+
+def test_truncate_numeric(spark):
+    out = spark.sql(
+        translate("SELECT TRUNCATE(1.999, 1) AS a, TRUNCATE(-1.999, 1) AS b, TRUNCATE(122, -2) AS c")
+    ).collect()[0]
+    assert float(out.a) == 1.9 and float(out.b) == -1.9 and float(out.c) == 100.0
+
+
 def test_system_meta_fold():
     # No-arg system calls fold to session-context literals (functions/system.py)
     out = translate("SELECT VERSION() AS v, DATABASE() AS d, CONNECTION_ID() AS c")

@@ -31,6 +31,26 @@ def test_ivf_full_probe_equals_exact(spark):
     assert exact_ids == approx_ids
 
 
+def test_lsh_ann_recall_vs_exact(spark):
+    """HNSW-contract ANN (LshAnnIndex): recall ≥0.9 against exact KNN —
+    same gate the IVF path carries."""
+    from matrixone_spark.operators.knn import LshAnnIndex
+
+    e = Catalog(spark, SF_DIR).table("embeddings")
+    exact_ids = {r.vec_id for r in knn_exact(e, "embedding", QVEC, 10, "vec_id").collect()}
+    idx = LshAnnIndex.build(e, "embedding", "vec_id", bucket_length=2.0, num_tables=8)
+    try:
+        approx = idx.search(QVEC, 10).collect()
+        approx_ids = {r.vec_id for r in approx}
+        recall = len(exact_ids & approx_ids) / len(exact_ids)
+        assert recall >= 0.9, f"LSH recall {recall} (exact={exact_ids}, approx={approx_ids})"
+        # distances must be real L2 values, ascending
+        dists = [r.distance for r in approx]
+        assert dists == sorted(dists)
+    finally:
+        idx.unpersist()
+
+
 def test_knn_exact_plan_has_no_shuffle_before_topk(spark):
     """ProductL2 parity must plan as TakeOrderedAndProject, not sort+shuffle."""
     e = Catalog(spark, SF_DIR).table("embeddings")
