@@ -50,20 +50,26 @@ def main() -> None:
         .collect()
     )
 
-    # Each query runs N times (default 3) and reports the min: run 1 pays
-    # the one-off whole-stage-codegen compile for that plan (a per-process
-    # constant, not data work), later runs are the steady-state execution a
-    # cluster actually repeats. Min-of-N is the throughput-comparable
-    # number and damps local-mode scheduler noise (±30% run-to-run).
+    # Each query runs N times (default 3). "queries"/"value" report the min
+    # (methodology FIXED since r1 so BENCH_r{N} totals stay comparable):
+    # run 1 pays the one-off whole-stage-codegen compile for that plan (a
+    # per-process constant, not data work), later runs are the steady-state
+    # execution a cluster actually repeats, and min damps local-mode
+    # scheduler noise (±30% run-to-run). "queries_cold"/"value_cold"
+    # additionally report the first (codegen-inclusive) run so cross-round
+    # comparisons can't be skewed by the min-of-N choice.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in names:
         q = registry[name]
         best = None
-        for _ in range(runs):
+        for i in range(runs):
             t0 = time.time()
             rows = q.fn(spark, sf_dir).collect()
             dt = time.time() - t0
+            if i == 0:
+                cold[name] = round(dt, 3)
             best = dt if best is None else min(best, dt)
             assert rows is not None
         timings[name] = round(best, 3)
@@ -75,6 +81,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
+                "value_cold": round(sum(cold.values()), 3),
                 "sf": sf_val,
             }
         )

@@ -70,6 +70,7 @@ _HEAD: "tuple[str, ...]" = (
     "onnx_run_score",
     "bvt_select_battery",
     "geo_polygon_predicates",
+    "multimodal_png_decode",
 )
 
 # Module order for everything else (module name without package prefix).

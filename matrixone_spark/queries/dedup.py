@@ -91,7 +91,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     oracle=None,  # LSH bucketing uses Spark xxhash64 — recall gated in tests/test_dedup.py
-    tags=("dedup", "approx"),
+    tags=("dedup", "approx", "bench"),
     doc="MinHash(32 perms)+LSH(8 bands) candidate pairs with exact-Jaccard verification (j ≥ 0.2). Precision exact by construction; recall vs dedup_ngram_jaccard pytest-gated ≥0.8.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -34,7 +34,7 @@ SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS _wstart,
 FROM events
 GROUP BY 1, 2
 """,
-    tags=("streaming",),
+    tags=("streaming", "bench"),
     doc="Structured Streaming tumbling-window counts with 1h watermark (CDC-analogue surface, SURVEY §2.11; pkg/cdc/ reader watermarks) — complete-mode result over the bounded source must equal batch SQL.",
 )
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
