@@ -406,86 +406,21 @@ def json_extract_float64(doc, path) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# jq / try_jq — mini-jq evaluator (func_builtin_jq.go uses gojq; we support
-# the deterministic core: identity, field paths, array indexing/iteration,
-# pipes, and the keys/length builtins — the subset the reference's BVT
-# exercises. Unsupported syntax raises (jq) or yields NULL (try_jq).
+# jq / try_jq — mini-jq evaluator (func_builtin_jq.go uses gojq; jq_mini.py
+# implements the deterministic core with a real parser: identity, field
+# paths, array indexing/iteration, pipes, keys/length/add/not/floor/abs,
+# select()/map(), arithmetic (+ - * / %), comparisons with jq's total
+# order, and if/then/else/end. Unsupported syntax raises (jq) or yields
+# NULL (try_jq).
 # ---------------------------------------------------------------------------
 
-import re as _re
-
-_JQ_PATH = _re.compile(r"^(\.[A-Za-z_][A-Za-z0-9_]*|\.|\[\d+\]|\[\])+$")
-_JQ_TOKEN = _re.compile(r"\.[A-Za-z_][A-Za-z0-9_]*|\[\d+\]|\[\]")
-
-
-def _jq_eval_step(values: list, step: str) -> list:
-    """Apply one pipe stage to each value; '.[]' fans out (jq streaming)."""
-    step = step.strip()
-    out: list = []
-    if step == ".":
-        return list(values)
-    if step == "keys":
-        for v in values:
-            if not isinstance(v, dict):
-                raise ValueError("jq: keys on non-object")
-            out.append(sorted(v.keys()))
-        return out
-    if step == "length":
-        for v in values:
-            if isinstance(v, (dict, list, str)):
-                out.append(len(v))
-            elif v is None:
-                out.append(0)
-            else:
-                raise ValueError("jq: length on scalar")
-        return out
-    if step == "add":
-        for v in values:
-            if not isinstance(v, list):
-                raise ValueError("jq: add on non-array")
-            acc = None
-            for x in v:
-                acc = x if acc is None else acc + x
-            out.append(acc)
-        return out
-    if not _JQ_PATH.match(step):
-        raise ValueError(f"jq: unsupported expression {step!r}")
-    tokens = _JQ_TOKEN.findall(step)
-    for v in values:
-        fanned = [v]
-        for tok in tokens:
-            nxt: list = []
-            for c in fanned:
-                if tok.startswith("."):
-                    if c is None:
-                        nxt.append(None)
-                    elif isinstance(c, dict):
-                        nxt.append(c.get(tok[1:]))
-                    else:
-                        raise ValueError("jq: field access on non-object")
-                elif tok == "[]":
-                    if not isinstance(c, list):
-                        raise ValueError("jq: iterate non-array")
-                    nxt.extend(c)
-                else:
-                    if c is None:
-                        nxt.append(None)
-                    elif not isinstance(c, list):
-                        raise ValueError("jq: index non-array")
-                    else:
-                        i = int(tok[1:-1])
-                        nxt.append(c[i] if i < len(c) else None)
-            fanned = nxt
-        out.extend(fanned)
-    return out
+from matrixone_spark.functions import jq_mini as _jq_mini
 
 
 def _jq_run(doc: "str | None", program: str) -> "str | None":
     if doc is None:
         return None
-    values = [json.loads(doc)]
-    for step in program.split("|"):
-        values = _jq_eval_step(values, step)
+    values = _jq_mini.run(json.loads(doc), program)
     if len(values) == 1:
         return _dumps(values[0])
     return "\n".join(_dumps(v) for v in values)  # jq emits one result per line
@@ -512,9 +447,11 @@ _try_jq_udf = _make_jq_udf(swallow=True)
 
 
 def jq(doc, program) -> Column:
-    """jq(doc, program): evaluate a jq program (supported: ``.``, ``.a.b``,
-    ``.a[0]``, ``.a[]``, pipes, ``keys``/``length``/``add``) against a JSON
-    document; raises on invalid programs (func_builtin_jq.go:jq)."""
+    """jq(doc, program): evaluate a jq program (paths, ``.a[]`` iteration,
+    pipes, ``keys``/``length``/``add``/``not``/``floor``/``abs``,
+    ``select()``/``map()``, arithmetic, comparisons, ``if/then/else/end`` —
+    see functions/jq_mini.py) against a JSON document; raises on invalid
+    programs (func_builtin_jq.go:jq)."""
     return _jq_udf(_c(doc), _c(program))
 
 

@@ -268,17 +268,22 @@ SELECT o_orderkey,
        '2'                                                    AS jq_len,
        '["key","prio","tags"]'                                AS jq_keys,
        '"' || o_orderstatus || '"'                            AS jq_tag0,
-       CAST(NULL AS VARCHAR)                                  AS jq_err
+       CAST(NULL AS VARCHAR)                                  AS jq_err,
+       CAST(o_orderkey * 2 + 1 AS VARCHAR)                    AS jq_arith,
+       CASE WHEN o_orderkey > 150 THEN CAST(o_orderkey AS VARCHAR) ELSE '' END AS jq_select,
+       CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN '"hot"' ELSE '"cold"' END AS jq_cond,
+       CAST(length(o_orderstatus) + length(o_orderpriority) AS VARCHAR) AS jq_map_add
 FROM orders WHERE o_orderkey <= 300
 """,
     tags=("json", "udf"),
     doc=(
         "jq / try_jq (func_builtin_jq.go, gojq-backed in the reference; here "
-        "a mini-jq pandas UDF covering identity, multi-segment paths, array "
-        "index/iterate, pipes, keys/length/add): programs run against a "
-        "per-row JSON doc built with to_json(struct(...)); try_jq on an "
-        "invalid program (indexing a scalar) yields NULL. Oracle "
-        "reconstructs each program's output from the base columns — "
+        "the jq_mini.py parser/evaluator covering identity, multi-segment "
+        "paths, array index/iterate, pipes, keys/length/add/not/floor/abs, "
+        "select()/map(), arithmetic, comparisons, if/then/else): programs "
+        "run against a per-row JSON doc built with to_json(struct(...)); "
+        "try_jq on an invalid program (indexing a scalar) yields NULL. "
+        "Oracle reconstructs each program's output from the base columns — "
         "engine-neutral since extracted scalars serialize identically."
     ),
 )
@@ -301,4 +306,10 @@ def func_jq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         J.jq(d, F.lit("keys")).alias("jq_keys"),
         J.jq(d, F.lit(".tags[0]")).alias("jq_tag0"),
         J.try_jq(d, F.lit(".key[0]")).alias("jq_err"),
+        J.jq(d, F.lit(".key * 2 + 1")).alias("jq_arith"),
+        J.jq(d, F.lit(".key | select(. > 150)")).alias("jq_select"),
+        J.jq(d, F.lit('if .prio == "1-URGENT" then "hot" '
+                      'else (if .prio == "2-HIGH" then "hot" else "cold" end) end')
+             ).alias("jq_cond"),
+        J.jq(d, F.lit(".tags | map(length) | add")).alias("jq_map_add"),
     )
