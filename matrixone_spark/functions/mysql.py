@@ -110,6 +110,37 @@ def mysql_format_to_java(fmt: str) -> str:
     return "".join(out)
 
 
+# GET_FORMAT({DATE|TIME|DATETIME}, {EUR|USA|JIS|ISO|INTERNAL}) lookup table
+# (func_binary.go:5539-5625 GetFormat; DATETIME USA/EUR use '.' separators
+# per the reference, diverging from stock MySQL on purpose).
+_GET_FORMAT: "dict[tuple[str, str], str]" = {
+    ("DATE", "USA"): "%m.%d.%Y", ("DATE", "EUR"): "%d.%m.%Y",
+    ("DATE", "JIS"): "%Y-%m-%d", ("DATE", "ISO"): "%Y-%m-%d",
+    ("DATE", "INTERNAL"): "%Y%m%d",
+    ("TIME", "USA"): "%h:%i:%s %p", ("TIME", "EUR"): "%H.%i.%s",
+    ("TIME", "JIS"): "%H:%i:%s", ("TIME", "ISO"): "%H:%i:%s",
+    ("TIME", "INTERNAL"): "%H%i%s",
+    ("DATETIME", "USA"): "%Y-%m-%d %H.%i.%s", ("DATETIME", "EUR"): "%Y-%m-%d %H.%i.%s",
+    ("DATETIME", "JIS"): "%Y-%m-%d %H:%i:%s", ("DATETIME", "ISO"): "%Y-%m-%d %H:%i:%s",
+    ("DATETIME", "INTERNAL"): "%Y%m%d%H%i%s",
+}
+for _k, _v in list(_GET_FORMAT.items()):
+    if _k[0] == "DATETIME":
+        _GET_FORMAT[("TIMESTAMP", _k[1])] = _v
+
+
+def get_format(type_, locale) -> Column:
+    """GET_FORMAT(type, locale) → MySQL format string, NULL for unknown
+    combinations (func_binary.go:5539 GetFormat). Pure expression: a chained
+    CASE over the 20-entry lookup, so constant args fold at plan time."""
+    t = F.upper(_c(type_) if isinstance(type_, Column) else F.lit(type_))
+    loc = F.upper(_c(locale) if isinstance(locale, Column) else F.lit(locale))
+    out = F.lit(None).cast("string")
+    for (ty, lo), fmt in _GET_FORMAT.items():
+        out = F.when((t == ty) & (loc == lo), F.lit(fmt)).otherwise(out)
+    return out
+
+
 def date_format_mysql(x, fmt: str) -> Column:
     """DATE_FORMAT(d, '%Y-%m-%d') with MySQL patterns.
     Reference: func_unary.go date_format, generalTime.go."""

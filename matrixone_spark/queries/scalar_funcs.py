@@ -613,7 +613,13 @@ SELECT event_id,
        strftime(ts, '%H:%M:%S')                                    AS tf,
        (DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) + 719528) * 86400
          + epoch_us(ts) // 1000000 % 86400                         AS tsec,
-       epoch_us(ts) % 1000000                                      AS micro
+       epoch_us(ts) % 1000000                                      AS micro,
+       CASE CAST(event_id % 3 AS INT) WHEN 0 THEN '%m.%d.%Y'
+                                      WHEN 1 THEN '%d.%m.%Y'
+                                      ELSE '%Y%m%d' END            AS gf_date,
+       '%h:%i:%s %p'                                               AS gf_time_usa,
+       '%Y-%m-%d %H:%i:%s'                                         AS gf_dt_iso,
+       CAST(NULL AS VARCHAR)                                       AS gf_bad
 FROM events WHERE event_id < 1500
 """,
     tags=("functions", "date"),
@@ -643,6 +649,16 @@ def func_time_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.time_format(ts, "%H:%i:%s").alias("tf"),
         M.to_seconds(ts).alias("tsec"),
         M.microsecond(ts).alias("micro"),
+        M.get_format(
+            F.lit("DATE"),
+            F.element_at(
+                F.array(F.lit("USA"), F.lit("EUR"), F.lit("INTERNAL")),
+                (F.col("event_id") % 3 + 1).cast("int"),
+            ),
+        ).alias("gf_date"),
+        M.get_format("TIME", "USA").alias("gf_time_usa"),
+        M.get_format("DATETIME", "ISO").alias("gf_dt_iso"),
+        M.get_format("DATE", "NOPE").alias("gf_bad"),
     )
 
 

@@ -92,6 +92,120 @@ def write_outfile(
         raise ValueError(f"unsupported format {fmt!r}")
 
 
+def resolve_stage_url(url: str, stages: "dict[str, str] | None" = None) -> str:
+    """stage://<name>/<rel> → the stage's base URL + rel path.
+
+    Reference: CREATE STAGE binds a name to a URL+credentials
+    (pkg/sql/colexec/external/external.go stage handling; stages live in a
+    catalog table). Here the binding is an explicit dict — on a cluster the
+    resolved URL is whatever scheme the stage points at (s3a://, file://)."""
+    if not url.startswith("stage://"):
+        return url
+    rest = url[len("stage://") :]
+    name, _, rel = rest.partition("/")
+    if not stages or name not in stages:
+        raise ValueError(f"unknown stage {name!r} (defined: {sorted(stages or {})})")
+    base = stages[name].rstrip("/")
+    return f"{base}/{rel}" if rel else base
+
+
+def load_data(
+    spark: SparkSession,
+    path: "str | None" = None,
+    *,
+    inline: "str | None" = None,
+    fmt: str = "csv",
+    schema: "StructType | str | None" = None,
+    header: bool = False,
+    field_terminator: str = ",",
+    enclosed_by: str = '"',
+    line_terminator: "str | None" = None,
+    ignore_lines: int = 0,
+    null_value: str = "\\N",
+    compression: str = "auto",
+    set_clauses: "dict[str, str] | None" = None,
+    stages: "dict[str, str] | None" = None,
+) -> DataFrame:
+    """Full LOAD DATA surface (external.go:616 option handling):
+
+    - ``inline``  — LOAD DATA INLINE FORMAT='csv', DATA='...' (the reference
+      feeds the literal string through the same CSV/JSONL reader); the text
+      is parallelized and parsed by the identical option set as file loads.
+    - ``stages``  — stage://name/path URLs resolve through the stage catalog
+      (resolve_stage_url) before reading.
+    - ``ignore_lines`` — IGNORE N LINES, applied per file (the reference
+      skips N lines of each input file; implemented by per-file line
+      indexing — a small job per file at plan time, data stays distributed).
+    - ``null_value`` — MySQL's \\N marker → NULL.
+    - ``compression='auto'`` — extension-based codec inference (.gz/.bz2/
+      .deflate handled transparently by Hadoop input formats, matching the
+      reference's auto-detect by filename); pass an explicit codec name to
+      override for non-standard extensions.
+    - ``set_clauses`` — LOAD DATA ... SET col = <sql expr>: applied as
+      withColumn expressions after parsing, before the append (the
+      reference evaluates SET exprs in the projection above External).
+    """
+    if (path is None) == (inline is None):
+        raise ValueError("load_data: exactly one of path / inline required")
+
+    opts = {
+        "header": header,
+        "sep": field_terminator,
+        "quote": enclosed_by,
+        "nullValue": null_value,
+        "mode": "PERMISSIVE",  # MySQL LOAD DATA is permissive
+    }
+    if line_terminator:
+        opts["lineSep"] = line_terminator
+    if compression != "auto":
+        opts["compression"] = compression
+
+    if inline is not None:
+        lines = inline.splitlines()[ignore_lines:]
+        rdd = spark.sparkContext.parallelize(lines)
+        reader = spark.read.options(**opts)
+        reader = reader.schema(schema) if schema is not None else reader.option("inferSchema", True)
+        df = reader.csv(rdd) if fmt == "csv" else spark.read.schema(schema).json(rdd) if schema else spark.read.json(rdd)
+    else:
+        src = resolve_stage_url(path, stages)
+        if ignore_lines > 0 and fmt == "csv":
+            import glob as _glob
+            import os as _os
+
+            files = sorted(_glob.glob(src)) if any(c in src for c in "*?[") else (
+                sorted(
+                    _os.path.join(src, f) for f in _os.listdir(src)
+                ) if _os.path.isdir(src) else [src]
+            )
+            sc = spark.sparkContext
+            n = ignore_lines
+            rdds = [
+                sc.textFile(f).zipWithIndex().filter(lambda t: t[1] >= n).map(lambda t: t[0])
+                for f in files
+            ]
+            rdd = rdds[0] if len(rdds) == 1 else sc.union(rdds)
+            reader = spark.read.options(**opts)
+            reader = reader.schema(schema) if schema is not None else reader.option("inferSchema", True)
+            df = reader.csv(rdd)
+        elif fmt == "csv":
+            reader = spark.read.options(**opts)
+            reader = reader.schema(schema) if schema is not None else reader.option("inferSchema", True)
+            df = reader.csv(src)
+        elif fmt in ("jsonl", "json"):
+            df = read_jsonl(spark, src, schema=schema)
+        elif fmt == "parquet":
+            df = read_parquet(spark, src)
+        else:
+            raise ValueError(f"unsupported format {fmt!r}")
+
+    if set_clauses:
+        from pyspark.sql import functions as F
+
+        for col, expr in set_clauses.items():
+            df = df.withColumn(col, F.expr(expr))
+    return df
+
+
 def read_connector(
     spark: SparkSession, kind: str, options: "dict[str, str] | None" = None
 ) -> DataFrame:
