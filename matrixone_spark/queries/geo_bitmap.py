@@ -452,3 +452,61 @@ def geo_polygon_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         G.st_within(ga, gb).cast("int").alias("b_contains_a"),
         G.st_disjoint(ga, gb).cast("int").alias("disjoint"),
     )
+
+
+@register(
+    "geo_s2_battery",
+    oracle="""
+SELECT s_suppkey,
+       30                   AS leaf_level,
+       8                    AS parent_level,
+       4                    AS n_edge,
+       CAST(1 AS BOOLEAN)   AS nbr_mutual,
+       CAST(0 AS BOOLEAN)   AS self_nbr,
+       CAST(1 AS BOOLEAN)   AS center_in_cell,
+       CAST(1 AS BOOLEAN)   AS area_monotone
+FROM supplier WHERE s_suppkey <= 200
+""",
+    tags=("geo", "s2", "udf"),
+    doc=(
+        "S2 cell-id family (func_s2h3.go:300-417 s2_cellid/level/parent/"
+        "center/area/edgeneighbors/areneighbors; clean-room implementation "
+        "of the published s2geometry algorithm, functions/s2cell.py). The "
+        "oracle checks the same structural invariants the reference's own "
+        "BVT does (geo/geo_s2h3.sql): leaf level 30, parent level, 4 edge "
+        "neighbors, neighbor mutuality, self-not-neighbor, center re-encodes "
+        "into the same cell, coarser parent has larger area. The golden-"
+        "vector float parity gate lives in tests/test_s2cell.py. Scale: "
+        "parent cell ids are the geo-join bucketing key at 100 TB."
+    ),
+)
+def geo_s2_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.functions import s2cell as S2
+
+    s = Catalog(spark, sf_dir).table("supplier").filter(F.col("s_suppkey") <= 200)
+    k = F.col("s_suppkey")
+    lon = (k % 720).cast("double") / 2.0 - 179.5
+    lat = (k % 340).cast("double") / 2.0 - 84.5
+    base = s.select(
+        "s_suppkey",
+        S2.s2_cellid(lon, lat).alias("leaf"),
+        lon.alias("lon"),
+        lat.alias("lat"),
+    )
+    base = base.withColumn("p8", S2.s2_cellid_parent(F.col("leaf"), 8))
+    base = base.withColumn("p5", S2.s2_cellid_parent(F.col("leaf"), 5))
+    base = base.withColumn("center", S2.s2_cellid_center_wkt(F.col("leaf")))
+    base = base.withColumn("nbrs", S2.s2_cellid_edgeneighbors(F.col("p8")))
+    first_nbr = F.get_json_object(F.col("nbrs"), "$[0]").cast("decimal(20,0)")
+    clon = F.regexp_extract(F.col("center"), r"POINT\(([-0-9.eE]+) ([-0-9.eE]+)\)", 1).cast("double")
+    clat = F.regexp_extract(F.col("center"), r"POINT\(([-0-9.eE]+) ([-0-9.eE]+)\)", 2).cast("double")
+    return base.select(
+        "s_suppkey",
+        S2.s2_cellid_level(F.col("leaf")).alias("leaf_level"),
+        S2.s2_cellid_level(F.col("p8")).alias("parent_level"),
+        F.json_array_length(F.col("nbrs")).alias("n_edge"),
+        S2.s2_cellid_areneighbors(first_nbr, F.col("p8")).alias("nbr_mutual"),
+        S2.s2_cellid_areneighbors(F.col("p8"), F.col("p8")).alias("self_nbr"),
+        (S2.s2_cellid_parent(S2.s2_cellid(clon, clat), 8) == F.col("p8")).alias("center_in_cell"),
+        (S2.s2_cellid_area(F.col("p5")) > S2.s2_cellid_area(F.col("p8"))).alias("area_monotone"),
+    )
