@@ -248,3 +248,214 @@ def _oracle_sql() -> str:
 )
 def bvt_select_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_spark_sql())
+
+
+# Second battery: operator/ + expression/ + function/*.test categories.
+# Curation stats: {'harvested': 4837, 'exprs': 4861, 'kept': 150, 'spark_fail': 39, 'duck_fail': 449, 'mismatch': 29}
+BVT2_NUMERIC = [
+    ('operator/between_and_operator.sql', '2 BETWEEN 1 AND 3'),
+    ('operator/between_and_operator.sql', '2 BETWEEN 3 and 1'),
+    ('operator/between_and_operator.sql', '1 BETWEEN 2 AND 3'),
+    ('operator/between_and_operator.sql', "'b' BETWEEN 'a' AND 'c'"),
+    ('operator/between_and_operator.sql', "2 BETWEEN 2 AND '3'"),
+    ('operator/between_and_operator.sql', 'TRUE BETWEEN FALSE AND TRUE'),
+    ('operator/between_and_operator.sql', 'FALSE BETWEEN TRUE AND FALSE'),
+    ('operator/between_and_operator.sql', 'TRUE NOT BETWEEN FALSE AND TRUE'),
+    ('operator/bit_operator.sql', '9 &4& 2'),
+    ('operator/bit_operator.sql', '1 ^ 0'),
+    ('operator/bit_operator.sql', '29 & 15'),
+    ('operator/bit_operator.sql', '~0'),
+    ('operator/bit_operator.sql', '64 << 2'),
+    ('operator/bit_operator.sql', '1 << 2'),
+    ('operator/bit_operator.sql', '4 >> 2'),
+    ('operator/bit_operator.sql', '100 << ABS(-3)'),
+    ('operator/is_not_operator.sql', '1 IS TRUE'),
+    ('operator/is_not_operator.sql', '0 IS FALSE'),
+    ('operator/is_not_operator.sql', 'NULL IS TRUE'),
+    ('operator/is_not_operator.sql', '1 IS NULL'),
+    ('operator/is_not_operator.sql', '0 IS NULL'),
+    ('operator/is_not_operator.sql', 'NULL IS NULL'),
+    ('operator/is_not_operator.sql', "'' IS NULL"),
+    ('operator/is_not_operator.sql', "' ' IS NULL"),
+    ('operator/is_operator.sql', '(null) is unknown'),
+    ('operator/is_operator.sql', 'null is unknown'),
+    ('operator/is_operator.sql', 'true is unknown'),
+    ('operator/is_operator.sql', 'false is unknown'),
+    ('operator/is_operator.sql', 'null is false'),
+    ('operator/is_operator.sql', 'null is not false'),
+    ('operator/is_operator.sql', 'null is not true'),
+    ('operator/is_operator.sql', '1 is false'),
+    ('operator/like_operator.sql', "'a' LIKE 'ae'"),
+    ('operator/like_operator.sql', "'ae' LIKE 'a'"),
+    ('operator/like_operator.sql', "'MYSQL' LIKE 'mysql'"),
+    ('operator/like_operator.sql', "'David!' LIKE 'David_'"),
+    ('operator/like_operator.sql', "'David!' LIKE '%D%v%'"),
+    ('operator/like_operator.sql', "'David!' LIKE 'David\\_'"),
+    ('operator/like_operator.sql', "'__++' LIKE '__++%'"),
+    ('operator/like_operator.sql', "'__++__' LIKE '__+'"),
+    ('operator/mysql_compat_bitwise_expr.sql', 'null & 1'),
+    ('operator/mysql_compat_bitwise_expr.sql', 'null | 1'),
+    ('operator/mysql_compat_bitwise_expr.sql', 'null ^ 1'),
+    ('operator/mysql_compat_bitwise_expr.sql', 'null << 1'),
+    ('operator/mysql_compat_bitwise_expr.sql', '1 >> null'),
+    ('operator/mysql_compat_bitwise_expr.sql', '~null'),
+    ('operator/mysql_compat_comparison_expr.sql', "'01' = 1"),
+    ('operator/mysql_compat_comparison_expr.sql', "'01' < 2"),
+    ('operator/mysql_compat_comparison_expr.sql', "'12.50' = 12.5"),
+    ('operator/mysql_compat_comparison_expr.sql', "12.5 BETWEEN '12.49' AND '12.51'"),
+    ('operator/mysql_compat_comparison_expr.sql', "'2' IN (1, 2, 3)"),
+    ('operator/mysql_compat_comparison_expr.sql', "2 IN ('1', '2', '3')"),
+    ('operator/mysql_compat_comparison_expr.sql', "'4' IN (1, 2, NULL)"),
+    ('operator/mysql_compat_comparison_expr.sql', "'4' NOT IN (1, 2, NULL)"),
+    ('operator/mysql_compat_logical_expr.sql', 'not null'),
+    ('operator/mysql_compat_null_predicate_matrix.sql', 'null = null'),
+    ('operator/mysql_compat_null_predicate_matrix.sql', 'null <> null'),
+    ('operator/mysql_compat_null_predicate_matrix.sql', '1 = null'),
+    ('operator/mysql_compat_null_predicate_matrix.sql', '1 <> null'),
+    ('operator/mysql_compat_null_predicate_matrix.sql', '1 between null and 2'),
+    ('operator/mysql_compat_null_predicate_matrix.sql', '3 between null and 2'),
+    ('operator/mysql_compat_null_predicate_matrix.sql', '1 between 0 and null'),
+    ('operator/mysql_compat_null_predicate_matrix.sql', '3 between 0 and null'),
+    ('operator/mysql_compat_string_binary_comparison.sql', "'a ' like 'a'"),
+    ('operator/mysql_compat_string_binary_comparison.sql', "'a ' like 'a '"),
+    ('operator/mysql_compat_string_binary_comparison.sql', "'' like ''"),
+    ('operator/mysql_compat_string_binary_comparison.sql', "'' like '_'"),
+    ('operator/mysql_compat_string_binary_comparison.sql', "'abc' like ''"),
+    ('operator/mysql_compat_string_binary_comparison.sql', "'abc' not like null"),
+    ('operator/mysql_compat_string_binary_comparison.sql', "null not like 'a%'"),
+    ('operator/row_constructor.sql', '(1,2,3)=(0,null,3)'),
+    ('operator/row_constructor.sql', '(1,2,3) = (1+1, null, 3)'),
+    ('operator/row_constructor.sql', '(1,2,3) <> (1+1,null,3)'),
+    ('operator/row_constructor.sql', '(1,2) > (2,3)'),
+    ('operator/row_constructor.sql', '(-10, 200) < (100,200)'),
+    ('operator/row_constructor.sql', '(1,2,2,3) > (2,3,4,5)'),
+    ('operator/row_constructor.sql', '(78415614.7894,789854.0) = (78415614.7894,789854.0)'),
+    ('operator/row_constructor.sql', '(1,null) < (2,null)'),
+    ('operator/math_operator.test', "cast('2020-02-01' as date) + NULL"),
+    ('operator/math_operator.test', '1 + NULL'),
+    ('operator/math_operator.test', 'NULL + 1'),
+    ('operator/mysql_compat_bitwise_uint64_cast.test', '7 | 8'),
+    ('operator/mysql_compat_bitwise_unsigned.test', '-1 & 3'),
+    ('operator/mysql_compat_bitwise_unsigned.test', '-1 | 8'),
+    ('operator/mysql_compat_bitwise_unsigned.test', '-1 >> 1'),
+    ('operator/mysql_compat_bitwise_unsigned.test', '-1 >> 0'),
+    ('operator/operator.test', '1 & 2'),
+    ('operator/operator.test', '-1 & 2'),
+    ('operator/operator.test', 'null & 2'),
+    ('operator/operator.test', '1 | 2'),
+    ('operator/operator.test', '-1 | 2'),
+    ('operator/operator.test', 'null | 2'),
+    ('operator/operator.test', 'null ^ 2'),
+    ('operator/operator.test', 'null << 2'),
+    ('expression/case_when.sql', 'case when 1 in (1.0, 2.0, 3.0) then true else false end'),
+    ('expression/case_when.sql', '7.01970 * CAST(-58140.00 AS DECIMAL(23,2))'),
+    ('expression/case_when.sql', 'CASE WHEN 1 = 1\n       THEN CAST(1 AS DECIMAL(38,0))\n       ELSE CAST(0 AS DECIMAL(38,20))\n  END'),
+    ('expression/case_when.sql', 'CASE WHEN 1 = 2\n       THEN CAST(1 AS DECIMAL(38,0))\n       ELSE CAST(0 AS DECIMAL(38,20))\n  END'),
+    ('expression/case_when.sql', 'COALESCE(\n  CAST(NULL AS DECIMAL(23,2)),\n  7.01970 * CAST(-58140.00 AS DECIMAL(23,2))\n)'),
+    ('expression/case_when.sql', 'COALESCE(\n  CAST(1.23 AS DECIMAL(23,2)),\n  7.01970 * CAST(-58140.00 AS DECIMAL(23,2))\n)'),
+    ('expression/case_when.sql', 'COALESCE(CAST(1 AS DECIMAL(38,0)), CAST(0.5 AS DECIMAL(30,30)))'),
+    ('expression/case_when.sql', 'COALESCE(CAST(12345678901234567890123456789012345678 AS DECIMAL(38,0)), CAST(0.5 AS DECIMAL(30,30)))'),
+    ('expression/in_mixed_type.sql', "'9.50' = 9.5"),
+    ('function/func_aggr_avg.test', 'avg(null)'),
+    ('function/func_aggr_avg.test', 'AVG(2)'),
+    ('function/func_aggr_avg.test', 'BIT_AND(2)'),
+    ('function/func_aggr_avg.test', 'BIT_OR(2)'),
+    ('function/func_aggr_avg.test', 'BIT_XOR(2)'),
+    ('function/func_aggr_avg.test', 'COUNT(*)'),
+    ('function/func_aggr_avg.test', 'COUNT(12)'),
+    ('function/func_aggr_avg.test', 'COUNT(DISTINCT 12)'),
+    ('function/func_aggr_bitwise.test', 'bit_and(null)'),
+    ('function/func_aggr_bitwise.test', 'bit_or(null)'),
+    ('function/func_aggr_bitwise.test', 'bit_xor(null)'),
+    ('function/func_aggr_bitwise.test', 'BIT_AND(1)<BIT_AND(2)'),
+    ('function/func_aggr_bitwise.test', 'BIT_AND(1)>BIT_OR(3)'),
+    ('function/func_aggr_bitwise.test', 'BIT_AND(3)>BIT_XOR(5)'),
+    ('function/func_aggr_bitwise.test', 'BIT_AND(1 - 1)'),
+    ('function/func_aggr_bitwise.test', 'BIT_OR(1 - (-1))'),
+    ('function/func_aggr_count.test', 'COUNT(NULL)'),
+    ('function/func_aggr_max.test', 'max(null)'),
+    ('function/func_aggr_median.test', 'median(null)'),
+    ('function/func_aggr_median.test', 'median(1)'),
+    ('function/func_aggr_median.test', 'median(-6372.2)'),
+    ('function/func_aggr_median.test', 'median(ABS(-99))'),
+    ('function/func_aggr_median.test', 'median(COS(0) + 2)'),
+    ('function/func_aggr_min.test', 'min(null)'),
+    ('function/func_aggr_min.test', 'min(1)<min(2)'),
+    ('function/func_aggr_std.test', 'STDDEV(null)'),
+    ('function/func_aggr_std.test', 'STDDEV_POP(null)'),
+    ('function/func_aggr_std.test', 'STDDEV_POP(99999999999999999.99999)'),
+    ('function/func_aggr_std.test', 'STDDEV_POP(999999999999999933193939.99999)'),
+    ('function/func_aggr_std.test', 'STDDEV_POP(-99999999999999999.99999)'),
+    ('function/func_aggr_std.test', 'STDDEV_POP(-999999999999999933193939.99999)'),
+    ('function/func_aggr_std.test', 'STDDEV_POP(1)<STDDEV_POP(2)'),
+    ('function/func_aggr_std.test', 'STDDEV_SAMP(null)'),
+    ('function/func_aggr_sum.test', 'SUM(NULL)'),
+    ('function/func_aggr_sum.test', 'sum(1)>sum(0)'),
+    ('function/func_aggr_var_pop.test', 'var_pop(null)'),
+    ('function/func_aggr_var_pop.test', 'var_pop(99999999999999999.99999)'),
+    ('function/func_aggr_var_pop.test', 'var_pop(999999999999999933193939.99999)'),
+    ('function/func_aggr_var_pop.test', 'var_pop(-99999999999999999.99999)'),
+    ('function/func_aggr_var_pop.test', 'var_pop(-999999999999999933193939.99999)'),
+    ('function/func_aggr_var_pop.test', 'var_pop(1)<var_pop(2)'),
+    ('function/func_aggr_var_pop.test', 'variance(null)'),
+    ('function/func_aggr_var_pop.test', 'variance(99999999999999999.99999)'),
+    ('function/func_aggr_var_samp.test', 'VAR_SAMP(null)'),
+    ('function/func_aggr_var_samp.test', 'VAR_SAMP(99999999999999999.99999)'),
+    ('function/func_aggr_var_samp.test', 'VAR_SAMP(999999999999999933193939.99999)'),
+    ('function/func_aggr_var_samp.test', 'VAR_SAMP(-99999999999999999.99999)'),
+]
+BVT2_STRING = [
+]
+
+
+def _battery_spark_sql(numeric, strings) -> str:
+    rows = []
+    for i, (_, e) in enumerate(numeric):
+        v = translate(e)
+        rows.append(
+            f"SELECT CAST({i} AS INT) AS sid, "
+            f"CASE WHEN isnan(ROUND(CAST(({v}) AS DOUBLE), 6)) THEN CAST(NULL AS DOUBLE) "
+            f"ELSE ROUND(CAST(({v}) AS DOUBLE), 6) END AS val_num, "
+            f"CAST(NULL AS STRING) AS val_str"
+        )
+    base = len(numeric)
+    for i, (_, e) in enumerate(strings):
+        v = translate(e)
+        rows.append(
+            f"SELECT CAST({base + i} AS INT) AS sid, CAST(NULL AS DOUBLE) AS val_num, "
+            f"CAST(({v}) AS STRING) AS val_str"
+        )
+    return " UNION ALL ".join(rows)
+
+
+def _battery_oracle_sql(numeric, strings) -> str:
+    rows = []
+    for i, (_, e) in enumerate(numeric):
+        rows.append(
+            f"SELECT CAST({i} AS INT) AS sid, "
+            f"CASE WHEN isnan(ROUND(CAST(({e}) AS DOUBLE), 6)) THEN CAST(NULL AS DOUBLE) "
+            f"ELSE ROUND(CAST(({e}) AS DOUBLE), 6) END AS val_num, "
+            f"CAST(NULL AS VARCHAR) AS val_str"
+        )
+    base = len(numeric)
+    for i, (_, e) in enumerate(strings):
+        rows.append(
+            f"SELECT CAST({base + i} AS INT) AS sid, CAST(NULL AS DOUBLE) AS val_num, "
+            f"CAST(({e}) AS VARCHAR) AS val_str"
+        )
+    return " UNION ALL ".join(rows)
+
+
+@register(
+    "bvt_operator_battery",
+    oracle=_battery_oracle_sql(BVT2_NUMERIC, BVT2_STRING),
+    tags=("bvt", "dialect"),
+    doc=(
+        "Second stateless BVT slice: constant SELECT expressions harvested "
+        "from the reference's operator/, expression/, and function/*.test "
+        "BVT suites, same harvest+curation pipeline and evaluation shape as "
+        "bvt_select_battery."
+    ),
+)
+def bvt_operator_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_battery_spark_sql(BVT2_NUMERIC, BVT2_STRING))
