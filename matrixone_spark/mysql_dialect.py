@@ -85,12 +85,29 @@ def _literal_text(spans: "list[str]", idx: int) -> str:
     return s[1:-1] if s and s[0] in "'\"" else s
 
 
-def _truncate_rewrite(masked: str) -> str:
-    """TRUNCATE(x, d) → sign-aware truncation toward zero via floor/ceil.
-    MySQL: truncate(1.999,1)=1.9, truncate(-1.999,1)=-1.9."""
-    out = []
-    pos = 0
-    for m in _TRUNCATE_RE.finditer(masked):
+def _split_top_level(inner: str) -> "list[str]":
+    """Split on top-level commas (paren-aware; literals already masked)."""
+    parts, depth, start = [], 0, 0
+    for j, ch in enumerate(inner):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(inner[start:j].strip())
+            start = j + 1
+    parts.append(inner[start:].strip())
+    return parts
+
+
+def _rewrite_calls(masked: str, name_re: "re.Pattern", builder) -> str:
+    """Generic paren-matching call rewrite on masked text: for every
+    ``name(...)`` match, ``builder(args)`` returns the replacement (or None
+    to leave the call untouched)."""
+    out, pos = [], 0
+    for m in name_re.finditer(masked):
+        if m.start() < pos:
+            continue  # inside a previously rewritten span
         start = m.end()  # just past '('
         depth, i = 1, start
         while i < len(masked) and depth:
@@ -99,29 +116,85 @@ def _truncate_rewrite(masked: str) -> str:
             elif masked[i] == ")":
                 depth -= 1
             i += 1
-        inner = masked[start : i - 1]
-        # split top-level comma
-        depth2, cut = 0, -1
-        for j, ch in enumerate(inner):
-            if ch == "(":
-                depth2 += 1
-            elif ch == ")":
-                depth2 -= 1
-            elif ch == "," and depth2 == 0:
-                cut = j
-                break
-        if cut < 0:  # TRUNCATE(x) — leave alone (DDL TRUNCATE TABLE etc.)
+        repl = builder(_split_top_level(masked[start : i - 1]))
+        if repl is None:
             continue
-        x, d = inner[:cut], inner[cut + 1 :]
-        repl = (
-            f"(CASE WHEN ({x}) >= 0 THEN floor(({x}) * pow(10, {d})) "
-            f"ELSE ceil(({x}) * pow(10, {d})) END / pow(10, {d}))"
-        )
         out.append(masked[pos : m.start()])
         out.append(repl)
         pos = i
     out.append(masked[pos:])
     return "".join(out)
+
+
+def _truncate_rewrite(masked: str) -> str:
+    """TRUNCATE(x, d) → sign-aware truncation toward zero via floor/ceil.
+    MySQL: truncate(1.999,1)=1.9, truncate(-1.999,1)=-1.9."""
+
+    def build(args):
+        if len(args) != 2:  # TRUNCATE TABLE etc. — leave alone
+            return None
+        x, d = args
+        return (
+            f"(CASE WHEN ({x}) >= 0 THEN floor(({x}) * pow(10, {d})) "
+            f"ELSE ceil(({x}) * pow(10, {d})) END / pow(10, {d}))"
+        )
+
+    return _rewrite_calls(masked, _TRUNCATE_RE, build)
+
+
+_CONVERT_TZ_RE = re.compile(r"\bconvert_tz\s*\(", re.IGNORECASE)
+
+
+def _convert_tz_rewrite(masked: str) -> str:
+    """CONVERT_TZ(ts, from_tz, to_tz) → from_utc_timestamp(
+    to_utc_timestamp(ts, from_tz), to_tz). The JVM zone registry covers the
+    IANA-name matrix (MET/CET/Japan/US/Eastern/...) and ±HH:MM offsets —
+    reference func_binary.go convert_tz loads the same IANA database."""
+
+    def build(args):
+        if len(args) != 3:
+            return None
+        ts, f, t = args
+        return f"from_utc_timestamp(to_utc_timestamp({ts}, {f}), {t})"
+
+    return _rewrite_calls(masked, _CONVERT_TZ_RE, build)
+
+
+# MySQL CAST target types Spark doesn't know (reference func_cast.go):
+# DATETIME → TIMESTAMP; SIGNED [INTEGER] → BIGINT and UNSIGNED [INTEGER] →
+# DECIMAL(20,0) (uint64 range), both with MySQL's round-to-nearest for
+# fractional inputs (MySQL CAST(2.9 AS SIGNED) = 3; Spark's bigint cast
+# truncates). ROUND(x, 0) is identity on integral types — no precision lost
+# on 20-digit unsigned values — and rounds decimals/doubles.
+_CAST_CALL_RE = re.compile(r"\bcast\s*\(", re.IGNORECASE)
+_CAST_AS_RE = re.compile(
+    r"^(?P<expr>.*)\s+as\s+(?P<type>datetime|signed(?:\s+integer)?|unsigned(?:\s+integer)?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _cast_rewrite(masked: str) -> str:
+    def build(args):
+        if len(args) != 1:
+            return None
+        # split "expr AS type" at top level (the regex is greedy, so nested
+        # casts keep their own AS; only the outermost is consumed here)
+        m = _CAST_AS_RE.match(args[0])
+        if not m:
+            return None
+        x, ty = m.group("expr"), m.group("type").lower().split()[0]
+        if ty == "datetime":
+            return f"CAST({x} AS TIMESTAMP)"
+        if ty == "signed":
+            return f"CAST(ROUND(({x}), 0) AS BIGINT)"
+        return f"CAST(ROUND(({x}), 0) AS DECIMAL(20,0))"
+
+    # innermost-first: repeat until no rewrite applies (nested casts)
+    prev = None
+    while prev != masked:
+        prev = masked
+        masked = _rewrite_calls(masked, _CAST_CALL_RE, build)
+    return masked
 
 
 def translate(sql: str) -> str:
@@ -148,5 +221,7 @@ def translate(sql: str) -> str:
     masked = _DATE_FORMAT_RE.sub(fmt_repl, masked)
     masked = _GROUP_CONCAT_RE.sub(gc_repl, masked)
     masked = _truncate_rewrite(masked)
+    masked = _convert_tz_rewrite(masked)
+    masked = _cast_rewrite(masked)
     masked = _SYSTEM_FN_RE.sub(lambda m: sys_lits[m.group(1).lower()], masked)
     return unmask_literals(masked, spans)

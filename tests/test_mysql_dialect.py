@@ -75,6 +75,32 @@ def test_time_to_sec_negative(spark):
     assert vals == [5400, -5400, -30, None]
 
 
+def test_convert_tz(spark):
+    rows = spark.sql(translate(
+        "SELECT convert_tz('2023-11-06 10:28:00','GMT','MET') AS a, "
+        "convert_tz('2023-01-06 10:28:00','+08:00','+00:00') AS b, "
+        "convert_tz('2023-11-05 05:00:00','US/Eastern','US/Central') AS c"
+    )).collect()[0]
+    assert str(rows.a) == "2023-11-06 11:28:00"  # MET = UTC+1 in November
+    assert str(rows.b) == "2023-01-06 02:28:00"
+    assert str(rows.c) == "2023-11-05 04:00:00"  # across the DST fall-back
+
+
+def test_mysql_cast_targets(spark):
+    rows = spark.sql(translate(
+        "SELECT cast(2.9 as signed) AS s1, cast(-2.9 as signed) AS s2, "
+        "cast(2.4 as signed) AS s3, "
+        "cast(18446744073709551614 as unsigned) AS u, "
+        "cast('2024-05-16 12:34:56' as datetime) AS dt, "
+        "cast(12.5 as decimal(10,2)) AS d"
+    )).collect()[0]
+    # MySQL rounds on cast-to-integer (CAST(2.9 AS SIGNED) = 3)
+    assert (rows.s1, rows.s2, rows.s3) == (3, -3, 2)
+    assert str(rows.u) == "18446744073709551614"  # uint64 via DECIMAL(20,0), exact
+    assert str(rows.dt) == "2024-05-16 12:34:56"
+    assert str(rows.d) == "12.50"  # ordinary decimal casts untouched
+
+
 def test_truncate_numeric(spark):
     out = spark.sql(
         translate("SELECT TRUNCATE(1.999, 1) AS a, TRUNCATE(-1.999, 1) AS b, TRUNCATE(122, -2) AS c")
