@@ -75,3 +75,25 @@ def test_sql_join_hints_respected(spark):
         assert bcast.first().n == merge.first().n > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bvt_battery_constant_folds_no_scan(spark):
+    """The BVT batteries must compile to constant-folded one-row unions —
+    zero parquet scans, values computed at optimization time."""
+    from matrixone_spark.queries import load_all
+
+    df = load_all()["bvt_select_battery"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan
+    assert "OneRowRelation" in plan
+
+
+def test_s2_bucket_join_is_single_shuffle_equi_join(spark):
+    """The S2-bucketed spatial join must plan as an equi-join on the cell id
+    (bounded-key shuffle), never a cross join."""
+    from matrixone_spark.queries import load_all
+
+    df = load_all()["geo_s2_bucket_join"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") == 2
