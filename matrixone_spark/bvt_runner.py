@@ -1,0 +1,513 @@
+"""Stateful BVT script runner: execute reference .sql suites end-to-end.
+
+The reference's main correctness net is 959 BVT .sql scripts of
+CREATE TABLE / INSERT / SELECT / UPDATE / DELETE / DROP sequences
+(test/distributed/cases, driver optools/run_bvt.sh). This module replays
+those scripts against Spark temp views through the MySQL dialect layer:
+
+- CREATE TABLE  → schema parse (MySQL types → Spark types) + empty view
+- INSERT VALUES → `SELECT * FROM VALUES ...` (Spark parses the literals,
+  including expressions), positionally cast to the table schema, unioned in
+- INSERT ... SELECT → translated subquery, cast, unioned in
+- UPDATE t SET c=e [WHERE p] → projection with CASE WHEN p THEN e ELSE c END
+- DELETE FROM t [WHERE p] → filter(NOT p)
+- SELECT → mysql_dialect.translate → spark.sql
+- DROP TABLE / TRUNCATE → view removal / emptying
+
+`CoExecutor` additionally runs the same raw statements on DuckDB (with a
+small MySQL→DuckDB type shim) and compares every SELECT's canonical rows —
+a cross-engine gate over real reference scripts, not just constant
+expressions. Statements either engine cannot parse are counted and skipped
+(the reference's own runner has a tag DSL for the same purpose).
+
+This is a test harness, not an engine: tables are driver-built temp views
+(BVT fixtures are tens of rows). The ENGINE surface under test is
+mysql_dialect + Spark SQL itself.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from matrixone_spark.bvt_harvest import _strip_comments, split_statements
+from matrixone_spark.mysql_dialect import (
+    _rewrite_calls,
+    mask_literals,
+    rewrite_generate_series,
+    rewrite_limit,
+    translate,
+    unmask_literals,
+)
+
+# MySQL column type → Spark SQL type
+_TYPE_MAP = [
+    (r"bigint\s+unsigned", "decimal(20,0)"),
+    (r"(?:tiny|small|medium)?int(?:eger)?\s+unsigned", "bigint"),
+    (r"bigint(?:\(\d+\))?", "bigint"),
+    (r"(?:tiny|small|medium)?int(?:eger)?(?:\(\d+\))?", "int"),
+    (r"decimal(\(\d+(?:,\s*\d+)?\))?", None),  # keep as written (incl. precision)
+    (r"numeric(\(\d+(?:,\s*\d+)?\))?", None),
+    (r"double(?:\s+precision)?(?:\(\d+,\s*\d+\))?", "double"),
+    (r"float(?:\(\d+(?:,\s*\d+)?\))?", "float"),
+    (r"real", "double"),
+    (r"datetime(?:\(\d+\))?", "timestamp"),
+    (r"timestamp(?:\(\d+\))?", "timestamp"),
+    (r"date", "date"),
+    (r"time(?:\(\d+\))?", "string"),  # MySQL TIME ≈ duration string
+    (r"year", "int"),
+    (r"(?:var)?char(?:\(\d+\))?", "string"),
+    (r"(?:tiny|medium|long)?text", "string"),
+    (r"(?:var)?binary(?:\(\d+\))?", "binary"),
+    (r"(?:tiny|medium|long)?blob", "binary"),
+    (r"bool(?:ean)?", "boolean"),
+    (r"json", "string"),
+    (r"bit(?:\(\d+\))?", "bigint"),
+]
+
+_COL_CONSTRAINT_RE = re.compile(
+    r"\b(primary\s+key|not\s+null|null|auto_increment|unique|default\s+\S+|"
+    r"comment|key|references\s+\S+|on\s+update\s+\S+|zerofill|"
+    r"character\s+set\s+\S+|collate\s+\S+)\b",
+    re.IGNORECASE,
+)
+
+
+class SkipStatement(Exception):
+    """Statement shape this runner does not support."""
+
+
+def _norm_type(raw: str) -> str:
+    t = raw.strip().lower()
+    for pat, target in _TYPE_MAP:
+        m = re.match(pat + r"\s*$", t, re.IGNORECASE)
+        if m:
+            if target is None:
+                return t if "(" in t else t + "(10,0)" if t.startswith(("decimal", "numeric")) else t
+            return target
+    # non-integer UNSIGNED (decimal/double/float): sign restriction only —
+    # the base type already holds the value range
+    if t.endswith(" unsigned"):
+        return _norm_type(t[: -len(" unsigned")])
+    raise SkipStatement(f"unmapped column type {raw!r}")
+
+
+_DEFAULT_RE = re.compile(
+    r"\bdefault\s+('(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.)*\"|\([^)]*\)|[\w.+-]+(?:\(\))?)",
+    re.IGNORECASE,
+)
+
+
+def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
+    """CREATE TABLE name (col type [constraints], ...) →
+    (name, [(col, spark_type)], {col: default_sql}).
+
+    Defaults matter for column-list INSERTs: MySQL fills omitted columns from
+    DEFAULT, so the replay must too (NULL only when no default is declared).
+    """
+    masked, spans = mask_literals(stmt)
+    m = re.match(
+        r"\s*create\s+(?:temporary\s+)?table\s+(?:if\s+not\s+exists\s+)?([`\w.\x01]+)\s*\(",
+        masked,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise SkipStatement("not a parseable CREATE TABLE")
+    name = unmask_literals(m.group(1), spans).strip("`").split(".")[-1]
+    depth, i, start = 1, m.end(), m.end()
+    while i < len(masked) and depth:
+        if masked[i] == "(":
+            depth += 1
+        elif masked[i] == ")":
+            depth -= 1
+        i += 1
+    body = masked[start : i - 1]
+    cols: "list[tuple[str, str]]" = []
+    parts, d, s = [], 0, 0
+    for j, ch in enumerate(body):
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+        elif ch == "," and d == 0:
+            parts.append(body[s:j])
+            s = j + 1
+    parts.append(body[s:])
+    defaults: "dict[str, str]" = {}
+    for part in parts:
+        part = unmask_literals(part, spans).strip()
+        if re.match(r"(primary|unique|key|index|constraint|foreign|check)\b", part, re.IGNORECASE):
+            continue  # table-level constraint
+        cm = re.match(r"[`]?(\w+)[`]?\s+(.+)$", part, re.DOTALL)
+        if not cm:
+            raise SkipStatement(f"unparseable column def {part!r}")
+        col, rest = cm.group(1), cm.group(2)
+        dm = _DEFAULT_RE.search(rest)
+        if dm and dm.group(1).lower() != "null":
+            defaults[col] = dm.group(1)
+        rest = _DEFAULT_RE.sub(" ", rest)
+        rest = _COL_CONSTRAINT_RE.sub(" ", rest).strip().rstrip(",")
+        cols.append((col, _norm_type(rest)))
+    if not cols:
+        raise SkipStatement("CREATE TABLE with no parseable columns")
+    return name, cols, defaults
+
+
+class BvtSession:
+    """Replays one BVT script's statements against Spark temp views."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.tables: "dict[str, DataFrame]" = {}
+        self.schemas: "dict[str, list[tuple[str, str]]]" = {}
+        self.defaults: "dict[str, dict[str, str]]" = {}
+
+    def _register(self, name: str, df: DataFrame) -> None:
+        self.tables[name] = df
+        df.createOrReplaceTempView(name)
+
+    def _empty(self, name: str) -> DataFrame:
+        schema = ", ".join(f"{c} {t}" for c, t in self.schemas[name])
+        return self.spark.createDataFrame([], schema)
+
+    def _cast_to_schema(self, name: str, df: DataFrame, cols: "list[str] | None" = None) -> DataFrame:
+        """Positionally cast a parsed relation to the table schema; missing
+        columns (column-list INSERT) become NULL."""
+        schema = self.schemas[name]
+        target = {c: t for c, t in schema}
+        if cols is None:
+            if len(df.columns) != len(schema):
+                raise SkipStatement(
+                    f"INSERT arity {len(df.columns)} != table arity {len(schema)}"
+                )
+            pairs = list(zip(df.columns, [c for c, _ in schema]))
+        else:
+            if len(df.columns) != len(cols):
+                raise SkipStatement("INSERT column list arity mismatch")
+            pairs = list(zip(df.columns, cols))
+        sel = []
+        provided = {dst: src for src, dst in pairs}
+        for c, t in schema:
+            if c in provided:
+                sel.append(F.col(provided[c]).cast(t).alias(c))
+            else:
+                dflt = self.defaults.get(name, {}).get(c)
+                expr = F.expr(dflt) if dflt is not None else F.lit(None)
+                sel.append(expr.cast(t).alias(c))
+        return df.select(*sel)
+
+    # ----------------------------------------------------------- statements
+
+    def execute(self, stmt: str) -> "tuple[str, DataFrame | None]":
+        """Returns (kind, df) — kind ∈ select|ddl|dml|skip."""
+        masked, spans = mask_literals(stmt)
+        head = masked.strip().split(None, 1)[0].lower() if masked.strip() else ""
+        head = head.lstrip("(")
+        if head in ("select", "with", "values", "table"):
+            return "select", self.spark.sql(translate(stmt))
+        if head == "create":
+            if re.match(r"\s*create\s+(?:temporary\s+)?table", masked, re.IGNORECASE):
+                name, cols, defaults = parse_create_table(stmt)
+                self.schemas[name] = cols
+                self.defaults[name] = defaults
+                self._register(name, self._empty(name))
+                return "ddl", None
+            vm = re.match(
+                r"\s*create\s+(?:or\s+replace\s+)?view\s+[`]?(\w+)[`]?\s*(?:\([^)]*\))?\s+as\s+(.*)$",
+                masked,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if vm:
+                name = vm.group(1)
+                df = self.spark.sql(translate(unmask_literals(vm.group(2), spans)))
+                self._register(name, df)
+                return "ddl", None
+            raise SkipStatement("unsupported CREATE kind")
+        if head == "drop":
+            if re.match(r"\s*drop\s+(?:database|schema)\b", masked, re.IGNORECASE):
+                return "ddl", None
+            # full-match so malformed shapes (`drop table t1(a int)`) fail on
+            # BOTH engines instead of silently "succeeding" here only
+            m = re.match(
+                r"\s*drop\s+(?:table|view)\s+(?:if\s+exists\s+)?([`\w.,\s\x01]+?)\s*$",
+                masked,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise SkipStatement("unsupported DROP kind")
+            for raw in unmask_literals(m.group(1), spans).split(","):
+                name = raw.strip().strip("`").split(".")[-1]
+                if name in self.tables:
+                    self.spark.catalog.dropTempView(name)
+                    self.tables.pop(name, None)
+                    self.schemas.pop(name, None)
+                    self.defaults.pop(name, None)
+            return "ddl", None
+        if head in ("use",) or re.match(
+            r"\s*create\s+(?:database|schema)\b", masked, re.IGNORECASE
+        ):
+            # databases are flattened: qualified names drop their db prefix
+            return "ddl", None
+        if head == "truncate":
+            m = re.match(r"\s*truncate\s+(?:table\s+)?[`]?(\w+)[`]?", masked, re.IGNORECASE)
+            if m and m.group(1) in self.schemas:
+                self._register(m.group(1), self._empty(m.group(1)))
+                return "dml", None
+            raise SkipStatement("TRUNCATE of unknown table")
+        if head == "insert":
+            return self._insert(stmt, masked, spans)
+        if head == "update":
+            return self._update(stmt, masked, spans)
+        if head == "delete":
+            m = re.match(r"\s*delete\s+from\s+[`]?(\w+)[`]?\s*(?:where\s+(.*))?$", masked, re.IGNORECASE | re.DOTALL)
+            if not m or m.group(1) not in self.tables:
+                raise SkipStatement("unsupported DELETE shape")
+            name = m.group(1)
+            df = self.tables[name]
+            if m.group(2):
+                cond = translate(unmask_literals(m.group(2), spans))
+                df = df.filter(f"NOT coalesce(({cond}), false)")
+            self._register(name, df)
+            return "dml", None
+        raise SkipStatement(f"unsupported statement head {head!r}")
+
+    def _insert(self, stmt, masked, spans):
+        m = re.match(
+            r"\s*insert\s+(?:ignore\s+)?into\s+[`]?(\w+)[`]?\s*(\(([^)]*)\))?\s*(values|select)\b(.*)$",
+            masked,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m or m.group(1) not in self.schemas:
+            raise SkipStatement("unsupported INSERT shape")
+        name = m.group(1)
+        cols = None
+        if m.group(3):
+            cols = [c.strip().strip("`") for c in unmask_literals(m.group(3), spans).split(",")]
+        if m.group(4).lower() == "values":
+            values_text = unmask_literals(m.group(5), spans).strip()
+            src = self.spark.sql(translate(f"SELECT * FROM VALUES {values_text}"))
+        else:
+            sub = unmask_literals(m.group(4) + m.group(5), spans)
+            src = self.spark.sql(translate(sub))
+        new = self._cast_to_schema(name, src, cols)
+        self._register(name, self.tables[name].unionAll(new))
+        return "dml", None
+
+    def _update(self, stmt, masked, spans):
+        m = re.match(
+            r"\s*update\s+[`]?(\w+)[`]?\s+set\s+(.*?)(?:\s+where\s+(.*))?$",
+            masked,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m or m.group(1) not in self.tables:
+            raise SkipStatement("unsupported UPDATE shape")
+        name = m.group(1)
+        assigns = {}
+        for part in m.group(2).split(","):
+            am = re.match(r"\s*[`]?(\w+)[`]?\s*=\s*(.+)$", part, re.DOTALL)
+            if not am:
+                raise SkipStatement("unparseable SET clause")
+            assigns[am.group(1)] = translate(unmask_literals(am.group(2).strip(), spans))
+        cond = translate(unmask_literals(m.group(3), spans)) if m.group(3) else "true"
+        schema = self.schemas[name]
+        sel = []
+        for c, t in schema:
+            if c in assigns:
+                sel.append(f"CAST(CASE WHEN coalesce(({cond}), false) THEN ({assigns[c]}) ELSE {c} END AS {t}) AS {c}")
+            else:
+                sel.append(c)
+        self._register(name, self.spark.sql(f"SELECT {', '.join(sel)} FROM {name}"))
+        return "dml", None
+
+    def snapshot(self) -> "tuple[dict, dict, dict]":
+        """Cheap state snapshot — DataFrames are immutable, dicts are replaced."""
+        return dict(self.tables), dict(self.schemas), dict(self.defaults)
+
+    def restore(self, snap: "tuple[dict, dict, dict]") -> None:
+        tables, schemas, defaults = snap
+        for name in set(self.tables) - set(tables):
+            self.spark.catalog.dropTempView(name)
+        for name, df in tables.items():
+            if self.tables.get(name) is not df:
+                df.createOrReplaceTempView(name)
+        self.tables, self.schemas = dict(tables), dict(schemas)
+        self.defaults = dict(defaults)
+
+    def run_script(self, text: str) -> "dict[str, int]":
+        """Execute a whole script; returns statement counters."""
+        stats = {"select": 0, "ddl": 0, "dml": 0, "skip": 0, "error": 0}
+        for stmt in split_statements(_strip_comments(text)):
+            try:
+                kind, df = self.execute(stmt)
+                if kind == "select" and df is not None:
+                    df.collect()
+                stats[kind] += 1
+            except SkipStatement:
+                stats["skip"] += 1
+            except Exception:
+                stats["error"] += 1
+        return stats
+
+
+# ------------------------------------------------------------ co-execution
+
+_DUCK_TYPE_SUBS = [
+    (re.compile(r"\btinyint\s+unsigned\b", re.IGNORECASE), "UTINYINT"),
+    (re.compile(r"\bsmallint\s+unsigned\b", re.IGNORECASE), "USMALLINT"),
+    (re.compile(r"\b(?:mediumint|int|integer)\s+unsigned\b", re.IGNORECASE), "UINTEGER"),
+    (re.compile(r"\bbigint\s+unsigned\b", re.IGNORECASE), "UBIGINT"),
+    (re.compile(r"\bmediumint\b", re.IGNORECASE), "INTEGER"),
+    (re.compile(r"\bint\(\d+\)", re.IGNORECASE), "INTEGER"),
+    (re.compile(r"\bdatetime(\(\d+\))?\b", re.IGNORECASE), "TIMESTAMP"),
+    (re.compile(r"\b(?:tiny|medium|long)text\b", re.IGNORECASE), "TEXT"),
+    (re.compile(r"\b(?:tiny|medium|long)?blob\b", re.IGNORECASE), "BLOB"),
+    (re.compile(r"\bauto_increment\b", re.IGNORECASE), ""),
+]
+
+# Table elements / constraints DuckDB can't parse or that would enforce
+# MySQL-only semantics (constraint enforcement is not under test — both
+# engines run constraint-free so they stay consistent with EACH OTHER).
+_DUCK_ELEMENT_SUBS = [
+    # inline secondary indexes: ", index name(cols)" / ", key name(cols)" / fulltext
+    (re.compile(r",\s*(?:unique\s+)?(?:fulltext\s+)?(?:index|key)\s+`?\w*`?\s*\([^)]*\)", re.IGNORECASE), ""),
+    # table-level primary key / unique constraints
+    (re.compile(r",\s*(?:constraint\s+`?\w+`?\s+)?primary\s+key\s*\([^)]*\)", re.IGNORECASE), ""),
+    (re.compile(r",\s*(?:constraint\s+`?\w+`?\s+)?unique(?:\s+(?:index|key))?\s*`?\w*`?\s*\([^)]*\)", re.IGNORECASE), ""),
+    # column-level primary key / not null (auto_increment ids are inserted as
+    # NULL by BOTH engines here; NOT NULL would reject them on the duck side)
+    (re.compile(r"\bprimary\s+key\b", re.IGNORECASE), ""),
+    (re.compile(r"\bnot\s+null\b", re.IGNORECASE), ""),
+    # trailing table options: ENGINE=..., CHARSET=..., COMMENT '...'
+    (re.compile(r"\)\s*(?:engine|default\s+charset|charset|collate|comment|auto_increment)\s*=?.*$", re.IGNORECASE | re.DOTALL), ")"),
+]
+
+
+def _duck_span(s: str) -> str:
+    """Re-quote one MySQL literal span for DuckDB.
+
+    MySQL: "..." is a string; '...' and "..." take backslash escapes.
+    DuckDB: "..." is an identifier; '...' is escape-free (E'...' enables them).
+    """
+    if s[:1] == '"':
+        body = s[1:-1].replace('\\"', '"').replace('""', '"')
+        body = body.replace("\\'", "'").replace("'", "''")
+        return "E'" + body + "'" if "\\" in body else "'" + body + "'"
+    if s[:1] == "'" and "\\" in s:
+        return "E" + s
+    return s
+
+
+_CONCAT_NAME_RE = re.compile(r"(?<![\w.])concat\s*\(", re.IGNORECASE)
+
+
+def _concat_to_pipes(args: "list[str]") -> "str | None":
+    # MySQL/Spark CONCAT propagates NULL; DuckDB's skips it — || matches
+    return "(" + " || ".join(a.strip() or "''" for a in args) + ")" if args else None
+
+
+def _duckify(stmt: str) -> str:
+    masked, spans = mask_literals(stmt)
+    masked = masked.replace("`", '"')
+    masked = rewrite_limit(masked)
+    prev = None
+    while "concat" in masked.lower() and prev != masked:  # fixpoint for nesting
+        prev = masked
+        masked = _rewrite_calls(masked, _CONCAT_NAME_RE, _concat_to_pipes)
+    if "generate_series" in masked.lower():
+        masked = rewrite_generate_series(masked, "unnest(generate_series({}))")
+    for pat, repl in _DUCK_TYPE_SUBS:
+        masked = pat.sub(repl, masked)
+    if re.match(r"\s*create\s+(?:temporary\s+)?table\b", masked, re.IGNORECASE):
+        for pat, repl in _DUCK_ELEMENT_SUBS:
+            masked = pat.sub(repl, masked)
+    return unmask_literals(masked, [_duck_span(s) for s in spans])
+
+
+class CoExecutor:
+    """Run a BVT script on Spark AND DuckDB; compare every SELECT both ran."""
+
+    def __init__(self, spark: SparkSession):
+        import duckdb
+
+        self.sess = BvtSession(spark)
+        self.con = duckdb.connect()
+
+    def run_script(self, text: str, details: "list | None" = None) -> "dict[str, int]":
+        """Co-execute a script; returns counters.
+
+        State changes apply both-or-neither: each non-query statement runs
+        inside a DuckDB transaction with a Spark-side state snapshot; if one
+        engine applies it and the other rejects it, BOTH are rolled back
+        (counted `diverged`), so the two engines always hold identical
+        databases and every later SELECT remains comparable.
+        """
+        from matrixone_spark.oracle import canonical_rows
+
+        stats = {"compared": 0, "mismatch": 0, "diverged": 0, "spark_only": 0,
+                 "duck_only": 0, "both_failed": 0, "executed": 0, "skipped": 0}
+        for stmt in split_statements(_strip_comments(text)):
+            masked, _ = mask_literals(stmt)
+            head = masked.strip().lstrip("(").split(None, 1)[0].lower() if masked.strip() else ""
+            is_query = head in ("select", "with", "values", "table")
+            snap = None if is_query else self.sess.snapshot()
+            if not is_query:
+                try:
+                    self.con.execute("BEGIN")
+                except Exception:
+                    pass
+            duck_ok, duck_df = True, None
+            try:
+                duck_df = self.con.execute(_duckify(stmt)).fetchdf()
+            except Exception:
+                duck_ok = False
+            spark_ok, spark_df = True, None
+            try:
+                kind, df = self.sess.execute(stmt)
+                if kind == "select" and df is not None:
+                    spark_df = df.toPandas()
+            except Exception:
+                spark_ok = False
+            if not is_query:
+                if spark_ok and duck_ok:
+                    self.con.execute("COMMIT")
+                    stats["executed"] += 1
+                elif spark_ok or duck_ok:
+                    # divergence → both-or-neither: roll both sides back
+                    if spark_ok:
+                        self.sess.restore(snap)
+                    try:
+                        self.con.execute("ROLLBACK")
+                    except Exception:
+                        pass
+                    stats["diverged"] += 1
+                else:
+                    try:
+                        self.con.execute("ROLLBACK")
+                    except Exception:
+                        pass
+                    stats["skipped"] += 1
+                continue
+            if spark_ok and duck_ok and spark_df is not None:
+                # computed-column names differ per engine → compare
+                # positionally under identical synthetic names
+                def _pos(df):
+                    return df.rename(
+                        columns={c: f"c{i:03d}" for i, c in enumerate(df.columns)}
+                    )
+
+                s_rows, _ = canonical_rows(_pos(spark_df))
+                o_rows, _ = canonical_rows(_pos(duck_df))
+                stats["compared"] += 1
+                if s_rows != o_rows:
+                    stats["mismatch"] += 1
+                    if details is not None:
+                        details.append((stmt, s_rows[:5], o_rows[:5]))
+            elif spark_ok and spark_df is not None:
+                stats["spark_only"] += 1
+            elif duck_ok:
+                stats["duck_only"] += 1
+            else:
+                stats["both_failed"] += 1
+        return stats

@@ -11,6 +11,7 @@ the 100 TB hot path; extraction does, and stays JVM-side).
 from __future__ import annotations
 
 import json
+import re
 
 import pandas as pd
 from pyspark.sql import Column
@@ -403,6 +404,80 @@ def json_extract_float64(doc, path) -> Column:
     """Reference json_extract_float64 (func_builtin_json.go): numeric
     extraction as double."""
     return json_value(doc, path, "double")
+
+
+_IDENT_KEY_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _like_regex(pattern: str, escape: str) -> "re.Pattern":
+    """SQL LIKE pattern → anchored regex (MySQL JSON_SEARCH match rules)."""
+    out, i = [], 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == escape and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return re.compile("^" + "".join(out) + "$", re.DOTALL)
+
+
+def _search_paths(node, rx, path: str, acc: "list[str]") -> None:
+    if isinstance(node, str):
+        if rx.match(node):
+            acc.append(path)
+    elif isinstance(node, dict):
+        for k, v in node.items():
+            step = f".{k}" if _IDENT_KEY_RE.match(k) else f'."{k}"'
+            _search_paths(v, rx, path + step, acc)
+    elif isinstance(node, list):
+        for i, v in enumerate(node):
+            _search_paths(v, rx, f"{path}[{i}]", acc)
+
+
+def _make_json_search_udf(one_or_all: str, escape: str):
+    mode = one_or_all.lower()
+
+    @pandas_udf(StringType())
+    def _udf(docs: pd.Series, patterns: pd.Series) -> pd.Series:
+        cache: "dict[str, re.Pattern]" = {}
+
+        def run(doc, pat):
+            if doc is None or pat is None:
+                return None
+            parsed = _loads_or_none(doc)
+            if parsed is None:
+                return None
+            rx = cache.get(pat)
+            if rx is None:
+                rx = cache[pat] = _like_regex(pat, escape)
+            acc: "list[str]" = []
+            _search_paths(parsed, rx, "$", acc)
+            if not acc:
+                return None
+            if mode == "one":
+                return _dumps(acc[0])
+            return _dumps(acc[0] if len(acc) == 1 else acc)
+
+        return pd.Series([run(d, p) for d, p in zip(docs, patterns)])
+
+    return _udf
+
+
+def json_search(doc, one_or_all: str, pattern, escape: str = "\\") -> Column:
+    """MySQL JSON_SEARCH(doc, 'one'|'all', like_pattern[, escape]): paths of
+    string values matching the LIKE pattern, as a JSON string ('one' / single
+    match) or JSON array ('all' with several matches); NULL when absent.
+    MySQL-compat surface beyond the reference registry (function_id.go:1082
+    stops at json_extract/set/contains families); document-order DFS matches
+    MySQL's path ordering."""
+    return _make_json_search_udf(one_or_all, escape)(_c(doc), _c(pattern))
 
 
 # ---------------------------------------------------------------------------

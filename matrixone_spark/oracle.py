@@ -47,6 +47,11 @@ def _norm_value(v):
             v = 0.0  # -0.0 == 0.0
         return ("f", repr(v))
     if isinstance(v, Decimal):
+        # integral Decimals in uint64 range (e.g. Spark decimal(20,0) for
+        # BIGINT UNSIGNED) must compare as ints, like the uint64 cells DuckDB
+        # fetches; beyond 2^64 DuckDB itself fetches float64, so fall through
+        if v == v.to_integral_value() and 2**52 <= abs(v) < 2**64:
+            return ("i", int(v))
         return ("f", repr(float(v)))
     if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
         return ("t", pd.Timestamp(v).isoformat())

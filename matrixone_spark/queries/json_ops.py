@@ -313,3 +313,41 @@ def func_jq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
              ).alias("jq_cond"),
         J.jq(d, F.lit(".tags | map(length) | add")).alias("jq_map_add"),
     )
+
+
+@register(
+    "json_search_battery",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN '"$.seg"' END AS seg_one,
+       CASE WHEN c_mktsegment = 'AUTOMOBILE'
+            THEN '["$.seg","$.nest.seg"]' END                   AS seg_all,
+       CASE WHEN c_name LIKE 'Customer#00000000_'
+            THEN '"$.name"' END                                 AS name_like,
+       CASE WHEN c_mktsegment LIKE '%MOBILE'
+            THEN '"$.seg"' END                                  AS seg_suffix
+FROM customer WHERE c_custkey <= 500
+""",
+    tags=("json",),
+    doc="MySQL JSON_SEARCH one/all with LIKE %/_ patterns over constructed "
+    "docs; 'all' folds two hits into a JSON path array. MySQL-compat surface "
+    "(not in reference function_id.go registry); functions/json_fns.py.",
+)
+def json_search_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer").filter(F.col("c_custkey") <= 500)
+    doc = F.to_json(
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("seg"),
+            F.struct(F.col("c_mktsegment").alias("seg")).alias("nest"),
+        )
+    )
+    base = c.select("c_custkey", doc.alias("doc"))
+    d = F.col("doc")
+    return base.select(
+        "c_custkey",
+        J.json_search(d, "one", F.lit("AUTOMOBILE")).alias("seg_one"),
+        J.json_search(d, "all", F.lit("AUTOMOBILE")).alias("seg_all"),
+        J.json_search(d, "one", F.lit("Customer#00000000_")).alias("name_like"),
+        J.json_search(d, "one", F.lit("%MOBILE")).alias("seg_suffix"),
+    ).drop("doc")
