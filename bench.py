@@ -59,34 +59,41 @@ def main() -> None:
     # additionally report the first (codegen-inclusive) run so cross-round
     # comparisons can't be skewed by the min-of-N choice.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # Per-query error isolation: a red query costs one row in "errors", never
+    # the whole bench file (r2 lesson: one crashed query → rc=1 → no perf
+    # signal for the round).
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         q = registry[name]
         best = None
-        for i in range(runs):
-            t0 = time.time()
-            rows = q.fn(spark, sf_dir).collect()
-            dt = time.time() - t0
-            if i == 0:
-                cold[name] = round(dt, 3)
-            best = dt if best is None else min(best, dt)
-            assert rows is not None
-        timings[name] = round(best, 3)
+        try:
+            for i in range(runs):
+                t0 = time.time()
+                rows = q.fn(spark, sf_dir).collect()
+                dt = time.time() - t0
+                if i == 0:
+                    cold[name] = round(dt, 3)
+                best = dt if best is None else min(best, dt)
+                assert rows is not None
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            cold.pop(name, None)
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
-                "value_cold": round(sum(cold.values()), 3),
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_cold": cold,
+        "value_cold": round(sum(cold.values()), 3),
+        "sf": sf_val,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -36,19 +36,29 @@ TABLES: tuple[str, ...] = (
 BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
 
 
-# Columns stored as TIMESTAMP(NANOS) in parquet; with
-# spark.sql.legacy.parquet.nanosAsLong they arrive as int64 ns and are
-# converted here via truncating division — identical to DuckDB's ns→us read.
+# Columns that must arrive as session-TZ TIMESTAMP regardless of the parquet
+# physical layout. The driver has regenerated testdata with three layouts over
+# time: TIMESTAMP(NANOS) (int64 ns under nanosAsLong), timestamp[us] with tz
+# (already fine), and timestamp[us] WITHOUT tz — which Spark 4 reads as
+# TIMESTAMP_NTZ and which breaks withWatermark + unix_micros paths. Session TZ
+# is pinned to UTC (``_REQUIRED_RUNTIME_CONFS``), so casting NTZ→TIMESTAMP is
+# semantics-preserving and agrees with the DuckDB oracle.
 _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def _fix_nanos_timestamps(df: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
+    dtypes = dict(df.dtypes)
     for table, cols in _NANOS_TS_COLUMNS.items():
         for c in cols:
-            if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+            if c not in df.columns:
+                continue
+            dt = dtypes.get(c)
+            if dt == "bigint":
                 df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+            elif dt == "timestamp_ntz":
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

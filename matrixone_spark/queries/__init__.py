@@ -63,31 +63,44 @@ def register(name: str, oracle: "str | None", tags: tuple = (), doc: str = ""):
 
 _SENTINELS = ("tpch_q1", "tpch_q5", "tpch_q12", "tpch_q21")
 
-# Names pinned immediately after the sentinels (new operators this round that
-# the judge requires a driver row for).
+# Names pinned immediately after the sentinels. Round 3: this round's new
+# operators (driver row required), the two most regression-prone r01-only
+# plans (RANGE frame, rand-ordered sampling), and four streaming queries to
+# prove the TIMESTAMP_NTZ fix with hard signal.
 _HEAD: "tuple[str, ...]" = (
-    "ann_lsh_topk",
-    "onnx_run_score",
-    "bvt_select_battery",
-    "geo_polygon_predicates",
-    "multimodal_png_decode",
+    "ivfpq_search",
+    "geo_h3_battery",
+    "bvt_subquery_battery",
+    "bvt_union_battery",
+    "bvt_distinct_battery",
+    "window_range_frame",
+    "sample_per_group",
+    "stream_tumbling_counts",
+    "stream_stream_join",
+    "stream_dedup_exactly_once",
+    "stream_session_windows",
 )
 
 # Module order for everything else (module name without package prefix).
 # Unlisted modules sort after listed ones, keeping registration order.
+# Round-3 rotation: never-driver-verified families first (scalar batteries,
+# timeseries, table funcs fill the 50-row window after _HEAD); the families
+# below the fold (streaming tail, advanced, geo, aggregates tail) rotate to
+# the front in round 4.
 _MODULE_PRIORITY = (
-    "dedup",
-    "vector",
-    "textops",
-    "json_ops",
-    "aggregates",
-    "timeseries",
     "scalar_funcs",
+    "timeseries",
     "table_funcs",
     "streaming_mm",
     "advanced",
     "geo_bitmap",
-    # round-1 driver-verified families last:
+    "aggregates",
+    "bvt",
+    # driver-verified families last:
+    "dedup",
+    "vector",
+    "textops",
+    "json_ops",
     "tpch",
     "tpch2",
     "relational",
