@@ -164,7 +164,23 @@ class BvtSession:
         self.schemas: "dict[str, list[tuple[str, str]]]" = {}
         self.defaults: "dict[str, dict[str, str]]" = {}
 
-    def _register(self, name: str, df: DataFrame) -> None:
+    # BVT fixtures are tens of rows; anything bigger than this is a runaway
+    # (e.g. an INSERT..SELECT off generate_series) and stays lazy.
+    _MATERIALIZE_CAP = 20_000
+
+    def _register(self, name: str, df: DataFrame, materialize: bool = True) -> None:
+        if materialize:
+            # Eagerly pin table state as a local relation: scripts chain
+            # dozens of INSERT/UPDATE/DELETE projections per table, and a lazy
+            # lineage would be re-executed (deeper each time) by every later
+            # SELECT — O(n²) actions over the script. One collect per DML
+            # keeps every scan a 1-partition LocalRelation.
+            try:
+                rows = df.limit(self._MATERIALIZE_CAP + 1).collect()
+                if len(rows) <= self._MATERIALIZE_CAP:
+                    df = self.spark.createDataFrame(rows, df.schema)
+            except Exception:
+                pass  # unmaterializable state surfaces on first SELECT
         self.tables[name] = df
         df.createOrReplaceTempView(name)
 
@@ -222,7 +238,8 @@ class BvtSession:
             if vm:
                 name = vm.group(1)
                 df = self.spark.sql(translate(unmask_literals(vm.group(2), spans)))
-                self._register(name, df)
+                # views stay lazy: they must track later DML on base tables
+                self._register(name, df, materialize=False)
                 return "ddl", None
             raise SkipStatement("unsupported CREATE kind")
         if head == "drop":
@@ -359,6 +376,9 @@ _DUCK_TYPE_SUBS = [
     (re.compile(r"\b(?:mediumint|int|integer)\s+unsigned\b", re.IGNORECASE), "UINTEGER"),
     (re.compile(r"\bbigint\s+unsigned\b", re.IGNORECASE), "UBIGINT"),
     (re.compile(r"\bmediumint\b", re.IGNORECASE), "INTEGER"),
+    # MySQL's bare DECIMAL defaults to (10,0); DuckDB's defaults to (18,3) —
+    # pin the MySQL default so both engines round identically
+    (re.compile(r"\b(decimal|numeric)\b(?!\s*\()", re.IGNORECASE), "DECIMAL(10,0)"),
     (re.compile(r"\bint\(\d+\)", re.IGNORECASE), "INTEGER"),
     (re.compile(r"\bdatetime(\(\d+\))?\b", re.IGNORECASE), "TIMESTAMP"),
     (re.compile(r"\b(?:tiny|medium|long)text\b", re.IGNORECASE), "TEXT"),

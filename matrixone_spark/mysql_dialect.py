@@ -201,6 +201,26 @@ def _cast_rewrite(masked: str) -> str:
 # Spark's TakeOrderedAndProject allocates O(limit) per task, so a huge-but-
 # valid limit OOMs the JVM. 5M stays "all rows" at any test-fixture scale.
 _INT32_MAX = 5000000
+# substring length/start literals beyond int32 wrap negative in Spark's
+# substring (→ ''); MySQL saturates. Clamp any ≥10-digit int argument of the
+# substring family to int32 max.
+_SUBSTR_BIG_RE = re.compile(
+    r"\b(substr|substring|mid|left|right)(\s*\()([^()]*?)(-?)(\d{10,})", re.IGNORECASE
+)
+
+
+def rewrite_substr_clamp(masked: str) -> str:
+    def repl(m: "re.Match") -> str:
+        val = "-2147483648" if m.group(4) == "-" else "2147483647"
+        return f"{m.group(1)}{m.group(2)}{m.group(3)}{val}"
+
+    prev = None
+    while prev != masked:  # several oversized args per call
+        prev = masked
+        masked = _SUBSTR_BIG_RE.sub(repl, masked)
+    return masked
+
+
 _LIMIT_OC_RE = re.compile(r"\blimit\s+(\d+)\s*,\s*(\d+)", re.IGNORECASE)
 _LIMIT_BIG_RE = re.compile(r"\b(limit|offset)\s+(\d{10,})\b", re.IGNORECASE)
 
@@ -219,6 +239,207 @@ def rewrite_limit(masked: str) -> str:
     return _LIMIT_BIG_RE.sub(
         lambda m: f"{m.group(1)} {_clamp(m.group(2))}", masked
     )
+
+
+# --- quantified comparisons: expr op ANY/SOME/ALL (subquery) ----------------
+# Spark has no quantified-comparison syntax (only IN / EXISTS). MySQL's (and
+# the reference's plan/build_compare.go ANY/ALL lowering) maps onto:
+#   =  ANY → IN            <> ALL → NOT IN        (native, null-aware)
+# and for the ordered/<> forms a three-valued CASE over subquery aggregates:
+# exists-match → TRUE, no-match-but-NULLs-present (or NULL lhs) → NULL,
+# else FALSE (dual for ALL). The aggregates reference only subquery-local
+# columns (Spark rejects aggregates mixing outer+local refs), so the lhs
+# comparison happens OUTSIDE the scalar subqueries; Spark's ReuseSubquery
+# dedups the repeated aggregate scans.
+_QUANT_RE = re.compile(
+    r"(?<![<>=!])(=|<>|!=|<=|>=|<|>)\s*\b(any|some|all)\s*\(", re.IGNORECASE
+)
+
+
+def _scan_balanced(s: str, i: int) -> int:
+    """s[i] == '(' → index just past the matching ')' (or -1)."""
+    depth = 0
+    while i < len(s):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return -1
+
+
+def _lhs_span(s: str, end: int) -> "tuple[int, int]":
+    """Backward-scan the primary expression ending at `end` (exclusive):
+    a parenthesized group (with optional function name) or an
+    identifier/literal chain. Returns (start, real_end)."""
+    j = end
+    while j > 0 and s[j - 1].isspace():
+        j -= 1
+    real_end = j
+    if j > 0 and s[j - 1] == ")":
+        depth = 0
+        while j > 0:
+            j -= 1
+            if s[j] == ")":
+                depth += 1
+            elif s[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+    while j > 0 and (s[j - 1].isalnum() or s[j - 1] in "_.$\x01"):
+        j -= 1
+    return j, real_end
+
+
+def rewrite_quantified(masked: str) -> str:
+    pos = 0
+    for _guard in range(4096):  # cap only guards pathological self-feeding
+        m = _QUANT_RE.search(masked, pos)
+        if not m:
+            break
+        op = m.group(1)
+        op = "<>" if op == "!=" else op
+        is_all = m.group(2).lower() == "all"
+        open_idx = m.end() - 1
+        sub_end = _scan_balanced(masked, open_idx)
+        sub = masked[open_idx + 1 : sub_end - 1].strip() if sub_end > 0 else ""
+        if sub_end < 0 or not re.match(r"\(*\s*(select|with|values|table)\b", sub, re.IGNORECASE):
+            pos = m.end()
+            continue
+        lhs_start, lhs_end = _lhs_span(masked, m.start())
+        lhs = masked[lhs_start:lhs_end].strip()
+        row_valued = lhs.startswith("(") and len(_split_top_level(lhs[1:-1])) > 1
+        in_form = (op == "=" and not is_all) or (op == "<>" and is_all)
+        if not lhs or (row_valued and not in_form):
+            pos = m.end()  # row-value min/max has no defined order here
+            continue
+        repl = _quantified_three_state(lhs, op, sub, is_all, row_valued)
+        masked = masked[: lhs_start] + repl + masked[sub_end:]
+        pos = lhs_start  # re-scan from here: sub may hold nested quantifiers
+    return masked
+
+
+def _quantified_three_state(
+    lhs: str, op: str, sub: str, is_all: bool, row_valued: bool = False
+) -> str:
+    def agg(expr: str) -> str:
+        return f"(SELECT {expr} FROM ({sub}) __quant(__v))" if not row_valued else ""
+
+    x = f"({lhs})"
+    null_b = "CAST(NULL AS BOOLEAN)"
+    empty_val = "true" if is_all else "false"
+    if (op == "=" and not is_all) or (op == "<>" and is_all):
+        if row_valued:
+            # row-value lhs: native IN/NOT IN (per-field NULL edge cases
+            # keep Spark's ExistenceJoin behavior — documented limitation)
+            return f"({lhs} {'NOT ' if op == '<>' else ''}IN ({sub}))"
+        # = ANY / <> ALL ride on IN for the match test, but Spark's
+        # projection-context InSubquery (ExistenceJoin) collapses NULL to
+        # FALSE in both directions; the CASE restores three-valued logic.
+        sub_cnt = f"(SELECT count(*) FROM ({sub}) __quant(__v))"
+        anynull = f"(SELECT count(*) FROM ({sub}) __quant(__v) WHERE __v IS NULL) > 0"
+        hit = f"{x} IN ({sub})"
+        t, f = ("false", "true") if (op == "<>") else ("true", "false")
+        return (
+            f"(CASE WHEN {sub_cnt} = 0 THEN {empty_val} "
+            f"WHEN {x} IS NULL THEN {null_b} "
+            f"WHEN {hit} THEN {t} "
+            f"WHEN {anynull} THEN {null_b} ELSE {f} END)"
+        )
+    cnt, nn = agg("count(*)"), agg("count(__v)")
+    mn, mx = agg("min(__v)"), agg("max(__v)")
+    has_null = f"{cnt} > {nn}"
+    if op == "<>":  # <> ANY: some value differs (x matches at most one distinct)
+        ndv = agg("count(distinct __v)")
+        hit = f"({ndv} >= 2 OR ({ndv} = 1 AND {x} <> {mn}))"
+        tail = f"WHEN {hit} THEN true WHEN {has_null} THEN {null_b} ELSE false"
+        return (
+            f"(CASE WHEN {cnt} = 0 THEN false "
+            f"WHEN {x} IS NULL THEN {null_b} {tail} END)"
+        )
+    if op == "=":  # = ALL: any second distinct value falsifies
+        ndv = agg("count(distinct __v)")
+        viol = f"({ndv} >= 2 OR ({ndv} = 1 AND {x} <> {mn}))"
+        tail = f"WHEN {viol} THEN false WHEN {has_null} THEN {null_b} ELSE true"
+        return (
+            f"(CASE WHEN {cnt} = 0 THEN true "
+            f"WHEN {x} IS NULL THEN {null_b} {tail} END)"
+        )
+    if not is_all:  # ordered ANY: compare against the permissive extreme
+        bound = mn if op in (">", ">=") else mx
+        tail = f"WHEN {x} {op} {bound} THEN true WHEN {has_null} THEN {null_b} ELSE false"
+    else:  # ordered ALL: a single counterexample falsifies
+        viol_op = {">": "<=", ">=": "<", "<": ">=", "<=": ">"}[op]
+        bound = mx if op in (">", ">=") else mn
+        tail = f"WHEN {x} {viol_op} {bound} THEN false WHEN {has_null} THEN {null_b} ELSE true"
+    return (
+        f"(CASE WHEN {cnt} = 0 THEN {empty_val} "
+        f"WHEN {x} IS NULL THEN {null_b} {tail} END)"
+    )
+
+
+# --- projection-context IN (subquery) ---------------------------------------
+# Spark plans InSubquery as an ExistenceJoin, which collapses the NULL
+# outcome to FALSE (both directions). In WHERE/HAVING context FALSE and NULL
+# filter identically, so the fast native plan (null-aware semi/anti join) is
+# kept there; in SELECT-list context the value is user-visible, so IN/NOT IN
+# are rewritten to the same three-valued CASE as = ANY / <> ALL. Replacements
+# are stashed as masked spans so the scanner never re-matches its own output.
+_IN_SUB_RE = re.compile(r"\b(not\s+)?in\s*\(\s*(select|with)\b", re.IGNORECASE)
+_BLOCK_TOK_RE = re.compile(r"\(|\)|\bselect\b|\bfrom\b", re.IGNORECASE)
+
+
+def _in_projection_context(masked: str, pos: int) -> bool:
+    """True iff `pos` lies in the select-list of its innermost query block."""
+    depth = 0
+    stack: "list[list]" = []  # [depth, in_select_list]
+    for m in _BLOCK_TOK_RE.finditer(masked, 0, pos):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+            while stack and stack[-1][0] > depth:
+                stack.pop()
+        elif tok.lower() == "select":
+            stack.append([depth, True])
+        else:  # from
+            if stack and stack[-1][0] == depth:
+                stack[-1][1] = False
+    return bool(stack) and stack[-1][1]
+
+
+def rewrite_in_projection(masked: str, spans: "list[str]") -> str:
+    pos = 0
+    for _guard in range(4096):
+        m = _IN_SUB_RE.search(masked, pos)
+        if not m:
+            break
+        if not _in_projection_context(masked, m.start()):
+            pos = m.end()
+            continue
+        open_idx = masked.index("(", m.start())
+        sub_end = _scan_balanced(masked, open_idx)
+        if sub_end < 0:
+            pos = m.end()
+            continue
+        sub = masked[open_idx + 1 : sub_end - 1].strip()
+        lhs_start, lhs_end = _lhs_span(masked, m.start())
+        lhs = masked[lhs_start:lhs_end].strip()
+        if not lhs:
+            pos = m.end()
+            continue
+        row_valued = lhs.startswith("(") and len(_split_top_level(lhs[1:-1])) > 1
+        negated = bool(m.group(1))
+        repl = _quantified_three_state(
+            lhs, "<>" if negated else "=", sub, is_all=negated, row_valued=row_valued
+        )
+        spans.append(repl)
+        masked = masked[:lhs_start] + _PH.format(len(spans) - 1) + masked[sub_end:]
+        pos = lhs_start + len(_PH.format(len(spans) - 1))
+    return masked
 
 
 _GENSERIES_RE = re.compile(
@@ -263,10 +484,16 @@ def translate(sql: str) -> str:
 
     masked = _DATE_FORMAT_RE.sub(fmt_repl, masked)
     masked = _GROUP_CONCAT_RE.sub(gc_repl, masked)
+    if _QUANT_RE.search(masked):
+        masked = rewrite_quantified(masked)
+    if _IN_SUB_RE.search(masked):
+        masked = rewrite_in_projection(masked, spans)
     masked = _truncate_rewrite(masked)
     masked = _convert_tz_rewrite(masked)
     masked = _cast_rewrite(masked)
     masked = rewrite_limit(masked)
+    if re.search(r"\d{10,}", masked):
+        masked = rewrite_substr_clamp(masked)
     if "generate_series" in masked.lower():
         masked = rewrite_generate_series(masked, "explode(sequence({}))")
     masked = _SYSTEM_FN_RE.sub(lambda m: sys_lits[m.group(1).lower()], masked)

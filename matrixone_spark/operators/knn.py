@@ -209,3 +209,168 @@ class LshAnnIndex:
 
     def unpersist(self) -> None:
         self.hashed.unpersist(blocking=False)
+
+
+class IvfPqIndex:
+    """IVF-PQ: coarse KMeans partitioning + product-quantized residuals.
+
+    Reference: ivfpq_create/ivfpq_search TVFs
+    (colexec/table_function/ivfpq_create_cpu.go, ivfpq_search_cpu.go;
+    pkg/vectorindex/ivfpq/, quantizer/quantizer.go) — train coarse centroids,
+    quantize each vector's residual with m sub-quantizer codebooks, search
+    with asymmetric distance (query-to-codebook lookup tables) over the
+    nprobe nearest coarse buckets.
+
+    Spark-first shape:
+    - build: MLlib KMeans for the coarse level (same trainer as IvfIndex);
+      residual = vec - centroid via zip_with (JVM); m per-subspace KMeans
+      fits produce the codebooks; codes live as one array<int> column. At
+      100 TB the code table (id, centroid_id, m small ints) is ~50× smaller
+      than the raw vectors and is written partitioned by centroid_id.
+    - search: the nprobe LUTs (m × ksub distances, per probed centroid) are
+      a few KB — broadcast-joined on centroid_id; ADC distance is
+      aggregate(zip_with(codes, lut, (c, l) -> l[c])) — pure JVM
+      expressions, no UDF — then TakeOrderedAndProject. Optional refine
+      re-ranks an ADC shortlist with exact distances (the reference's
+      search flow re-ranks via the base table the same way).
+    """
+
+    def __init__(self, coarse: "list[tuple[int, list[float]]]",
+                 codebooks: "list[list[list[float]]]", codes: DataFrame,
+                 emb_col: str, id_col: str, m: int, dsub: int):
+        self.coarse = coarse                # [(centroid_id, center)] driver-held
+        self.codebooks = codebooks          # [m][ksub][dsub] driver-held
+        self.codes = codes                  # id, emb (for refine), centroid_id, pq_codes
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self.m = m
+        self.dsub = dsub
+
+    @classmethod
+    def build(cls, items: DataFrame, emb_col: str, id_col: str,
+              nlist: int = 8, m: int = 4, ksub: int = 16,
+              seed: int = 42, max_iter: int = 20) -> "IvfPqIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        dim = len(items.select(emb_col).first()[0])
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m {m}")
+        dsub = dim // m
+
+        dbl = F.transform(F.col(emb_col), lambda v: v.cast("double"))
+        feat = items.withColumn("_emb_d", dbl).withColumn(
+            "_features", array_to_vector(F.col("_emb_d"))
+        )
+        coarse_model = KMeans(
+            k=nlist, seed=seed, maxIter=max_iter, featuresCol="_features"
+        ).fit(feat)
+        coarse = [(i, [float(x) for x in c]) for i, c in enumerate(coarse_model.clusterCenters())]
+
+        spark = items.sparkSession
+        cent_df = F.broadcast(
+            spark.createDataFrame(
+                [(i, c) for i, c in coarse], "centroid_id int, _center array<double>"
+            )
+        )
+        assigned = (
+            coarse_model.transform(feat)
+            .withColumnRenamed("prediction", "centroid_id")
+            .join(cent_df, "centroid_id")
+            .withColumn("_resid", F.zip_with("_emb_d", "_center", lambda a, b: a - b))
+        )
+        for i in range(m):
+            assigned = assigned.withColumn(
+                f"_sub{i}", array_to_vector(F.slice("_resid", i * dsub + 1, dsub))
+            )
+        # training scans the residuals m+1 times — cache for the build only
+        assigned = assigned.persist()
+        codebooks: "list[list[list[float]]]" = []
+        coded = assigned
+        for i in range(m):
+            sub_model = KMeans(
+                k=ksub, seed=seed + 1 + i, maxIter=max_iter,
+                featuresCol=f"_sub{i}", predictionCol=f"_code{i}",
+            ).fit(assigned)
+            codebooks.append([[float(x) for x in c] for c in sub_model.clusterCenters()])
+            coded = sub_model.transform(coded)
+        codes = coded.select(
+            *items.columns,  # base columns ride along (reference keeps the base table for resolve/re-rank)
+            "centroid_id",
+            F.array(*[F.col(f"_code{i}") for i in range(m)]).alias("pq_codes"),
+        )
+        # pin the (small) code table, then drop the training cache
+        codes = codes.persist()
+        codes.count()
+        assigned.unpersist(blocking=False)
+        return cls(coarse, codebooks, codes, emb_col, id_col, m, dsub)
+
+    def _luts(self, query_vec: "list[float]", probe_ids: "list[int]"):
+        """Per-probed-centroid ADC tables: lut[i][j] = ||q_resid_sub_i - cb[i][j]||²."""
+        luts = []
+        centers = dict(self.coarse)
+        for cid in probe_ids:
+            resid = [q - c for q, c in zip(query_vec, centers[cid])]
+            lut = []
+            for i in range(self.m):
+                sub = resid[i * self.dsub : (i + 1) * self.dsub]
+                lut.append([
+                    sum((a - b) ** 2 for a, b in zip(sub, code))
+                    for code in self.codebooks[i]
+                ])
+            luts.append((cid, lut))
+        return luts
+
+    def search(self, query_vec: "list[float]", k: int, nprobe: int = 4,
+               refine: int = 4) -> DataFrame:
+        """ADC top-k over the nprobe nearest coarse buckets; with refine>0,
+        shortlist refine*k by ADC then re-rank exactly (ivfpq_search_cpu.go
+        searches quantized then resolves against stored vectors)."""
+        import math
+
+        def d2(c):
+            return sum((a - b) ** 2 for a, b in zip(c, query_vec))
+
+        probe_ids = [cid for cid, _ in sorted(self.coarse, key=lambda t: d2(t[1]))[:nprobe]]
+        spark = self.codes.sparkSession
+        lut_df = F.broadcast(
+            spark.createDataFrame(
+                self._luts(query_vec, probe_ids),
+                "centroid_id int, _lut array<array<double>>",
+            )
+        )
+        # centroid_id filter prunes partitions when the code table is written
+        # partitioned by centroid_id (same pruning story as IVF-flat).
+        adc = (
+            self.codes.filter(F.col("centroid_id").isin(probe_ids))
+            .join(lut_df, "centroid_id")
+            .withColumn(
+                "adc_distance",
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            "pq_codes", "_lut",
+                            lambda c, l: F.element_at(l, c.cast("int") + F.lit(1)),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ),
+            )
+        )
+        if not refine:
+            return (
+                adc.orderBy(F.asc("adc_distance"), F.asc(self.id_col))
+                .limit(k)
+                .withColumnRenamed("adc_distance", "distance")
+            )
+        short = adc.orderBy(F.asc("adc_distance"), F.asc(self.id_col)).limit(refine * k)
+        q = V.lit_vector(query_vec)
+        return (
+            short.withColumn("distance", V.l2_distance(self.emb_col, q))
+            .orderBy(F.asc("distance"), F.asc(self.id_col))
+            .limit(k)
+        )
+
+    def unpersist(self) -> None:
+        self.codes.unpersist(blocking=False)

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from matrixone_spark.catalog import Catalog
 from matrixone_spark.functions import vector as V
-from matrixone_spark.operators.knn import IvfIndex, LshAnnIndex, knn_exact, knn_join
+from matrixone_spark.operators.knn import IvfIndex, IvfPqIndex, LshAnnIndex, knn_exact, knn_join
 from matrixone_spark.queries import register
 
 # Deterministic query vector (shared by Spark and oracle SQL).
@@ -208,6 +208,40 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _lsh_index_cached(spark, sf_dir)
     return idx.search(_QVEC, 10)
+
+
+@register(
+    "ivfpq_search",
+    oracle=None,  # approximate: recall vs exact gated in tests/test_vector.py
+    tags=("vector", "approx"),
+    doc=(
+        "IVF-PQ index search (ivfpq_create/ivfpq_search TVFs, "
+        "colexec/table_function/ivfpq_search_cpu.go, pkg/vectorindex/ivfpq/): "
+        "coarse KMeans buckets + product-quantized residuals; search probes "
+        "nprobe buckets with asymmetric-distance LUTs (broadcast-joined, "
+        "pure zip_with/aggregate JVM expressions) then exact-refines the "
+        "shortlist. Recall ≥0.9 vs exact KNN pytest-gated "
+        "(operators/knn.py IvfPqIndex)."
+    ),
+)
+def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _ivfpq_index_cached(spark, sf_dir)
+    return idx.search(_QVEC, 10, nprobe=4, refine=8).select("vec_id", "label", "distance")
+
+
+_IVFPQ_CACHE: "dict[tuple[str, str], IvfPqIndex]" = {}
+
+
+def _ivfpq_index_cached(spark: SparkSession, sf_dir: str) -> "IvfPqIndex":
+    # build-once-search-many (ivfpq_create writes the index table once;
+    # ivfpq_search probes it) — keyed like the LSH cache below
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _IVFPQ_CACHE.get(key)
+    if idx is None:
+        e = Catalog(spark, sf_dir).table("embeddings")
+        idx = IvfPqIndex.build(e, "embedding", "vec_id", nlist=8, m=8, ksub=16)
+        _IVFPQ_CACHE[key] = idx
+    return idx
 
 
 _LSH_CACHE: "dict[tuple[str, str], LshAnnIndex]" = {}

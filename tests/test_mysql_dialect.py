@@ -128,3 +128,47 @@ def test_system_meta_end_to_end(spark):
     ).collect()[0]
     assert row.v.startswith("8.0.30-MatrixOne-v")
     assert row.u == "root@localhost" and row.r == "moadmin" and row.f == 0
+
+
+def test_quantified_comparisons_vs_duckdb(spark):
+    """ANY/SOME/ALL rewrite (rewrite_quantified): full op × quantifier ×
+    NULL-shape matrix must match DuckDB's native quantified comparisons,
+    including the projection-context NULL cases Spark's own InSubquery
+    (ExistenceJoin) gets wrong."""
+    import duckdb
+
+    con = duckdb.connect()
+    shapes = {
+        "tv": [(1,), (2,), (3,), (None,)],
+        "te": [],
+        "tn": [(None,)],
+        "tnn": [(1,), (2,), (3,)],
+        "tsame": [(2,), (2,)],
+    }
+    for name, rows in shapes.items():
+        con.execute(f"CREATE TABLE {name}(v INT)")
+        if rows:
+            con.executemany(f"INSERT INTO {name} VALUES (?)", rows)
+        body = ", ".join("(%s)" % ("NULL" if r[0] is None else r[0]) for r in rows)
+        if rows:
+            spark.sql(
+                f"CREATE OR REPLACE TEMP VIEW {name} AS "
+                f"SELECT CAST(col1 AS INT) AS v FROM VALUES {body}"
+            )
+        else:
+            spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS SELECT 1 AS v WHERE 1=0")
+    cases = [
+        f"{x} {op} {kw} (SELECT v FROM {tbl})"
+        for tbl in shapes
+        for x in ("0", "2", "5", "CAST(NULL AS INT)")
+        for kw in ("ANY", "ALL")
+        for op in ("=", "<>", "<", ">", "<=", ">=")
+    ]
+    # batch: one SELECT with every case as a column, per engine
+    sel = ", ".join(f"{c} AS c{i}" for i, c in enumerate(cases))
+    want = list(con.execute(f"SELECT {sel}").fetchone())
+    got = list(spark.sql(translate(f"SELECT {sel}")).collect()[0])
+    diffs = [
+        (cases[i], g, w) for i, (g, w) in enumerate(zip(got, want)) if g != w
+    ]
+    assert not diffs, diffs[:5]

@@ -98,3 +98,36 @@ def test_compress_mysql_layout(spark):
     assert struct.unpack("<I", bytes(r.c[:4]))[0] == 17
     assert zlib.decompress(bytes(r.c[4:])) == b"hello hello hello"
     assert bytes(r.empty) == b"" and r.bad is None
+
+
+def test_ivfpq_recall_vs_exact(spark):
+    """IVF-PQ (coarse KMeans + product-quantized residuals + ADC search with
+    exact refine): recall ≥0.9 against exact KNN — the same gate the
+    reference applies to its approximate indexes."""
+    from matrixone_spark.operators.knn import IvfPqIndex
+
+    e = Catalog(spark, SF_DIR).table("embeddings")
+    exact_ids = {r.vec_id for r in knn_exact(e, "embedding", QVEC, 10, "vec_id").collect()}
+    idx = IvfPqIndex.build(e, "embedding", "vec_id", nlist=8, m=8, ksub=16)
+    try:
+        approx_ids = {r.vec_id for r in idx.search(QVEC, 10, nprobe=4, refine=8).collect()}
+    finally:
+        idx.unpersist()
+    recall = len(exact_ids & approx_ids) / len(exact_ids)
+    assert recall >= 0.9, f"IVF-PQ recall {recall} (exact={exact_ids}, approx={approx_ids})"
+
+
+def test_ivfpq_adc_only_recall(spark):
+    """Pure ADC (no exact refine) still ranks well enough to put most true
+    neighbors in a 4x shortlist — guards the LUT/codebook math itself."""
+    from matrixone_spark.operators.knn import IvfPqIndex
+
+    e = Catalog(spark, SF_DIR).table("embeddings")
+    exact_ids = {r.vec_id for r in knn_exact(e, "embedding", QVEC, 10, "vec_id").collect()}
+    idx = IvfPqIndex.build(e, "embedding", "vec_id", nlist=4, m=8, ksub=16)
+    try:
+        short = {r.vec_id for r in idx.search(QVEC, 40, nprobe=4, refine=0).collect()}
+    finally:
+        idx.unpersist()
+    hit = len(exact_ids & short) / len(exact_ids)
+    assert hit >= 0.8, f"ADC shortlist hit-rate {hit} (exact={exact_ids})"
