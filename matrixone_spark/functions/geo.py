@@ -537,3 +537,256 @@ def st_pointfromgeohash(gh) -> Column:
         st_latfromgeohash(gh).cast("string"),
         F.lit(")"),
     )
+
+
+def mbr_covers(a, b) -> Column:
+    """MBRCovers(a, b): no point of b outside a. For closed rectangles this
+    coincides with MBRContains (func_mbr.go MySQL MBR family — boundary
+    points count as covered)."""
+    return mbr_contains_box(a, b)
+
+
+def mbr_coveredby(a, b) -> Column:
+    """MBRCoveredBy(a, b) ≡ MBRCovers(b, a)."""
+    return mbr_within(a, b)
+
+
+def mbr_overlaps(a, b) -> Column:
+    """MBROverlaps: boxes intersect with positive area but neither contains
+    the other (MySQL MBROverlaps: same dimension, partial overlap)."""
+    a, b = _b(a), _b(b)
+    x_olap = F.least(a.xmax, b.xmax) - F.greatest(a.xmin, b.xmin)
+    y_olap = F.least(a.ymax, b.ymax) - F.greatest(a.ymin, b.ymin)
+    return (
+        (x_olap > 0) & (y_olap > 0) & ~mbr_within(a, b) & ~mbr_contains_box(a, b)
+    )
+
+
+# ---------------------------------------------------------------------------
+# WKB codec + WKT constructor/accessor long tail (function_id.go st_* family).
+# WKB layout (OGC): byte order (01=LE), geometry type uint32, then f64
+# coordinates; polygons carry ring count + per-ring point counts. Codec runs
+# as Arrow-batched pandas UDFs over the WKT rendering (multimodal-operator
+# precedent) since binary packing has no Column-expression form; everything
+# else below stays pure expressions.
+# ---------------------------------------------------------------------------
+
+_WKB_TYPES = {"POINT": 1, "LINESTRING": 2, "POLYGON": 3}
+_WKB_NAMES = {v: k for k, v in _WKB_TYPES.items()}
+
+
+def _wkt_to_wkb_py(wkt: "str | None") -> "bytes | None":
+    import re as _re
+    import struct as _struct
+
+    if wkt is None:
+        return None
+    m = _re.match(r"\s*([A-Za-z]+)\s*\((.*)\)\s*$", wkt, _re.DOTALL)
+    if not m or m.group(1).upper() not in _WKB_TYPES:
+        return None
+    gtype = m.group(1).upper()
+    body = m.group(2)
+
+    def pts(text):
+        out = []
+        for pair in text.split(","):
+            x, y = pair.split()
+            out.append((float(x), float(y)))
+        return out
+
+    head = _struct.pack("<BI", 1, _WKB_TYPES[gtype])
+    if gtype == "POINT":
+        (xy,) = pts(body)
+        return head + _struct.pack("<dd", *xy)
+    if gtype == "LINESTRING":
+        ps = pts(body)
+        return head + _struct.pack("<I", len(ps)) + b"".join(
+            _struct.pack("<dd", *p) for p in ps
+        )
+    ring = pts(body.strip().strip("()"))
+    return (
+        head
+        + _struct.pack("<II", 1, len(ring))
+        + b"".join(_struct.pack("<dd", *p) for p in ring)
+    )
+
+
+def _wkb_to_wkt_py(raw: "bytes | None") -> "str | None":
+    import struct as _struct
+
+    if raw is None or len(raw) < 5:
+        return None
+    try:
+        order = "<" if raw[0] == 1 else ">"
+        (gt,) = _struct.unpack_from(order + "I", raw, 1)
+        name = _WKB_NAMES.get(gt)
+        if name is None:
+            return None
+
+        def fmt(x: float) -> str:
+            return repr(x)
+
+        if name == "POINT":
+            x, y = _struct.unpack_from(order + "dd", raw, 5)
+            return f"POINT({fmt(x)} {fmt(y)})"
+        if name == "LINESTRING":
+            (n,) = _struct.unpack_from(order + "I", raw, 5)
+            coords = _struct.unpack_from(order + "d" * (2 * n), raw, 9)
+            body = ", ".join(f"{fmt(coords[2*i])} {fmt(coords[2*i+1])}" for i in range(n))
+            return f"LINESTRING({body})"
+        (nrings,) = _struct.unpack_from(order + "I", raw, 5)
+        if nrings < 1:
+            return None
+        (n,) = _struct.unpack_from(order + "I", raw, 9)  # exterior ring only
+        coords = _struct.unpack_from(order + "d" * (2 * n), raw, 13)
+        body = ", ".join(f"{fmt(coords[2*i])} {fmt(coords[2*i+1])}" for i in range(n))
+        return f"POLYGON(({body}))"
+    except Exception:
+        return None
+
+
+def st_aswkb(g) -> Column:
+    """ST_AsWKB/ST_AsBinary: geometry struct → OGC WKB (little-endian)."""
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf as _pudf
+    from pyspark.sql.types import BinaryType
+
+    @_pudf(BinaryType())
+    def enc(ss):
+        return ss.map(_wkt_to_wkb_py)
+
+    return enc(st_astext(g))
+
+
+st_asbinary = st_aswkb
+
+
+def _wkb_to_wkt(col) -> Column:
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf as _pudf
+    from pyspark.sql.types import StringType
+
+    @_pudf(StringType())
+    def dec(ss):
+        return ss.map(lambda b: _wkb_to_wkt_py(bytes(b) if b is not None else None))
+
+    return dec(_c(col))
+
+
+def st_geomfromwkb(b) -> Column:
+    """ST_GeomFromWKB/ST_GeomFromBinary: WKB → geometry struct (NULL on
+    malformed/unsupported input, the reference's per-row error analogue)."""
+    return st_geomfromtext(_wkb_to_wkt(b))
+
+
+st_geomfrombinary = st_geomfromwkb
+
+
+def _typed(g: Column, expect: str) -> Column:
+    return F.when(g.gtype == expect, g)
+
+
+def st_pointfromwkb(b) -> Column:
+    return _typed(st_geomfromwkb(b), "POINT")
+
+
+def st_linestringfromwkb(b) -> Column:
+    return _typed(st_geomfromwkb(b), "LINESTRING")
+
+
+st_linefromwkb = st_linestringfromwkb
+
+
+def st_polygonfromwkb(b) -> Column:
+    return _typed(st_geomfromwkb(b), "POLYGON")
+
+
+st_polyfromwkb = st_polygonfromwkb
+
+
+def st_geometryfromtext(wkt) -> Column:
+    """MySQL alias family: typed FromText constructors return NULL (not an
+    error) on type mismatch."""
+    return st_geomfromtext(wkt)
+
+
+def st_pointfromtext(wkt) -> Column:
+    return _typed(st_geomfromtext(wkt), "POINT")
+
+
+def st_linestringfromtext(wkt) -> Column:
+    return _typed(st_geomfromtext(wkt), "LINESTRING")
+
+
+def st_polygonfromtext(wkt) -> Column:
+    return _typed(st_geomfromtext(wkt), "POLYGON")
+
+
+st_aswkt = st_astext
+
+
+def st_longitude(g) -> Column:
+    """Longitude (x) of a POINT geometry (func_s2h3.go point accessors)."""
+    g = _c(g)
+    return F.when(g.gtype == "POINT", F.element_at(g.pts, 1).x)
+
+
+def st_latitude(g) -> Column:
+    g = _c(g)
+    return F.when(g.gtype == "POINT", F.element_at(g.pts, 1).y)
+
+
+def st_isempty(g) -> Column:
+    g = _c(g)
+    return F.when(g.gtype.isNotNull(), F.size(g.pts) == 0)
+
+
+def st_dimension(g) -> Column:
+    g = _c(g)
+    return (
+        F.when(g.gtype == "POINT", F.lit(0))
+        .when(g.gtype == "LINESTRING", F.lit(1))
+        .when(g.gtype == "POLYGON", F.lit(2))
+    )
+
+
+def st_numgeometries(g) -> Column:
+    """Non-collection geometries count 1 (collections out of repr scope)."""
+    g = _c(g)
+    return F.when(g.gtype.isNotNull(), F.lit(1))
+
+
+def st_numinteriorrings(g) -> Column:
+    """Outer-ring-only representation ⇒ polygons report 0 interior rings."""
+    g = _c(g)
+    return F.when(g.gtype == "POLYGON", F.lit(0))
+
+
+st_numinteriorring = st_numinteriorrings
+
+
+def st_srid(g) -> Column:
+    """MySQL default SRID 0 (the repr carries no CRS; reference stores 4326
+    only via typed columns)."""
+    g = _c(g)
+    return F.when(g.gtype.isNotNull(), F.lit(0))
+
+
+def st_equals(a, b) -> Column:
+    """Point-set equality within this repr: same type and same vertex walk
+    (forward, reversed, or — for closed rings — rotated)."""
+    a, b = _c(a), _c(b)
+    fwd = a.pts == b.pts
+    rev = a.pts == F.reverse(b.pts)
+    # closed-ring rotation: same cycle ⇒ same vertex multiset once the
+    # duplicated closing vertex is dropped
+    def open_ring(g):
+        return F.slice(g.pts, 1, F.greatest(F.size(g.pts) - 1, F.lit(0)))
+
+    ring = (a.gtype == "POLYGON") & (
+        F.array_sort(open_ring(a)) == F.array_sort(open_ring(b))
+    )
+    return F.when(
+        a.gtype.isNotNull() & b.gtype.isNotNull(),
+        (a.gtype == b.gtype) & (fwd | rev | ring),
+    )

@@ -385,3 +385,10 @@ def s2_cellid_areneighbors(a, b) -> Column:
         )
 
     return udf(_c(a), _c(b))
+
+
+# Reference registers both spellings (function_id.go s2_cellid_*neighbours);
+# the US forms above are the implementations.
+s2_cellid_edgeneighbours = s2_cellid_edgeneighbors
+s2_cellid_allneighbours = s2_cellid_allneighbors
+s2_cellid_areneighbours = s2_cellid_areneighbors

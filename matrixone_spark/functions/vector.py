@@ -177,3 +177,56 @@ def vec_from_base64(col, dtype: str = "float32") -> Column:
         return _pd.Series(out, dtype="object")
 
     return dec(_c(col))
+
+
+def vecf32_from_base64(col) -> Column:
+    """function_id.go VECF32_FROM_BASE64."""
+    return vec_from_base64(col, "float32")
+
+
+def vecf64_from_base64(col) -> Column:
+    """function_id.go VECF64_FROM_BASE64."""
+    return vec_from_base64(col, "float64")
+
+
+def vecf16_from_base64(col) -> Column:
+    """function_id.go VECF16_FROM_BASE64."""
+    return vec_from_base64(col, "float16")
+
+
+def vecbf16_from_base64(col) -> Column:
+    """function_id.go VECBF16_FROM_BASE64 (bfloat16 = float32 with the
+    trailing 16 mantissa bits dropped; numpy lacks bf16, decode widens via
+    uint16<<16 bit-reinterpretation)."""
+    import numpy as np
+
+    @_pandas_udf(_ArrayType(_FloatType()))
+    def dec(ss: _pd.Series) -> _pd.Series:
+        out = []
+        for s in ss:
+            if s is None:
+                out.append(None)
+                continue
+            try:
+                raw = _b64.b64decode(s, validate=True)
+            except Exception:
+                out.append(None)
+                continue
+            if len(raw) % 2 != 0:
+                out.append(None)
+                continue
+            u16 = np.frombuffer(raw, dtype="<u2").astype(np.uint32) << 16
+            out.append([float(x) for x in u16.view(np.float32)])
+        return _pd.Series(out, dtype="object")
+
+    return dec(_c(col))
+
+
+def vecint8_from_base64(col) -> Column:
+    """function_id.go VECINT8_FROM_BASE64."""
+    return vec_from_base64(col, "int8")
+
+
+def vecuint8_from_base64(col) -> Column:
+    """function_id.go VECUINT8_FROM_BASE64."""
+    return vec_from_base64(col, "uint8")

@@ -100,10 +100,11 @@ def _split_top_level(inner: str) -> "list[str]":
     return parts
 
 
-def _rewrite_calls(masked: str, name_re: "re.Pattern", builder) -> str:
+def _rewrite_calls(masked: str, name_re: "re.Pattern", builder, per_name_builder=None) -> str:
     """Generic paren-matching call rewrite on masked text: for every
-    ``name(...)`` match, ``builder(args)`` returns the replacement (or None
-    to leave the call untouched)."""
+    ``name(...)`` match, ``builder(args)`` (or ``per_name_builder(name,
+    args)`` when given) returns the replacement (or None to leave the call
+    untouched)."""
     out, pos = [], 0
     for m in name_re.finditer(masked):
         if m.start() < pos:
@@ -116,7 +117,8 @@ def _rewrite_calls(masked: str, name_re: "re.Pattern", builder) -> str:
             elif masked[i] == ")":
                 depth -= 1
             i += 1
-        repl = builder(_split_top_level(masked[start : i - 1]))
+        args = _split_top_level(masked[start : i - 1])
+        repl = per_name_builder(m.group(1), args) if per_name_builder else builder(args)
         if repl is None:
             continue
         out.append(masked[pos : m.start()])
@@ -239,6 +241,99 @@ def rewrite_limit(masked: str) -> str:
     return _LIMIT_BIG_RE.sub(
         lambda m: f"{m.group(1)} {_clamp(m.group(2))}", masked
     )
+
+
+# --- MySQL functions Spark lacks --------------------------------------------
+# Straight renames (same argument shape, Spark-native target).
+_FN_RENAME = {
+    "iff": "if",
+    "findinset": "find_in_set",
+    "lengthutf8": "char_length",
+    "mid": "substring",
+    "localtime": "localtimestamp",
+    "ucase": "ucase",  # native; listed for the coverage scanner
+    "lcase": "lcase",
+}
+_FN_RENAME_RE = re.compile(
+    r"\b(" + "|".join(k for k, v in _FN_RENAME.items() if k != v) + r")\s*\(",
+    re.IGNORECASE,
+)
+
+# Composed rewrites (function_id.go names with no Spark builtin): each
+# builder receives the top-level-split argument list and returns Spark SQL.
+_FN_COMPOSE_RE = re.compile(
+    r"\b(field|oct|ord|export_set|make_set|random_bytes"
+    r"|validate_password_strength|insert)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _compose_fn(name: str, args: "list[str]") -> "str | None":
+    name = name.lower()
+    if name == "field" and len(args) >= 2:
+        # index of args[0] in the remainder, 0 if absent/NULL
+        arr = ", ".join(args[1:])
+        return f"coalesce(array_position(array({arr}), {args[0]}), 0)"
+    if name == "oct" and len(args) == 1:
+        return f"conv({args[0]}, 10, 8)"
+    if name == "ord" and len(args) == 1:
+        # byte-sequence value of the first (possibly multi-byte) character
+        return f"CAST(conv(hex(substring({args[0]}, 1, 1)), 16, 10) AS BIGINT)"
+    if name == "export_set" and 3 <= len(args) <= 5:
+        bits, on, off = args[0], args[1], args[2]
+        sep = args[3] if len(args) > 3 else "','"
+        n = args[4] if len(args) > 4 else "64"
+        return (
+            f"concat_ws({sep}, transform(sequence(0, CAST({n} AS INT) - 1), "
+            f"__i -> CASE WHEN (shiftright(CAST({bits} AS BIGINT), __i) & 1) = 1 "
+            f"THEN {on} ELSE {off} END))"
+        )
+    if name == "make_set" and len(args) >= 2:
+        parts = ", ".join(
+            f"CASE WHEN (shiftright(CAST({args[0]} AS BIGINT), {i}) & 1) = 1 "
+            f"THEN {s} END"
+            for i, s in enumerate(args[1:])
+        )
+        return f"concat_ws(',', {parts})"  # concat_ws skips the NULL (unset) slots
+    if name == "random_bytes" and len(args) == 1:
+        # true-random bytes via uuid() entropy, capped at sha2's 32 bytes
+        return (
+            f"unhex(substring(sha2(CAST(uuid() AS STRING) , 256), 1, "
+            f"CAST(least(greatest(CAST({args[0]} AS INT), 1), 32) AS INT) * 2))"
+        )
+    if name == "validate_password_strength" and len(args) == 1:
+        s = args[0]
+        return (
+            f"(CASE WHEN {s} IS NULL THEN CAST(NULL AS INT) "
+            f"WHEN char_length({s}) < 4 THEN 0 "
+            f"WHEN char_length({s}) < 8 THEN 25 "
+            f"WHEN NOT ({s} RLIKE '[0-9]') OR NOT (lower({s}) <> {s} AND upper({s}) <> {s}) THEN 50 "
+            f"WHEN NOT ({s} RLIKE '[^a-zA-Z0-9]') THEN 75 ELSE 100 END)"
+        )
+    if name == "insert" and len(args) == 4:
+        s, pos, ln, new = args
+        return (
+            f"(CASE WHEN ({pos}) < 1 OR ({pos}) > char_length({s}) THEN {s} "
+            f"ELSE concat(left({s}, ({pos}) - 1), {new}, "
+            f"CASE WHEN ({ln}) < 0 THEN '' ELSE substring({s}, ({pos}) + ({ln})) END) END)"
+        )
+    return None
+
+
+def rewrite_mysql_fns(masked: str) -> str:
+    masked = _FN_RENAME_RE.sub(
+        lambda m: _FN_RENAME[m.group(1).lower()] + "(", masked
+    )
+    prev = None
+    while prev != masked:  # nested composed calls
+        prev = masked
+        masked = _rewrite_calls(
+            masked,
+            _FN_COMPOSE_RE,
+            None,  # builder resolved per-call below
+            per_name_builder=_compose_fn,
+        )
+    return masked
 
 
 # --- quantified comparisons: expr op ANY/SOME/ALL (subquery) ----------------
@@ -484,6 +579,8 @@ def translate(sql: str) -> str:
 
     masked = _DATE_FORMAT_RE.sub(fmt_repl, masked)
     masked = _GROUP_CONCAT_RE.sub(gc_repl, masked)
+    if _FN_RENAME_RE.search(masked) or _FN_COMPOSE_RE.search(masked):
+        masked = rewrite_mysql_fns(masked)
     if _QUANT_RE.search(masked):
         masked = rewrite_quantified(masked)
     if _IN_SUB_RE.search(masked):

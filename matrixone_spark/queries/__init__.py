@@ -69,7 +69,7 @@ _SENTINELS = ("tpch_q1", "tpch_q5", "tpch_q12", "tpch_q21")
 # prove the TIMESTAMP_NTZ fix with hard signal.
 _HEAD: "tuple[str, ...]" = (
     "ivfpq_search",
-    "geo_h3_battery",
+    "func_mysql3_battery",
     "bvt_subquery_battery",
     "bvt_union_battery",
     "bvt_distinct_battery",

@@ -459,3 +459,38 @@ def _battery_oracle_sql(numeric, strings) -> str:
 )
 def bvt_operator_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_battery_spark_sql(BVT2_NUMERIC, BVT2_STRING))
+
+
+# --- stateful-category batteries (tools/bvt_bake.py) ------------------------
+# Whole reference BVT categories compiled to driver-oracle form: each case is
+# a fixture snapshot (the tables as the script had built them at that point)
+# + the script's own SELECT, canonicalized to (sid, val) rows. The Spark side
+# translates the MySQL text through mysql_dialect (quantified comparisons,
+# projection-IN, function rewrites all exercised); the oracle runs the
+# DuckDB-dialect rendering of the same cases. See BVT_REPORT.md for the
+# whole-category co-execution stats behind the kept/dropped accounting.
+from matrixone_spark.queries.bvt_baked_data import BAKED
+
+
+def _register_baked(cat: str) -> None:
+    spark_sql, duck_sql, n, srcs = BAKED[cat]
+
+    @register(
+        f"bvt_{cat}_battery",
+        oracle=duck_sql,
+        tags=("bvt", "dialect", "stateful"),
+        doc=(
+            f"Stateful BVT category battery: {n} SELECT cases baked from "
+            f"reference test/distributed/cases/{cat}/ ({srcs}) with their "
+            "script-built table states as fixtures (tools/bvt_bake.py)."
+        ),
+    )
+    def baked_battery(spark: SparkSession, sf_dir: str, _sql: str = spark_sql) -> DataFrame:
+        return spark.sql(_sql)
+
+    baked_battery.__name__ = f"bvt_{cat}_battery"
+
+
+for _cat in ("subquery", "union", "distinct"):
+    if _cat in BAKED:
+        _register_baked(_cat)

@@ -944,3 +944,55 @@ def collation_ci_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.octet_length(F.lit("café")).alias("nbytes"),
         )
     )
+
+
+# MySQL-doc golden vectors for the function_id.go names Spark lacks natively
+# (dialect-composed in mysql_dialect.rewrite_mysql_fns): each (expr, want)
+# pair comes from the MySQL reference manual examples; the oracle pins the
+# documented value, the Spark side computes through the dialect rewrite.
+_MYSQL3_CASES: "list[tuple[str, str, str]]" = [
+    # (alias, MySQL expr, documented result literal as SQL)
+    ("iff1", "iff(1=1, 'a', 'b')", "'a'"),
+    ("fis1", "CAST(findinset('b', 'a,b,c') AS BIGINT)", "CAST(2 AS BIGINT)"),
+    ("fis2", "CAST(findinset('z', 'a,b,c') AS BIGINT)", "CAST(0 AS BIGINT)"),
+    ("mid1", "mid('abcdef', 2, 3)", "'bcd'"),
+    ("fld1", "CAST(field('b', 'a', 'b', 'c') AS BIGINT)", "CAST(2 AS BIGINT)"),
+    ("fld2", "CAST(field('zz', 'a', 'b') AS BIGINT)", "CAST(0 AS BIGINT)"),
+    ("oct1", "oct(12)", "'14'"),
+    ("ord1", "CAST(ord('a') AS BIGINT)", "CAST(97 AS BIGINT)"),
+    ("ord2", "CAST(ord('€') AS BIGINT)", "CAST(14844588 AS BIGINT)"),
+    ("exs1", "export_set(5, 'Y', 'N', ',', 4)", "'Y,N,Y,N'"),
+    ("exs2", "export_set(6, '1', '0', '', 10)", "'0110000000'"),
+    ("mks1", "make_set(5, 'hello', 'nice', 'world')", "'hello,world'"),
+    ("mks2", "make_set(0, 'a', 'b')", "''"),
+    ("ins1", "insert('Quadratic', 3, 4, 'What')", "'QuWhattic'"),
+    ("ins2", "insert('Quadratic', -1, 4, 'What')", "'Quadratic'"),
+    ("ins3", "insert('Quadratic', 3, 100, 'What')", "'QuWhat'"),
+    ("vps1", "CAST(validate_password_strength('abc') AS BIGINT)", "CAST(0 AS BIGINT)"),
+    ("vps2", "CAST(validate_password_strength('abcdefgh') AS BIGINT)", "CAST(50 AS BIGINT)"),
+    ("vps3", "CAST(validate_password_strength('Abcdefg8!') AS BIGINT)", "CAST(100 AS BIGINT)"),
+    ("lcu1", "lcase('AbC')", "'abc'"),
+    ("ucu1", "ucase('AbC')", "'ABC'"),
+]
+
+
+@register(
+    "func_mysql3_battery",
+    oracle="SELECT "
+    + ", ".join(f"{want} AS {alias}" for alias, _e, want in _MYSQL3_CASES),
+    tags=("functions", "mysql", "dialect"),
+    doc=(
+        "Third MySQL-function battery: the function_id.go registry names "
+        "with no Spark builtin — IFF, FINDINSET, MID, FIELD, OCT, ORD "
+        "(multi-byte), EXPORT_SET, MAKE_SET, INSERT, "
+        "VALIDATE_PASSWORD_STRENGTH, LCASE/UCASE — composed in "
+        "mysql_dialect.rewrite_mysql_fns from shiftright/transform/"
+        "concat_ws/conv primitives. Oracle pins the MySQL reference-manual "
+        "documented values (golden vectors, crypto-battery precedent)."
+    ),
+)
+def func_mysql3_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.mysql_dialect import translate
+
+    sql = "SELECT " + ", ".join(f"{e} AS {alias}" for alias, e, _w in _MYSQL3_CASES)
+    return spark.sql(translate(sql))

@@ -105,3 +105,92 @@ def test_geohash_known_vectors_and_roundtrip(spark):
     bad = spark.createDataFrame([(200.0, 0.0)], "lon double, lat double")
     assert bad.select(G.st_geohash("lon", "lat").alias("g")).collect()[0].g is None
     assert spark.range(1).select(G.st_latfromgeohash(F.lit("!!")).alias("v")).collect()[0].v is None
+
+
+def test_mbr_covers_coveredby_overlaps(spark):
+    """MySQL MBR family long tail (func_mbr.go): covers/coveredby/overlaps
+    truth table over hand-laid boxes."""
+    from matrixone_spark.functions import geo as G
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            # (name, a box, b box)
+            ("inside", (1.0, 1.0, 2.0, 2.0), (0.0, 0.0, 3.0, 3.0)),
+            ("partial", (0.0, 0.0, 2.0, 2.0), (1.0, 1.0, 3.0, 3.0)),
+            ("disjoint", (0.0, 0.0, 1.0, 1.0), (5.0, 5.0, 6.0, 6.0)),
+            ("equal", (0.0, 0.0, 1.0, 1.0), (0.0, 0.0, 1.0, 1.0)),
+            ("touch_edge", (0.0, 0.0, 1.0, 1.0), (1.0, 0.0, 2.0, 1.0)),
+        ],
+        "name string, a struct<xmin:double,ymin:double,xmax:double,ymax:double>, "
+        "b struct<xmin:double,ymin:double,xmax:double,ymax:double>",
+    )
+    rows = {
+        r.name: r
+        for r in df.select(
+            "name",
+            G.mbr_covers("a", "b").alias("covers"),
+            G.mbr_coveredby("a", "b").alias("coveredby"),
+            G.mbr_overlaps("a", "b").alias("overlaps"),
+        ).collect()
+    }
+    assert rows["inside"].coveredby and not rows["inside"].covers and not rows["inside"].overlaps
+    assert rows["partial"].overlaps and not rows["partial"].covers and not rows["partial"].coveredby
+    assert not rows["disjoint"].overlaps and not rows["disjoint"].covers
+    assert rows["equal"].covers and rows["equal"].coveredby and not rows["equal"].overlaps
+    # edge touch: zero-area overlap is not an MBROverlap
+    assert not rows["touch_edge"].overlaps
+
+
+def test_wkb_codec_roundtrip_and_golden(spark):
+    """ST_AsWKB/ST_GeomFromWKB: OGC golden bytes for POINT(1 2) plus
+    roundtrips for all three geometry types and typed-constructor guards."""
+    from pyspark.sql import functions as F
+    from matrixone_spark.functions import geo as G
+
+    df = spark.createDataFrame(
+        [("POINT(1 2)",), ("LINESTRING(0 0, 1 1, 2 0)",),
+         ("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))",)],
+        "wkt string",
+    )
+    out = df.select(
+        "wkt",
+        G.st_aswkb(G.st_geomfromtext("wkt")).alias("wkb"),
+        G.st_astext(G.st_geomfromwkb(G.st_aswkb(G.st_geomfromtext("wkt")))).alias("rt"),
+    ).collect()
+    by = {r.wkt: r for r in out}
+    assert bytes(by["POINT(1 2)"].wkb).hex() == (
+        "0101000000" + "000000000000f03f" + "0000000000000040"
+    )
+    for r in out:
+        assert r.rt.replace(".0 ", " ").replace(".0)", ")").replace(".0,", ",") == r.wkt
+    # typed constructors return NULL on type mismatch
+    r = df.filter(F.col("wkt") == "POINT(1 2)").select(
+        G.st_pointfromtext("wkt").alias("p"),
+        G.st_polygonfromtext("wkt").alias("poly"),
+        G.st_longitude(G.st_geomfromtext("wkt")).alias("lon"),
+        G.st_latitude(G.st_geomfromtext("wkt")).alias("lat"),
+        G.st_dimension(G.st_geomfromtext("wkt")).alias("dim"),
+        G.st_srid(G.st_geomfromtext("wkt")).alias("srid"),
+        G.st_isempty(G.st_geomfromtext("wkt")).alias("emp"),
+    ).collect()[0]
+    assert r.p is not None and r.poly is None
+    assert (r.lon, r.lat, r.dim, r.srid, r.emp) == (1.0, 2.0, 0, 0, False)
+
+
+def test_st_equals_walks(spark):
+    from matrixone_spark.functions import geo as G
+
+    df = spark.createDataFrame(
+        [("LINESTRING(0 0, 1 1)", "LINESTRING(1 1, 0 0)", True),
+         ("LINESTRING(0 0, 1 1)", "LINESTRING(0 0, 2 2)", False),
+         ("POLYGON((0 0, 1 0, 1 1, 0 0))", "POLYGON((1 0, 1 1, 0 0, 1 0))", True),
+         ("POINT(1 2)", "POINT(1 2)", True),
+         ("POINT(1 2)", "LINESTRING(1 2, 1 2)", False)],
+        "a string, b string, want boolean",
+    )
+    rows = df.select(
+        G.st_equals(G.st_geomfromtext("a"), G.st_geomfromtext("b")).alias("got"),
+        "want",
+    ).collect()
+    assert all(r.got == r.want for r in rows), rows

@@ -131,3 +131,35 @@ def test_ivfpq_adc_only_recall(spark):
         idx.unpersist()
     hit = len(exact_ids & short) / len(exact_ids)
     assert hit >= 0.8, f"ADC shortlist hit-rate {hit} (exact={exact_ids})"
+
+
+def test_vec_from_base64_dtype_variants(spark):
+    """vecf64/vecf16/vecbf16/vecint8_from_base64 (function_id.go names):
+    known byte patterns decode to known values."""
+    import base64
+    import numpy as np
+    from matrixone_spark.functions import vector as V
+
+    vals = [1.5, -2.0, 0.25]
+    cases = {
+        "f64": (base64.b64encode(np.array(vals, "<f8").tobytes()).decode(), V.vecf64_from_base64),
+        "f32": (base64.b64encode(np.array(vals, "<f4").tobytes()).decode(), V.vecf32_from_base64),
+        "f16": (base64.b64encode(np.array(vals, "<f2").tobytes()).decode(), V.vecf16_from_base64),
+        "i8": (base64.b64encode(np.array([1, -2, 3], "i1").tobytes()).decode(), V.vecint8_from_base64),
+    }
+    # bf16: float32 1.5 == 0x3FC0_0000 -> bf16 0x3FC0
+    bf16 = base64.b64encode(np.array([0x3FC0, 0xC000], "<u2").tobytes()).decode()
+    df = spark.createDataFrame(
+        [(cases["f64"][0], cases["f32"][0], cases["f16"][0], cases["i8"][0], bf16)],
+        "c64 string, c32 string, c16 string, ci8 string, cbf string",
+    )
+    r = df.select(
+        cases["f64"][1]("c64").alias("v64"),
+        cases["f32"][1]("c32").alias("v32"),
+        cases["f16"][1]("c16").alias("v16"),
+        cases["i8"][1]("ci8").alias("vi8"),
+        V.vecbf16_from_base64("cbf").alias("vbf"),
+    ).collect()[0]
+    assert r.v64 == [1.5, -2.0, 0.25] and r.v32 == [1.5, -2.0, 0.25]
+    assert r.v16 == [1.5, -2.0, 0.25] and r.vi8 == [1.0, -2.0, 3.0]
+    assert r.vbf == [1.5, -2.0]
