@@ -474,9 +474,11 @@ from matrixone_spark.queries.bvt_baked_data import BAKED
 
 def _register_baked(cat: str) -> None:
     spark_sql, duck_sql, n, srcs = BAKED[cat]
+    # "operator" collides with the r2 constant-expression battery name
+    qname = f"bvt_{cat}_battery" if cat != "operator" else "bvt_operator_scripts_battery"
 
     @register(
-        f"bvt_{cat}_battery",
+        qname,
         oracle=duck_sql,
         tags=("bvt", "dialect", "stateful"),
         doc=(
@@ -488,9 +490,8 @@ def _register_baked(cat: str) -> None:
     def baked_battery(spark: SparkSession, sf_dir: str, _sql: str = spark_sql) -> DataFrame:
         return spark.sql(_sql)
 
-    baked_battery.__name__ = f"bvt_{cat}_battery"
+    baked_battery.__name__ = qname
 
 
-for _cat in ("subquery", "union", "distinct"):
-    if _cat in BAKED:
-        _register_baked(_cat)
+for _cat in BAKED:
+    _register_baked(_cat)

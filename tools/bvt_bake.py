@@ -248,6 +248,12 @@ def harvest_category(spark, cat: str, sid_base: int) -> "tuple[list[Case], dict]
                 break
             if head != "select" or _NONDET_RE.search(masked):
                 continue
+            if re.search(r"\blimit\b", masked, re.IGNORECASE) and not re.search(
+                r"\border\s+by\b", masked, re.IGNORECASE
+            ):
+                # LIMIT over an unordered relation picks an arbitrary row —
+                # engine- and run-dependent, never a fair compare
+                continue
             stats["selects"] += 1
             sid = sid_base + len(cases)
             fixtures = _snapshot_fixtures(sess, sid)
@@ -312,6 +318,17 @@ def main() -> None:
         d_rows = sorted(map(tuple, con.execute(d_sql).fetchall()))
         assert s_rows == d_rows, f"{cat}: baked artifacts diverge"
         print(f"{cat}: validated {n} cases, {len(s_rows)} rows")
+
+    # merge with previously baked categories (regenerating a subset must not
+    # drop the others); requested categories always take the fresh result
+    try:
+        from matrixone_spark.queries.bvt_baked_data import BAKED as _OLD
+
+        for cat, tup in _OLD.items():
+            if cat not in cats:
+                out.setdefault(cat, tup)
+    except ImportError:
+        pass
 
     path = os.path.join(REPO, "matrixone_spark", "queries", "bvt_baked_data.py")
     with open(path, "w") as f:
