@@ -85,8 +85,14 @@ _HEAD: "tuple[str, ...]" = (
 # Unlisted modules sort after listed ones, keeping registration order.
 # Round-3 rotation: never-driver-verified families first (scalar batteries,
 # timeseries, table funcs fill the 50-row window after _HEAD); the families
-# below the fold (streaming tail, advanced, geo, aggregates tail) rotate to
-# the front in round 4.
+# below the fold rotate to the front in round 4.
+# ROUND-4 PLAN: _HEAD = sentinels + bvt_expression_battery,
+# bvt_operator_scripts_battery, bvt_join_battery (new baked categories,
+# never driver-verified) + any new round-4 ops; then _MODULE_PRIORITY =
+# streaming_mm tail (stream_sliding_activity/static_join/stateful_user_
+# stats, multimodal_*), advanced (11), geo_bitmap (10), aggregates tail
+# (agg_corr_exact/collect_json/approx_percentile/stddev_exact) — that
+# converts every remaining never-verified ledger line.
 _MODULE_PRIORITY = (
     "scalar_funcs",
     "timeseries",
