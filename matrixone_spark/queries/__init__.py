@@ -63,19 +63,60 @@ def register(name: str, oracle: "str | None", tags: tuple = (), doc: str = ""):
 
 _SENTINELS = ("tpch_q1", "tpch_q5", "tpch_q12", "tpch_q21")
 
-# Names pinned immediately after the sentinels. Round 3: this round's new
-# operators (driver row required), the two most regression-prone r01-only
-# plans (RANGE frame, rand-ordered sampling), and four streaming queries to
-# prove the TIMESTAMP_NTZ fix with hard signal.
+# Names pinned immediately after the sentinels. Round 4: every remaining
+# never-driver-verified entry (advanced subquery/filter family, geo_bitmap,
+# streaming tail + multimodal, aggregate tail, baked BVT category batteries)
+# — with round 3's driver artifacts missing, this converts the maximum new
+# ledger lines whether or not r03's window actually ran. The final block is
+# a hedge: round-3 head entries re-pinned in case r03 recorded nothing.
+# New round-4 operators go at the FRONT of this tuple (displacing hedge
+# entries from the back so the never-verified block stays inside row 50).
 _HEAD: "tuple[str, ...]" = (
+    # -- never-driver-verified (r01+r02 evidence), outside the r03 window --
+    "bvt_expression_battery",
+    "bvt_operator_scripts_battery",
+    "bvt_join_battery",
+    "bvt_operator_battery",
+    "bitmap_distinct_rollup",
+    "geo_s2_battery",
+    "geo_s2_bucket_join",
+    "geo_mbr_battery",
+    "geo_geohash",
+    "geo_point_battery",
+    "geo_distance_join",
+    "geo_linestring_metrics",
+    "geo_polygon_battery",
+    "geo_sphere_distance",
+    "null_ordering",
+    "ilike_filter",
+    "having_filter",
+    "grouping_sets_explicit",
+    "exists_or_correlated",
+    "nested_subquery_two_levels",
+    "mysql_compat_battery",
+    "approx_percentile_tdigest",
+    "sample_fraction",
+    "agg_null_group_keys",
+    "join_exists_or_exists",
+    "agg_corr_exact",
+    "agg_collect_json",
+    "agg_approx_percentile",
+    "agg_stddev_exact",
+    "stream_sliding_activity",
+    "stream_static_join",
+    "stream_stateful_user_stats",
+    "multimodal_features",
+    "multimodal_metadata_stats",
+    # -- hedge: round-3 head entries (r03 artifacts never landed) --
     "ivfpq_search",
     "func_mysql3_battery",
     "bvt_subquery_battery",
     "bvt_union_battery",
     "bvt_distinct_battery",
+    "func_time_battery",
+    "stream_tumbling_counts",
     "window_range_frame",
     "sample_per_group",
-    "stream_tumbling_counts",
     "stream_stream_join",
     "stream_dedup_exactly_once",
     "stream_session_windows",
