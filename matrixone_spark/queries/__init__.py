@@ -72,6 +72,15 @@ _SENTINELS = ("tpch_q1", "tpch_q5", "tpch_q12", "tpch_q21")
 # New round-4 operators go at the FRONT of this tuple (displacing hedge
 # entries from the back so the never-verified block stays inside row 50).
 _HEAD: "tuple[str, ...]" = (
+    # -- new round-4 operators (driver row required) --
+    "geo_io_full_battery",
+    "geo_unary_full_battery",
+    "geo_binary_full_battery",
+    "geo_overlay_battery",
+    "geo_lineref_battery",
+    "geo_validity_battery",
+    "geo_construct_battery",
+    "geo_geojson_battery",
     # -- never-driver-verified (r01+r02 evidence), outside the r03 window --
     "bvt_expression_battery",
     "bvt_operator_scripts_battery",
@@ -193,6 +202,7 @@ def load_all() -> "dict[str, Query]":
         streaming_mm,
         advanced,
         geo_bitmap,
+        geofull,
         bvt,
         mlops,
     )

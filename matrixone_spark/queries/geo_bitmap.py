@@ -580,3 +580,63 @@ def geo_s2_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist_m") <= 120000.0)
         .select("id_a", "id_b", "dist_m")
     )
+
+
+@register(
+    "geo_s2_join_bench",
+    oracle=None,  # perf entry: SF-scaling input; correctness of the identical
+    # plan shape is oracle-proven by geo_s2_bucket_join's brute-force gate
+    tags=("geo", "s2", "join", "bench"),
+    doc=(
+        "SF-scaling S2-bucketed spatial distance join (same plan shape as "
+        "geo_s2_bucket_join, whole customer table instead of the capped "
+        "oracle slice): level-5 cell + neighbor expansion, equi-join on the "
+        "cell id, exact haversine verify, aggregated to one row so the "
+        "bench measures the join, not result transfer. This records the "
+        "100 TB geo-join shape's throughput per round."
+    ),
+)
+def geo_s2_join_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.functions import s2cell as S2
+
+    c = Catalog(spark, sf_dir).table("customer")
+    k = F.col("c_custkey")
+    # sf0.1 customer is one small parquet split; spread it so the cell math
+    # and the verify run on all cores (at real scale the scan is already
+    # partitioned and the shuffle keys this by cell anyway)
+    pts = c.select(
+        k.alias("id"),
+        ((k % 720).cast("double") / 2.0 - 179.5).alias("lon"),
+        ((k % 340).cast("double") / 2.0 - 84.5).alias("lat"),
+    ).repartition(32)
+    pts = pts.withColumn(
+        "cell", S2.s2_cellid_parent(S2.s2_cellid(F.col("lon"), F.col("lat")), 5)
+    )
+    nbr_arr = F.from_json(S2.s2_cellid_allneighbors(F.col("cell")), "array<decimal(20,0)>")
+    expanded = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("lat").alias("lat_b"),
+        F.explode(F.array_union(F.array(F.col("cell")), nbr_arr)).alias("bucket"),
+    )
+    a = pts.select(
+        F.col("id").alias("id_a"), F.col("lon").alias("lon_a"), F.col("lat").alias("lat_a"),
+        F.col("cell").alias("bucket"),
+    )
+    # haversine on raw lon/lat columns — pure codegen math in the verify, no
+    # WKT string round-trip on the candidate set
+    la1, la2 = F.radians("lat_a"), F.radians("lat_b")
+    dlat, dlon = la2 - la1, F.radians("lon_b") - F.radians("lon_a")
+    h = (F.sin(dlat / 2) * F.sin(dlat / 2)
+         + F.cos(la1) * F.cos(la2) * F.sin(dlon / 2) * F.sin(dlon / 2))
+    dist = 2.0 * F.asin(F.sqrt(h)) * G.EARTH_RADIUS_M
+    return (
+        a.join(expanded, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist_m", dist)
+        .filter(F.col("dist_m") <= 120000.0)
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum(F.col("dist_m")) / 1000.0, 0).alias("sum_km"),
+        )
+    )
