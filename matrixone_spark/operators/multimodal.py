@@ -245,3 +245,240 @@ def extract_features(media: DataFrame, decoder=fake_decoder) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Full pixel decode + resize / frame sampling / audio framing.
+#
+# Reference analogue: load_file_chunks + the mlai/monlp media paths feed
+# decoded media into downstream operators. Here the image path is REAL
+# end-to-end without any codec library: a clean-room 8-bit-RGB PNG decoder
+# (zlib inflate + per-spec scanline defilter, filters 0-4 incl. Paeth) and
+# encoder, nearest-neighbor resize, a trivial length-prefixed frame
+# container ("MOVF") standing in for video, and raw int16 PCM framing for
+# audio. Every payload is synthesized from a closed-form formula, so the
+# DuckDB oracle recomputes the expected pixel/sample checksums purely
+# arithmetically — the Spark side must actually decode the bytes to match.
+# ---------------------------------------------------------------------------
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_decode_pixels(payload: bytes) -> "tuple[int, int, bytearray]":
+    """Decode an 8-bit RGB non-interlaced PNG to (w, h, raw RGB bytes).
+
+    Clean-room from the PNG spec: walks chunks, inflates IDAT, reverses
+    scanline filters 0-4 (None/Sub/Up/Average/Paeth). Raises ValueError on
+    anything outside that profile.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or ctype != 2 or interlace != 0:
+                raise ValueError("unsupported PNG profile")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("no IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = 3 * w
+    out = bytearray(stride * h)
+    prev = bytearray(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for i in range(3, stride):
+                line[i] = (line[i] + line[i - 3]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                ul = prev[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad filter {ft}")
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    return w, h, out
+
+
+def png_encode(width: int, height: int, px: bytes) -> bytes:
+    """8-bit RGB PNG from a raw pixel buffer (filter 0 rows, zlib)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = 3 * width
+    raw = b"".join(b"\x00" + bytes(px[y * stride:(y + 1) * stride])
+                   for y in range(height))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def resize_rgb(w: int, h: int, px, out_w: int, out_h: int) -> bytearray:
+    """Nearest-neighbor resize: out(x', y') = in(x'*w // out_w, y'*h // out_h)."""
+    out = bytearray(3 * out_w * out_h)
+    for y2 in range(out_h):
+        sy = y2 * h // out_h
+        for x2 in range(out_w):
+            sx = x2 * w // out_w
+            si, di = 3 * (sy * w + sx), 3 * (y2 * out_w + x2)
+            out[di:di + 3] = px[si:si + 3]
+    return out
+
+
+def movf_bytes(n_frames: int, width: int, height: int, seed: int) -> bytes:
+    """Trivial frame container: b'MOVF' + u32 count + [u32 len + PNG]*."""
+    import struct
+
+    frames = [png_bytes(width, height, seed + i) for i in range(n_frames)]
+    return (b"MOVF" + struct.pack("<I", len(frames))
+            + b"".join(struct.pack("<I", len(f)) + f for f in frames))
+
+
+def movf_frames(payload: bytes) -> "list[bytes]":
+    import struct
+
+    if payload[:4] != b"MOVF":
+        raise ValueError("not a MOVF container")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    out, pos = [], 8
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", payload, pos)
+        out.append(payload[pos + 4:pos + 4 + ln])
+        pos += 4 + ln
+    return out
+
+
+def pcm_bytes(n_samples: int, seed: int) -> bytes:
+    """Deterministic little-endian int16 PCM: s_i = ((seed*31 + i*7) % 4001) - 2000."""
+    import struct
+
+    return b"".join(
+        struct.pack("<h", ((seed * 31 + i * 7) % 4001) - 2000)
+        for i in range(n_samples)
+    )
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("in_w", IntegerType()),
+    StructField("in_h", IntegerType()),
+    StructField("out_w", IntegerType()),
+    StructField("out_h", IntegerType()),
+    StructField("checksum", LongType()),
+])
+
+
+def resize_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Decode PNG payloads, nearest-neighbor resize, checksum the REAL
+    resized pixels (Arrow-batched; constant memory per batch)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "in_w", "in_h", "out_w", "out_h", "checksum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = png_decode_pixels(bytes(payload))
+                rz = resize_rgb(w, h, px, out_w, out_h)
+                rows["doc_id"].append(doc_id)
+                rows["in_w"].append(w)
+                rows["in_h"].append(h)
+                rows["out_w"].append(out_w)
+                rows["out_h"].append(out_h)
+                rows["checksum"].append(int(sum(rz)))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_w", IntegerType()),
+    StructField("frame_h", IntegerType()),
+    StructField("checksum", LongType()),
+])
+
+
+def sample_frames(media: DataFrame, every_k: int) -> DataFrame:
+    """Container -> every k-th frame as a row, with the frame's decoded
+    pixel checksum (one input row fans out to its sampled frames)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "frame_w", "frame_h", "checksum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, frame in enumerate(movf_frames(bytes(payload))):
+                    if idx % every_k:
+                        continue
+                    w, h, px = png_decode_pixels(frame)
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_w"].append(w)
+                    rows["frame_h"].append(h)
+                    rows["checksum"].append(int(sum(px)))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("win_idx", IntegerType()),
+    StructField("n_samples", IntegerType()),
+    StructField("energy", LongType()),
+])
+
+
+def audio_energy(media: DataFrame, window: int) -> DataFrame:
+    """Frame int16 PCM into fixed windows and emit exact integer energy
+    (sum of squares) per window — the framing+feature shape of an audio
+    pipeline, numerically exact so the oracle can gate it."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "win_idx", "n_samples", "energy")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(payload), dtype="<i2").astype(np.int64)
+                for wi in range(0, len(samples), window):
+                    chunk = samples[wi:wi + window]
+                    rows["doc_id"].append(doc_id)
+                    rows["win_idx"].append(wi // window)
+                    rows["n_samples"].append(len(chunk))
+                    rows["energy"].append(int((chunk * chunk).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, AUDIO_SCHEMA)

@@ -73,6 +73,9 @@ _SENTINELS = ("tpch_q1", "tpch_q5", "tpch_q12", "tpch_q21")
 # entries from the back so the never-verified block stays inside row 50).
 _HEAD: "tuple[str, ...]" = (
     # -- new round-4 operators (driver row required) --
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_audio_energy",
     "geo_io_full_battery",
     "geo_unary_full_battery",
     "geo_binary_full_battery",

@@ -225,3 +225,159 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matrixone_spark.streaming.events import dedup_within_watermark
 
     return dedup_within_watermark(spark, sf_dir)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 6 + 1 AS INT) * 8 AS w,
+         CAST(doc_id % 4 + 1 AS INT) * 8 AS h,
+         CAST(doc_id % 251 AS INT)       AS seed
+  FROM documents WHERE doc_id < 120)
+SELECT d.doc_id,
+       d.w AS in_w, d.h AS in_h,
+       12 AS out_w, 8 AS out_h,
+       CAST(SUM((d.seed + 3 * ((x.x * d.w) // 12) + c.c + ((y.y * d.h) // 8))
+                % 256) AS BIGINT) AS checksum
+FROM d
+JOIN generate_series(0, 7)  AS y(y) ON TRUE
+JOIN generate_series(0, 11) AS x(x) ON TRUE
+JOIN generate_series(0, 2)  AS c(c) ON TRUE
+GROUP BY d.doc_id, d.w, d.h
+""",
+    tags=("multimodal", "udf"),
+    doc=(
+        "REAL image resize path: per-doc synthetic PNG (closed-form pixels) "
+        "-> clean-room PNG decode (zlib inflate + spec defilter, operators/"
+        "multimodal.py png_decode_pixels) -> nearest-neighbor resize -> "
+        "checksum of the RESIZED pixel buffer. The oracle recomputes the "
+        "checksum arithmetically (no image lib in DuckDB), so a decode or "
+        "resampling bug cannot hash-match. Arrow-batched mapInPandas, "
+        "constant memory — the 100 TB image-preprocessing shape."
+    ),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from matrixone_spark.operators import multimodal as MM
+
+    d = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 120)
+
+    def synth(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [
+                    MM.png_bytes((int(i) % 6 + 1) * 8, (int(i) % 4 + 1) * 8,
+                                 seed=int(i) % 251)
+                    for i in ids
+                ],
+            })
+
+    media = d.select("doc_id").mapInPandas(synth, MM.PNG_MEDIA_SCHEMA)
+    return MM.resize_media(media, 12, 8)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 5 + 2 AS INT) AS nf,
+         CAST(doc_id % 251 AS INT)   AS seed
+  FROM documents WHERE doc_id < 100),
+f AS (
+  SELECT d.doc_id, d.seed, g.idx
+  FROM d JOIN generate_series(0, 6) AS g(idx) ON g.idx < d.nf
+  WHERE g.idx % 2 = 0)
+SELECT f.doc_id,
+       CAST(f.idx AS INT) AS frame_idx,
+       8 AS frame_w, 8 AS frame_h,
+       CAST(SUM((f.seed + f.idx + xb.xb + y.y) % 256) AS BIGINT) AS checksum
+FROM f
+JOIN generate_series(0, 7)  AS y(y)  ON TRUE
+JOIN generate_series(0, 23) AS xb(xb) ON TRUE
+GROUP BY f.doc_id, f.idx
+""",
+    tags=("multimodal", "udf"),
+    doc=(
+        "Video frame sampling: per-doc MOVF container (length-prefixed PNG "
+        "frames, operators/multimodal.py movf_bytes) -> parse container -> "
+        "keep every 2nd frame -> decode sampled frames -> per-frame pixel "
+        "checksum; one input row fans out to its sampled frames. Oracle "
+        "recomputes frame membership and checksums arithmetically."
+    ),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from matrixone_spark.operators import multimodal as MM
+
+    d = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 100)
+
+    def synth(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [
+                    MM.movf_bytes(int(i) % 5 + 2, 8, 8, seed=int(i) % 251)
+                    for i in ids
+                ],
+            })
+
+    media = d.select("doc_id").mapInPandas(synth, MM.PNG_MEDIA_SCHEMA)
+    return MM.sample_frames(media, 2)
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 97 AS INT) AS seed
+  FROM documents WHERE doc_id < 150),
+s AS (
+  SELECT d.doc_id, g.i,
+         ((d.seed * 31 + g.i * 7) % 4001) - 2000 AS v
+  FROM d JOIN generate_series(0, 239) AS g(i) ON TRUE)
+SELECT doc_id,
+       CAST(i // 64 AS INT) AS win_idx,
+       CAST(COUNT(*) AS INT) AS n_samples,
+       CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy
+FROM s GROUP BY doc_id, i // 64
+""",
+    tags=("multimodal", "udf"),
+    doc=(
+        "Audio framing + energy: per-doc deterministic int16 PCM "
+        "(operators/multimodal.py pcm_bytes) -> fixed 64-sample windows -> "
+        "exact integer sum-of-squares per window (numpy over Arrow "
+        "batches). Integer energies make the gate bit-exact; the oracle "
+        "regenerates the same samples from the closed form."
+    ),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from matrixone_spark.operators import multimodal as MM
+
+    d = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 150)
+
+    def synth(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [MM.pcm_bytes(240, seed=int(i) % 97) for i in ids],
+            })
+
+    media = d.select("doc_id").mapInPandas(synth, MM.PNG_MEDIA_SCHEMA)
+    return MM.audio_energy(media, 64)

@@ -67,3 +67,129 @@ def test_png_query_matches_oracle(spark):
     from tests.conftest import assert_matches_oracle
 
     assert_matches_oracle(spark, load_all()["multimodal_png_decode"])
+
+
+# --- round 4: full pixel decode / resize / frames / audio -------------------
+
+def test_png_decode_matches_formula():
+    from matrixone_spark.operators import multimodal as M
+
+    for w, h, seed in [(16, 16, 0), (24, 8, 7), (5, 3, 100), (1, 1, 255)]:
+        dw, dh, px = M.png_decode_pixels(M.png_bytes(w, h, seed))
+        assert (dw, dh) == (w, h)
+        assert bytes(px) == bytes(
+            (seed + x + y) % 256 for y in range(h) for x in range(3 * w))
+
+
+def test_png_defilter_all_filter_types():
+    """Encode scanlines with each PNG filter type (per-spec forward
+    transform) and require the decoder to reverse them exactly."""
+    import struct
+    import zlib
+
+    from matrixone_spark.operators import multimodal as M
+
+    w, h = 7, 6
+    px = bytes((3 * x * x + 5 * y) % 256 for y in range(h) for x in range(3 * w))
+    stride = 3 * w
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    for ft in (0, 1, 2, 3, 4):
+        raws = []
+        prev = bytes(stride)
+        for y in range(h):
+            line = px[y * stride:(y + 1) * stride]
+            enc = bytearray()
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                up = prev[i]
+                ul = prev[i - 3] if i >= 3 else 0
+                if ft == 0:
+                    v = line[i]
+                elif ft == 1:
+                    v = (line[i] - left) & 0xFF
+                elif ft == 2:
+                    v = (line[i] - up) & 0xFF
+                elif ft == 3:
+                    v = (line[i] - (left + up) // 2) & 0xFF
+                else:
+                    v = (line[i] - M._paeth(left, up, ul)) & 0xFF
+                enc.append(v)
+            raws.append(bytes([ft]) + bytes(enc))
+            prev = line
+        payload = (b"\x89PNG\r\n\x1a\n"
+                   + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                   + chunk(b"IDAT", zlib.compress(b"".join(raws)))
+                   + chunk(b"IEND", b""))
+        dw, dh, out = M.png_decode_pixels(payload)
+        assert (dw, dh) == (w, h) and bytes(out) == px, f"filter {ft}"
+
+
+def test_png_encode_roundtrip_and_resize():
+    from matrixone_spark.operators import multimodal as M
+
+    w, h, seed = 12, 10, 42
+    _, _, px = M.png_decode_pixels(M.png_bytes(w, h, seed))
+    _, _, again = M.png_decode_pixels(M.png_encode(w, h, px))
+    assert bytes(px) == bytes(again)
+    rz = M.resize_rgb(w, h, px, 6, 5)
+    for y2 in range(5):
+        for x2 in range(6):
+            sx, sy = x2 * w // 6, y2 * h // 5
+            assert rz[3 * (y2 * 6 + x2)] == (seed + 3 * sx + sy) % 256
+
+
+def test_movf_container_and_pcm():
+    import struct
+
+    from matrixone_spark.operators import multimodal as M
+
+    frames = M.movf_frames(M.movf_bytes(4, 8, 6, 9))
+    assert len(frames) == 4
+    for i, f in enumerate(frames):
+        w, h, px = M.png_decode_pixels(f)
+        assert (w, h) == (8, 6) and px[0] == (9 + i) % 256
+    pcm = M.pcm_bytes(16, 5)
+    vals = struct.unpack("<16h", pcm)
+    assert all(v == ((5 * 31 + i * 7) % 4001) - 2000 for i, v in enumerate(vals))
+
+
+def test_resize_and_audio_operators(spark):
+    import pandas as pd
+
+    from matrixone_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+
+    def synth(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [M.png_bytes(16, 8, seed=int(i)) for i in pdf["doc_id"]],
+            })
+
+    media = docs.mapInPandas(synth, M.PNG_MEDIA_SCHEMA)
+    out = {r["doc_id"]: r for r in M.resize_media(media, 4, 4).collect()}
+    assert len(out) == 8
+    for i in range(8):
+        exp = sum((i + 3 * (x2 * 16 // 4) + c + (y2 * 8 // 4)) % 256
+                  for y2 in range(4) for x2 in range(4) for c in range(3))
+        assert out[i]["checksum"] == exp
+
+    def synth_pcm(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [M.pcm_bytes(100, seed=int(i)) for i in pdf["doc_id"]],
+            })
+
+    audio = docs.mapInPandas(synth_pcm, M.PNG_MEDIA_SCHEMA)
+    rows = M.audio_energy(audio, 40).collect()
+    # 100 samples / 40 = windows of 40, 40, 20 per doc
+    assert sorted({r["n_samples"] for r in rows}) == [20, 40]
+    one = [r for r in rows if r["doc_id"] == 3 and r["win_idx"] == 0][0]
+    assert one["energy"] == sum((((3 * 31 + i * 7) % 4001) - 2000) ** 2
+                                for i in range(40))
