@@ -640,3 +640,70 @@ def geo_s2_join_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("dist_m")) / 1000.0, 0).alias("sum_km"),
         )
     )
+
+
+@register(
+    "geo_h3_battery",
+    oracle="""
+SELECT s_suppkey,
+       15                   AS leaf_res,
+       7                    AS r7_res,
+       6                    AS parent_res,
+       3                    AS parent3_res,
+       6                    AS n_nbrs,
+       6                    AS n_boundary,
+       CAST(1 AS BOOLEAN)   AS nbr_mutual,
+       CAST(0 AS BOOLEAN)   AS self_nbr,
+       CAST(1 AS BOOLEAN)   AS center_in_cell
+FROM supplier WHERE s_suppkey <= 200
+""",
+    tags=("geo", "h3", "udf"),
+    doc=(
+        "H3 cell-index family (func_s2h3.go:425-616 h3_h3index/resolution/"
+        "center/boundary/parent/neighbo(u)rs/areneighbo(u)rs; clean-room "
+        "implementation of the published H3 algorithm, functions/h3cell.py "
+        "— face tables derived + asserted at import). The oracle checks the "
+        "same structural invariants the reference's own BVT does "
+        "(geo/geo_s2h3.sql H3 section): default res 15, explicit res, "
+        "parent resolutions, 6 neighbours, neighbour mutuality, "
+        "self-not-neighbour, 6 boundary vertices, center re-encodes into "
+        "the same cell. Bit-exact index + golden center parity gates live "
+        "in tests/test_h3cell.py. Scale: H3 parents are a geo-join "
+        "bucketing key exactly like the S2 path."
+    ),
+)
+def geo_h3_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.functions import h3cell as H3
+
+    s = Catalog(spark, sf_dir).table("supplier").filter(F.col("s_suppkey") <= 200)
+    k = F.col("s_suppkey")
+    lon = (k % 720).cast("double") / 2.0 - 179.5
+    lat = (k % 340).cast("double") / 2.0 - 84.5
+    base = s.select(
+        "s_suppkey",
+        H3.h3_h3index(lon, lat).alias("leaf"),
+        H3.h3_h3index(lon, lat, 7).alias("r7"),
+        lon.alias("lon"),
+        lat.alias("lat"),
+    )
+    base = base.withColumn("p6", H3.h3_h3index_parent(F.col("r7")))
+    base = base.withColumn("p3", H3.h3_h3index_parent(F.col("r7"), 3))
+    base = base.withColumn("center", H3.h3_h3index_center_wkt(F.col("r7")))
+    base = base.withColumn("nbrs", H3.h3_h3index_neighbors(F.col("r7")))
+    base = base.withColumn("bnd", H3.h3_h3index_boundary_wkt(F.col("r7")))
+    first_nbr = F.get_json_object(F.col("nbrs"), "$[0]").cast("decimal(20,0)")
+    clon = F.regexp_extract(F.col("center"), r"POINT\(([-0-9.eE]+) ([-0-9.eE]+)\)", 1).cast("double")
+    clat = F.regexp_extract(F.col("center"), r"POINT\(([-0-9.eE]+) ([-0-9.eE]+)\)", 2).cast("double")
+    n_boundary = F.size(F.split(F.regexp_replace(F.col("bnd"), r"^MULTIPOINT\(|\)$", ""), ","))
+    return base.select(
+        "s_suppkey",
+        H3.h3_h3index_resolution(F.col("leaf")).alias("leaf_res"),
+        H3.h3_h3index_resolution(F.col("r7")).alias("r7_res"),
+        H3.h3_h3index_resolution(F.col("p6")).alias("parent_res"),
+        H3.h3_h3index_resolution(F.col("p3")).alias("parent3_res"),
+        F.json_array_length(F.col("nbrs")).alias("n_nbrs"),
+        n_boundary.alias("n_boundary"),
+        H3.h3_h3index_areneighbors(first_nbr, F.col("r7")).alias("nbr_mutual"),
+        H3.h3_h3index_areneighbors(F.col("r7"), F.col("r7")).alias("self_nbr"),
+        (H3.h3_h3index(clon, clat, 7) == F.col("r7")).alias("center_in_cell"),
+    )
