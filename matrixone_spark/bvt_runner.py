@@ -163,6 +163,11 @@ class BvtSession:
         self.tables: "dict[str, DataFrame]" = {}
         self.schemas: "dict[str, list[tuple[str, str]]]" = {}
         self.defaults: "dict[str, dict[str, str]]" = {}
+        # view name -> translated defining SQL, in creation order. Views must
+        # re-resolve against the *current* base-table state: a temp view made
+        # from a DataFrame pins the analyzed plan at creation time, so later
+        # DML on the base table would be invisible (distinct.sql:161-170).
+        self.views: "dict[str, str]" = {}
 
     # BVT fixtures are tens of rows; anything bigger than this is a runaway
     # (e.g. an INSERT..SELECT off generate_series) and stays lazy.
@@ -218,6 +223,23 @@ class BvtSession:
 
     def execute(self, stmt: str) -> "tuple[str, DataFrame | None]":
         """Returns (kind, df) — kind ∈ select|ddl|dml|skip."""
+        kind, df = self._execute(stmt)
+        if kind in ("ddl", "dml") and self.views:
+            self._refresh_views()
+        return kind, df
+
+    def _refresh_views(self) -> None:
+        """Re-resolve every view's defining SQL against current table state
+        (creation order, so views-on-views chain correctly)."""
+        for name, sql in self.views.items():
+            try:
+                df = self.spark.sql(sql)
+                self.tables[name] = df
+                df.createOrReplaceTempView(name)
+            except Exception:
+                pass  # base table gone; the view errors on next use as in MySQL
+
+    def _execute(self, stmt: str) -> "tuple[str, DataFrame | None]":
         masked, spans = mask_literals(stmt)
         head = masked.strip().split(None, 1)[0].lower() if masked.strip() else ""
         head = head.lstrip("(")
@@ -237,8 +259,9 @@ class BvtSession:
             )
             if vm:
                 name = vm.group(1)
-                df = self.spark.sql(translate(unmask_literals(vm.group(2), spans)))
-                # views stay lazy: they must track later DML on base tables
+                sql = translate(unmask_literals(vm.group(2), spans))
+                df = self.spark.sql(sql)  # validate eagerly
+                self.views[name] = sql
                 self._register(name, df, materialize=False)
                 return "ddl", None
             raise SkipStatement("unsupported CREATE kind")
@@ -261,6 +284,7 @@ class BvtSession:
                     self.tables.pop(name, None)
                     self.schemas.pop(name, None)
                     self.defaults.pop(name, None)
+                    self.views.pop(name, None)
             return "ddl", None
         if head in ("use",) or re.match(
             r"\s*create\s+(?:database|schema)\b", masked, re.IGNORECASE
@@ -338,12 +362,12 @@ class BvtSession:
         self._register(name, self.spark.sql(f"SELECT {', '.join(sel)} FROM {name}"))
         return "dml", None
 
-    def snapshot(self) -> "tuple[dict, dict, dict]":
+    def snapshot(self) -> "tuple[dict, dict, dict, dict]":
         """Cheap state snapshot — DataFrames are immutable, dicts are replaced."""
-        return dict(self.tables), dict(self.schemas), dict(self.defaults)
+        return dict(self.tables), dict(self.schemas), dict(self.defaults), dict(self.views)
 
-    def restore(self, snap: "tuple[dict, dict, dict]") -> None:
-        tables, schemas, defaults = snap
+    def restore(self, snap: "tuple[dict, dict, dict, dict]") -> None:
+        tables, schemas, defaults, views = snap
         for name in set(self.tables) - set(tables):
             self.spark.catalog.dropTempView(name)
         for name, df in tables.items():
@@ -351,6 +375,7 @@ class BvtSession:
                 df.createOrReplaceTempView(name)
         self.tables, self.schemas = dict(tables), dict(schemas)
         self.defaults = dict(defaults)
+        self.views = dict(views)
 
     def run_script(self, text: str) -> "dict[str, int]":
         """Execute a whole script; returns statement counters."""
@@ -445,6 +470,136 @@ def _duckify(stmt: str) -> str:
     return unmask_literals(masked, [_duck_span(s) for s in spans])
 
 
+class RefResults:
+    """Expected results parsed from a reference BVT ``.result`` file.
+
+    Format (observed, test/distributed/cases/**/*.result): each statement is
+    echoed verbatim (possibly over several lines), a result set follows as a
+    ``➤``-prefixed header line, then data rows; ``𝄀`` is the row *separator*
+    (present at the end of the header and every row but the last), ``¦``
+    separates columns; error outputs appear as a bare message line with no
+    header.  Used to arbitrate Spark-vs-DuckDB mismatches: when DuckDB's
+    answer differs from MySQL semantics, the reference's own expected rows
+    decide (e.g. distinct.sql's out-of-range substr, where MySQL/Spark return
+    '' but DuckDB clamps)."""
+
+    ROWSEP = "\U0001d100"  # 𝄀
+    COLSEP = "¦"  # ¦
+    HEADER = "➤"  # ➤
+
+    def __init__(self, text: str):
+        self.lines = [ln.rstrip("\n") for ln in text.splitlines()]
+        self.norm = ["".join(ln.split()).lower() for ln in self.lines]
+        self.cursor = 0
+
+    @staticmethod
+    def _normstmt(stmt: str) -> str:
+        return "".join(stmt.split()).lower().rstrip(";")
+
+    def claim(self, stmt: str):
+        """Locate the echo of ``stmt`` at/after the cursor and return
+        ("rows", [[cell, ...], ...]) | ("error", msg) | None.  Claims advance
+        the cursor so repeated statements resolve in order."""
+        want = self._normstmt(stmt)
+        if not want:
+            return None
+        n = len(self.lines)
+        i = self.cursor
+        while i < n:
+            acc, j = "", i
+            while j < n and len(acc) < len(want):
+                acc += self.norm[j]
+                j += 1
+                if acc.rstrip(";") == want:
+                    break
+            if acc.rstrip(";") == want:
+                self.cursor = j
+                return self._parse_block(j)
+            i += 1
+        return None
+
+    def _parse_block(self, j: int):
+        n = len(self.lines)
+        if j >= n:
+            return ("rows", [])
+        line = self.lines[j].strip()
+        if line.startswith(self.HEADER):
+            rows = []
+            more = line.endswith(self.ROWSEP)
+            j += 1
+            while more and j < n:
+                raw = self.lines[j].rstrip()
+                more = raw.endswith(self.ROWSEP)
+                body = raw[: raw.rfind(self.ROWSEP)] if more else raw
+                rows.append([c.strip() for c in body.split(self.COLSEP)])
+                j += 1
+            self.cursor = j
+            return ("rows", rows)
+        return ("error", line)
+
+
+def _ref_match(spark_pdf, ref_rows) -> bool:
+    """Lenient row-multiset comparison of a Spark result against reference
+    .result text cells: numeric within 1e-9 relative, bool as 1/0, NULL as
+    'null', everything else exact text."""
+    import math as _math
+
+    if len(spark_pdf) != len(ref_rows):
+        return False
+    ncols = len(spark_pdf.columns)
+    if any(len(r) != ncols for r in ref_rows):
+        return False
+
+    def canon(v) -> str:
+        if v is None:
+            return "null"
+        if isinstance(v, float) and _math.isnan(v):
+            return "null"
+        if isinstance(v, (bool,)) or type(v).__name__ == "bool_":
+            return "1" if v else "0"
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "replace")
+        s = str(v)
+        return "null" if s in ("NaT", "None", "<NA>", "nan") else s
+
+    def cell_eq(a: str, b: str) -> bool:
+        if a == b:
+            return True
+        la, lb = a.lower(), b.lower()
+        if la == lb:
+            return True
+        if {la, lb} in ({"true", "1"}, {"false", "0"}):
+            return True
+        try:
+            fa, fb = float(a), float(b)
+        except ValueError:
+            # datetime text: '2020-01-01 00:00:00' vs '2020-01-01'
+            return a.split(".")[0].rstrip("0").rstrip(":0 ") == b.split(".")[0].rstrip("0").rstrip(":0 ")
+        if fa == fb:
+            return True
+        return abs(fa - fb) <= 1e-9 * max(abs(fa), abs(fb), 1e-30)
+
+    got = sorted(
+        (tuple(canon(v) for v in row) for row in spark_pdf.itertuples(index=False, name=None)),
+        key=repr,
+    )
+    # sort reference rows by a canonical key too; compare greedily cell-wise
+    want = sorted((tuple(r) for r in ref_rows), key=repr)
+    used = [False] * len(want)
+    for g in got:
+        hit = False
+        for idx, w in enumerate(want):
+            if used[idx]:
+                continue
+            if all(cell_eq(a, b) for a, b in zip(g, w)):
+                used[idx] = True
+                hit = True
+                break
+        if not hit:
+            return False
+    return True
+
+
 class CoExecutor:
     """Run a BVT script on Spark AND DuckDB; compare every SELECT both ran."""
 
@@ -454,7 +609,12 @@ class CoExecutor:
         self.sess = BvtSession(spark)
         self.con = duckdb.connect()
 
-    def run_script(self, text: str, details: "list | None" = None) -> "dict[str, int]":
+    def run_script(
+        self,
+        text: str,
+        details: "list | None" = None,
+        ref: "RefResults | None" = None,
+    ) -> "dict[str, int]":
         """Co-execute a script; returns counters.
 
         State changes apply both-or-neither: each non-query statement runs
@@ -462,11 +622,17 @@ class CoExecutor:
         engine applies it and the other rejects it, BOTH are rolled back
         (counted `diverged`), so the two engines always hold identical
         databases and every later SELECT remains comparable.
+
+        When ``ref`` (the script's parsed .result file) is given, a
+        Spark-vs-DuckDB mismatch is arbitrated against the reference's own
+        expected rows: Spark agreeing with the reference counts as
+        ``ref_pass`` (DuckDB was the divergent engine), not ``mismatch``.
         """
         from matrixone_spark.oracle import canonical_rows
 
-        stats = {"compared": 0, "mismatch": 0, "diverged": 0, "spark_only": 0,
-                 "duck_only": 0, "both_failed": 0, "executed": 0, "skipped": 0}
+        stats = {"compared": 0, "mismatch": 0, "ref_pass": 0, "diverged": 0,
+                 "spark_only": 0, "duck_only": 0, "both_failed": 0,
+                 "executed": 0, "skipped": 0}
         for stmt in split_statements(_strip_comments(text)):
             masked, _ = mask_literals(stmt)
             head = masked.strip().lstrip("(").split(None, 1)[0].lower() if masked.strip() else ""
@@ -513,17 +679,29 @@ class CoExecutor:
                 # computed-column names differ per engine → compare
                 # positionally under identical synthetic names
                 def _pos(df):
-                    return df.rename(
-                        columns={c: f"c{i:03d}" for i, c in enumerate(df.columns)}
-                    )
+                    # positional assignment, not a rename dict: duplicate
+                    # output names (SELECT a, a / t1.*, t1.*) would collapse
+                    # in a name-keyed map and then fan out under pandas
+                    # duplicate-label indexing
+                    df = df.copy(deep=False)
+                    df.columns = [f"c{i:03d}" for i in range(len(df.columns))]
+                    return df
 
                 s_rows, _ = canonical_rows(_pos(spark_df))
                 o_rows, _ = canonical_rows(_pos(duck_df))
                 stats["compared"] += 1
                 if s_rows != o_rows:
-                    stats["mismatch"] += 1
-                    if details is not None:
-                        details.append((stmt, s_rows[:5], o_rows[:5]))
+                    claimed = ref.claim(stmt) if ref is not None else None
+                    if (
+                        claimed is not None
+                        and claimed[0] == "rows"
+                        and _ref_match(spark_df, claimed[1])
+                    ):
+                        stats["ref_pass"] += 1
+                    else:
+                        stats["mismatch"] += 1
+                        if details is not None:
+                            details.append((stmt, s_rows[:5], o_rows[:5]))
             elif spark_ok and spark_df is not None:
                 stats["spark_only"] += 1
             elif duck_ok:
