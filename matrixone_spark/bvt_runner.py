@@ -630,9 +630,9 @@ class CoExecutor:
         """
         from matrixone_spark.oracle import canonical_rows
 
-        stats = {"compared": 0, "mismatch": 0, "ref_pass": 0, "diverged": 0,
-                 "spark_only": 0, "duck_only": 0, "both_failed": 0,
-                 "executed": 0, "skipped": 0}
+        stats = {"compared": 0, "mismatch": 0, "ref_pass": 0, "ref_fail": 0,
+                 "diverged": 0, "spark_only": 0, "duck_only": 0,
+                 "both_failed": 0, "executed": 0, "skipped": 0}
         for stmt in split_statements(_strip_comments(text)):
             masked, _ = mask_literals(stmt)
             head = masked.strip().lstrip("(").split(None, 1)[0].lower() if masked.strip() else ""
@@ -703,7 +703,23 @@ class CoExecutor:
                         if details is not None:
                             details.append((stmt, s_rows[:5], o_rows[:5]))
             elif spark_ok and spark_df is not None:
-                stats["spark_only"] += 1
+                # DuckDB could not run the statement (MySQL-ism). The
+                # reference's own .result still grades Spark directly.
+                claimed = ref.claim(stmt) if ref is not None else None
+                if claimed is not None and claimed[0] == "rows":
+                    if _ref_match(spark_df, claimed[1]):
+                        stats["ref_pass"] += 1
+                    else:
+                        stats["ref_fail"] += 1
+                        if details is not None:
+                            details.append(
+                                (stmt,
+                                 [tuple(map(str, r)) for r in
+                                  spark_df.head(5).itertuples(index=False, name=None)],
+                                 [("ref",) + tuple(r) for r in claimed[1][:5]])
+                            )
+                else:
+                    stats["spark_only"] += 1
             elif duck_ok:
                 stats["duck_only"] += 1
             else:

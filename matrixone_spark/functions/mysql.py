@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, StringType
 
 
 def _c(x) -> Column:
@@ -56,10 +56,81 @@ def truncate_num(x, d: int) -> Column:
     return (x * scale).cast("long").cast("double") / scale
 
 
+_CONV_DIGITS = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_U64_MAX = (1 << 64) - 1
+_I64_MAX = (1 << 63) - 1
+_I64_MIN = -(1 << 63)
+
+
+def _conv_scalar(n, fb, tb):
+    """MySQL CONV(N, from_base, to_base) with exact sign/overflow semantics:
+    leading +/- accepted, parse stops at the first invalid digit, negative
+    from_base = signed 64-bit parse (clamped to int64), positive = unsigned
+    (negative input wraps two's-complement), negative to_base renders signed.
+    Spark's builtin conv differs on all four (BVT function/func_conv.sql)."""
+    if n is None or fb is None or tb is None:
+        return None
+    try:
+        fb, tb = int(fb), int(tb)
+    except (TypeError, ValueError):
+        return None
+    if not (2 <= abs(fb) <= 36 and 2 <= abs(tb) <= 36):
+        return None
+    s = str(n).strip()
+    if not s:
+        return None  # func_conv.result: conv('', 10, 16) IS NULL
+    i, neg = 0, False
+    if i < len(s) and s[i] in "+-":
+        neg = s[i] == "-"
+        i += 1
+    base = abs(fb)
+    val = 0
+    while i < len(s):
+        d = _CONV_DIGITS.find(s[i].upper())
+        if d < 0 or d >= base:
+            break
+        val = val * base + d
+        i += 1
+    if fb < 0:
+        v = -val if neg else val
+        u = max(_I64_MIN, min(_I64_MAX, v)) & _U64_MAX
+    elif neg:
+        # negative magnitudes wrap mod 2^64; positive overflow clamps
+        # (func_conv.result:233-246 — asymmetric on purpose)
+        u = (-val) & _U64_MAX
+    else:
+        u = min(val, _U64_MAX)
+    if tb < 0 and u > _I64_MAX:
+        sv = u - (1 << 64)
+        return "-" + _to_base_str(-sv, -tb)
+    out_base = abs(tb)
+    return _to_base_str(u, out_base)
+
+
+def _to_base_str(v: int, b: int) -> str:
+    if v == 0:
+        return "0"
+    out = []
+    while v:
+        out.append(_CONV_DIGITS[v % b])
+        v //= b
+    return "".join(reversed(out))
+
+
+@pandas_udf(StringType())
+def _conv_udf(n: pd.Series, fb: pd.Series, tb: pd.Series) -> pd.Series:
+    out = []
+    for x, f, t in zip(n, fb, tb):
+        if x is None or (isinstance(x, float) and pd.isna(x)) or pd.isna(f) or pd.isna(t):
+            out.append(None)
+        else:
+            out.append(_conv_scalar(x, f, t))
+    return pd.Series(out, dtype=object)
+
+
 def conv(x, from_base: int, to_base: int) -> Column:
-    """CONV(n, f, t) — Spark ships this builtin; re-exported for the MySQL
-    namespace. Reference: func_unary.go conv."""
-    return F.conv(_c(x), from_base, to_base)
+    """CONV(n, f, t) with MySQL semantics. Reference: func_unary.go conv."""
+    return _conv_udf(_c(x).cast("string"), F.lit(from_base), F.lit(to_base))
 
 
 def oct_(x) -> Column:

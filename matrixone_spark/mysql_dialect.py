@@ -262,7 +262,7 @@ _FN_RENAME_RE = re.compile(
 # Composed rewrites (function_id.go names with no Spark builtin): each
 # builder receives the top-level-split argument list and returns Spark SQL.
 _FN_COMPOSE_RE = re.compile(
-    r"\b(field|oct|ord|export_set|make_set|random_bytes"
+    r"\b(field|oct|ord|conv|export_set|make_set|random_bytes"
     r"|validate_password_strength|insert)\s*\(",
     re.IGNORECASE,
 )
@@ -275,7 +275,14 @@ def _compose_fn(name: str, args: "list[str]") -> "str | None":
         arr = ", ".join(args[1:])
         return f"coalesce(array_position(array({arr}), {args[0]}), 0)"
     if name == "oct" and len(args) == 1:
-        return f"conv({args[0]}, 10, 8)"
+        return f"mo_conv(CAST({args[0]} AS STRING), 10, 8)"
+    if name == "conv" and len(args) == 3:
+        # mo_conv carries MySQL's exact sign/overflow/negative-base semantics
+        # (registered in session.get_spark); Spark's builtin conv differs
+        return (
+            f"mo_conv(CAST({args[0]} AS STRING), "
+            f"CAST({args[1]} AS INT), CAST({args[2]} AS INT))"
+        )
     if name == "ord" and len(args) == 1:
         # byte-sequence value of the first (possibly multi-byte) character
         return f"CAST(conv(hex(substring({args[0]}, 1, 1)), 16, 10) AS BIGINT)"

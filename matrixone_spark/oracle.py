@@ -40,6 +40,9 @@ def _norm_value(v):
     """Canonicalize one cell for comparison."""
     if v is None:
         return "<null>"
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        # Spark fetches BINARY as bytes, DuckDB as bytearray — same payload
+        return ("s", "0x" + bytes(v).hex())
     if isinstance(v, float):
         if math.isnan(v):
             return "<null>"

@@ -63,4 +63,17 @@ def get_spark(app_name: str = "mospark", master: str | None = None) -> SparkSess
     builder = SparkSession.builder.appName(app_name).master(master)
     for k, v in SPARK_CONF.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ensure_sql_udfs(spark)
+    return spark
+
+
+def _ensure_sql_udfs(spark: SparkSession) -> None:
+    """Register pandas-UDF-backed MySQL functions for SQL-text use.
+
+    Idempotent; called on every get_spark. Only functions whose MySQL
+    semantics can't be expressed as a Spark-SQL rewrite live here — the
+    dialect layer routes their names to the mo_* registrations."""
+    from matrixone_spark.functions.mysql import _conv_udf
+
+    spark.udf.register("mo_conv", _conv_udf)
