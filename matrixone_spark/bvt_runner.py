@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from matrixone_spark.bvt_harvest import _strip_comments, split_statements
 from matrixone_spark.mysql_dialect import (
     _rewrite_calls,
+    _split_top_level,
     mask_literals,
     rewrite_generate_series,
     rewrite_limit,
@@ -168,6 +169,12 @@ class BvtSession:
         # from a DataFrame pins the analyzed plan at creation time, so later
         # DML on the base table would be invisible (distinct.sql:161-170).
         self.views: "dict[str, str]" = {}
+        # MySQL session state the scripts drive: user variables (SET @a = …,
+        # substituted textually into later statements) and prepared
+        # statements (PREPARE/EXECUTE…USING/DEALLOCATE, expanded to plain
+        # SQL so both engines can run the result).
+        self.uservars: "dict[str, object]" = {}
+        self.prepared: "dict[str, str]" = {}
 
     # BVT fixtures are tens of rows; anything bigger than this is a runaway
     # (e.g. an INSERT..SELECT off generate_series) and stays lazy.
@@ -362,12 +369,15 @@ class BvtSession:
         self._register(name, self.spark.sql(f"SELECT {', '.join(sel)} FROM {name}"))
         return "dml", None
 
-    def snapshot(self) -> "tuple[dict, dict, dict, dict]":
+    def snapshot(self) -> tuple:
         """Cheap state snapshot — DataFrames are immutable, dicts are replaced."""
-        return dict(self.tables), dict(self.schemas), dict(self.defaults), dict(self.views)
+        return (
+            dict(self.tables), dict(self.schemas), dict(self.defaults),
+            dict(self.views), dict(self.uservars), dict(self.prepared),
+        )
 
-    def restore(self, snap: "tuple[dict, dict, dict, dict]") -> None:
-        tables, schemas, defaults, views = snap
+    def restore(self, snap: tuple) -> None:
+        tables, schemas, defaults, views, uservars, prepared = snap
         for name in set(self.tables) - set(tables):
             self.spark.catalog.dropTempView(name)
         for name, df in tables.items():
@@ -376,6 +386,109 @@ class BvtSession:
         self.tables, self.schemas = dict(tables), dict(schemas)
         self.defaults = dict(defaults)
         self.views = dict(views)
+        self.uservars = dict(uservars)
+        self.prepared = dict(prepared)
+
+    # -------------------------------------------------- session state layer
+
+    @staticmethod
+    def _sql_literal(v) -> str:
+        import datetime as _dt
+        from decimal import Decimal as _Dec
+
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float, _Dec)):
+            return repr(v) if not isinstance(v, _Dec) else str(v)
+        if isinstance(v, (bytes, bytearray)):
+            return "X'" + bytes(v).hex() + "'"
+        if isinstance(v, (_dt.date, _dt.datetime)):
+            return "'" + str(v) + "'"
+        return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
+
+    def _subst_uservars(self, stmt: str) -> str:
+        """Replace @name occurrences (outside string literals) with the
+        variable's value rendered as a SQL literal; unset variables are NULL
+        (MySQL semantics)."""
+        masked, spans = mask_literals(stmt)
+        if "@" not in masked:
+            return stmt
+
+        def repl(m):
+            return self._sql_literal(self.uservars.get(m.group(1).lower()))
+
+        # @@system_var stays untouched; only user @vars substitute
+        out = re.sub(r"(?<!@)@(\w+)", repl, masked)
+        return unmask_literals(out, spans)
+
+    def preprocess(self, stmt: str) -> "str | None":
+        """Consume session-state statements (SET @…, PREPARE, EXECUTE,
+        DEALLOCATE); return the expanded plain-SQL text for everything that
+        should still run on the engines, or None when fully consumed."""
+        masked, spans = mask_literals(stmt)
+        head = masked.strip().lstrip("(").split(None, 1)[0].lower() if masked.strip() else ""
+        if head == "set" and re.match(r"\s*set\s+@[a-zA-Z0-9_]", masked):
+            body = masked.strip()[3:]
+            for part in _split_top_level(body):
+                m = re.match(r"\s*@(\w+)\s*:?=\s*(.*)$", part, re.DOTALL)
+                if not m:
+                    raise SkipStatement(f"unsupported SET shape {part!r}")
+                name = m.group(1).lower()
+                expr = self._subst_uservars(unmask_literals(m.group(2), spans))
+                row = self.spark.sql("select " + translate(expr)).collect()
+                self.uservars[name] = row[0][0] if row else None
+            return None
+        if head == "prepare":
+            m = re.match(r"\s*prepare\s+[`]?(\w+)[`]?\s+from\s+(.*)$", masked,
+                         re.IGNORECASE | re.DOTALL)
+            if not m:
+                raise SkipStatement("unsupported PREPARE shape")
+            name = m.group(1).lower()
+            src = unmask_literals(m.group(2).strip(), spans).strip()
+            if src.startswith("@"):
+                v = self.uservars.get(src[1:].lower())
+                if v is None:
+                    raise SkipStatement("PREPARE FROM unset @var")
+                self.prepared[name] = str(v)
+            elif src[:1] in ("'", '"'):
+                q = src[0]
+                inner = src[1:-1] if src.endswith(q) else src[1:]
+                self.prepared[name] = inner.replace(q + q, q).replace("\\" + q, q)
+            else:
+                raise SkipStatement("unsupported PREPARE source")
+            return None
+        if head in ("deallocate", "drop") and re.match(
+            r"\s*(deallocate|drop)\s+prepare\s+[`]?(\w+)[`]?", masked, re.IGNORECASE
+        ):
+            m = re.match(r"\s*(?:deallocate|drop)\s+prepare\s+[`]?(\w+)[`]?", masked, re.IGNORECASE)
+            self.prepared.pop(m.group(1).lower(), None)
+            return None
+        if head == "execute":
+            m = re.match(r"\s*execute\s+[`]?(\w+)[`]?\s*(?:using\s+(.*))?$", masked,
+                         re.IGNORECASE | re.DOTALL)
+            if not m or m.group(1).lower() not in self.prepared:
+                raise SkipStatement("EXECUTE of unknown prepared statement")
+            text = self.prepared[m.group(1).lower()]
+            if m.group(2):
+                args = []
+                for part in _split_top_level(unmask_literals(m.group(2), spans)):
+                    p = part.strip()
+                    if not p.startswith("@"):
+                        raise SkipStatement("EXECUTE USING requires @vars")
+                    args.append(self._sql_literal(self.uservars.get(p[1:].lower())))
+                pieces = text.split("?")
+                if len(pieces) - 1 != len(args):
+                    raise SkipStatement("EXECUTE placeholder arity mismatch")
+                text = "".join(
+                    p + (args[i] if i < len(args) else "") for i, p in enumerate(pieces)
+                )
+            return self._subst_uservars(text)
+        # ordinary statement: substitute any user vars it references
+        if self.uservars and re.search(r"(?<!@)@\w", masked):
+            return self._subst_uservars(stmt)
+        return stmt
 
     def run_script(self, text: str) -> "dict[str, int]":
         """Execute a whole script; returns statement counters."""
@@ -634,6 +747,23 @@ class CoExecutor:
                  "diverged": 0, "spark_only": 0, "duck_only": 0,
                  "both_failed": 0, "executed": 0, "skipped": 0}
         for stmt in split_statements(_strip_comments(text)):
+            # session-state layer: SET @var / PREPARE / EXECUTE / DEALLOCATE
+            # are consumed or expanded to plain SQL before either engine runs.
+            # The .result file echoes the ORIGINAL text, so reference claims
+            # use `orig`, not the expansion.
+            orig = stmt
+            try:
+                expanded = self.sess.preprocess(stmt)
+            except SkipStatement:
+                stats["skipped"] += 1
+                continue
+            except Exception:
+                stats["skipped"] += 1
+                continue
+            if expanded is None:
+                stats["executed"] += 1
+                continue
+            stmt = expanded
             masked, _ = mask_literals(stmt)
             head = masked.strip().lstrip("(").split(None, 1)[0].lower() if masked.strip() else ""
             is_query = head in ("select", "with", "values", "table")
@@ -691,7 +821,7 @@ class CoExecutor:
                 o_rows, _ = canonical_rows(_pos(duck_df))
                 stats["compared"] += 1
                 if s_rows != o_rows:
-                    claimed = ref.claim(stmt) if ref is not None else None
+                    claimed = ref.claim(orig) if ref is not None else None
                     if (
                         claimed is not None
                         and claimed[0] == "rows"
@@ -701,11 +831,11 @@ class CoExecutor:
                     else:
                         stats["mismatch"] += 1
                         if details is not None:
-                            details.append((stmt, s_rows[:5], o_rows[:5]))
+                            details.append((orig, s_rows[:5], o_rows[:5]))
             elif spark_ok and spark_df is not None:
                 # DuckDB could not run the statement (MySQL-ism). The
                 # reference's own .result still grades Spark directly.
-                claimed = ref.claim(stmt) if ref is not None else None
+                claimed = ref.claim(orig) if ref is not None else None
                 if claimed is not None and claimed[0] == "rows":
                     if _ref_match(spark_df, claimed[1]):
                         stats["ref_pass"] += 1
@@ -713,7 +843,7 @@ class CoExecutor:
                         stats["ref_fail"] += 1
                         if details is not None:
                             details.append(
-                                (stmt,
+                                (orig,
                                  [tuple(map(str, r)) for r in
                                   spark_df.head(5).itertuples(index=False, name=None)],
                                  [("ref",) + tuple(r) for r in claimed[1][:5]])
