@@ -565,10 +565,18 @@ def _concat_to_pipes(args: "list[str]") -> "str | None":
     return "(" + " || ".join(a.strip() or "''" for a in args) + ")" if args else None
 
 
+_DUCK_POP_AGG_RE = re.compile(r"\b(stddev|std|variance)\s*\(", re.IGNORECASE)
+
+
 def _duckify(stmt: str) -> str:
     masked, spans = mask_literals(stmt)
     masked = masked.replace("`", '"')
     masked = rewrite_limit(masked)
+    # MySQL STD/STDDEV/VARIANCE are population variants; DuckDB's same-named
+    # functions are sample variants (mirrors the Spark-side dialect rename)
+    masked = _DUCK_POP_AGG_RE.sub(
+        lambda m: ("var_pop(" if m.group(1).lower() == "variance" else "stddev_pop("), masked
+    )
     prev = None
     while "concat" in masked.lower() and prev != masked:  # fixpoint for nesting
         prev = masked

@@ -253,6 +253,12 @@ _FN_RENAME = {
     "localtime": "localtimestamp",
     "ucase": "ucase",  # native; listed for the coverage scanner
     "lcase": "lcase",
+    # MySQL STD()/STDDEV()/VARIANCE() are the POPULATION variants
+    # (function/builtin.result: STD(2)=0.0); Spark's same-named builtins are
+    # sample variants. The *_samp/*_pop spellings pass through untouched.
+    "std": "stddev_pop",
+    "stddev": "stddev_pop",
+    "variance": "var_pop",
 }
 _FN_RENAME_RE = re.compile(
     r"\b(" + "|".join(k for k, v in _FN_RENAME.items() if k != v) + r")\s*\(",

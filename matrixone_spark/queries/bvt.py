@@ -196,6 +196,20 @@ BVT_STRING = [
 ]
 
 
+import re as _re
+
+_POP_AGG_RE = _re.compile(r"\b(stddev|std|variance)\s*\(", _re.IGNORECASE)
+
+
+def _pop_aggs(e: str) -> str:
+    """MySQL STD/STDDEV/VARIANCE are population variants; DuckDB's (like
+    Spark's) same-named functions are sample variants, so the oracle text
+    must be rewritten the same way the Spark-side dialect renames them."""
+    return _POP_AGG_RE.sub(
+        lambda m: "var_pop(" if m.group(1).lower() == "variance" else "stddev_pop(", e
+    )
+
+
 def _spark_sql() -> str:
     rows = []
     for i, (_, e) in enumerate(BVT_NUMERIC):
@@ -219,6 +233,7 @@ def _spark_sql() -> str:
 def _oracle_sql() -> str:
     rows = []
     for i, (_, e) in enumerate(BVT_NUMERIC):
+        e = _pop_aggs(e)
         rows.append(
             f"SELECT CAST({i} AS INT) AS sid, "
             f"CASE WHEN isnan(ROUND(CAST(({e}) AS DOUBLE), 6)) THEN CAST(NULL AS DOUBLE) "
@@ -431,6 +446,7 @@ def _battery_spark_sql(numeric, strings) -> str:
 def _battery_oracle_sql(numeric, strings) -> str:
     rows = []
     for i, (_, e) in enumerate(numeric):
+        e = _pop_aggs(e)
         rows.append(
             f"SELECT CAST({i} AS INT) AS sid, "
             f"CASE WHEN isnan(ROUND(CAST(({e}) AS DOUBLE), 6)) THEN CAST(NULL AS DOUBLE) "
