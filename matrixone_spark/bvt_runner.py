@@ -313,10 +313,12 @@ class BvtSession:
             if not m or m.group(1) not in self.tables:
                 raise SkipStatement("unsupported DELETE shape")
             name = m.group(1)
-            df = self.tables[name]
             if m.group(2):
                 cond = translate(unmask_literals(m.group(2), spans))
-                df = df.filter(f"NOT coalesce(({cond}), false)")
+                df = self.tables[name].filter(f"NOT coalesce(({cond}), false)")
+            else:
+                # DELETE with no WHERE removes every row
+                df = self._empty(name)
             self._register(name, df)
             return "dml", None
         raise SkipStatement(f"unsupported statement head {head!r}")

@@ -440,9 +440,27 @@ def _quantified_three_state(
     empty_val = "true" if is_all else "false"
     if (op == "=" and not is_all) or (op == "<>" and is_all):
         if row_valued:
-            # row-value lhs: native IN/NOT IN (per-field NULL edge cases
-            # keep Spark's ExistenceJoin behavior — documented limitation)
-            return f"({lhs} {'NOT ' if op == '<>' else ''}IN ({sub}))"
+            # Row-value IN with full three-valued logic (Spark's native row
+            # InSubquery collapses the UNKNOWN outcome): TRUE iff some row
+            # matches on every field, UNKNOWN iff some row has no field
+            # comparison that is FALSE, else FALSE (subquery-with-in.sql
+            # goldens: ((0,1) NOT IN (SELECT NULL,1)) IS NULL = 1).
+            comps = [c.strip() for c in _split_top_level(lhs[1:-1].strip())]
+            cols = ", ".join(f"__c{i}" for i in range(len(comps)))
+            eq_true = " AND ".join(
+                f"(({c}) = __rin.__c{i})" for i, c in enumerate(comps)
+            )
+            eq_not_false = " AND ".join(
+                f"((({c}) = __rin.__c{i}) IS NOT FALSE)" for i, c in enumerate(comps)
+            )
+            t, f = ("false", "true") if op == "<>" else ("true", "false")
+            return (
+                f"(CASE WHEN EXISTS (SELECT 1 FROM ({sub}) __rin({cols}) "
+                f"WHERE {eq_true}) THEN {t} "
+                f"WHEN EXISTS (SELECT 1 FROM ({sub}) __rin({cols}) "
+                f"WHERE {eq_not_false}) THEN {null_b} "
+                f"ELSE {f} END)"
+            )
         # = ANY / <> ALL ride on IN for the match test, but Spark's
         # projection-context InSubquery (ExistenceJoin) collapses NULL to
         # FALSE in both directions; the CASE restores three-valued logic.
