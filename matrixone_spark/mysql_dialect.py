@@ -506,6 +506,43 @@ def _quantified_three_state(
     )
 
 
+# --- extra-parenthesized IN ((SELECT ...)) ----------------------------------
+# MySQL and the reference treat `x [NOT] IN ((SELECT ...)))` exactly like the
+# single-paren membership form (view/view-subquery-with-in.result:1352-1371 —
+# the empty-correlated-subquery row keeps NOT IN = TRUE). Spark instead
+# parses the inner parens as a scalar-subquery ELEMENT (empty → NULL, which
+# silently flips the row to filtered). Strip the redundant layers so Spark
+# plans ordinary membership IN; the projection-context 3VL rewrite below then
+# sees the canonical form.
+_PAREN_IN_RE = re.compile(r"\b(?:not\s+)?in\s*\(\s*\(", re.IGNORECASE)
+
+
+def rewrite_paren_membership_in(masked: str) -> str:
+    pos = 0
+    for _guard in range(4096):
+        m = _PAREN_IN_RE.search(masked, pos)
+        if not m:
+            break
+        open_idx = masked.index("(", m.start())
+        list_end = _scan_balanced(masked, open_idx)
+        if list_end < 0:
+            pos = m.end()
+            continue
+        inner = masked[open_idx + 1 : list_end - 1].strip()
+        if len(_split_top_level(inner)) != 1:
+            pos = m.end()  # a real value list — leave it alone
+            continue
+        core = inner
+        while core.startswith("(") and _scan_balanced(core, 0) == len(core):
+            core = core[1:-1].strip()
+        if core == inner or not re.match(r"(select|with)\b", core, re.IGNORECASE):
+            pos = m.end()
+            continue
+        masked = masked[:open_idx] + "(" + core + ")" + masked[list_end:]
+        pos = open_idx + len(core) + 2
+    return masked
+
+
 # --- projection-context IN (subquery) ---------------------------------------
 # Spark plans InSubquery as an ExistenceJoin, which collapses the NULL
 # outcome to FALSE (both directions). In WHERE/HAVING context FALSE and NULL
@@ -612,6 +649,8 @@ def translate(sql: str) -> str:
     masked = _GROUP_CONCAT_RE.sub(gc_repl, masked)
     if _FN_RENAME_RE.search(masked) or _FN_COMPOSE_RE.search(masked):
         masked = rewrite_mysql_fns(masked)
+    if _PAREN_IN_RE.search(masked):
+        masked = rewrite_paren_membership_in(masked)
     if _QUANT_RE.search(masked):
         masked = rewrite_quantified(masked)
     if _IN_SUB_RE.search(masked):
