@@ -28,6 +28,7 @@ mysql_dialect + Spark SQL itself.
 from __future__ import annotations
 
 import re
+import threading as _threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -724,6 +725,8 @@ def _ref_match(spark_pdf, ref_rows) -> bool:
 
 
 class CoExecutor:
+    # per-statement wall clock cap for EACH engine (runaway guard)
+    STMT_TIMEOUT_S = 60
     """Run a BVT script on Spark AND DuckDB; compare every SELECT both ran."""
 
     def __init__(self, spark: SparkSession):
@@ -784,17 +787,32 @@ class CoExecutor:
                 except Exception:
                     pass
             duck_ok, duck_df = True, None
+            timer = _threading.Timer(self.STMT_TIMEOUT_S, self.con.interrupt)
+            timer.start()
             try:
                 duck_df = self.con.execute(_duckify(stmt)).fetchdf()
             except Exception:
                 duck_ok = False
+            finally:
+                timer.cancel()
             spark_ok, spark_df = True, None
+            sc = self.sess.spark.sparkContext
+            group = f"bvt-{id(self)}"
+            # runaway statements (one expression/ script builds a 2^20-task
+            # cross) are cancelled, counted as an engine failure, and the
+            # replay moves on
+            sc.setJobGroup(group, "bvt statement", interruptOnCancel=True)
+            timer = _threading.Timer(self.STMT_TIMEOUT_S, lambda: sc.cancelJobGroup(group))
+            timer.start()
             try:
                 kind, df = self.sess.execute(stmt)
                 if kind == "select" and df is not None:
                     spark_df = df.toPandas()
             except Exception:
                 spark_ok = False
+            finally:
+                timer.cancel()
+                sc.setJobGroup(f"bvt-idle-{id(self)}", "idle")
             if not is_query:
                 if spark_ok and duck_ok:
                     self.con.execute("COMMIT")
