@@ -248,6 +248,9 @@ class BvtSession:
                 pass  # base table gone; the view errors on next use as in MySQL
 
     def _execute(self, stmt: str) -> "tuple[str, DataFrame | None]":
+        # DML-target bookkeeping for the co-executor's duck-taint tracking
+        self.last_table: "str | None" = None
+        self.last_dropped: "list[str]" = []
         masked, spans = mask_literals(stmt)
         head = masked.strip().split(None, 1)[0].lower() if masked.strip() else ""
         head = head.lstrip("(")
@@ -259,6 +262,7 @@ class BvtSession:
                 self.schemas[name] = cols
                 self.defaults[name] = defaults
                 self._register(name, self._empty(name))
+                self.last_table = name
                 return "ddl", None
             vm = re.match(
                 r"\s*create\s+(?:or\s+replace\s+)?view\s+[`]?(\w+)[`]?\s*(?:\([^)]*\))?\s+as\s+(.*)$",
@@ -293,6 +297,7 @@ class BvtSession:
                     self.schemas.pop(name, None)
                     self.defaults.pop(name, None)
                     self.views.pop(name, None)
+                    self.last_dropped.append(name)
             return "ddl", None
         if head in ("use",) or re.match(
             r"\s*create\s+(?:database|schema)\b", masked, re.IGNORECASE
@@ -303,6 +308,7 @@ class BvtSession:
             m = re.match(r"\s*truncate\s+(?:table\s+)?[`]?(\w+)[`]?", masked, re.IGNORECASE)
             if m and m.group(1) in self.schemas:
                 self._register(m.group(1), self._empty(m.group(1)))
+                self.last_table = m.group(1)
                 return "dml", None
             raise SkipStatement("TRUNCATE of unknown table")
         if head == "insert":
@@ -321,6 +327,7 @@ class BvtSession:
                 # DELETE with no WHERE removes every row
                 df = self._empty(name)
             self._register(name, df)
+            self.last_table = name
             return "dml", None
         raise SkipStatement(f"unsupported statement head {head!r}")
 
@@ -338,12 +345,25 @@ class BvtSession:
             cols = [c.strip().strip("`") for c in unmask_literals(m.group(3), spans).split(",")]
         if m.group(4).lower() == "values":
             values_text = unmask_literals(m.group(5), spans).strip()
-            src = self.spark.sql(translate(f"SELECT * FROM VALUES {values_text}"))
+            try:
+                src = self.spark.sql(translate(f"SELECT * FROM VALUES {values_text}"))
+            except Exception:
+                # VALUES requires foldable expressions; rows calling UDFs
+                # (insert into t values (1, s2_cellid(...))) re-shape into
+                # SELECT ... UNION ALL legs, which allow any expression
+                legs = []
+                for row in _split_top_level(m.group(5).strip()):
+                    row = row.strip()
+                    if not (row.startswith("(") and row.endswith(")")):
+                        raise SkipStatement("unparseable VALUES row")
+                    legs.append("SELECT " + unmask_literals(row[1:-1], spans))
+                src = self.spark.sql(translate(" UNION ALL ".join(legs)))
         else:
             sub = unmask_literals(m.group(4) + m.group(5), spans)
             src = self.spark.sql(translate(sub))
         new = self._cast_to_schema(name, src, cols)
         self._register(name, self.tables[name].unionAll(new))
+        self.last_table = name
         return "dml", None
 
     def _update(self, stmt, masked, spans):
@@ -370,6 +390,7 @@ class BvtSession:
             else:
                 sel.append(c)
         self._register(name, self.spark.sql(f"SELECT {', '.join(sel)} FROM {name}"))
+        self.last_table = name
         return "dml", None
 
     def snapshot(self) -> tuple:
@@ -759,6 +780,20 @@ class CoExecutor:
         stats = {"compared": 0, "mismatch": 0, "ref_pass": 0, "ref_fail": 0,
                  "diverged": 0, "spark_only": 0, "duck_only": 0,
                  "both_failed": 0, "executed": 0, "skipped": 0}
+        # tables whose Spark state DuckDB could not follow (a DML using
+        # engine UDFs DuckDB can't parse, e.g. s2_cellid inside INSERT):
+        # their statements skip the cross-engine compare and grade against
+        # the reference .result instead. A successful DROP clears the taint.
+        tainted: "set[str]" = set()
+
+        def _touches_taint(sql_text: str) -> bool:
+            if not tainted or ref is None:
+                return False
+            names = set(tainted)
+            for vname, vsql in self.sess.views.items():
+                if any(re.search(rf"\b{t}\b", vsql, re.IGNORECASE) for t in names):
+                    names.add(vname)
+            return any(re.search(rf"\b{t}\b", sql_text, re.IGNORECASE) for t in names)
         for stmt in split_statements(_strip_comments(text)):
             # session-state layer: SET @var / PREPARE / EXECUTE / DEALLOCATE
             # are consumed or expanded to plain SQL before either engine runs.
@@ -786,15 +821,20 @@ class CoExecutor:
                     self.con.execute("BEGIN")
                 except Exception:
                     pass
-            duck_ok, duck_df = True, None
-            timer = _threading.Timer(self.STMT_TIMEOUT_S, self.con.interrupt)
-            timer.start()
-            try:
-                duck_df = self.con.execute(_duckify(stmt)).fetchdf()
-            except Exception:
+            duck_ok, duck_df, duck_err = True, None, ""
+            if _touches_taint(stmt):
                 duck_ok = False
-            finally:
-                timer.cancel()
+                duck_err = "tainted"
+            else:
+                timer = _threading.Timer(self.STMT_TIMEOUT_S, self.con.interrupt)
+                timer.start()
+                try:
+                    duck_df = self.con.execute(_duckify(stmt)).fetchdf()
+                except Exception as e:
+                    duck_ok = False
+                    duck_err = str(e)
+                finally:
+                    timer.cancel()
             spark_ok, spark_df = True, None
             sc = self.sess.spark.sparkContext
             group = f"bvt-{id(self)}"
@@ -816,6 +856,31 @@ class CoExecutor:
             if not is_query:
                 if spark_ok and duck_ok:
                     self.con.execute("COMMIT")
+                    stats["executed"] += 1
+                    for t in getattr(self.sess, "last_dropped", ()):  # re-sync
+                        tainted.discard(t)
+                elif (
+                    spark_ok
+                    and not duck_ok
+                    and ref is not None
+                    and (
+                        duck_err == "tainted"
+                        or any(k in duck_err for k in
+                               ("Parser Error", "Binder Error", "Catalog Error",
+                                "Not implemented", "does not exist"))
+                    )
+                ):
+                    # DuckDB can't EXPRESS this DML (constraint violations the
+                    # reference would also reject keep the rollback path
+                    # below); keep Spark's state and taint the table so later
+                    # SELECTs grade vs the reference
+                    try:
+                        self.con.execute("ROLLBACK")
+                    except Exception:
+                        pass
+                    t = getattr(self.sess, "last_table", None)
+                    if t:
+                        tainted.add(t)
                     stats["executed"] += 1
                 elif spark_ok or duck_ok:
                     # divergence → both-or-neither: roll both sides back

@@ -187,9 +187,12 @@ def _cast_rewrite(masked: str) -> str:
         x, ty = m.group("expr"), m.group("type").lower().split()[0]
         if ty == "datetime":
             return f"CAST({x} AS TIMESTAMP)"
+        # round-to-nearest via DECIMAL, not ROUND(double): a 20-digit cell id
+        # string must survive bit-exact (geo_s2h3.sql chains CAST AS UNSIGNED
+        # over uint64 ids; a double round-trip silently drops low bits)
         if ty == "signed":
-            return f"CAST(ROUND(({x}), 0) AS BIGINT)"
-        return f"CAST(ROUND(({x}), 0) AS DECIMAL(20,0))"
+            return f"CAST(ROUND(CAST(({x}) AS DECIMAL(38,9)), 0) AS BIGINT)"
+        return f"CAST(ROUND(CAST(({x}) AS DECIMAL(38,9)), 0) AS DECIMAL(20,0))"
 
     # innermost-first: repeat until no rewrite applies (nested casts)
     prev = None
@@ -269,7 +272,8 @@ _FN_RENAME_RE = re.compile(
 # builder receives the top-level-split argument list and returns Spark SQL.
 _FN_COMPOSE_RE = re.compile(
     r"\b(field|oct|ord|conv|export_set|make_set|random_bytes"
-    r"|validate_password_strength|insert)\s*\(",
+    r"|validate_password_strength|insert"
+    r"|h3_h3index_parent|h3_h3index|json_length|json_extract|json_unquote)\s*\(",
     re.IGNORECASE,
 )
 
@@ -282,6 +286,27 @@ def _compose_fn(name: str, args: "list[str]") -> "str | None":
         return f"coalesce(array_position(array({arr}), {args[0]}), 0)"
     if name == "oct" and len(args) == 1:
         return f"mo_conv(CAST({args[0]} AS STRING), 10, 8)"
+    # SQL-registered cell UDFs have fixed arity (functions/sql_udfs.py);
+    # normalize the reference's optional-argument forms here.
+    if name == "h3_h3index" and len(args) == 1:
+        return f"h3_h3index({args[0]}, 15)"
+    if name == "h3_h3index_parent" and len(args) == 1:
+        return f"h3_h3index_parent({args[0]}, -1)"
+    if name == "json_length" and len(args) == 1:
+        x = args[0]
+        return (
+            f"(CASE WHEN ({x}) IS NULL THEN NULL "
+            f"WHEN startswith(ltrim({x}), '[') THEN json_array_length({x}) "
+            f"WHEN startswith(ltrim({x}), '{{') THEN size(json_object_keys({x})) "
+            f"ELSE 1 END)"
+        )
+    if name == "json_extract" and len(args) == 2:
+        # scalar-path subset: MySQL returns JSON text, get_json_object
+        # returns the unquoted scalar — equivalent for number/cell-id chains
+        return f"get_json_object({args[0]}, {args[1]})"
+    if name == "json_unquote" and len(args) == 1:
+        x = args[0]
+        return f"regexp_replace(CAST({x} AS STRING), '^\"(.*)\"$', '$1')"
     if name == "conv" and len(args) == 3:
         # mo_conv carries MySQL's exact sign/overflow/negative-base semantics
         # (registered in session.get_spark); Spark's builtin conv differs

@@ -75,5 +75,7 @@ def _ensure_sql_udfs(spark: SparkSession) -> None:
     semantics can't be expressed as a Spark-SQL rewrite live here — the
     dialect layer routes their names to the mo_* registrations."""
     from matrixone_spark.functions.mysql import _conv_udf
+    from matrixone_spark.functions.sql_udfs import register_all
 
     spark.udf.register("mo_conv", _conv_udf)
+    register_all(spark)
