@@ -138,6 +138,8 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
             s = j + 1
     parts.append(body[s:])
     defaults: "dict[str, str]" = {}
+    pads: "dict[str, int]" = {}
+    autoinc: "set[str]" = set()
     for part in parts:
         part = unmask_literals(part, spans).strip()
         if re.match(r"(primary|unique|key|index|constraint|foreign|check)\b", part, re.IGNORECASE):
@@ -146,15 +148,22 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
         if not cm:
             raise SkipStatement(f"unparseable column def {part!r}")
         col, rest = cm.group(1), cm.group(2)
+        if re.search(r"\bauto_increment\b", rest, re.IGNORECASE):
+            autoinc.add(col)
         dm = _DEFAULT_RE.search(rest)
         if dm and dm.group(1).lower() != "null":
             defaults[col] = dm.group(1)
         rest = _DEFAULT_RE.sub(" ", rest)
         rest = _COL_CONSTRAINT_RE.sub(" ", rest).strip().rstrip(",")
         cols.append((col, _norm_type(rest)))
+        pm = re.match(r"binary\s*\((\d+)\)\s*$", rest, re.IGNORECASE)
+        if pm:
+            # MySQL BINARY(n) is fixed-length, zero-padded on store
+            # (VARBINARY is not); remember n so INSERT casts can pad.
+            pads[col] = int(pm.group(1))
     if not cols:
         raise SkipStatement("CREATE TABLE with no parseable columns")
-    return name, cols, defaults
+    return name, cols, defaults, {"binpads": pads, "autoinc": autoinc}
 
 
 class BvtSession:
@@ -176,6 +185,9 @@ class BvtSession:
         # SQL so both engines can run the result).
         self.uservars: "dict[str, object]" = {}
         self.prepared: "dict[str, str]" = {}
+        # table → {"binpads": {col: n}, "autoinc": {col}} column metadata
+        # (fixed-length BINARY zero-padding, AUTO_INCREMENT fill)
+        self.colmeta: "dict[str, dict]" = {}
 
     # BVT fixtures are tens of rows; anything bigger than this is a runaway
     # (e.g. an INSERT..SELECT off generate_series) and stays lazy.
@@ -218,13 +230,36 @@ class BvtSession:
             pairs = list(zip(df.columns, cols))
         sel = []
         provided = {dst: src for src, dst in pairs}
+        meta = self.colmeta.get(name, {})
+        pads = meta.get("binpads", {})
+        autoinc = meta.get("autoinc", set())
         for c, t in schema:
             if c in provided:
-                sel.append(F.col(provided[c]).cast(t).alias(c))
+                expr = F.col(provided[c]).cast(t)
             else:
                 dflt = self.defaults.get(name, {}).get(c)
-                expr = F.expr(dflt) if dflt is not None else F.lit(None)
-                sel.append(expr.cast(t).alias(c))
+                expr = (F.expr(dflt) if dflt is not None else F.lit(None)).cast(t)
+            if c in autoinc:
+                # AUTO_INCREMENT: omitted/NULL slots continue from the
+                # current max (fixture-scale batches; global row_number)
+                from pyspark.sql import Window as _W
+
+                try:
+                    cur = self.tables[name].agg(F.max(F.col(c))).collect()[0][0] or 0
+                except Exception:
+                    cur = 0
+                seq = F.row_number().over(
+                    _W.orderBy(F.monotonically_increasing_id())
+                ) + F.lit(cur)
+                expr = F.coalesce(expr, seq.cast(t))
+            if c in pads:
+                # BINARY(n) zero-pads stored values to n bytes
+                expr = F.when(
+                    expr.isNull(), F.lit(None).cast("binary")
+                ).otherwise(
+                    F.call_function("rpad", expr, F.lit(pads[c]), F.lit(bytes([0])))
+                )
+            sel.append(expr.alias(c))
         return df.select(*sel)
 
     # ----------------------------------------------------------- statements
@@ -258,9 +293,10 @@ class BvtSession:
             return "select", self.spark.sql(translate(stmt))
         if head == "create":
             if re.match(r"\s*create\s+(?:temporary\s+)?table", masked, re.IGNORECASE):
-                name, cols, defaults = parse_create_table(stmt)
+                name, cols, defaults, meta = parse_create_table(stmt)
                 self.schemas[name] = cols
                 self.defaults[name] = defaults
+                self.colmeta[name] = meta
                 self._register(name, self._empty(name))
                 self.last_table = name
                 return "ddl", None
@@ -296,6 +332,7 @@ class BvtSession:
                     self.tables.pop(name, None)
                     self.schemas.pop(name, None)
                     self.defaults.pop(name, None)
+                    self.colmeta.pop(name, None)
                     self.views.pop(name, None)
                     self.last_dropped.append(name)
             return "ddl", None
@@ -398,10 +435,11 @@ class BvtSession:
         return (
             dict(self.tables), dict(self.schemas), dict(self.defaults),
             dict(self.views), dict(self.uservars), dict(self.prepared),
+            dict(self.colmeta),
         )
 
     def restore(self, snap: tuple) -> None:
-        tables, schemas, defaults, views, uservars, prepared = snap
+        tables, schemas, defaults, views, uservars, prepared, colmeta = snap
         for name in set(self.tables) - set(tables):
             self.spark.catalog.dropTempView(name)
         for name, df in tables.items():
@@ -412,6 +450,7 @@ class BvtSession:
         self.views = dict(views)
         self.uservars = dict(uservars)
         self.prepared = dict(prepared)
+        self.colmeta = dict(colmeta)
 
     # -------------------------------------------------- session state layer
 
@@ -663,6 +702,19 @@ class RefResults:
             i += 1
         return None
 
+    _STMT_START_RE = re.compile(
+        r"\s*(select|insert|create|drop|update|delete|use|set|show|with"
+        r"|values|prepare|execute|deallocate|desc|explain|truncate|alter"
+        r"|load|start|begin|commit|rollback|call|grant|revoke|kill|analyze"
+        r"|restore)\b",
+        re.IGNORECASE,
+    )
+    _ERROR_LINE_RE = re.compile(
+        r"(invalid|error|internal|not supported|unknown|can't|cannot"
+        r"|duplicate|no such|out of range|data truncation|division by)",
+        re.IGNORECASE,
+    )
+
     def _parse_block(self, j: int):
         n = len(self.lines)
         if j >= n:
@@ -680,12 +732,30 @@ class RefResults:
                 j += 1
             self.cursor = j
             return ("rows", rows)
-        return ("error", line)
+        # plain (mysql-test style) format: header line of column names, then
+        # tab-separated data rows, terminated by the next statement echo
+        if " " in line and self._ERROR_LINE_RE.match(line):
+            return ("error", line)
+        block: "list[str]" = []
+        k = j
+        while k < n and not self._STMT_START_RE.match(self.lines[k]):
+            block.append(self.lines[k])
+            k += 1
+        if not block:
+            return ("rows", [])
+        # column separator is a tab in most plain files, exactly four
+        # spaces in others (the reference runner's two output styles)
+        rows = [
+            [c.strip() for c in (raw.split("\t") if "\t" in raw else raw.split("    "))]
+            for raw in block[1:]
+        ]
+        self.cursor = k
+        return ("rows", rows)
 
 
 def _ref_match(spark_pdf, ref_rows) -> bool:
     """Lenient row-multiset comparison of a Spark result against reference
-    .result text cells: numeric within 1e-9 relative, bool as 1/0, NULL as
+    .result text cells: numeric within 1e-6 relative, bool as 1/0, NULL as
     'null', everything else exact text."""
     import math as _math
 
@@ -722,7 +792,10 @@ def _ref_match(spark_pdf, ref_rows) -> bool:
             return a.split(".")[0].rstrip("0").rstrip(":0 ") == b.split(".")[0].rstrip("0").rstrip(":0 ")
         if fa == fb:
             return True
-        return abs(fa - fb) <= 1e-9 * max(abs(fa), abs(fb), 1e-30)
+        # 1e-6 relative: FLOAT(32) columns round-trip through float32 with
+        # ~1e-7 relative error (.result prints the float32 digits, Spark
+        # prints the widened double — e.g. 1.0E-25 vs 1.0000000195e-25)
+        return abs(fa - fb) <= 1e-6 * max(abs(fa), abs(fb), 1e-30)
 
     got = sorted(
         (tuple(canon(v) for v in row) for row in spark_pdf.itertuples(index=False, name=None)),

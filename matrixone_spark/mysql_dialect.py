@@ -272,7 +272,7 @@ _FN_RENAME_RE = re.compile(
 # builder receives the top-level-split argument list and returns Spark SQL.
 _FN_COMPOSE_RE = re.compile(
     r"\b(field|oct|ord|conv|export_set|make_set|random_bytes"
-    r"|validate_password_strength|insert"
+    r"|validate_password_strength|insert|in_range"
     r"|h3_h3index_parent|h3_h3index|json_length|json_extract|json_unquote)\s*\(",
     re.IGNORECASE,
 )
@@ -347,6 +347,17 @@ def _compose_fn(name: str, args: "list[str]") -> "str | None":
             f"WHEN char_length({s}) < 8 THEN 25 "
             f"WHEN NOT ({s} RLIKE '[0-9]') OR NOT (lower({s}) <> {s} AND upper({s}) <> {s}) THEN 50 "
             f"WHEN NOT ({s} RLIKE '[^a-zA-Z0-9]') THEN 75 ELSE 100 END)"
+        )
+    if name == "in_range" and len(args) == 4:
+        # reference operator_between.go:501 inRangeFixed: flag selects the
+        # interval's closedness; NULL operand → NULL (comparison semantics)
+        v, lo, hi, flag = args
+        return (
+            f"(CASE CAST({flag} AS INT) "
+            f"WHEN 0 THEN ({v}) >= ({lo}) AND ({v}) <= ({hi}) "
+            f"WHEN 1 THEN ({v}) > ({lo}) AND ({v}) <= ({hi}) "
+            f"WHEN 2 THEN ({v}) >= ({lo}) AND ({v}) < ({hi}) "
+            f"WHEN 3 THEN ({v}) > ({lo}) AND ({v}) < ({hi}) END)"
         )
     if name == "insert" and len(args) == 4:
         s, pos, ln, new = args
@@ -630,6 +641,385 @@ def rewrite_in_projection(masked: str, spans: "list[str]") -> str:
     return masked
 
 
+_IN_BARE_COL_RE = re.compile(
+    r"\b(not\s+)?in\s*\(\s*select\s+([A-Za-z_][\w.]*)\s*\)", re.IGNORECASE
+)
+
+
+def rewrite_in_bare_select(masked: str) -> str:
+    """MySQL resolves ``x IN (SELECT col)`` (no FROM) against the OUTER
+    row's columns — per-row it is just ``x = col``. Spark rejects the
+    unresolved bare select; rewrite to the scalar comparison (same
+    three-valued result, NOT IN → <>)."""
+
+    def repl(m: "re.Match") -> str:
+        col = m.group(2)
+        if col.lower() in ("null", "true", "false"):
+            return m.group(0)
+        return ("<> " if m.group(1) else "= ") + col
+
+    return _IN_BARE_COL_RE.sub(repl, masked)
+
+
+_IN_LIST_RE = re.compile(r"\b(not\s+)?in\s*\(", re.IGNORECASE)
+_NUM_TOKEN_RE = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?\s*$")
+
+
+def rewrite_in_mixed_numeric(masked: str, spans: "list[str]") -> str:
+    """MySQL compares a constant IN list that mixes quoted and bare numbers
+    as DOUBLE ('9.50' IN (7, '8', 9.5) → true). Spark resolves the list to
+    a common *string* type and compares text. When every element is a
+    constant and the list mixes bare numerics with numeric-looking strings,
+    cast both sides to DOUBLE."""
+    out = masked
+    for m in reversed(list(_IN_LIST_RE.finditer(out))):
+        open_i = m.end() - 1
+        close_i = _scan_balanced(out, open_i)
+        if close_i < 0:
+            continue
+        items = _split_top_level(out[open_i + 1 : close_i - 1])
+        n_num = n_strnum = 0
+        vals = []
+        ok = True
+        for it in items:
+            it = it.strip()
+            ph = _PH_RE.fullmatch(it)
+            if ph:
+                lit = spans[int(ph.group(1))]
+                if lit[:1] in "'\"":
+                    body = lit[1:-1]
+                    if _NUM_TOKEN_RE.fullmatch(body.strip()):
+                        n_strnum += 1
+                        vals.append(body.strip())
+                    else:
+                        ok = False
+                        break
+                else:
+                    ok = False
+                    break
+            elif _NUM_TOKEN_RE.fullmatch(it):
+                n_num += 1
+                vals.append(it)
+            else:
+                ok = False
+                break
+        if not ok or not n_num or not n_strnum:
+            continue
+        lstart, lend = _lhs_span(out, m.start())
+        lhs = out[lstart:lend]
+        if not lhs.strip():
+            continue
+        neg = "NOT " if m.group(1) else ""
+        repl = (
+            f"CAST(({lhs}) AS DOUBLE) {neg}IN ("
+            + ", ".join(f"CAST({v} AS DOUBLE)" for v in vals)
+            + ")"
+        )
+        out = out[:lstart] + repl + out[close_i:]
+    return out
+
+
+_IS_TRUTH_RE = re.compile(r"\bis\s+(not\s+)?(true|false)\b", re.IGNORECASE)
+
+
+def rewrite_is_truth(masked: str) -> str:
+    """MySQL ``x IS [NOT] TRUE/FALSE`` evaluates x numerically (any nonzero
+    → TRUE) and never yields NULL (NULL IS TRUE → 0). Spark's IS TRUE is a
+    strict boolean test; rewrite to the numeric form."""
+    out = masked
+    for m in reversed(list(_IS_TRUTH_RE.finditer(out))):
+        start, real_end = _lhs_span(out, m.start())
+        # IS binds looser than arithmetic: -1 IS TRUE ≡ (-1) IS TRUE,
+        # 1-1 IS TRUE ≡ (1-1) IS TRUE. Walk left over arithmetic operators,
+        # absorbing each preceding term; a sign with no operand before it is
+        # unary and absorbed only in unary position (after '(', ',', a
+        # comparison, or a keyword).
+        while True:
+            j = start
+            while j > 0 and out[j - 1].isspace():
+                j -= 1
+            if j == 0 or out[j - 1] not in "+-*/%":
+                break
+            op_i = j - 1
+            s2, _e2 = _lhs_span(out, op_i)
+            term = out[s2:op_i].strip()
+            if term and term.lower() not in _ROW_CMP_KEYWORDS:
+                start = s2
+                continue
+            k = op_i
+            while k > 0 and out[k - 1] in "+-":
+                k -= 1
+            kk = k
+            while kk > 0 and out[kk - 1].isspace():
+                kk -= 1
+            wm = re.search(r"([\w$]+)$", out[:kk])
+            prevtok = wm.group(1).lower() if wm else ""
+            if kk == 0 or out[kk - 1] in "(,=<>" or prevtok in _ROW_CMP_KEYWORDS:
+                start = k
+            break
+        lhs = out[start:real_end]
+        if not lhs.strip():
+            continue
+        op = "<>" if m.group(2).lower() == "true" else "="
+        expr = f"(coalesce(CAST(({lhs}) AS DOUBLE) {op} 0, false))"
+        if m.group(1):
+            expr = f"(NOT {expr})"
+        out = out[:start] + expr + out[m.end():]
+    return out
+
+
+def rewrite_bitwise_not(masked: str, engine: str = "spark") -> str:
+    """MySQL ``~x`` is 64-bit unsigned complement (BIGINT UNSIGNED result:
+    ~0 = 18446744073709551615). Spark's ``~`` is signed. Rewritten as
+    2^64-1 - (x mod 2^64) over DECIMAL so the unsigned value survives.
+    ``engine='duck'`` emits the DuckDB-dialect form (HUGEINT, no pmod) for
+    oracle-side rendering of the same semantics."""
+    out = masked
+    while True:
+        i = out.rfind("~")
+        if i < 0:
+            return out
+        j = i + 1
+        while j < len(out) and out[j].isspace():
+            j += 1
+        if j < len(out) and out[j] == "(":
+            k = _scan_balanced(out, j)
+        else:
+            k = j
+            while k < len(out) and (out[k].isalnum() or out[k] in "_.$\x01"):
+                k += 1
+            if k < len(out) and out[k] == "(":
+                k = _scan_balanced(out, k)
+        if k <= j:
+            return out
+        operand = out[j:k]
+        if engine == "duck":
+            n = "CAST('18446744073709551616' AS HUGEINT)"
+            repl = (
+                "(CAST('18446744073709551615' AS HUGEINT) - "
+                f"((CAST(({operand}) AS HUGEINT) % {n} + {n}) % {n}))"
+            )
+        else:
+            repl = (
+                "(CAST('18446744073709551615' AS DECIMAL(20,0)) - "
+                f"pmod(CAST(({operand}) AS DECIMAL(21,0)), "
+                "CAST('18446744073709551616' AS DECIMAL(21,0))))"
+            )
+        out = out[:i] + repl + out[k:]
+
+
+_ROW_CMP_OP_RE = re.compile(r"<=>|<>|!=|<=|>=|=|<|>")
+_SUBQ_HEAD_RE = re.compile(r"\s*(select|with|values)\b", re.IGNORECASE)
+# words that may legitimately precede a bare row constructor (anything else
+# touching the paren is a function call)
+_ROW_CMP_KEYWORDS = frozenset(
+    "select where when then else and or not xor on having union all case "
+    "distinct by limit offset".split()
+)
+
+
+def _tuple_elems(inner: str) -> "list[str] | None":
+    """Top-level comma split if `inner` is a bare row constructor body
+    (≥2 elements, not a subquery)."""
+    if _SUBQ_HEAD_RE.match(inner):
+        return None
+    parts = _split_top_level(inner)
+    return parts if len(parts) >= 2 else None
+
+
+def _row_cmp_expr(op: str, lhs: "list[str]", rhs: "list[str]") -> str:
+    pairs = list(zip(lhs, rhs))
+    if op == "=":
+        return "(" + " AND ".join(f"({a}) = ({b})" for a, b in pairs) + ")"
+    if op in ("<>", "!="):
+        return "(NOT (" + " AND ".join(f"({a}) = ({b})" for a, b in pairs) + "))"
+    if op == "<=>":
+        return "(" + " AND ".join(f"({a}) <=> ({b})" for a, b in pairs) + ")"
+    # lexicographic ordering, strictness decided by the last component
+    strict = op.rstrip("=")
+    last_op = op
+    a, b = pairs[-1]
+    expr = f"({a}) {last_op} ({b})"
+    for a, b in reversed(pairs[:-1]):
+        expr = f"({a}) {strict} ({b}) OR (({a}) = ({b}) AND ({expr}))"
+    return f"({expr})"
+
+
+def rewrite_row_in_list(masked: str) -> str:
+    """Row-constructor IN over a literal tuple list — ``(a,b) IN ((1,2),
+    (NULL,2))`` — with MySQL's three-valued semantics: the membership test
+    is an OR of row equalities, so a NULL component yields NULL when no
+    other row matches. Spark's struct IN returns FALSE there."""
+    out = masked
+    for m in reversed(list(_IN_LIST_RE.finditer(out))):
+        open_i = m.end() - 1
+        close_i = _scan_balanced(out, open_i)
+        if close_i < 0:
+            continue
+        items = [s.strip() for s in _split_top_level(out[open_i + 1 : close_i - 1])]
+        if len(items) < 1:
+            continue
+        elem_rows = []
+        ok = True
+        for it in items:
+            rm = re.match(r"(?:row\s*)?\((.*)\)$", it, re.IGNORECASE | re.DOTALL)
+            elems = _tuple_elems(rm.group(1)) if rm else None
+            if elems is None:
+                ok = False
+                break
+            elem_rows.append(elems)
+        if not ok:
+            continue
+        # lhs must be a bare row constructor of the same arity
+        lend = m.start()
+        while lend > 0 and out[lend - 1].isspace():
+            lend -= 1
+        if lend == 0 or out[lend - 1] != ")":
+            continue
+        depth, lstart = 0, lend - 1
+        while lstart >= 0:
+            if out[lstart] == ")":
+                depth += 1
+            elif out[lstart] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            lstart -= 1
+        if lstart < 0:
+            continue
+        before = out[:lstart].rstrip()
+        prev_word = re.search(r"([\w$]+)$", before)
+        pw = prev_word.group(1).lower() if prev_word else ""
+        if pw and pw != "row" and pw not in _ROW_CMP_KEYWORDS:
+            continue
+        row_kw_start = prev_word.start(1) if pw == "row" else lstart
+        lhs = _tuple_elems(out[lstart + 1 : lend - 1])
+        if lhs is None or any(len(r) != len(lhs) for r in elem_rows):
+            continue
+        ors = " OR ".join(_row_cmp_expr("=", lhs, r) for r in elem_rows)
+        repl = f"(NOT ({ors}))" if m.group(1) else f"({ors})"
+        out = out[:row_kw_start] + repl + out[close_i:]
+    return out
+
+
+def rewrite_row_comparisons(masked: str) -> str:
+    """MySQL row-constructor comparisons — ``(a,b,c) = (d,e,f)`` with
+    three-valued logic, ``<``/``>`` lexicographic (reference
+    plan/build_compare.go row lowering). Spark's struct comparison treats
+    NULL components as plain inequality; expand to scalar pairs."""
+    out = masked
+    pos = 0
+    while True:
+        m = _ROW_CMP_OP_RE.search(out, pos)
+        if not m:
+            return out
+        pos = m.end()
+        # left side: ...( elems ) OP — backtrack over a balanced paren group
+        lend = m.start()
+        while lend > 0 and out[lend - 1].isspace():
+            lend -= 1
+        if lend == 0 or out[lend - 1] != ")":
+            continue
+        depth, lstart = 0, lend - 1
+        while lstart >= 0:
+            if out[lstart] == ")":
+                depth += 1
+            elif out[lstart] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            lstart -= 1
+        if lstart < 0:
+            continue
+        before = out[:lstart].rstrip()
+        prev_word = re.search(r"([\w$]+)$", before)
+        pw = prev_word.group(1).lower() if prev_word else ""
+        if pw and pw != "row" and pw not in _ROW_CMP_KEYWORDS:
+            continue  # function call, not a row constructor
+        row_kw_start = prev_word.start(1) if pw == "row" else lstart
+        lhs = _tuple_elems(out[lstart + 1 : lend - 1])
+        if lhs is None:
+            continue
+        # right side
+        r = m.end()
+        while r < len(out) and out[r].isspace():
+            r += 1
+        rkw = re.match(r"row\s*\(", out[r:], re.IGNORECASE)
+        ropen = r + rkw.end() - 1 if rkw else r
+        if ropen >= len(out) or out[ropen] != "(":
+            continue
+        rclose = _scan_balanced(out, ropen)
+        if rclose < 0:
+            continue
+        rhs = _tuple_elems(out[ropen + 1 : rclose - 1])
+        if rhs is None or len(rhs) != len(lhs):
+            continue
+        repl = _row_cmp_expr(m.group(0), lhs, rhs)
+        out = out[:row_kw_start] + repl + out[rclose:]
+        pos = row_kw_start + len(repl)
+
+
+_HEX_LIT_RE = re.compile(r"\b0x([0-9a-fA-F]+)\b")
+
+
+def rewrite_hex_literals(masked: str) -> str:
+    """MySQL ``0xFF`` literals (integer in numeric context, the dominant BVT
+    use — dtype/decimal.test etc.). Spark has no 0x syntax; rendered as the
+    integer value (DECIMAL(38,0) beyond int64), matching DuckDB's reading of
+    the same literal so co-execution stays aligned."""
+
+    def repl(m: "re.Match") -> str:
+        v = int(m.group(1), 16)
+        if v <= 0x7FFFFFFFFFFFFFFF:
+            return str(v)
+        return f"CAST('{v}' AS DECIMAL(38,0))"
+
+    return _HEX_LIT_RE.sub(repl, masked)
+
+
+_RANK_OVER_RE = re.compile(
+    r"\b(?:row_number|rank|dense_rank|percent_rank|cume_dist|ntile)\s*\(",
+    re.IGNORECASE,
+)
+_OVER_RE = re.compile(r"\bover\s*\(", re.IGNORECASE)
+
+
+def rewrite_rank_no_order(masked: str) -> str:
+    """MySQL permits rank-family window functions without ORDER BY in the
+    window spec (every row is a peer: rank/dense_rank 1, percent_rank 0);
+    Spark rejects the unordered window outright. Injecting a constant ORDER
+    BY makes all rows compare equal — identical peer semantics, accepted by
+    Spark."""
+    out = masked
+    for m in reversed(list(_RANK_OVER_RE.finditer(out))):
+        arg_end = _scan_balanced(out, m.end() - 1)
+        if arg_end < 0:
+            continue
+        over = _OVER_RE.match(out, arg_end) or re.compile(
+            r"\s+over\s*\(", re.IGNORECASE
+        ).match(out, arg_end)
+        if not over:
+            continue
+        spec_open = over.end() - 1
+        spec_close = _scan_balanced(out, spec_open)
+        if spec_close < 0:
+            continue
+        spec = out[spec_open + 1 : spec_close - 1]
+        depth, has_order = 0, False
+        for mo in re.finditer(r"\(|\)|\border\s+by\b", spec, re.IGNORECASE):
+            t = mo.group(0)
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0:
+                has_order = True
+                break
+        if not has_order:
+            out = out[: spec_close - 1] + " order by 1" + out[spec_close - 1 :]
+    return out
+
+
 _GENSERIES_RE = re.compile(
     r"\bgenerate_series\s*\(([^()]*)\)\s*(?:as\s+)?"
     r"(?!where\b|order\b|group\b|limit\b|on\b|join\b|union\b|having\b|inner\b|left\b|right\b|cross\b)(\w+)?",
@@ -644,7 +1034,11 @@ def rewrite_generate_series(masked: str, body_fmt: str) -> str:
 
     def repl(m: "re.Match") -> str:
         alias = m.group(2) or "gs"
-        return f"(SELECT {body_fmt.format(m.group(1))} AS result) {alias}"
+        args = m.group(1)
+        # 1-arg form counts 1..n (reference mysql_sql.y TVF default start)
+        if len(_split_top_level(args)) == 1 and args.strip():
+            args = f"1, {args}"
+        return f"(SELECT {body_fmt.format(args)} AS result) {alias}"
 
     return _GENSERIES_RE.sub(repl, masked)
 
@@ -679,7 +1073,10 @@ def translate(sql: str) -> str:
     if _QUANT_RE.search(masked):
         masked = rewrite_quantified(masked)
     if _IN_SUB_RE.search(masked):
+        masked = rewrite_in_bare_select(masked)
         masked = rewrite_in_projection(masked, spans)
+    if _IN_LIST_RE.search(masked):
+        masked = rewrite_in_mixed_numeric(masked, spans)
     masked = _truncate_rewrite(masked)
     masked = _convert_tz_rewrite(masked)
     masked = _cast_rewrite(masked)
@@ -688,5 +1085,16 @@ def translate(sql: str) -> str:
         masked = rewrite_substr_clamp(masked)
     if "generate_series" in masked.lower():
         masked = rewrite_generate_series(masked, "explode(sequence({}))")
+    if _OVER_RE.search(masked):
+        masked = rewrite_rank_no_order(masked)
+    if "0x" in masked or "0X" in masked:
+        masked = rewrite_hex_literals(masked)
+    if _IS_TRUTH_RE.search(masked):
+        masked = rewrite_is_truth(masked)
+    if "~" in masked:
+        masked = rewrite_bitwise_not(masked)
+    if "(" in masked:
+        masked = rewrite_row_in_list(masked)
+        masked = rewrite_row_comparisons(masked)
     masked = _SYSTEM_FN_RE.sub(lambda m: sys_lits[m.group(1).lower()], masked)
     return unmask_literals(masked, spans)

@@ -204,10 +204,17 @@ _POP_AGG_RE = _re.compile(r"\b(stddev|std|variance)\s*\(", _re.IGNORECASE)
 def _pop_aggs(e: str) -> str:
     """MySQL STD/STDDEV/VARIANCE are population variants; DuckDB's (like
     Spark's) same-named functions are sample variants, so the oracle text
-    must be rewritten the same way the Spark-side dialect renames them."""
-    return _POP_AGG_RE.sub(
+    must be rewritten the same way the Spark-side dialect renames them.
+    Likewise ``~`` carries MySQL's unsigned-64-bit semantics on both sides
+    (duck-dialect rendering, HUGEINT)."""
+    from matrixone_spark.mysql_dialect import rewrite_bitwise_not
+
+    e = _POP_AGG_RE.sub(
         lambda m: "var_pop(" if m.group(1).lower() == "variance" else "stddev_pop(", e
     )
+    if "~" in e:
+        e = rewrite_bitwise_not(e, engine="duck")
+    return e
 
 
 def _spark_sql() -> str:

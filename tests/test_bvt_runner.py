@@ -53,10 +53,16 @@ def test_coexec_total_volume(spark):
 
 
 def test_parse_create_table_defaults():
-    name, cols, defaults = parse_create_table(
+    name, cols, defaults, meta = parse_create_table(
         "create table t (a float, b int default 3, c varchar(10) default 'x,y', "
         "d bigint unsigned not null, primary key (a))"
     )
+    assert meta == {"binpads": {}, "autoinc": set()}
+    _, _, _, meta2 = parse_create_table(
+        "create table t2 (id int primary key auto_increment, b binary(4), "
+        "v varbinary(4))"
+    )
+    assert meta2 == {"binpads": {"b": 4}, "autoinc": {"id"}}
     assert name == "t"
     assert cols == [
         ("a", "float"),

@@ -172,3 +172,77 @@ def test_quantified_comparisons_vs_duckdb(spark):
         (cases[i], g, w) for i, (g, w) in enumerate(zip(got, want)) if g != w
     ]
     assert not diffs, diffs[:5]
+
+
+def test_rank_without_order_by(spark):
+    """MySQL allows rank-family window fns with no ORDER BY (all peers);
+    the dialect injects a constant ORDER BY so Spark accepts the window
+    with identical peer semantics (window/window.sql BVT shapes)."""
+    t = translate("select a, rank() over (partition by a) as r from t1")
+    assert "order by 1" in t.lower()
+    # already-ordered windows are left alone
+    t2 = translate("select rank() over (partition by a order by c) from t1")
+    assert "order by 1" not in t2.lower()
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW rnkt AS "
+        "SELECT col1 AS a, col2 AS c FROM VALUES (1,2),(1,3),(2,4)"
+    )
+    rows = spark.sql(
+        translate(
+            "select a, rank() over (partition by a) as r, "
+            "dense_rank() over () as d, percent_rank() over () as p from rnkt"
+        )
+    ).collect()
+    assert all(r.r == 1 and r.d == 1 and r.p == 0.0 for r in rows)
+
+
+def test_mysql_row_and_truth_semantics(spark):
+    """Row-constructor comparisons/IN (3VL), IS TRUE/FALSE numeric form,
+    unsigned ~, 0x literals, IN_RANGE, mixed-type IN — BVT operator/,
+    expression/, dtype/ category shapes."""
+    cases = [
+        ("(1,2,3)=(1,null,3)", None),
+        ("(1,2,3)=(1,null,0)", False),      # reference row_constructor.result:9
+        ("(1,2,3) < (1,null,3)", None),
+        ("(1, 3) in ((1, 2), (null, 3))", None),
+        ("(1, 2) in ((1, 2), (null, 2))", True),
+        ("-1 IS TRUE", True),
+        ("NULL IS TRUE", False),
+        ("1-1 IS NOT TRUE", True),
+        ("IN_RANGE(10, 1, 10, 2)", False),  # [lo,hi) — operator_between.go:529
+        ("IN_RANGE(5, 1, 10, 3)", True),
+        ("'9.50' in (7, '8', 9.5)", True),  # numeric coercion of mixed IN
+        ("0xFF", 255),
+    ]
+    sel = ", ".join(f"{c} AS c{i}" for i, (c, _) in enumerate(cases))
+    row = spark.sql(translate(f"SELECT {sel}")).collect()[0]
+    for i, (expr, want) in enumerate(cases):
+        got = row[i]
+        if got is not None and want is not None and not isinstance(want, bool):
+            got = type(want)(got)
+        assert got == want, (expr, got, want)
+    assert spark.sql(translate("SELECT ~0 AS u")).collect()[0][0] == int(2**64 - 1)
+
+
+def test_refresults_plain_format():
+    """RefResults parses the plain (mysql-test style) .result format: echo,
+    header line, tab- or 4-space-separated rows."""
+    from matrixone_spark.bvt_runner import RefResults
+
+    txt = (
+        "select a, b from t;\n"
+        "a\tb\n"
+        "1\t2\n"
+        "3\t4\n"
+        "select x from t2;\n"
+        "x\n"
+        "9\n"
+    )
+    ref = RefResults(txt)
+    kind, rows = ref.claim("select a, b from t")
+    assert kind == "rows" and rows == [["1", "2"], ["3", "4"]]
+    kind, rows = ref.claim("select x from t2")
+    assert kind == "rows" and rows == [["9"]]
+    spaced = RefResults("select a, b from t;\na    b\n1    JACK\n")
+    kind, rows = spaced.claim("select a, b from t")
+    assert kind == "rows" and rows == [["1", "JACK"]]
