@@ -81,6 +81,12 @@ class SkipStatement(Exception):
     """Statement shape this runner does not support."""
 
 
+def _name_token(raw: str, spans: "list[str]") -> str:
+    """Resolve a (possibly literal-masked, backticked, db-qualified) table
+    name token to its bare name."""
+    return unmask_literals(raw, spans).strip("`").split(".")[-1].strip("`")
+
+
 def _norm_type(raw: str) -> str:
     t = raw.strip().lower()
     for pat, target in _TYPE_MAP:
@@ -290,6 +296,12 @@ class BvtSession:
         head = masked.strip().split(None, 1)[0].lower() if masked.strip() else ""
         head = head.lstrip("(")
         if head in ("select", "with", "values", "table"):
+            from matrixone_spark.mysql_dialect import _FROM_DUAL_RE
+
+            # MySQL's dummy table — strip unless a real `dual` table exists
+            # (dml/select/dual.sql creates one)
+            if "dual" not in self.tables and _FROM_DUAL_RE.search(masked):
+                stmt = unmask_literals(_FROM_DUAL_RE.sub(" ", masked), spans)
             return "select", self.spark.sql(translate(stmt))
         if head == "create":
             if re.match(r"\s*create\s+(?:temporary\s+)?table", masked, re.IGNORECASE):
@@ -342,10 +354,13 @@ class BvtSession:
             # databases are flattened: qualified names drop their db prefix
             return "ddl", None
         if head == "truncate":
-            m = re.match(r"\s*truncate\s+(?:table\s+)?[`]?(\w+)[`]?", masked, re.IGNORECASE)
-            if m and m.group(1) in self.schemas:
-                self._register(m.group(1), self._empty(m.group(1)))
-                self.last_table = m.group(1)
+            m = re.match(
+                r"\s*truncate\s+(?:table\s+)?([`\w.\x01]+)", masked, re.IGNORECASE
+            )
+            name = _name_token(m.group(1), spans) if m else None
+            if name in self.schemas:
+                self._register(name, self._empty(name))
+                self.last_table = name
                 return "dml", None
             raise SkipStatement("TRUNCATE of unknown table")
         if head == "insert":
@@ -353,10 +368,13 @@ class BvtSession:
         if head == "update":
             return self._update(stmt, masked, spans)
         if head == "delete":
-            m = re.match(r"\s*delete\s+from\s+[`]?(\w+)[`]?\s*(?:where\s+(.*))?$", masked, re.IGNORECASE | re.DOTALL)
-            if not m or m.group(1) not in self.tables:
+            m = re.match(
+                r"\s*delete\s+from\s+([`\w.\x01]+)\s*(?:where\s+(.*))?$",
+                masked, re.IGNORECASE | re.DOTALL,
+            )
+            name = _name_token(m.group(1), spans) if m else None
+            if name not in self.tables:
                 raise SkipStatement("unsupported DELETE shape")
-            name = m.group(1)
             if m.group(2):
                 cond = translate(unmask_literals(m.group(2), spans))
                 df = self.tables[name].filter(f"NOT coalesce(({cond}), false)")
@@ -370,13 +388,13 @@ class BvtSession:
 
     def _insert(self, stmt, masked, spans):
         m = re.match(
-            r"\s*insert\s+(?:ignore\s+)?into\s+[`]?(\w+)[`]?\s*(\(([^)]*)\))?\s*(values|select)\b(.*)$",
+            r"\s*insert\s+(?:ignore\s+)?into\s+([`\w.\x01]+)\s*(\(([^)]*)\))?\s*(values|select)\b(.*)$",
             masked,
             re.IGNORECASE | re.DOTALL,
         )
-        if not m or m.group(1) not in self.schemas:
+        name = _name_token(m.group(1), spans) if m else None
+        if name not in self.schemas:
             raise SkipStatement("unsupported INSERT shape")
-        name = m.group(1)
         cols = None
         if m.group(3):
             cols = [c.strip().strip("`") for c in unmask_literals(m.group(3), spans).split(",")]
@@ -405,19 +423,20 @@ class BvtSession:
 
     def _update(self, stmt, masked, spans):
         m = re.match(
-            r"\s*update\s+[`]?(\w+)[`]?\s+set\s+(.*?)(?:\s+where\s+(.*))?$",
+            r"\s*update\s+([`\w.\x01]+)\s+set\s+(.*?)(?:\s+where\s+(.*))?$",
             masked,
             re.IGNORECASE | re.DOTALL,
         )
-        if not m or m.group(1) not in self.tables:
+        name = _name_token(m.group(1), spans) if m else None
+        if name not in self.tables:
             raise SkipStatement("unsupported UPDATE shape")
-        name = m.group(1)
         assigns = {}
         for part in m.group(2).split(","):
-            am = re.match(r"\s*[`]?(\w+)[`]?\s*=\s*(.+)$", part, re.DOTALL)
+            am = re.match(r"\s*([`\w\x01]+)\s*=\s*(.+)$", part, re.DOTALL)
             if not am:
                 raise SkipStatement("unparseable SET clause")
-            assigns[am.group(1)] = translate(unmask_literals(am.group(2).strip(), spans))
+            col = _name_token(am.group(1), spans)
+            assigns[col] = translate(unmask_literals(am.group(2).strip(), spans))
         cond = translate(unmask_literals(m.group(3), spans)) if m.group(3) else "true"
         schema = self.schemas[name]
         sel = []

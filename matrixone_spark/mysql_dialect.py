@@ -456,13 +456,63 @@ def rewrite_quantified(masked: str) -> str:
         lhs = masked[lhs_start:lhs_end].strip()
         row_valued = lhs.startswith("(") and len(_split_top_level(lhs[1:-1])) > 1
         in_form = (op == "=" and not is_all) or (op == "<>" and is_all)
-        if not lhs or (row_valued and not in_form):
-            pos = m.end()  # row-value min/max has no defined order here
+        if not lhs:
+            pos = m.end()
             continue
-        repl = _quantified_three_state(lhs, op, sub, is_all, row_valued)
+        if not _in_projection_context(masked, m.start()):
+            # Filter context (WHERE/HAVING/ON): an EXISTS probe is exact for
+            # filtering (three-valued NULL and FALSE both drop the row),
+            # stays correlation-safe (Spark decorrelates EXISTS, not scalar
+            # aggregates over correlated subqueries), and extends to
+            # row-valued lhs for ordering ops too.
+            repl = _quantified_exists(lhs, op, sub, is_all, row_valued)
+        elif row_valued and not in_form:
+            pos = m.end()  # projected row-value min/max has no defined order
+            continue
+        else:
+            repl = _quantified_three_state(lhs, op, sub, is_all, row_valued)
         masked = masked[: lhs_start] + repl + masked[sub_end:]
         pos = lhs_start  # re-scan from here: sub may hold nested quantifiers
     return masked
+
+
+def _quantified_exists(
+    lhs: str, op: str, sub: str, is_all: bool, row_valued: bool
+) -> str:
+    """Filter-context quantified comparison as an EXISTS probe.
+
+    ANY: EXISTS(row where comparison IS TRUE). ALL: NOT EXISTS(row where
+    comparison IS NOT TRUE) — empty subquery keeps ALL=TRUE/ANY=FALSE, and a
+    NULL comparison behaves as the enclosing filter would treat UNKNOWN."""
+    if row_valued:
+        comps = [c.strip() for c in _split_top_level(lhs[1:-1].strip())]
+        cols = ", ".join(f"__c{i}" for i in range(len(comps)))
+        if op in ("=", "<>"):
+            cmp_sql = " AND ".join(
+                f"(({c}) = __q.__c{i})" for i, c in enumerate(comps)
+            )
+            if op == "<>":
+                cmp_sql = f"NOT ({cmp_sql})"
+        else:
+            # lexicographic row ordering against each subquery row
+            pairs = [(c, f"__q.__c{i}") for i, c in enumerate(comps)]
+            strict = op.rstrip("=")
+            a, b = pairs[-1]
+            cmp_sql = f"({a}) {op} ({b})"
+            for a, b in reversed(pairs[:-1]):
+                cmp_sql = f"({a}) {strict} ({b}) OR (({a}) = ({b}) AND ({cmp_sql}))"
+    else:
+        cols = "__v"
+        cmp_sql = f"({lhs}) {op} __q.__v"
+    if is_all:
+        return (
+            f"(NOT EXISTS (SELECT 1 FROM ({sub}) __q({cols}) "
+            f"WHERE NOT coalesce({cmp_sql}, false)))"
+        )
+    return (
+        f"(EXISTS (SELECT 1 FROM ({sub}) __q({cols}) "
+        f"WHERE coalesce({cmp_sql}, false)))"
+    )
 
 
 def _quantified_three_state(
@@ -640,6 +690,88 @@ def rewrite_in_projection(masked: str, spans: "list[str]") -> str:
         pos = lhs_start + len(_PH.format(len(spans) - 1))
     return masked
 
+
+_HAVING_RE = re.compile(r"\bhaving\b", re.IGNORECASE)
+_AGG_FN_RE = re.compile(
+    r"\b(sum|count|avg|min|max|group_concat|stddev|std|variance|var_pop"
+    r"|var_samp|stddev_pop|stddev_samp|bit_and|bit_or|bit_xor|any_value"
+    r"|median|approx_count_distinct)\s*\(",
+    re.IGNORECASE,
+)
+_HAVING_END_RE = re.compile(
+    r"\border\s+by\b|\blimit\b|\bunion\b|\bintersect\b|\bexcept\b|\bminus\b",
+    re.IGNORECASE,
+)
+
+
+def _blank_nested(s: str) -> str:
+    """Copy of s with the contents of nested paren groups blanked, so
+    regex checks see only the current block level."""
+    out, depth = [], 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+            out.append("(")
+        elif ch == ")":
+            depth = max(0, depth - 1)
+            out.append(")")
+        else:
+            out.append(ch if depth == 0 else " ")
+    return "".join(out)
+
+
+def rewrite_having_without_group(masked: str) -> str:
+    """MySQL permits HAVING with no GROUP BY and no aggregates — it filters
+    rows like WHERE (``SELECT a,1 FROM t1 HAVING a = 2``,
+    subquery-with-any.sql). Spark raises MISSING_GROUP_BY; rewrite such a
+    HAVING into the block's WHERE clause."""
+    out = masked
+    for m in reversed(list(_HAVING_RE.finditer(out))):
+        pos = m.start()
+        depth, i, block_start = 0, pos - 1, 0
+        while i >= 0:
+            ch = out[i]
+            if ch == ")":
+                depth += 1
+            elif ch == "(":
+                if depth == 0:
+                    block_start = i + 1
+                    break
+                depth -= 1
+            i -= 1
+        before = _blank_nested(out[block_start:pos])
+        if re.search(r"\bgroup\s+by\b", before, re.IGNORECASE):
+            continue
+        # condition extent: to block close / top-level ORDER BY / LIMIT / set-op
+        j, depth = m.end(), 0
+        cond_end = len(out)
+        while j < len(out):
+            ch = out[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    cond_end = j
+                    break
+                depth -= 1
+            elif depth == 0:
+                em = _HAVING_END_RE.match(out, j)
+                if em:
+                    cond_end = j
+                    break
+            j += 1
+        cond = out[m.end() : cond_end]
+        if _AGG_FN_RE.search(_blank_nested(cond)) or _AGG_FN_RE.search(before):
+            continue  # aggregate HAVING: Spark handles it as a global agg
+        has_where = re.search(r"\bwhere\b", before, re.IGNORECASE)
+        kw = "and" if has_where else "where"
+        out = (
+            out[:pos] + f"{kw} ({cond.strip()}) " + out[cond_end:]
+        )
+    return out
+
+
+_FROM_DUAL_RE = re.compile(r"\bfrom\s+dual\b", re.IGNORECASE)
 
 _IN_BARE_COL_RE = re.compile(
     r"\b(not\s+)?in\s*\(\s*select\s+([A-Za-z_][\w.]*)\s*\)", re.IGNORECASE
@@ -1068,6 +1200,8 @@ def translate(sql: str) -> str:
     masked = _GROUP_CONCAT_RE.sub(gc_repl, masked)
     if _FN_RENAME_RE.search(masked) or _FN_COMPOSE_RE.search(masked):
         masked = rewrite_mysql_fns(masked)
+    if _HAVING_RE.search(masked):
+        masked = rewrite_having_without_group(masked)
     if _PAREN_IN_RE.search(masked):
         masked = rewrite_paren_membership_in(masked)
     if _QUANT_RE.search(masked):

@@ -246,3 +246,28 @@ def test_refresults_plain_format():
     spaced = RefResults("select a, b from t;\na    b\n1    JACK\n")
     kind, rows = spaced.claim("select a, b from t")
     assert kind == "rows" and rows == [["1", "JACK"]]
+
+
+def test_quantified_filter_context_exists(spark):
+    """WHERE-context quantified comparisons become EXISTS probes: exact for
+    filtering, correlation-safe, row-valued lhs supported
+    (subquery-with-any.sql shapes Spark's scalar-agg form rejects)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW qt1 AS "
+        "SELECT col1 AS a, col2 AS b FROM VALUES (1,2),(2,2),(3,4)"
+    )
+    cases = [
+        ("SELECT a FROM qt1 WHERE (a,1) = ANY (SELECT a,1 FROM qt1 HAVING a = 2)", [(2,)]),
+        ("SELECT a FROM qt1 WHERE a > ALL (SELECT a FROM qt1 WHERE b = 2)", [(3,)]),
+        ("SELECT a FROM qt1 WHERE (a,1) > ANY (SELECT a,1 FROM qt1 WHERE b=2)", [(2,), (3,)]),
+        ("SELECT 1 AS r FROM dual WHERE 1 < ANY (SELECT 2)", [(1,)]),
+        ("SELECT a FROM qt1 HAVING a = 2", [(2,)]),
+        ("SELECT a FROM qt1 WHERE b=2 HAVING a >= 2", [(2,)]),
+    ]
+    from matrixone_spark.mysql_dialect import _FROM_DUAL_RE
+
+    for sql, want in cases:
+        if "dual" in sql:
+            sql = _FROM_DUAL_RE.sub(" ", sql)
+        got = sorted(tuple(r) for r in spark.sql(translate(sql)).collect())
+        assert got == sorted(want), (sql, got, want)
