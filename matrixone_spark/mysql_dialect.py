@@ -552,7 +552,8 @@ def _quantified_three_state(
         # FALSE in both directions; the CASE restores three-valued logic.
         sub_cnt = f"(SELECT count(*) FROM ({sub}) __quant(__v))"
         anynull = f"(SELECT count(*) FROM ({sub}) __quant(__v) WHERE __v IS NULL) > 0"
-        hit = f"{x} IN ({sub})"
+        # wrap: IN over a bare VALUES subquery is a parse error in Spark
+        hit = f"{x} IN (SELECT * FROM ({sub}) __vin)"
         t, f = ("false", "true") if (op == "<>") else ("true", "false")
         return (
             f"(CASE WHEN {sub_cnt} = 0 THEN {empty_val} "
@@ -637,7 +638,7 @@ def rewrite_paren_membership_in(masked: str) -> str:
 # are rewritten to the same three-valued CASE as = ANY / <> ALL. Replacements
 # are stashed as masked spans so the scanner never re-matches its own output.
 _IN_SUB_RE = re.compile(r"\b(not\s+)?in\s*\(\s*(select|with)\b", re.IGNORECASE)
-_BLOCK_TOK_RE = re.compile(r"\(|\)|\bselect\b|\bfrom\b", re.IGNORECASE)
+_BLOCK_TOK_RE = re.compile(r"\(|\)|\bselect\b|\bfrom\b|\bwhere\b", re.IGNORECASE)
 
 
 def _in_projection_context(masked: str, pos: int) -> bool:
@@ -654,7 +655,8 @@ def _in_projection_context(masked: str, pos: int) -> bool:
                 stack.pop()
         elif tok.lower() == "select":
             stack.append([depth, True])
-        else:  # from
+        else:  # from / where both end the select list (where matters for
+            # FROM-less selects: `select 11 where 20 = any (...)`)
             if stack and stack[-1][0] == depth:
                 stack[-1][1] = False
     return bool(stack) and stack[-1][1]
@@ -1152,6 +1154,83 @@ def rewrite_rank_no_order(masked: str) -> str:
     return out
 
 
+_APPLY_RE = re.compile(r"\b(cross|outer)\s+apply\b", re.IGNORECASE)
+_APPLY_KEYWORDS = frozenset(
+    "where on join inner left right cross outer group order limit having "
+    "union intersect except minus as".split()
+)
+
+
+def rewrite_apply(masked: str) -> str:
+    """Reference CROSS/OUTER APPLY (plan/build_ddl Apply operator, join/
+    apply.sql) onto Spark's LATERAL joins: CROSS APPLY → JOIN LATERAL,
+    OUTER APPLY → LEFT OUTER JOIN LATERAL … ON TRUE. The TVF operand
+    (generate_series etc.) is rewritten to a lateral subquery downstream."""
+    out = masked
+    for m in reversed(list(_APPLY_RE.finditer(out))):
+        kind = m.group(1).lower()
+        j = m.end()
+        while j < len(out) and out[j].isspace():
+            j += 1
+        k = j
+        while k < len(out) and (out[k].isalnum() or out[k] in "_.$\x01"):
+            k += 1
+        if k < len(out) and out[k] == "(":
+            k = _scan_balanced(out, k)
+        elif j < len(out) and out[j] == "(":
+            k = _scan_balanced(out, j)
+        else:
+            continue
+        if k < 0:
+            continue
+        a = k
+        while a < len(out) and out[a].isspace():
+            a += 1
+        am = re.match(r"(?:as\s+)?([A-Za-z_]\w*)", out[a:], re.IGNORECASE)
+        alias_end = k
+        if am and am.group(1).lower() not in _APPLY_KEYWORDS:
+            alias_end = a + am.end()
+        if kind == "outer":
+            out = out[:alias_end] + " on true" + out[alias_end:]
+            repl = "left outer join lateral "
+        else:
+            repl = "join lateral "
+        out = out[: m.start()] + repl + out[j:]
+    return out
+
+
+_IN_VALUES_RE = re.compile(r"\b(?:not\s+)?in\s*\(\s*(?=values\b)", re.IGNORECASE)
+
+
+def rewrite_in_values(masked: str) -> str:
+    """``x IN (VALUES (..), ..)`` — Spark's IN-subquery grammar rejects a
+    bare VALUES; wrap it as a derived table."""
+    out = masked
+    for m in reversed(list(_IN_VALUES_RE.finditer(out))):
+        open_i = out.rindex("(", m.start(), m.end())
+        close_i = _scan_balanced(out, open_i)
+        if close_i < 0:
+            continue
+        inner = out[open_i + 1 : close_i - 1]
+        out = (
+            out[: open_i + 1]
+            + f"select * from ({inner}) __vals"
+            + out[close_i - 1 :]
+        )
+    return out
+
+
+_VALUES_ROW_RE = re.compile(r"\bvalues\s+row\s*\(", re.IGNORECASE)
+
+
+def rewrite_values_row(masked: str) -> str:
+    """MySQL 8 table-value constructor ``VALUES ROW(a), ROW(b)`` → Spark's
+    ``VALUES (a), (b)`` (mysql_compat_values_table_subquery.sql)."""
+    out = re.sub(r"(?i)\bvalues\s+row\s*\(", "values (", masked)
+    # subsequent ROW( elements of the same list
+    return re.sub(r"(?i)(,\s*)row\s*\(", r"\1(", out)
+
+
 _GENSERIES_RE = re.compile(
     r"\bgenerate_series\s*\(([^()]*)\)\s*(?:as\s+)?"
     r"(?!where\b|order\b|group\b|limit\b|on\b|join\b|union\b|having\b|inner\b|left\b|right\b|cross\b)(\w+)?",
@@ -1167,9 +1246,21 @@ def rewrite_generate_series(masked: str, body_fmt: str) -> str:
     def repl(m: "re.Match") -> str:
         alias = m.group(2) or "gs"
         args = m.group(1)
+        parts = _split_top_level(args)
         # 1-arg form counts 1..n (reference mysql_sql.y TVF default start)
-        if len(_split_top_level(args)) == 1 and args.strip():
+        if len(parts) == 1 and args.strip():
+            parts = ["1", args]
             args = f"1, {args}"
+        if len(parts) == 2 and "sequence" in body_fmt:
+            # MySQL/reference semantics: start > stop with the default +1
+            # step is EMPTY; Spark's sequence() auto-flips to a -1 step.
+            # slice(sequence(a,a),1,0) is a typed empty array.
+            a, b = parts
+            body = (
+                f"explode(CASE WHEN ({a}) <= ({b}) THEN sequence({args}) "
+                f"ELSE slice(sequence({a}, {a}), 1, 0) END)"
+            )
+            return f"(SELECT {body} AS result) {alias}"
         return f"(SELECT {body_fmt.format(args)} AS result) {alias}"
 
     return _GENSERIES_RE.sub(repl, masked)
@@ -1202,6 +1293,12 @@ def translate(sql: str) -> str:
         masked = rewrite_mysql_fns(masked)
     if _HAVING_RE.search(masked):
         masked = rewrite_having_without_group(masked)
+    if _VALUES_ROW_RE.search(masked):
+        masked = rewrite_values_row(masked)
+    if _IN_VALUES_RE.search(masked):
+        masked = rewrite_in_values(masked)
+    if _APPLY_RE.search(masked):
+        masked = rewrite_apply(masked)
     if _PAREN_IN_RE.search(masked):
         masked = rewrite_paren_membership_in(masked)
     if _QUANT_RE.search(masked):

@@ -271,3 +271,31 @@ def test_quantified_filter_context_exists(spark):
             sql = _FROM_DUAL_RE.sub(" ", sql)
         got = sorted(tuple(r) for r in spark.sql(translate(sql)).collect())
         assert got == sorted(want), (sql, got, want)
+
+
+def test_apply_and_values_table(spark):
+    """CROSS/OUTER APPLY → LATERAL joins; VALUES ROW() and TABLE t as
+    subqueries; MySQL generate_series is empty when start > stop
+    (join/apply.sql, subquery/mysql_compat_values_table_subquery.sql)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW apt AS "
+        "SELECT col1 AS a, col2 AS b FROM VALUES (1,3),(2,-2)"
+    )
+    got = spark.sql(
+        translate("select t.a, tf.result from apt t cross apply "
+                  "generate_series(t.a, t.b) tf")
+    ).collect()
+    assert sorted((r.a, r.result) for r in got) == [(1, 1), (1, 2), (1, 3)]
+    got = spark.sql(
+        translate("select t.a, tf.result from apt t outer apply "
+                  "generate_series(t.a, t.b) tf")
+    ).collect()
+    assert sorted(((r.a, r.result) for r in got), key=str) == sorted(
+        [(1, 1), (1, 2), (1, 3), (2, None)], key=str
+    )
+    spark.sql("CREATE OR REPLACE TEMP VIEW vtv AS SELECT col1 AS v FROM VALUES (20),(30)")
+    rows = spark.sql(
+        translate("select 11 as r where 20 = any (values row(15), row(20)) "
+                  "and 20 in (values row(20), row(30)) and 20 in (table vtv)")
+    ).collect()
+    assert [r.r for r in rows] == [11]
