@@ -65,6 +65,10 @@ _TYPE_MAP = [
     (r"(?:var)?binary(?:\(\d+\))?", "binary"),
     (r"(?:tiny|medium|long)?blob", "binary"),
     (r"bool(?:ean)?", "boolean"),
+    # ENUM/SET store their member strings; ordering-by-index is a MySQL
+    # nicety the text replay does not reproduce
+    (r"enum\s*\([^)]*\)", "string"),
+    (r"set\s*\([^)]*\)", "string"),
     (r"json", "string"),
     (r"bit(?:\(\d+\))?", "bigint"),
 ]

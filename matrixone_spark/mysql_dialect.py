@@ -170,7 +170,8 @@ def _convert_tz_rewrite(masked: str) -> str:
 # on 20-digit unsigned values — and rounds decimals/doubles.
 _CAST_CALL_RE = re.compile(r"\bcast\s*\(", re.IGNORECASE)
 _CAST_AS_RE = re.compile(
-    r"^(?P<expr>.*)\s+as\s+(?P<type>datetime|signed(?:\s+integer)?|unsigned(?:\s+integer)?)\s*$",
+    r"^(?P<expr>.*)\s+as\s+(?P<type>datetime|signed(?:\s+integer)?"
+    r"|unsigned(?:\s+integer)?|n?char|binary)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -187,6 +188,11 @@ def _cast_rewrite(masked: str) -> str:
         x, ty = m.group("expr"), m.group("type").lower().split()[0]
         if ty == "datetime":
             return f"CAST({x} AS TIMESTAMP)"
+        if ty in ("char", "nchar"):
+            # length-less CHAR (MySQL display cast) — Spark requires CHAR(n)
+            return f"CAST({x} AS STRING)"
+        if ty == "binary":
+            return f"CAST({x} AS BINARY)"
         # round-to-nearest via DECIMAL, not ROUND(double): a 20-digit cell id
         # string must survive bit-exact (geo_s2h3.sql chains CAST AS UNSIGNED
         # over uint64 ids; a double round-trip silently drops low bits)
@@ -272,7 +278,7 @@ _FN_RENAME_RE = re.compile(
 # builder receives the top-level-split argument list and returns Spark SQL.
 _FN_COMPOSE_RE = re.compile(
     r"\b(field|oct|ord|conv|export_set|make_set|random_bytes"
-    r"|validate_password_strength|insert|in_range"
+    r"|validate_password_strength|insert|in_range|if"
     r"|h3_h3index_parent|h3_h3index|json_length|json_extract|json_unquote)\s*\(",
     re.IGNORECASE,
 )
@@ -348,6 +354,14 @@ def _compose_fn(name: str, args: "list[str]") -> "str | None":
             f"WHEN NOT ({s} RLIKE '[0-9]') OR NOT (lower({s}) <> {s} AND upper({s}) <> {s}) THEN 50 "
             f"WHEN NOT ({s} RLIKE '[^a-zA-Z0-9]') THEN 75 ELSE 100 END)"
         )
+    if name == "if" and len(args) == 3:
+        # MySQL IF evaluates the condition numerically (any nonzero value is
+        # true — IF(grouping(x), ...) in window/rollup.sql); Spark's if()
+        # demands a boolean. NULL condition → else branch, like MySQL.
+        c, x, y = args
+        if c.strip().lower().startswith("coalesce(cast("):
+            return None  # already rewritten (fixpoint loop)
+        return f"IF(coalesce(CAST(({c}) AS DOUBLE) <> 0, false), {x}, {y})"
     if name == "in_range" and len(args) == 4:
         # reference operator_between.go:501 inRangeFixed: flag selects the
         # interval's closedness; NULL operand → NULL (comparison semantics)
@@ -1154,6 +1168,213 @@ def rewrite_rank_no_order(masked: str) -> str:
     return out
 
 
+# --- reference time-window SQL surface -------------------------------------
+# SELECT _wstart, _wend, aggs FROM t [WHERE ...]
+#     INTERVAL(ts, n, unit) [SLIDING(m, unit)] [FILL(mode[, value])]
+# (window/time_window.sql; the TimeWin/Fill operators of SURVEY §2.9 in
+# SQL-text form). Lowered onto Spark's window() grouping. Reference
+# semantics (colexec/timewin/timewin.go:476 `left = val - val % Interval`
+# over types.Datetime = µs since 0001-01-01): windows align to the YEAR-1
+# origin, not the Unix epoch — expressed as a window() startTime offset —
+# and FILL replaces NULL aggregate values across the NON-EMPTY windows
+# (no gap rows are generated; confirmed by time_window.result:33-38).
+_TIMEWIN_RE = re.compile(r"\binterval\s*\(", re.IGNORECASE)
+
+# µs from 0001-01-01 00:00:00 to 1970-01-01 00:00:00 (719162 days)
+_YEAR1_TO_EPOCH_US = 719162 * 86400 * 1000000
+_TIMEWIN_UNIT_US = {
+    "microsecond": 1,
+    "millisecond": 1000,
+    "second": 1000000,
+    "minute": 60 * 1000000,
+    "hour": 3600 * 1000000,
+    "day": 86400 * 1000000,
+    "week": 7 * 86400 * 1000000,
+}
+
+
+def _timewin_fill_expr(c: str, mode: str, val: "str | None") -> str:
+    prev_frame = "OVER (ORDER BY __w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    next_frame = "OVER (ORDER BY __w ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+    if mode == "prev":
+        return f"coalesce({c}, last_value({c}, true) {prev_frame})"
+    if mode == "next":
+        return f"coalesce({c}, first_value({c}, true) {next_frame})"
+    if mode == "value":
+        return f"coalesce({c}, {val})"
+    if mode == "linear":
+        # reference linear fill interpolates by EMITTED-ROW INDEX, not by
+        # time (time_window.result:501: midpoint between the neighbouring
+        # non-null windows regardless of their time gap)
+        pc = f"last_value({c}, true) {prev_frame}"
+        pi = f"last_value(CASE WHEN {c} IS NOT NULL THEN __rn END, true) {prev_frame}"
+        nc = f"first_value({c}, true) {next_frame}"
+        ni = f"first_value(CASE WHEN {c} IS NOT NULL THEN __rn END, true) {next_frame}"
+        return (
+            f"CASE WHEN {c} IS NOT NULL THEN CAST({c} AS DOUBLE) "
+            f"ELSE CAST(({pc}) AS DOUBLE) + (CAST(({nc}) AS DOUBLE) - CAST(({pc}) AS DOUBLE)) * "
+            f"((CAST(__rn AS DOUBLE) - ({pi})) / (({ni}) - ({pi}))) END"
+        )
+    return c  # null / none-with-nulls: value stays NULL
+
+
+def rewrite_time_window(masked: str) -> str:
+    m = _TIMEWIN_RE.search(masked)
+    if not m:
+        return masked
+    close = _scan_balanced(masked, m.end() - 1)
+    if close < 0:
+        return masked
+    args = _split_top_level(masked[m.end() : close - 1])
+    # integer n only — the reference rejects fractional window widths
+    if len(args) != 3 or not re.fullmatch(r"\d+", args[1].strip()):
+        return masked
+    col, n, unit = args[0].strip(), args[1].strip(), args[2].strip().lower()
+    rest = masked[close:]
+    slide = None
+    sm = re.match(r"\s*sliding\s*\(", rest, re.IGNORECASE)
+    if sm:
+        sc = _scan_balanced(rest, sm.end() - 1)
+        sargs = _split_top_level(rest[sm.end() : sc - 1])
+        if len(sargs) == 2:
+            slide = (sargs[0].strip(), sargs[1].strip().lower())
+        rest = rest[sc:]
+    fill_mode, fill_val = "none", None
+    fm = re.match(r"\s*fill\s*\(", rest, re.IGNORECASE)
+    if fm:
+        fc = _scan_balanced(rest, fm.end() - 1)
+        fargs = _split_top_level(rest[fm.end() : fc - 1])
+        fill_mode = fargs[0].strip().lower()
+        if len(fargs) > 1:
+            fill_val = fargs[1].strip()
+        rest = rest[fc:]
+    tail = rest.strip().rstrip(";").strip()
+    pm = re.match(
+        r"\s*select\s+(.*?)\s+from\s+(.*)$", masked[: m.start()],
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not pm:
+        return masked
+    proj, src = pm.group(1), pm.group(2).strip()
+    iu = _TIMEWIN_UNIT_US.get(unit.rstrip("s"))
+    if iu is None or iu < _TIMEWIN_UNIT_US["second"]:
+        # month/year need calendar stepping; sub-second intervals are
+        # rejected by the reference — leave the clause unparsed so both
+        # engines fail consistently
+        return masked
+    ivl_us = int(float(n) * iu)
+    if not slide:
+        # window() with a startTime offset moving the bucket grid from the
+        # Unix epoch to the reference's year-1 origin
+        win = (
+            f"window({col}, '{n} {unit}', '{n} {unit}', "
+            f"'{(-_YEAR1_TO_EPOCH_US) % ivl_us} microseconds')"
+        )
+    else:
+        su = _TIMEWIN_UNIT_US.get(slide[1].rstrip("s"))
+        if su is None:
+            return masked
+        slide_us = int(float(slide[0]) * su)
+    base_cols, out_cols = [], []
+    idx = 0
+    for item in _split_top_level(proj):
+        it = item.strip()
+        low = it.lower()
+        if low == "_wstart":
+            out_cols.append(("_wstart", None))
+        elif low == "_wend":
+            out_cols.append(("_wend", None))
+        else:
+            am = re.match(r"(?is)^(.*?)\s+as\s+[`]?(\w+)[`]?\s*$", it)
+            expr = am.group(1) if am else it
+            base_cols.append(f"{expr} AS __c{idx}")
+            out_cols.append((f"__c{idx}", am.group(2) if am else f"__c{idx}"))
+            idx += 1
+    if not slide:
+        base = (
+            f"SELECT {win} AS __w"
+            + ("".join(", " + c for c in base_cols))
+            + f" FROM {src} GROUP BY {win}"
+        )
+    else:
+        # Reference sliding (timewin.go firstWindow): windows step by the
+        # slide FROM the first row's interval-aligned start — a grid Spark's
+        # window() cannot express when interval % slide != 0. Enumerate each
+        # row's containing window indices against that anchor instead.
+        t_us = f"unix_micros({col})"
+        anchor = (
+            f"SELECT unix_micros(min({col})) - "
+            f"pmod(unix_micros(min({col})) + {_YEAR1_TO_EPOCH_US}, {ivl_us}) AS __A "
+            f"FROM {src}"
+        )
+        k_min = (
+            f"greatest(CAST(floor(({t_us} - __A - {ivl_us}) / {slide_us}) AS BIGINT)"
+            " + 1, CAST(0 AS BIGINT))"
+        )
+        k_max = f"CAST(floor(({t_us} - __A) / {slide_us}) AS BIGINT)"
+        inner1 = (
+            f"SELECT __t.*, __A, explode(sequence(least({k_min}, {k_max}), {k_max})) AS __k "
+            f"FROM (SELECT * FROM {src}) __t CROSS JOIN ({anchor}) __a"
+        )
+        inner2 = (
+            f"SELECT *, (__A + __k * {slide_us}) AS __ws_us FROM ({inner1}) "
+            f"WHERE __k >= 0 AND {t_us} >= (__A + __k * {slide_us}) "
+            f"AND {t_us} < (__A + __k * {slide_us} + {ivl_us})"
+        )
+        base = (
+            "SELECT named_struct('start', timestamp_micros(__ws_us), "
+            f"'end', timestamp_micros(__ws_us + {ivl_us})) AS __w"
+            + ("".join(", " + c for c in base_cols))
+            + f" FROM ({inner2}) GROUP BY __ws_us"
+        )
+    if fill_mode == "linear":
+        base = f"SELECT *, row_number() OVER (ORDER BY __w) AS __rn FROM ({base})"
+    sel = []
+    for name, alias in out_cols:
+        if name == "_wstart":
+            sel.append("__w.start AS _wstart")
+        elif name == "_wend":
+            sel.append("__w.end AS _wend")
+        else:
+            sel.append(f"{_timewin_fill_expr(name, fill_mode, fill_val)} AS {alias}")
+    return f"SELECT {', '.join(sel)} FROM ({base}) __twb {tail}"
+
+
+_INTERVAL_QUARTER_RE = re.compile(r"\binterval\s+(\d+)\s+quarter\b", re.IGNORECASE)
+_INT_INTERVAL_RE = re.compile(
+    r"(?:cast\s*\(\s*(\d{6,14})\s+as\s+int\s*\)|(?<![\w.'\"])(\d{8}|\d{14})(?![\w.'\"]))"
+    r"\s*([+-])\s*(interval\s+\d+\s+\w+)",
+    re.IGNORECASE,
+)
+_INTERVAL_INT_RE = re.compile(
+    r"(interval\s+\d+\s+\w+)\s*\+\s*"
+    r"(?:cast\s*\(\s*(\d{6,14})\s+as\s+int\s*\)|(?<![\w.'\"])(\d{8}|\d{14})(?![\w.'\"]))",
+    re.IGNORECASE,
+)
+
+
+def _int_date_arith(lit: str, op: str, interval: str) -> str:
+    fmt = "yyyyMMdd" if len(lit) <= 8 else "yyyyMMddHHmmss"
+    return (
+        f"CAST(date_format(to_timestamp('{lit}', '{fmt}') {op} {interval}, "
+        f"'{fmt}') AS BIGINT)"
+    )
+
+
+def rewrite_int_interval(masked: str) -> str:
+    """Reference INT-as-compact-date ± INTERVAL arithmetic
+    (expression/int_interval_arithmetic.sql: 20260515 + INTERVAL 7 DAY →
+    20260522). Covered for textually detectable integer-literal operands;
+    column operands would need type information a text dialect lacks."""
+    out = _INT_INTERVAL_RE.sub(
+        lambda m: _int_date_arith(m.group(1) or m.group(2), m.group(3), m.group(4)),
+        masked,
+    )
+    return _INTERVAL_INT_RE.sub(
+        lambda m: _int_date_arith(m.group(2) or m.group(3), "+", m.group(1)), out
+    )
+
+
 _APPLY_RE = re.compile(r"\b(cross|outer)\s+apply\b", re.IGNORECASE)
 _APPLY_KEYWORDS = frozenset(
     "where on join inner left right cross outer group order limit having "
@@ -1297,6 +1518,16 @@ def translate(sql: str) -> str:
         masked = rewrite_values_row(masked)
     if _IN_VALUES_RE.search(masked):
         masked = rewrite_in_values(masked)
+    if "interval" in masked.lower():
+        # time-window clause (INTERVAL(ts,n,unit) …) before the literal
+        # interval rewrites — the 3-arg call shape is unambiguous
+        masked = rewrite_time_window(masked)
+        # MySQL QUARTER interval unit (Spark lacks it); INT compact-date
+        # arithmetic for literal operands
+        masked = _INTERVAL_QUARTER_RE.sub(
+            lambda m: f"interval {3 * int(m.group(1))} month", masked
+        )
+        masked = rewrite_int_interval(masked)
     if _APPLY_RE.search(masked):
         masked = rewrite_apply(masked)
     if _PAREN_IN_RE.search(masked):

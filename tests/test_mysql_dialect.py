@@ -299,3 +299,47 @@ def test_apply_and_values_table(spark):
                   "and 20 in (values row(20), row(30)) and 20 in (table vtv)")
     ).collect()
     assert [r.r for r in rows] == [11]
+
+
+def test_time_window_sql_surface(spark):
+    """Reference INTERVAL(ts,n,unit)/SLIDING/FILL SQL surface
+    (window/time_window.sql; timewin.go:476 semantics): windows align to
+    the year-1 origin, FILL patches NULL aggregates over non-empty windows
+    only (no gap rows), linear interpolates by emitted-row index, sliding
+    enumeration anchors at the first row's interval-aligned window."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW twt AS SELECT col1 AS ts, col2 AS v FROM VALUES "
+        "(timestamp '2023-10-26 10:00:01', 1), "
+        "(timestamp '2023-10-26 10:10:02', CAST(NULL AS INT)), "
+        "(timestamp '2023-10-26 10:20:03', 5)"
+    )
+    rows = spark.sql(
+        translate("select _wstart, _wend, max(v) from twt interval(ts, 10, second)")
+    ).collect()
+    # year-1 origin: 10s grid coincides with epoch grid here
+    assert sorted(str(r[0]) for r in rows) == [
+        "2023-10-26 10:00:00", "2023-10-26 10:10:00", "2023-10-26 10:20:00"
+    ]
+    # fill(prev): NULL aggregate patched from the previous window; no gap rows
+    rows = sorted(
+        spark.sql(
+            translate("select _wstart, max(v) from twt interval(ts, 10, second) fill(prev)")
+        ).collect()
+    )
+    assert [(str(r[0])[14:16], r[1]) for r in rows] == [("00", 1), ("10", 1), ("20", 5)]
+    # fill(linear): row-index midpoint, not time-weighted
+    rows = sorted(
+        spark.sql(
+            translate("select _wstart, max(v) from twt interval(ts, 10, second) fill(linear)")
+        ).collect()
+    )
+    assert [r[1] for r in rows] == [1.0, 3.0, 5.0]
+    # sliding: anchored at the first row's interval-aligned window
+    rows = sorted(
+        spark.sql(
+            translate(
+                "select _wstart, count(v) from twt interval(ts, 20, minute) sliding(10, minute)"
+            )
+        ).collect()
+    )
+    assert str(rows[0][0]) == "2023-10-26 10:00:00"  # no 09:50 leading window
