@@ -1193,9 +1193,9 @@ _TIMEWIN_UNIT_US = {
 }
 
 
-def _timewin_fill_expr(c: str, mode: str, val: "str | None") -> str:
-    prev_frame = "OVER (ORDER BY __w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
-    next_frame = "OVER (ORDER BY __w ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+def _timewin_fill_expr(c: str, mode: str, val: "str | None", over: str) -> str:
+    prev_frame = f"OVER ({over} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    next_frame = f"OVER ({over} ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
     if mode == "prev":
         return f"coalesce({c}, last_value({c}, true) {prev_frame})"
     if mode == "next":
@@ -1216,6 +1216,29 @@ def _timewin_fill_expr(c: str, mode: str, val: "str | None") -> str:
             f"((CAST(__rn AS DOUBLE) - ({pi})) / (({ni}) - ({pi}))) END"
         )
     return c  # null / none-with-nulls: value stays NULL
+
+
+def _extract_aggs(item: str, base_cols: "list[str]", start_idx: int) -> "tuple[str, int]":
+    """Replace every aggregate call in `item` with a base-column placeholder
+    (appending `agg AS __c{k}` to base_cols); returns (outer expression with
+    placeholders, next index). Scalar wrappers (coalesce(count(*),0)) thus
+    evaluate AFTER gap-fill, as the reference does
+    (time_window_gapfill.result: gap rows show 0, not NULL)."""
+    out, pos, k = [], 0, start_idx
+    while True:
+        m = _AGG_FN_RE.search(item, pos)
+        if not m:
+            break
+        close = _scan_balanced(item, m.end() - 1)
+        if close < 0:
+            break
+        base_cols.append(f"{item[m.start():close]} AS __c{k}")
+        out.append(item[pos : m.start()])
+        out.append(f"__c{k}")
+        k += 1
+        pos = close
+    out.append(item[pos:])
+    return "".join(out), k
 
 
 def rewrite_time_window(masked: str) -> str:
@@ -1239,6 +1262,12 @@ def rewrite_time_window(masked: str) -> str:
         if len(sargs) == 2:
             slide = (sargs[0].strip(), sargs[1].strip().lower())
         rest = rest[sc:]
+    gapfill = False
+    gm = re.match(r"\s*gapfill\s*\(", rest, re.IGNORECASE)
+    if gm:
+        gc = _scan_balanced(rest, gm.end() - 1)
+        gapfill = True
+        rest = rest[gc:]
     fill_mode, fill_val = "none", None
     fm = re.match(r"\s*fill\s*\(", rest, re.IGNORECASE)
     if fm:
@@ -1256,6 +1285,21 @@ def rewrite_time_window(masked: str) -> str:
     if not pm:
         return masked
     proj, src = pm.group(1), pm.group(2).strip()
+    # optional GROUP BY <keys> before the INTERVAL clause (simple columns)
+    keys: "list[str]" = []
+    blanked = _blank_nested(src)
+    gbm = None
+    for gbm_ in re.finditer(r"\bgroup\s+by\b", blanked, re.IGNORECASE):
+        gbm = gbm_
+    if gbm:
+        key_text = src[gbm.end():].strip()
+        if re.fullmatch(r"[`\w]+(\s*,\s*[`\w]+)*", key_text):
+            keys = [k.strip().strip("`") for k in key_text.split(",")]
+            src = src[: gbm.start()].strip()
+        else:
+            return masked  # expression group keys: leave unparsed
+    if gapfill and not keys:
+        gapfill = False
     iu = _TIMEWIN_UNIT_US.get(unit.rstrip("s"))
     if iu is None or iu < _TIMEWIN_UNIT_US["second"]:
         # month/year need calendar stepping; sub-second intervals are
@@ -1277,6 +1321,7 @@ def rewrite_time_window(masked: str) -> str:
         slide_us = int(float(slide[0]) * su)
     base_cols, out_cols = [], []
     idx = 0
+    keyset = {k.lower() for k in keys}
     for item in _split_top_level(proj):
         it = item.strip()
         low = it.lower()
@@ -1284,17 +1329,20 @@ def rewrite_time_window(masked: str) -> str:
             out_cols.append(("_wstart", None))
         elif low == "_wend":
             out_cols.append(("_wend", None))
+        elif low.strip("`") in keyset:
+            out_cols.append(("__key", it.strip("`")))
         else:
             am = re.match(r"(?is)^(.*?)\s+as\s+[`]?(\w+)[`]?\s*$", it)
             expr = am.group(1) if am else it
-            base_cols.append(f"{expr} AS __c{idx}")
-            out_cols.append((f"__c{idx}", am.group(2) if am else f"__c{idx}"))
-            idx += 1
+            outer_expr, idx = _extract_aggs(expr, base_cols, idx)
+            out_cols.append((outer_expr, am.group(2) if am else f"__c{idx - 1}"))
+    key_sel = "".join(k + ", " for k in keys)
+    key_grp = "".join(", " + k for k in keys)
     if not slide:
         base = (
-            f"SELECT {win} AS __w"
+            f"SELECT {key_sel}{win} AS __w"
             + ("".join(", " + c for c in base_cols))
-            + f" FROM {src} GROUP BY {win}"
+            + f" FROM {src} GROUP BY {win}{key_grp}"
         )
     else:
         # Reference sliding (timewin.go firstWindow): windows step by the
@@ -1322,21 +1370,54 @@ def rewrite_time_window(masked: str) -> str:
             f"AND {t_us} < (__A + __k * {slide_us} + {ivl_us})"
         )
         base = (
-            "SELECT named_struct('start', timestamp_micros(__ws_us), "
+            f"SELECT {key_sel}named_struct('start', timestamp_micros(__ws_us), "
             f"'end', timestamp_micros(__ws_us + {ivl_us})) AS __w"
             + ("".join(", " + c for c in base_cols))
-            + f" FROM ({inner2}) GROUP BY __ws_us"
+            + f" FROM ({inner2}) GROUP BY __ws_us{key_grp}"
         )
+    part = ("PARTITION BY " + ", ".join(keys) + " ") if keys else ""
+    if gapfill:
+        # per-partition spine of window starts between that partition's
+        # min and max (time_window_gapfill.test GAPFILL(partition))
+        spine = (
+            f"SELECT {key_sel}explode(sequence(min(__w.start), max(__w.start), "
+            f"interval '{n}' {unit})) AS __ws FROM __twgb GROUP BY "
+            + ", ".join(keys)
+        )
+        using = ", ".join(keys)
+        filled = (
+            f"WITH __twgb AS ({base}), __sp AS ({spine}) "
+            f"SELECT __sp.*, "
+            + ", ".join(f"__c{i}" for i in range(len(base_cols)))
+            + " FROM __sp LEFT JOIN __twgb ON __sp.__ws = __twgb.__w.start AND "
+            + " AND ".join(f"__sp.{k} = __twgb.{k}" for k in keys)
+        )
+        base = filled
+        wref, wend = "__ws", f"__ws + interval '{n}' {unit}"
+        order = f"{part}ORDER BY __ws"
+    else:
+        wref, wend = "__w.start", "__w.end"
+        order = f"{part}ORDER BY __w"
     if fill_mode == "linear":
-        base = f"SELECT *, row_number() OVER (ORDER BY __w) AS __rn FROM ({base})"
+        base = f"SELECT *, row_number() OVER ({order}) AS __rn FROM ({base})"
     sel = []
     for name, alias in out_cols:
         if name == "_wstart":
-            sel.append("__w.start AS _wstart")
+            sel.append(f"{wref} AS _wstart")
         elif name == "_wend":
-            sel.append("__w.end AS _wend")
+            sel.append(f"{wend} AS _wend")
+        elif name == "__key":
+            sel.append(alias)
         else:
-            sel.append(f"{_timewin_fill_expr(name, fill_mode, fill_val)} AS {alias}")
+            filled_expr = name
+            # descending index so __c1 never clobbers inside __c10
+            for i in reversed(range(len(base_cols))):
+                cname = f"__c{i}"
+                if cname in filled_expr:
+                    filled_expr = filled_expr.replace(
+                        cname, _timewin_fill_expr(cname, fill_mode, fill_val, order)
+                    )
+            sel.append(f"{filled_expr} AS {alias}")
     return f"SELECT {', '.join(sel)} FROM ({base}) __twb {tail}"
 
 
@@ -1452,9 +1533,12 @@ def rewrite_values_row(masked: str) -> str:
     return re.sub(r"(?i)(,\s*)row\s*\(", r"\1(", out)
 
 
-_GENSERIES_RE = re.compile(
-    r"\bgenerate_series\s*\(([^()]*)\)\s*(?:as\s+)?"
-    r"(?!where\b|order\b|group\b|limit\b|on\b|join\b|union\b|having\b|inner\b|left\b|right\b|cross\b)(\w+)?",
+_GENSERIES_RE = re.compile(r"\bgenerate_series\s*\(", re.IGNORECASE)
+_GENSERIES_ALIAS_RE = re.compile(
+    r"\s*(?:as\s+)?"
+    r"(?!where\b|order\b|group\b|limit\b|on\b|join\b|union\b|having\b"
+    r"|inner\b|left\b|right\b|cross\b|lateral\b|intersect\b|except\b)"
+    r"([A-Za-z_]\w*)?",
     re.IGNORECASE,
 )
 
@@ -1462,11 +1546,17 @@ _GENSERIES_RE = re.compile(
 def rewrite_generate_series(masked: str, body_fmt: str) -> str:
     """Reference BVT `FROM generate_series(a, b[, step]) g` exposes column
     `result` (mysql_sql.y TVF); neither Spark nor DuckDB has that shape —
-    rewrite to an aliased subquery. body_fmt receives the arg list."""
-
-    def repl(m: "re.Match") -> str:
-        alias = m.group(2) or "gs"
-        args = m.group(1)
+    rewrite to an aliased subquery (paren-matching scan, so correlated
+    arguments with nested calls work). body_fmt receives the arg list."""
+    out = masked
+    for m in reversed(list(_GENSERIES_RE.finditer(out))):
+        close = _scan_balanced(out, m.end() - 1)
+        if close < 0:
+            continue
+        args = out[m.end() : close - 1]
+        am = _GENSERIES_ALIAS_RE.match(out, close)
+        alias = am.group(1) if am and am.group(1) else None
+        end = am.end() if alias else close
         parts = _split_top_level(args)
         # 1-arg form counts 1..n (reference mysql_sql.y TVF default start)
         if len(parts) == 1 and args.strip():
@@ -1481,10 +1571,14 @@ def rewrite_generate_series(masked: str, body_fmt: str) -> str:
                 f"explode(CASE WHEN ({a}) <= ({b}) THEN sequence({args}) "
                 f"ELSE slice(sequence({a}, {a}), 1, 0) END)"
             )
-            return f"(SELECT {body} AS result) {alias}"
-        return f"(SELECT {body_fmt.format(args)} AS result) {alias}"
-
-    return _GENSERIES_RE.sub(repl, masked)
+        else:
+            body = body_fmt.format(args)
+        out = (
+            out[: m.start()]
+            + f"(SELECT {body} AS result) {alias or 'gs'}"
+            + out[end:]
+        )
+    return out
 
 
 def translate(sql: str) -> str:

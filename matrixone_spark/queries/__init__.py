@@ -73,6 +73,8 @@ _SENTINELS = ("tpch_q1", "tpch_q5", "tpch_q12", "tpch_q21")
 # entries from the back so the never-verified block stays inside row 50).
 _HEAD: "tuple[str, ...]" = (
     # -- new round-4 operators (driver row required) --
+    "timewin_sql_surface",
+    "apply_sql_surface",
     "geo_h3_battery",
     "multimodal_resize",
     "multimodal_frame_sample",

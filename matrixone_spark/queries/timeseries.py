@@ -204,3 +204,76 @@ def timewin_per_user_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("value")).cast("double").alias("tot"),
         F.max("value").cast("double").alias("mx"),
     )
+
+
+@register(
+    "timewin_sql_surface",
+    oracle="""
+WITH b AS (
+  SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS _wstart,
+         COUNT(*) AS n,
+         MAX(CASE WHEN event_type = 'purchase' AND user_id % 97 = 3
+                  THEN value END) AS mx
+  FROM events GROUP BY 1)
+SELECT _wstart,
+       _wstart + INTERVAL 6 HOUR AS _wend,
+       n,
+       CAST(coalesce(mx, last_value(mx IGNORE NULLS) OVER (
+           ORDER BY _wstart ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         AS DOUBLE) AS mx
+FROM b
+""",
+    tags=("timeseries", "dialect"),
+    doc=(
+        "The reference's time-window SQL surface end-to-end: the MySQL text "
+        "`SELECT _wstart, _wend, ... INTERVAL(ts, 6, hour) FILL(PREV)` "
+        "(mysql_sql.y, window/time_window.sql) through "
+        "mysql_dialect.rewrite_time_window — year-1-origin window alignment "
+        "(timewin.go:476; coincides with the epoch grid at 6 h), FILL "
+        "patching NULL aggregates across non-empty windows. The sparse "
+        "max() predicate forces NULL windows so the fill path is load-"
+        "bearing. Oracle reproduces the same fill with DuckDB IGNORE NULLS "
+        "window functions."
+    ),
+)
+def timewin_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.mysql_dialect import translate
+
+    Catalog(spark, sf_dir).table("events").createOrReplaceTempView("events")
+    return spark.sql(translate(
+        "select _wstart, _wend, count(*) as n, "
+        "cast(max(case when event_type = 'purchase' and user_id % 97 = 3 "
+        "then value end) as double) as mx "
+        "from events interval(ts, 6, hour) fill(prev)"
+    ))
+
+
+@register(
+    "apply_sql_surface",
+    oracle="""
+SELECT o_orderkey,
+       gs.result AS k,
+       o_totalprice
+FROM (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 64) o
+CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, CAST(o_orderkey % 3 AS INT))) AS result
+) gs
+""",
+    tags=("relational", "dialect"),
+    doc=(
+        "CROSS APPLY TVF in SQL text (reference Apply operator, "
+        "join/apply.sql) through mysql_dialect.rewrite_apply -> Spark "
+        "JOIN LATERAL with a correlated generate_series; the oracle runs "
+        "DuckDB's own LATERAL unnest(generate_series)."
+    ),
+)
+def apply_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.mysql_dialect import translate
+
+    Catalog(spark, sf_dir).table("orders").createOrReplaceTempView("orders")
+    return spark.sql(translate(
+        "select o.o_orderkey, gs.result as k, o.o_totalprice "
+        "from (select o_orderkey, o_totalprice from orders "
+        "where o_orderkey <= 64) o "
+        "cross apply generate_series(1, cast(o.o_orderkey % 3 as int)) gs"
+    ))
