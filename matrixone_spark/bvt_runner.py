@@ -251,16 +251,20 @@ class BvtSession:
                 expr = (F.expr(dflt) if dflt is not None else F.lit(None)).cast(t)
             if c in autoinc:
                 # AUTO_INCREMENT: omitted/NULL slots continue from the
-                # current max (fixture-scale batches; global row_number)
+                # current max. Count only the NULL-id rows (a mixed batch
+                # with explicit ids in the middle must not skip values for
+                # them); explicit ids that bump MySQL's counter mid-batch
+                # remain a documented divergence (fixture batches don't mix
+                # below-the-fill explicit ids with trailing NULLs).
                 from pyspark.sql import Window as _W
 
                 try:
                     cur = self.tables[name].agg(F.max(F.col(c))).collect()[0][0] or 0
                 except Exception:
                     cur = 0
-                seq = F.row_number().over(
-                    _W.orderBy(F.monotonically_increasing_id())
-                ) + F.lit(cur)
+                seq = F.sum(
+                    F.when(expr.isNull(), F.lit(1)).otherwise(F.lit(0))
+                ).over(_W.orderBy(F.monotonically_increasing_id())) + F.lit(cur)
                 expr = F.coalesce(expr, seq.cast(t))
             if c in pads:
                 # BINARY(n) zero-pads stored values to n bytes
@@ -756,12 +760,23 @@ class RefResults:
             self.cursor = j
             return ("rows", rows)
         # plain (mysql-test style) format: header line of column names, then
-        # tab-separated data rows, terminated by the next statement echo
-        if " " in line and self._ERROR_LINE_RE.match(line):
+        # tab-separated data rows, terminated by the next statement echo.
+        # A block line with a tab/4-space separator is a DATA row even when
+        # its first cell begins with a statement keyword (string columns
+        # holding 'select ...'); an unseparated first line matching the
+        # error vocabulary ANYWHERE is an error message, not data.
+        def _is_data_row(raw: str) -> bool:
+            raw = raw.strip()
+            return "\t" in raw or "    " in raw
+
+        if " " in line and not _is_data_row(line) and self._ERROR_LINE_RE.search(line):
             return ("error", line)
         block: "list[str]" = []
         k = j
-        while k < n and not self._STMT_START_RE.match(self.lines[k]):
+        while k < n and not (
+            self._STMT_START_RE.match(self.lines[k])
+            and not _is_data_row(self.lines[k])
+        ):
             block.append(self.lines[k])
             k += 1
         if not block:

@@ -473,12 +473,18 @@ def rewrite_quantified(masked: str) -> str:
         if not lhs:
             pos = m.end()
             continue
-        if not _in_projection_context(masked, m.start()):
+        if not _in_projection_context(masked, m.start()) and (
+            row_valued or _filter_exact_context(masked, lhs_start, sub_end)
+        ):
             # Filter context (WHERE/HAVING/ON): an EXISTS probe is exact for
-            # filtering (three-valued NULL and FALSE both drop the row),
-            # stays correlation-safe (Spark decorrelates EXISTS, not scalar
-            # aggregates over correlated subqueries), and extends to
-            # row-valued lhs for ordering ops too.
+            # top-level filtering (three-valued NULL and FALSE both drop the
+            # row) and stays correlation-safe (Spark decorrelates EXISTS,
+            # not scalar aggregates over correlated subqueries). It is NOT
+            # exact under a governing NOT / IS [NOT] NULL/UNKNOWN/FALSE —
+            # NOT(UNKNOWN)=UNKNOWN drops the row while NOT(FALSE)=TRUE keeps
+            # it — so those shapes fall through to the three-state CASE
+            # (scalar lhs only; row-valued ordering has no three-state form
+            # and keeps the probe as a documented divergence).
             repl = _quantified_exists(lhs, op, sub, is_all, row_valued)
         elif row_valued and not in_form:
             pos = m.end()  # projected row-value min/max has no defined order
@@ -488,6 +494,30 @@ def rewrite_quantified(masked: str) -> str:
         masked = masked[: lhs_start] + repl + masked[sub_end:]
         pos = lhs_start  # re-scan from here: sub may hold nested quantifiers
     return masked
+
+
+def _filter_exact_context(masked: str, lhs_start: int, tail_idx: int) -> bool:
+    """True when UNKNOWN→FALSE collapse is observationally exact: the
+    quantified comparison is NOT directly governed by a NOT / ! on the left
+    or an IS [NOT] NULL/UNKNOWN/TRUE/FALSE test on the right at this block
+    level (skipping only wrapping parentheses). Under such a governor,
+    NOT(UNKNOWN)=UNKNOWN (row dropped) diverges from NOT(FALSE)=TRUE."""
+    j = lhs_start
+    while j > 0 and (masked[j - 1].isspace() or masked[j - 1] == "("):
+        j -= 1
+    if j > 0 and masked[j - 1] == "!":
+        return False
+    k = j
+    while k > 0 and (masked[k - 1].isalnum() or masked[k - 1] == "_"):
+        k -= 1
+    if masked[k:j].lower() == "not":
+        return False
+    i, n = tail_idx, len(masked)
+    while i < n and (masked[i].isspace() or masked[i] == ")"):
+        i += 1
+    if re.match(r"is\b", masked[i:], re.IGNORECASE):
+        return False
+    return True
 
 
 def _quantified_exists(
@@ -916,6 +946,27 @@ def rewrite_is_truth(masked: str) -> str:
     return out
 
 
+def _adjacent_bitwise(s: str, left_end: int, right_start: int) -> bool:
+    """True when the span [left_end, right_start) (a ~expr) directly abuts a
+    bitwise operator (& | ^ << >>, excluding logical && / ||) on either
+    side."""
+    r = right_start
+    while r < len(s) and s[r].isspace():
+        r += 1
+    if s[r : r + 2] in ("<<", ">>"):
+        return True
+    if s[r : r + 1] in "&|^" and s[r : r + 2] not in ("&&", "||"):
+        return True
+    l = left_end
+    while l > 0 and s[l - 1].isspace():
+        l -= 1
+    if s[max(0, l - 2) : l] in ("<<", ">>"):
+        return True
+    if l > 0 and s[l - 1] in "&|^" and s[max(0, l - 2) : l] not in ("&&", "||"):
+        return True
+    return False
+
+
 def rewrite_bitwise_not(masked: str, engine: str = "spark") -> str:
     """MySQL ``~x`` is 64-bit unsigned complement (BIGINT UNSIGNED result:
     ~0 = 18446744073709551615). Spark's ``~`` is signed. Rewritten as
@@ -941,6 +992,16 @@ def rewrite_bitwise_not(masked: str, engine: str = "spark") -> str:
         if k <= j:
             return out
         operand = out[j:k]
+        if _adjacent_bitwise(out, i, k):
+            # ~x feeding another bitwise operator (~x & y): the DECIMAL(20,0)
+            # unsigned emulation fails analysis (bitwise ops need integral
+            # operands). Signed BIGINT complement has the identical 64-bit
+            # pattern, so the compound result's bits are MySQL-exact; only
+            # the display of a top-bit-set final value diverges (signed vs
+            # unsigned rendering) — documented divergence.
+            repl = f"(~CAST(({operand}) AS BIGINT))"
+            out = out[:i] + repl + out[k:]
+            continue
         if engine == "duck":
             n = "CAST('18446744073709551616' AS HUGEINT)"
             repl = (
@@ -1334,7 +1395,13 @@ def rewrite_time_window(masked: str) -> str:
         else:
             am = re.match(r"(?is)^(.*?)\s+as\s+[`]?(\w+)[`]?\s*$", it)
             expr = am.group(1) if am else it
+            prev_idx = idx
             outer_expr, idx = _extract_aggs(expr, base_cols, idx)
+            if am is None and idx == prev_idx:
+                # Unaliased projection item containing no aggregate: idx-1
+                # would emit the invalid alias __c-1 (or shadow a prior
+                # placeholder) — leave the whole clause to the normal path.
+                return masked
             out_cols.append((outer_expr, am.group(2) if am else f"__c{idx - 1}"))
     key_sel = "".join(k + ", " for k in keys)
     key_grp = "".join(", " + k for k in keys)

@@ -61,68 +61,27 @@ def register(name: str, oracle: "str | None", tags: tuple = (), doc: str = ""):
 # priority order, with the already-green round-1 families at the back.
 # Rotate _MODULE_PRIORITY between rounds to sweep the remaining families.
 
-_SENTINELS = ("tpch_q1", "tpch_q5", "tpch_q12", "tpch_q21")
+# Round 4: no sentinels — tpch_q1/q5/q12/q21 carry triple-green r01–r03
+# history, and every one of the 50 window slots is needed to drain the
+# remaining never-driver-verified ledger (47 queries, CORRECTNESS_r01–r03
+# union) plus the r03 red row (approx_percentile_tdigest, now scalar-only)
+# and the two plan-fragile re-pins the round-3 verdict called stale
+# (window_range_frame, sample_per_group — green only in r01).
+_SENTINELS: "tuple[str, ...]" = ()
 
-# Names pinned immediately after the sentinels. Round 4: every remaining
-# never-driver-verified entry (advanced subquery/filter family, geo_bitmap,
-# streaming tail + multimodal, aggregate tail, baked BVT category batteries)
-# — with round 3's driver artifacts missing, this converts the maximum new
-# ledger lines whether or not r03's window actually ran. The final block is
-# a hedge: round-3 head entries re-pinned in case r03 recorded nothing.
-# New round-4 operators go at the FRONT of this tuple (displacing hedge
-# entries from the back so the never-verified block stays inside row 50).
+# Exactly the 50 rows the r04 driver window must convert, in risk order:
+# the fixed red row first, then the stale re-pins, then the never-verified
+# families (streaming/multimodal tail, index TVFs, scalar batteries,
+# timeseries, table funcs, baked BVT batteries).
 _HEAD: "tuple[str, ...]" = (
-    # -- new round-4 operators (driver row required) --
-    "timewin_sql_surface",
-    "apply_sql_surface",
-    "geo_h3_battery",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_audio_energy",
-    "geo_io_full_battery",
-    "geo_unary_full_battery",
-    "geo_binary_full_battery",
-    "geo_overlay_battery",
-    "geo_lineref_battery",
-    "geo_validity_battery",
-    "geo_construct_battery",
-    "geo_geojson_battery",
-    # -- never-driver-verified (r01+r02 evidence), outside the r03 window --
-    "bvt_expression_battery",
-    "bvt_operator_scripts_battery",
-    "bvt_join_battery",
-    "bvt_operator_battery",
-    "bitmap_distinct_rollup",
-    "geo_s2_battery",
-    "geo_s2_bucket_join",
-    "geo_mbr_battery",
-    "geo_geohash",
-    "geo_point_battery",
-    "geo_distance_join",
-    "geo_linestring_metrics",
-    "geo_polygon_battery",
-    "geo_sphere_distance",
-    "null_ordering",
-    "ilike_filter",
-    "having_filter",
-    "grouping_sets_explicit",
-    "exists_or_correlated",
-    "nested_subquery_two_levels",
-    "mysql_compat_battery",
+    # -- r03 red row, fixed (array col projected to scalars) --
     "approx_percentile_tdigest",
-    "sample_fraction",
-    "agg_null_group_keys",
-    "join_exists_or_exists",
-    "agg_corr_exact",
-    "agg_collect_json",
-    "agg_approx_percentile",
-    "agg_stddev_exact",
-    "stream_sliding_activity",
-    "stream_static_join",
-    "stream_stateful_user_stats",
+    # -- plan-fragile re-pins, stale since r01 --
+    "window_range_frame",
+    "sample_per_group",
+    # -- never driver-verified in r01–r03 (47) --
     "multimodal_features",
     "multimodal_metadata_stats",
-    # -- hedge: round-3 head entries (r03 artifacts never landed) --
     "ivfpq_search",
     "func_mysql3_battery",
     "bvt_subquery_battery",
@@ -130,11 +89,44 @@ _HEAD: "tuple[str, ...]" = (
     "bvt_distinct_battery",
     "func_time_battery",
     "stream_tumbling_counts",
-    "window_range_frame",
-    "sample_per_group",
     "stream_stream_join",
     "stream_dedup_exactly_once",
     "stream_session_windows",
+    "func_string_battery",
+    "func_regexp_battery",
+    "func_date_battery",
+    "func_math_battery",
+    "func_conditional_battery",
+    "func_encode_battery",
+    "func_uint64_decimal",
+    "func_cast_battery",
+    "system_meta_battery",
+    "func_crypto_battery",
+    "func_mysql2_battery",
+    "func_compress_battery",
+    "func_serial_pack",
+    "func_regexp2_battery",
+    "func_math2_battery",
+    "func_inet6_battery",
+    "system_clock_battery",
+    "func_misc_battery",
+    "operator_battery",
+    "collation_ci_battery",
+    "timewin_tumbling",
+    "timewin_sliding",
+    "timewin_fill_prev",
+    "timewin_fill_linear",
+    "timewin_fill_value",
+    "sessionize_events",
+    "timewin_per_user_hourly",
+    "tvf_generate_series",
+    "tvf_generate_series_step",
+    "tvf_generate_series_ts",
+    "tvf_lateral_series",
+    "tvf_unnest_ordinality",
+    "tvf_outer_apply",
+    "tvf_random_deterministic",
+    "geo_s2_join_bench",
 )
 
 # Module order for everything else (module name without package prefix).
