@@ -36,6 +36,41 @@ def tokenize(col) -> Column:
     return F.filter(F.split(F.lower(_c(col)), _TOKEN_SPLIT), lambda t: t != "")
 
 
+def tokenize_positions(col) -> Column:
+    """Tokens with their char offsets: array<struct<token,pos>>.
+
+    Pure Catalyst (no Python UDF): every non-alphanumeric char is replaced
+    1:1 by a space (offsets preserved), split on single spaces keeps empty
+    elements for runs of separators, and an aggregate fold assigns each
+    element its cumulative start offset, keeping only non-empty tokens.
+    The offset is the reference fulltext index's BytePos analogue
+    (fulltext_index_tokenize) — identical for ASCII text; SqlPhrase-style
+    phrase matching anchors on it."""
+    clean = F.regexp_replace(F.lower(_c(col)), "[^a-z0-9]", " ")
+    parts = F.split(clean, " ", -1)
+    zero = F.struct(
+        F.lit(0).alias("off"),
+        F.array().cast("array<struct<token:string,pos:int>>").alias("acc"),
+    )
+    return F.aggregate(
+        parts,
+        zero,
+        lambda acc, x: F.struct(
+            (acc["off"] + F.length(x) + F.lit(1)).alias("off"),
+            F.when(
+                x != "",
+                F.concat(
+                    acc["acc"],
+                    F.array(F.struct(x.alias("token"), acc["off"].cast("int").alias("pos"))),
+                ),
+            )
+            .otherwise(acc["acc"])
+            .alias("acc"),
+        ),
+        lambda acc: acc["acc"],
+    )
+
+
 def token_count_t(toks) -> Column:
     return F.size(_c(toks))
 

@@ -27,7 +27,8 @@ from collections import OrderedDict
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from matrixone_spark.functions.text import tokenize
+from matrixone_spark.functions.text import tokenize_positions
+from matrixone_spark.operators import fulltext_pattern as fp
 
 # (app id, corpus semantic hash, id col, text col) → built index. Bounded
 # LRU: a long-lived session building many corpora must not accumulate
@@ -43,30 +44,50 @@ BM25_B = 0.75  # reference pkg/fulltext/types.go:20
 
 class FullTextIndex:
     """Inverted index over (doc_id, text): postings (doc_id, token, tf) +
-    doc lengths + corpus stats."""
+    positional postings (doc_id, token, pos) + doc lengths + corpus stats."""
 
-    def __init__(self, postings: DataFrame, doc_stats: DataFrame, n_docs: int, corpus_stats: DataFrame):
+    def __init__(
+        self,
+        postings: DataFrame,
+        doc_stats: DataFrame,
+        n_docs: int,
+        corpus_stats: DataFrame,
+        postings_pos: "DataFrame | None" = None,
+    ):
         self.postings = postings          # doc_id, token, tf
+        self.postings_pos = postings_pos  # doc_id, token, pos (phrase search)
         self.doc_stats = doc_stats        # doc_id, dl (token count)
         self.n_docs = n_docs
         self.corpus_stats = corpus_stats  # 1 row: avg_dl (kept lazy/in-plan)
 
     @classmethod
     def build(cls, docs: DataFrame, id_col: str, text_col: str) -> "FullTextIndex":
-        """Build postings in ONE tokenize pass: doc lengths derive from the
-        postings (dl = Σ tf — a reaggregation of the small index, not a
-        second scan of the corpus), and avg_dl stays a lazy 1-row frame
-        broadcast into the scoring plan instead of an eager collect. Only
-        n_docs is materialized (a parquet metadata count). At 100 TB the
-        postings frame is the thing you persist bucketed by token; everything
-        else here derives from it."""
+        """Build postings in ONE tokenize pass: positional postings come from
+        posexplode-style offset tokenization, tf-postings and doc lengths
+        derive from them (re-aggregations of the small index, not second
+        scans of the corpus), and avg_dl stays a lazy 1-row frame broadcast
+        into the scoring plan instead of an eager collect. Only n_docs is
+        materialized (a parquet metadata count). At 100 TB the postings
+        frames are the things you persist bucketed by token; everything else
+        here derives from them.
+
+        Positions are the token's char offset in the lowered text — the
+        analogue of the reference index's BytePos (fulltext_index_tokenize;
+        identical for ASCII corpora), which SqlPhrase's anchor grouping
+        consumes for phrase matching."""
         toks = docs.select(
-            F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("token")
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize_positions(text_col)).alias("tk"),
         )
-        postings = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+        postings_pos = toks.select(
+            "doc_id", F.col("tk.token").alias("token"), F.col("tk.pos").alias("pos")
+        )
+        postings = postings_pos.groupBy("doc_id", "token").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
         doc_stats = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         corpus_stats = doc_stats.agg(F.avg("dl").alias("avg_dl"))
-        return cls(postings, doc_stats, docs.count(), corpus_stats)
+        return cls(postings, doc_stats, docs.count(), corpus_stats, postings_pos)
 
     @classmethod
     def build_cached(cls, docs: DataFrame, id_col: str, text_col: str) -> "FullTextIndex":
@@ -92,6 +113,7 @@ class FullTextIndex:
         if idx is None:
             idx = cls.build(docs, id_col, text_col)
             idx.postings = idx.postings.persist()
+            idx.postings_pos = idx.postings_pos.persist()
             idx.doc_stats = idx.doc_stats.persist()
             _INDEX_CACHE[key] = idx
             while len(_INDEX_CACHE) > _INDEX_CACHE_MAX:
@@ -104,6 +126,8 @@ class FullTextIndex:
     def unpersist(self) -> None:
         """Release this index's cached executor storage."""
         self.postings.unpersist(blocking=False)
+        if self.postings_pos is not None:
+            self.postings_pos.unpersist(blocking=False)
         self.doc_stats.unpersist(blocking=False)
 
     def _scored_terms(self, terms: "list[str]", algo: str) -> DataFrame:
@@ -155,3 +179,123 @@ class FullTextIndex:
             F.round(F.sum("term_score"), 6).alias("score")
         )
         return docs.join(scored, "doc_id", "left").fillna({"score": 0.0})
+
+    # ---------------------------------------------- full boolean grammar
+
+    @staticmethod
+    def _leaf_cond(leaf) -> "F.Column":
+        """Postings probe for one leaf: equality, or prefix for `word*`
+        (reference sql.go prefix_eq, sql.go:222)."""
+        if leaf.op == fp.STAR:
+            return F.col("token").startswith(leaf.text.rstrip("*").lower())
+        return F.col("token") == leaf.text.lower()
+
+    def _bm25_tf1(self):
+        """BM25 tf-part with tf=1 (boolean mode ignores occurrence counts,
+        sql.go GROUP BY doc_id): (k1+1) / (1 + k1·(1−b+b·dl/avgdl))."""
+        return (BM25_K1 + 1.0) / (
+            1.0 + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl") / F.col("avg_dl")))
+        )
+
+    def match_pattern(self, pattern: str, algo: str = "bm25") -> DataFrame:
+        """Full BOOLEAN MODE search string: +/- required/forbidden, bare
+        optional, `word*` prefix wildcard, < > ~ weight modifiers, (groups),
+        and whole-string "quoted phrases" — the reference grammar
+        (pkg/fulltext/types.go:128-135, eval fulltext.go:381-510). Returns
+        (doc_id, score). Plan shape: one union of per-leaf postings probes,
+        a broadcast per-leaf df join, one pivot aggregation by doc, then a
+        single Column-expression fold — no per-doc Python."""
+        ps = fp.parse_boolean(pattern)
+        if ps[0].op == fp.PHRASE:
+            return self._match_phrase(ps[0], algo)
+        lvs = fp.leaves(ps)
+        n = len(lvs)
+        frames = [
+            self.postings.filter(self._leaf_cond(leaf))
+            .select("doc_id")
+            .distinct()
+            .withColumn("__idx", F.lit(i))
+            for i, leaf in enumerate(lvs)
+        ]
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        # per-leaf document frequency: tiny (n_leaves rows), broadcast back
+        dfs = u.groupBy("__idx").agg(F.count(F.lit(1)).alias("__df"))
+        u = u.join(F.broadcast(dfs), "__idx")
+        wide = u.groupBy("doc_id").agg(
+            *[
+                F.max(F.when(F.col("__idx") == i, F.lit(1))).alias(f"__m{i}")
+                for i in range(n)
+            ],
+            *[
+                F.max(F.when(F.col("__idx") == i, F.col("__df"))).alias(f"__df{i}")
+                for i in range(n)
+            ],
+        )
+        if algo == "bm25":
+            wide = wide.join(self.doc_stats, "doc_id").crossJoin(
+                F.broadcast(self.corpus_stats)
+            )
+            tf_part = self._bm25_tf1()
+        elif algo == "tfidf":
+            tf_part = F.lit(1.0)  # boolean mode: tf = 1
+        else:
+            raise ValueError(f"unknown algo {algo!r}")
+        matched, scores = [], []
+        for i in range(n):
+            idf = F.log10(F.lit(float(self.n_docs)) / F.col(f"__df{i}"))
+            matched.append(F.col(f"__m{i}").isNotNull())
+            scores.append(
+                F.when(F.col(f"__m{i}").isNotNull(), idf * idf * tf_part).otherwise(
+                    F.lit(0.0)
+                )
+            )
+        inc, score = fp.eval_columns(ps, matched, scores)
+        return (
+            wide.withColumn("__inc", inc)
+            .withColumn("score", F.round(score, 6))
+            .filter(F.col("__inc"))
+            .select("doc_id", "score")
+        )
+
+    def _match_phrase(self, ph, algo: str) -> DataFrame:
+        """Whole-pattern "w1 w2 …" phrase (boolean mode): every word present
+        at pos = anchor + (its char offset − first word's offset) for one
+        common anchor — the reference's linear anchor-grouping form
+        (sql.go SqlPhrase), collapsed to one row per doc. Scoring mirrors
+        the TVF's phrase path (table_function/fulltext.go:805-828): docvec
+        dummy-filled 1 per keyword, df = docs matching the PHRASE, so
+        score = n_children · idf² · tf_part(tf=1)."""
+        kids = ph.children
+        base = kids[0].position
+        parts = [
+            self.postings_pos.filter(self._leaf_cond(c)).select(
+                "doc_id", (F.col("pos") - F.lit(c.position - base)).alias("anchor")
+            )
+            for c in kids
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        docs = (
+            u.groupBy("doc_id", "anchor")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .filter(F.col("k") == len(kids))
+            .select("doc_id")
+            .distinct()
+        )
+        stats = docs.agg(F.count(F.lit(1)).alias("__df"))
+        scored = docs.crossJoin(F.broadcast(stats))
+        idf = F.log10(F.lit(float(self.n_docs)) / F.col("__df"))
+        if algo == "bm25":
+            scored = scored.join(self.doc_stats, "doc_id").crossJoin(
+                F.broadcast(self.corpus_stats)
+            )
+            tf_part = self._bm25_tf1()
+        elif algo == "tfidf":
+            tf_part = F.lit(1.0)
+        else:
+            raise ValueError(f"unknown algo {algo!r}")
+        score = F.lit(float(len(kids))) * idf * idf * tf_part
+        return scored.select("doc_id", F.round(score, 6).alias("score"))

@@ -221,6 +221,129 @@ def fulltext_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.match_boolean(["table", "query"], ["slow"], [], algo="bm25").select("doc_id")
 
 
+# --- boolean-mode grammar tail: phrase / wildcard / weights / groups --------
+# (reference pattern ops pkg/fulltext/types.go:128-135, eval
+# fulltext.go:381-510, SQL lowering sql.go SqlPhrase/GenSql; boolean mode
+# scores every leaf with tf=1 — sql.go "in boolean mode, we ignore the word
+# occurrence")
+
+_FT_N_SQL = "(SELECT COUNT(*) AS n FROM documents)"
+
+
+@register(
+    "fulltext_boolean_phrase",
+    oracle="""
+WITH m AS (
+  SELECT doc_id FROM documents
+  WHERE regexp_matches(lower(text), '(^|[^a-z0-9])data[^a-z0-9]line([^a-z0-9]|$)')
+), s AS (SELECT COUNT(*) AS df FROM m), c AS (SELECT COUNT(*) AS n FROM documents)
+SELECT m.doc_id,
+       ROUND(2 * LOG10(CAST(c.n AS DOUBLE) / s.df) * LOG10(CAST(c.n AS DOUBLE) / s.df), 6) AS score
+FROM m, s, c
+""",
+    tags=("text", "fulltext"),
+    doc='MATCH...AGAINST(\'"data line"\' IN BOOLEAN MODE): phrase = anchor-grouped positional match (sql.go SqlPhrase; positions are fulltext_index_tokenize BytePos). Oracle: exact one-separator adjacency regex (pattern offsets data@0 line@5 → separator run of exactly 1 char), df = phrase-matching docs (TVF fulltext.go:805-828 dummy docvec), score = 2·idf².',
+)
+def fulltext_boolean_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    idx = FullTextIndex.build_cached(d, "doc_id", "text")
+    return idx.match_pattern('"data line"', algo="tfidf")
+
+
+@register(
+    "fulltext_boolean_wildcard",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+c AS (SELECT COUNT(*) AS n, AVG(CAST(len(t) AS DOUBLE)) AS avg_dl FROM toks),
+m AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+             len(list_filter(t, x -> x LIKE 'quer%')) > 0 AS m0,
+             list_contains(t, 'slow') AS m1,
+             len(list_filter(t, x -> x LIKE 'str%')) > 0 AS m2
+      FROM toks),
+d AS (SELECT SUM(CASE WHEN m0 THEN 1 ELSE 0 END) AS df0,
+             SUM(CASE WHEN m2 THEN 1 ELSE 0 END) AS df2 FROM m)
+SELECT doc_id,
+       ROUND(LOG10(CAST(c.n AS DOUBLE)/d.df0) * LOG10(CAST(c.n AS DOUBLE)/d.df0)
+               * (1.5 + 1) / (1 + 1.5 * (1.0 - 0.75 + 0.75 * (m.dl / c.avg_dl)))
+           + CASE WHEN m2 THEN
+               LOG10(CAST(c.n AS DOUBLE)/d.df2) * LOG10(CAST(c.n AS DOUBLE)/d.df2)
+               * (1.5 + 1) / (1 + 1.5 * (1.0 - 0.75 + 0.75 * (m.dl / c.avg_dl)))
+             ELSE 0.0 END, 6) AS score
+FROM m, d, c WHERE m0 AND NOT m1
+""",
+    tags=("text", "fulltext"),
+    doc="MATCH...AGAINST('+quer* -slow str*' IN BOOLEAN MODE): prefix wildcard probe (sql.go:222 prefix_eq), required/forbidden/optional fold (Eval PlusPlus/Minus/PlusOR), BM25 with tf=1.",
+)
+def fulltext_boolean_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    idx = FullTextIndex.build_cached(d, "doc_id", "text")
+    return idx.match_pattern("+quer* -slow str*", algo="bm25")
+
+
+@register(
+    "fulltext_boolean_weights",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+c AS (SELECT COUNT(*) AS n FROM documents),
+m AS (SELECT doc_id,
+             list_contains(t, 'table') AS m0,
+             list_contains(t, 'query') AS m1,
+             list_contains(t, 'spark') AS m2,
+             list_contains(t, 'slow')  AS m3
+      FROM toks),
+d AS (SELECT SUM(CASE WHEN m0 THEN 1 ELSE 0 END) AS df0,
+             SUM(CASE WHEN m1 THEN 1 ELSE 0 END) AS df1,
+             SUM(CASE WHEN m2 THEN 1 ELSE 0 END) AS df2,
+             SUM(CASE WHEN m3 THEN 1 ELSE 0 END) AS df3 FROM m)
+SELECT doc_id,
+       ROUND(CASE WHEN m0 THEN LOG10(CAST(c.n AS DOUBLE)/d.df0) * LOG10(CAST(c.n AS DOUBLE)/d.df0) ELSE 0.0 END
+           + CASE WHEN m1 THEN 0.9 * LOG10(CAST(c.n AS DOUBLE)/d.df1) * LOG10(CAST(c.n AS DOUBLE)/d.df1) ELSE 0.0 END
+           + CASE WHEN m2 THEN 1.1 * LOG10(CAST(c.n AS DOUBLE)/d.df2) * LOG10(CAST(c.n AS DOUBLE)/d.df2) ELSE 0.0 END
+           + CASE WHEN m3 THEN -1.0 * LOG10(CAST(c.n AS DOUBLE)/d.df3) * LOG10(CAST(c.n AS DOUBLE)/d.df3) ELSE 0.0 END, 6) AS score
+FROM m, d, c WHERE m0 OR m1 OR m2 OR m3
+""",
+    tags=("text", "fulltext"),
+    doc="MATCH...AGAINST('table <query >spark ~slow' IN BOOLEAN MODE): weight modifiers 0.9/1.1/−1.0 (fulltext.go GetWeight:343-357), OR-merged (EvalOR), TF-IDF tf=1.",
+)
+def fulltext_boolean_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    idx = FullTextIndex.build_cached(d, "doc_id", "text")
+    return idx.match_pattern("table <query >spark ~slow", algo="tfidf")
+
+
+@register(
+    "fulltext_boolean_group",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+c AS (SELECT COUNT(*) AS n FROM documents),
+m AS (SELECT doc_id,
+             list_contains(t, 'table') AS m0,
+             list_contains(t, 'query') AS m1,
+             list_contains(t, 'spark') AS m2
+      FROM toks),
+d AS (SELECT SUM(CASE WHEN m0 THEN 1 ELSE 0 END) AS df0,
+             SUM(CASE WHEN m1 THEN 1 ELSE 0 END) AS df1,
+             SUM(CASE WHEN m2 THEN 1 ELSE 0 END) AS df2 FROM m)
+SELECT doc_id,
+       ROUND(LOG10(CAST(c.n AS DOUBLE)/d.df0) * LOG10(CAST(c.n AS DOUBLE)/d.df0)
+           + CASE
+               WHEN m1 AND m2 THEN GREATEST(
+                 LOG10(CAST(c.n AS DOUBLE)/d.df1) * LOG10(CAST(c.n AS DOUBLE)/d.df1),
+                 LOG10(CAST(c.n AS DOUBLE)/d.df2) * LOG10(CAST(c.n AS DOUBLE)/d.df2))
+               WHEN m1 THEN LOG10(CAST(c.n AS DOUBLE)/d.df1) * LOG10(CAST(c.n AS DOUBLE)/d.df1)
+               ELSE LOG10(CAST(c.n AS DOUBLE)/d.df2) * LOG10(CAST(c.n AS DOUBLE)/d.df2)
+             END, 6) AS score
+FROM m, d, c WHERE m0 AND (m1 OR m2)
+""",
+    tags=("text", "fulltext"),
+    doc="MATCH...AGAINST('+table +(query spark)' IN BOOLEAN MODE): group children combine with per-doc MAX (Pattern.Combine fulltext.go:360-377), '+' AND-folds (EvalPlusPlus), TF-IDF tf=1.",
+)
+def fulltext_boolean_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    idx = FullTextIndex.build_cached(d, "doc_id", "text")
+    return idx.match_pattern("+table +(query spark)", algo="tfidf")
+
+
 _QUALITY_SQL = f"""ROUND((
            (CASE WHEN len({_TOKS_SQL}) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.4 END)
          + (CASE WHEN (CASE WHEN len({_TOKS_SQL}) > 0
