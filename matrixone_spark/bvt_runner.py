@@ -150,6 +150,8 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
     defaults: "dict[str, str]" = {}
     pads: "dict[str, int]" = {}
     autoinc: "set[str]" = set()
+    years: "set[str]" = set()
+    rounds: "dict[str, int]" = {}
     for part in parts:
         part = unmask_literals(part, spans).strip()
         if re.match(r"(primary|unique|key|index|constraint|foreign|check)\b", part, re.IGNORECASE):
@@ -171,9 +173,19 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
             # MySQL BINARY(n) is fixed-length, zero-padded on store
             # (VARBINARY is not); remember n so INSERT casts can pad.
             pads[col] = int(pm.group(1))
+        if re.match(r"year(?:\(\d+\))?\s*$", rest, re.IGNORECASE):
+            # YEAR stores with MySQL 2-digit expansion (70-99 → 19xx,
+            # 1-69 → 20xx; string '0' → 2000, numeric 0 → 0000)
+            years.add(col)
+        rm = re.match(r"(?:double(?:\s+precision)?|float)\s*\(\d+\s*,\s*(\d+)\)\s*$", rest, re.IGNORECASE)
+        if rm:
+            # MySQL DOUBLE(M,D)/FLOAT(M,D) round stored values to D decimals
+            rounds[col] = int(rm.group(1))
     if not cols:
         raise SkipStatement("CREATE TABLE with no parseable columns")
-    return name, cols, defaults, {"binpads": pads, "autoinc": autoinc}
+    return name, cols, defaults, {
+        "binpads": pads, "autoinc": autoinc, "years": years, "rounds": rounds,
+    }
 
 
 class BvtSession:
@@ -243,9 +255,25 @@ class BvtSession:
         meta = self.colmeta.get(name, {})
         pads = meta.get("binpads", {})
         autoinc = meta.get("autoinc", set())
+        years = meta.get("years", set())
+        rounds = meta.get("rounds", {})
+        src_types = dict(df.dtypes)
         for c, t in schema:
             if c in provided:
                 expr = F.col(provided[c]).cast(t)
+                if c in years:
+                    # MySQL YEAR 2-digit expansion; '0' (string) → 2000 but
+                    # numeric 0 stays 0000
+                    y = F.col(provided[c]).cast("int")
+                    lo = 0 if src_types.get(provided[c]) == "string" else 1
+                    expr = (
+                        F.when(y.between(lo, 69), y + 2000)
+                        .when(y.between(70, 99), y + 1900)
+                        .otherwise(y)
+                        .cast(t)
+                    )
+                if c in rounds:
+                    expr = F.round(F.col(provided[c]).cast("double"), rounds[c]).cast(t)
             else:
                 dflt = self.defaults.get(name, {}).get(c)
                 expr = (F.expr(dflt) if dflt is not None else F.lit(None)).cast(t)
@@ -300,6 +328,9 @@ class BvtSession:
         # DML-target bookkeeping for the co-executor's duck-taint tracking
         self.last_table: "str | None" = None
         self.last_dropped: "list[str]" = []
+        # set by _insert when Spark-side coercion means the raw statement
+        # text would give DuckDB different data (autoinc/year/round fills)
+        self.last_duck_override: "str | None" = None
         masked, spans = mask_literals(stmt)
         head = masked.strip().split(None, 1)[0].lower() if masked.strip() else ""
         head = head.lstrip("(")
@@ -425,9 +456,61 @@ class BvtSession:
             sub = unmask_literals(m.group(4) + m.group(5), spans)
             src = self.spark.sql(translate(sub))
         new = self._cast_to_schema(name, src, cols)
+        meta = self.colmeta.get(name, {})
+        if meta.get("autoinc") or meta.get("years") or meta.get("rounds"):
+            # Spark-side value coercion (AUTO_INCREMENT fill, YEAR 2-digit
+            # expansion, DOUBLE(M,D) rounding) has no DuckDB equivalent in
+            # the raw statement text: hand the co-executor a literal INSERT
+            # of the coerced rows so both engines hold identical data.
+            self.last_duck_override = self._literal_insert_sql(name, new)
         self._register(name, self.tables[name].unionAll(new))
         self.last_table = name
         return "dml", None
+
+    @staticmethod
+    def _render_literal(v) -> str:
+        import datetime as _dt
+        import math as _math
+        from decimal import Decimal as _Dec
+
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, float):
+            if not _math.isfinite(v):
+                raise ValueError("non-finite float literal")
+            return repr(v)
+        if isinstance(v, (int, _Dec)):
+            return str(v)
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, _dt.datetime):
+            return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+        if isinstance(v, _dt.date):
+            return f"DATE '{v.isoformat()}'"
+        raise ValueError(f"unrenderable literal type {type(v).__name__}")
+
+    def _literal_insert_sql(self, name: str, new: DataFrame) -> "str | None":
+        """Render an inserted frame as a duck-dialect literal INSERT; None
+        when any value can't be rendered (caller falls back to the raw
+        statement)."""
+        try:
+            rows = new.limit(1001).collect()
+        except Exception:
+            return None
+        if len(rows) > 1000:
+            return None
+        if not rows:
+            return f"INSERT INTO {name} SELECT * FROM {name} WHERE false"
+        try:
+            vals = ", ".join(
+                "(" + ", ".join(self._render_literal(v) for v in row) + ")"
+                for row in rows
+            )
+        except ValueError:
+            return None
+        return f"INSERT INTO {name} VALUES {vals}"
 
     def _update(self, stmt, masked, spans):
         m = re.match(
@@ -659,9 +742,14 @@ _DUCK_POP_AGG_RE = re.compile(r"\b(stddev|std|variance)\s*\(", re.IGNORECASE)
 
 
 def _duckify(stmt: str) -> str:
+    from matrixone_spark.mysql_dialect import rewrite_unsigned_bitwise
+
     masked, spans = mask_literals(stmt)
     masked = masked.replace("`", '"')
     masked = rewrite_limit(masked)
+    if "<<" in masked or ">>" in masked or "^" in masked:
+        # MySQL unsigned shift/xor semantics (DuckDB's ^ is exponentiation)
+        masked = rewrite_unsigned_bitwise(masked, engine="duck")
     # MySQL STD/STDDEV/VARIANCE are population variants; DuckDB's same-named
     # functions are sample variants (mirrors the Spark-side dialect rename)
     masked = _DUCK_POP_AGG_RE.sub(
@@ -791,11 +879,18 @@ class RefResults:
         return ("rows", rows)
 
 
-def _ref_match(spark_pdf, ref_rows) -> bool:
+def _ref_match(spark_pdf, ref_rows, fmt: bool = False) -> bool:
     """Lenient row-multiset comparison of a Spark result against reference
     .result text cells: numeric within 1e-6 relative, bool as 1/0, NULL as
-    'null', everything else exact text."""
+    'null', everything else exact text.
+
+    ``fmt=True`` grades RENDERING-ONLY divergence on top: the reference's
+    YEAR display ('2024-01-01' for year 2024), its ~6-significant-digit
+    float prints ('-1.79769' for -1.7976931348623157), and trailing
+    fractional-second zeros. A row set that matches only under fmt is a
+    format_only ref_fail, not a value disagreement."""
     import math as _math
+    import re as _re
 
     if len(spark_pdf) != len(ref_rows):
         return False
@@ -815,6 +910,8 @@ def _ref_match(spark_pdf, ref_rows) -> bool:
         s = str(v)
         return "null" if s in ("NaT", "None", "<NA>", "nan") else s
 
+    _YEAR_DISP_RE = _re.compile(r"^(\d{1,4})-01-01$")
+
     def cell_eq(a: str, b: str) -> bool:
         if a == b:
             return True
@@ -823,6 +920,15 @@ def _ref_match(spark_pdf, ref_rows) -> bool:
             return True
         if {la, lb} in ({"true", "1"}, {"false", "0"}):
             return True
+        if fmt:
+            # YEAR columns render as 'YYYY-01-01' in the reference .result
+            ym = _YEAR_DISP_RE.match(b)
+            if ym:
+                try:
+                    if int(float(a)) == int(ym.group(1)) and float(a) == int(float(a)):
+                        return True
+                except ValueError:
+                    pass
         try:
             fa, fb = float(a), float(b)
         except ValueError:
@@ -832,8 +938,12 @@ def _ref_match(spark_pdf, ref_rows) -> bool:
             return True
         # 1e-6 relative: FLOAT(32) columns round-trip through float32 with
         # ~1e-7 relative error (.result prints the float32 digits, Spark
-        # prints the widened double — e.g. 1.0E-25 vs 1.0000000195e-25)
-        return abs(fa - fb) <= 1e-6 * max(abs(fa), abs(fb), 1e-30)
+        # prints the widened double — e.g. 1.0E-25 vs 1.0000000195e-25).
+        # fmt: the reference prints ~6 significant digits ('-1.79769' for
+        # -1.7976931348623157) — grade agreement at 6 sig digits as
+        # format-only.
+        tol = 5e-6 if fmt else 1e-6
+        return abs(fa - fb) <= tol * max(abs(fa), abs(fb), 1e-30)
 
     got = sorted(
         (tuple(canon(v) for v in row) for row in spark_pdf.itertuples(index=False, name=None)),
@@ -888,7 +998,8 @@ class CoExecutor:
         """
         from matrixone_spark.oracle import canonical_rows
 
-        stats = {"compared": 0, "mismatch": 0, "ref_pass": 0, "ref_fail": 0,
+        stats = {"compared": 0, "mismatch": 0, "ref_pass": 0,
+                 "ref_fail_fmt": 0, "ref_fail": 0, "ref_error": 0,
                  "diverged": 0, "spark_only": 0, "duck_only": 0,
                  "both_failed": 0, "executed": 0, "skipped": 0}
         # tables whose Spark state DuckDB could not follow (a DML using
@@ -932,38 +1043,52 @@ class CoExecutor:
                     self.con.execute("BEGIN")
                 except Exception:
                     pass
-            duck_ok, duck_df, duck_err = True, None, ""
-            if _touches_taint(stmt):
-                duck_ok = False
-                duck_err = "tainted"
-            else:
+            def _run_duck(sql_text):
+                if _touches_taint(stmt):
+                    return False, None, "tainted"
                 timer = _threading.Timer(self.STMT_TIMEOUT_S, self.con.interrupt)
                 timer.start()
                 try:
-                    duck_df = self.con.execute(_duckify(stmt)).fetchdf()
+                    return True, self.con.execute(_duckify(sql_text)).fetchdf(), ""
                 except Exception as e:
-                    duck_ok = False
-                    duck_err = str(e)
+                    return False, None, str(e)
                 finally:
                     timer.cancel()
-            spark_ok, spark_df = True, None
-            sc = self.sess.spark.sparkContext
-            group = f"bvt-{id(self)}"
-            # runaway statements (one expression/ script builds a 2^20-task
-            # cross) are cancelled, counted as an engine failure, and the
-            # replay moves on
-            sc.setJobGroup(group, "bvt statement", interruptOnCancel=True)
-            timer = _threading.Timer(self.STMT_TIMEOUT_S, lambda: sc.cancelJobGroup(group))
-            timer.start()
-            try:
-                kind, df = self.sess.execute(stmt)
-                if kind == "select" and df is not None:
-                    spark_df = df.toPandas()
-            except Exception:
-                spark_ok = False
-            finally:
-                timer.cancel()
-                sc.setJobGroup(f"bvt-idle-{id(self)}", "idle")
+
+            def _run_spark():
+                sc = self.sess.spark.sparkContext
+                group = f"bvt-{id(self)}"
+                # runaway statements (one expression/ script builds a
+                # 2^20-task cross) are cancelled, counted as an engine
+                # failure, and the replay moves on
+                sc.setJobGroup(group, "bvt statement", interruptOnCancel=True)
+                timer = _threading.Timer(
+                    self.STMT_TIMEOUT_S, lambda: sc.cancelJobGroup(group)
+                )
+                timer.start()
+                try:
+                    kind_, df = self.sess.execute(stmt)
+                    if kind_ == "select" and df is not None:
+                        return True, df.toPandas()
+                    return True, None
+                except Exception:
+                    return False, None
+                finally:
+                    timer.cancel()
+                    sc.setJobGroup(f"bvt-idle-{id(self)}", "idle")
+
+            if is_query:
+                duck_ok, duck_df, duck_err = _run_duck(stmt)
+                spark_ok, spark_df = _run_spark()
+            else:
+                # Spark first: INSERT coercion (autoinc/year/round fills) may
+                # produce a literal-row override the duck side must replay to
+                # keep both engines' data identical
+                spark_ok, spark_df = _run_spark()
+                override = getattr(self.sess, "last_duck_override", None)
+                duck_ok, duck_df, duck_err = _run_duck(
+                    override if (spark_ok and override) else stmt
+                )
             if not is_query:
                 if spark_ok and duck_ok:
                     self.con.execute("COMMIT")
@@ -1032,6 +1157,13 @@ class CoExecutor:
                         and _ref_match(spark_df, claimed[1])
                     ):
                         stats["ref_pass"] += 1
+                    elif claimed is not None and claimed[0] == "error":
+                        # the reference REJECTS this statement (e.g. strict
+                        # string→int cast: "invalid argument cast to int,
+                        # bad value 1.1"); there is no expected data — both
+                        # engines answered, the reference would error. A
+                        # behavioral divergence, not a data mismatch.
+                        stats["ref_error"] += 1
                     else:
                         stats["mismatch"] += 1
                         if details is not None:
@@ -1043,6 +1175,10 @@ class CoExecutor:
                 if claimed is not None and claimed[0] == "rows":
                     if _ref_match(spark_df, claimed[1]):
                         stats["ref_pass"] += 1
+                    elif _ref_match(spark_df, claimed[1], fmt=True):
+                        # values agree; only the reference's rendering
+                        # (YEAR date display, ~6-sig-digit floats) differs
+                        stats["ref_fail_fmt"] += 1
                     else:
                         stats["ref_fail"] += 1
                         if details is not None:

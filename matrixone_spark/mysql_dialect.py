@@ -946,6 +946,125 @@ def rewrite_is_truth(masked: str) -> str:
     return out
 
 
+_UNARY_CTX_WORDS = frozenset(
+    "select where when then else and or not xor on having by limit offset "
+    "values case in between like as union all distinct return returns".split()
+)
+
+
+def _extend_unary_sign(s: str, start: int) -> int:
+    """Extend a primary-expression start over a preceding unary +/- chain
+    (only when the context shows the sign is unary, not binary)."""
+    k = start
+    while k > 0 and s[k - 1] in "+-":
+        k -= 1
+    if k == start:
+        return start
+    kk = k
+    while kk > 0 and s[kk - 1].isspace():
+        kk -= 1
+    wm = re.search(r"([\w$]+)$", s[:kk])
+    prevtok = wm.group(1).lower() if wm else ""
+    if kk == 0 or s[kk - 1] in "(,=<>*/%&|^" or prevtok in _UNARY_CTX_WORDS:
+        return k
+    return start
+
+
+def _rhs_span(s: str, i: int) -> "tuple[int, int]":
+    """Forward-scan the primary expression starting at/after index i:
+    optional unary sign(s), then identifier/literal chain with an optional
+    balanced call/paren suffix."""
+    n = len(s)
+    while i < n and s[i].isspace():
+        i += 1
+    start = i
+    while i < n and s[i] in "+-~ ":
+        i += 1
+    while i < n and (s[i].isalnum() or s[i] in "_.$\x01"):
+        i += 1
+    if i < n and s[i] == "(":
+        i = _scan_balanced(s, i)
+    return start, i
+
+
+_U64_MOD = "18446744073709551616"  # 2^64
+
+
+def _u64_spark(x: str) -> str:
+    return (
+        f"CAST((CASE WHEN ({x}) < 0 THEN {_U64_MOD} + ({x}) "
+        f"ELSE ({x}) END) AS DECIMAL(20,0))"
+    )
+
+
+def _u64_duck(x: str) -> str:
+    h = f"CAST('{_U64_MOD}' AS HUGEINT)"
+    return f"((CAST(({x}) AS HUGEINT) % {h} + {h}) % {h})"
+
+
+_SHIFT_XOR_RE = re.compile(r"<<|>>|\^")
+
+
+def rewrite_unsigned_bitwise(masked: str, engine: str = "spark") -> str:
+    """MySQL shifts and XOR operate on BIGINT UNSIGNED (64-bit) values:
+    -1 << 1 = 18446744073709551614, -1 >> 1 = 9223372036854775807 (logical
+    shift), shift counts outside 0..63 give 0, and -1 ^ 8 displays as the
+    unsigned 18446744073709551607. Spark's operators are signed (arithmetic
+    >>), so rewrite ``a << b`` / ``a >> b`` / ``a ^ b`` into unsigned-domain
+    expressions; ``engine='duck'`` emits the HUGEINT dialect form so the
+    co-executor's oracle side keeps identical semantics (DuckDB's ^ is
+    exponentiation). Single-primary operand scan — same precedence
+    limitation as rewrite_bitwise_not (documented)."""
+    out = masked
+    pos = 0
+    for _guard in range(1024):
+        m = _SHIFT_XOR_RE.search(out, pos)
+        if not m:
+            break
+        op = m.group(0)
+        # ->> (JSON unquote-extract) and <=>-adjacent forms are not shifts
+        if out[max(0, m.start() - 1) : m.start()] in ("-", "<", ">") or out[
+            m.end() : m.end() + 1
+        ] in (">", "<"):
+            pos = m.end()
+            continue
+        lhs_start, lhs_end = _lhs_span(out, m.start())
+        lhs_start = _extend_unary_sign(out, lhs_start)
+        lhs = out[lhs_start:lhs_end].strip()
+        rhs_start, rhs_end = _rhs_span(out, m.end())
+        rhs = out[rhs_start:rhs_end].strip()
+        if not lhs or not rhs:
+            pos = m.end()
+            continue
+        if engine == "duck":
+            h1 = f"CAST(1 AS HUGEINT) << CAST(({rhs}) AS INT)"
+            if op == "^":
+                repl = _u64_duck(f"xor(CAST(({lhs}) AS BIGINT), CAST(({rhs}) AS BIGINT))")
+            elif op == "<<":
+                repl = (
+                    f"(CASE WHEN CAST(({rhs}) AS BIGINT) BETWEEN 0 AND 63 "
+                    f"THEN {_u64_duck(f'{_u64_duck(lhs)} * ({h1})')} ELSE 0 END)"
+                )
+            else:
+                repl = (
+                    f"(CASE WHEN CAST(({rhs}) AS BIGINT) BETWEEN 0 AND 63 "
+                    f"THEN ({_u64_duck(lhs)} // ({h1})) ELSE 0 END)"
+                )
+        else:
+            if op == "^":
+                repl = _u64_spark(f"CAST(({lhs}) AS BIGINT) ^ CAST(({rhs}) AS BIGINT)")
+            else:
+                fn = "shiftleft" if op == "<<" else "shiftrightunsigned"
+                shifted = f"{fn}(CAST(({lhs}) AS BIGINT), CAST(({rhs}) AS INT))"
+                repl = (
+                    f"(CASE WHEN CAST(({rhs}) AS BIGINT) BETWEEN 0 AND 63 "
+                    f"THEN {_u64_spark(shifted)} ELSE CAST(0 AS DECIMAL(20,0)) END)"
+                )
+        out = out[:lhs_start] + repl + out[rhs_end:]
+        pos = lhs_start + len(repl)
+    return out
+
+
 def _adjacent_bitwise(s: str, left_end: int, right_start: int) -> bool:
     """True when the span [left_end, right_start) (a ~expr) directly abuts a
     bitwise operator (& | ^ << >>, excluding logical && / ||) on either
@@ -995,11 +1114,12 @@ def rewrite_bitwise_not(masked: str, engine: str = "spark") -> str:
         if _adjacent_bitwise(out, i, k):
             # ~x feeding another bitwise operator (~x & y): the DECIMAL(20,0)
             # unsigned emulation fails analysis (bitwise ops need integral
-            # operands). Signed BIGINT complement has the identical 64-bit
+            # operands). Signed BIGINT complement (written -x-1 so the rfind
+            # loop doesn't re-process a literal ~) has the identical 64-bit
             # pattern, so the compound result's bits are MySQL-exact; only
             # the display of a top-bit-set final value diverges (signed vs
             # unsigned rendering) — documented divergence.
-            repl = f"(~CAST(({operand}) AS BIGINT))"
+            repl = f"(-CAST(({operand}) AS BIGINT) - 1)"
             out = out[:i] + repl + out[k:]
             continue
         if engine == "duck":
@@ -1716,6 +1836,8 @@ def translate(sql: str) -> str:
         masked = rewrite_is_truth(masked)
     if "~" in masked:
         masked = rewrite_bitwise_not(masked)
+    if "<<" in masked or ">>" in masked or "^" in masked:
+        masked = rewrite_unsigned_bitwise(masked)
     if "(" in masked:
         masked = rewrite_row_in_list(masked)
         masked = rewrite_row_comparisons(masked)

@@ -580,7 +580,9 @@ def geo_s2_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((k % 720).cast("double") / 2.0 - 179.5).alias("lon"),
         ((k % 340).cast("double") / 2.0 - 84.5).alias("lat"),
     )
-    pts = pts.withColumn("cell", S2.s2_cellid_parent(S2.s2_cellid(F.col("lon"), F.col("lat")), 5))
+    # staged-projection Catalyst cell id: scan-stage JVM arithmetic, no
+    # Arrow round trip (s2cell.with_s2_cellid docstring has the numbers)
+    pts = S2.with_s2_cellid(pts, "lon", "lat", "cell", level=5)
     nbr_arr = F.from_json(S2.s2_cellid_allneighbors(F.col("cell")), "array<decimal(20,0)>")
     expanded = pts.select(
         F.col("id").alias("id_b"),
@@ -632,16 +634,17 @@ def geo_s2_join_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((k % 720).cast("double") / 2.0 - 179.5).alias("lon"),
         ((k % 340).cast("double") / 2.0 - 84.5).alias("lat"),
     ).repartition(32)
-    pts = pts.withColumn(
-        "cell", S2.s2_cellid_parent(S2.s2_cellid(F.col("lon"), F.col("lat")), 5)
-    )
+    # staged-projection Catalyst cell id (round-4): the leaf+parent math is
+    # whole-stage-codegen scan arithmetic now, not a pandas UDF — the cold
+    # pass no longer pays the Arrow/Python worker spin-up
+    pts = S2.with_s2_cellid(pts, "lon", "lat", "cell", level=5)
     nbr_arr = F.from_json(S2.s2_cellid_allneighbors(F.col("cell")), "array<decimal(20,0)>")
-    # ONE cell-UDF pass: both join branches read the same persisted
-    # (id, lon, lat, cell, buckets) frame, so the Arrow-batched S2 math runs
-    # once instead of once per branch (measured 3.2 s → 0.7 s steady at
-    # sf0.1). Bounded cache keyed by (app, sf_dir) — at 100 TB this is the
-    # table you'd write out partitioned by cell; persisting the annotated
-    # points is the in-session analogue.
+    # ONE neighbor-UDF pass: both join branches read the same persisted
+    # (id, lon, lat, cell, buckets) frame, so the remaining Python step
+    # (neighbor expansion) runs once instead of once per branch. Bounded
+    # cache keyed by (app, sf_dir) — at 100 TB this is the table you'd
+    # write out partitioned by cell; persisting the annotated points is the
+    # in-session analogue.
     base = _s2_bench_base(
         pts.withColumn("buckets", F.array_union(F.array(F.col("cell")), nbr_arr)),
         sf_dir,
