@@ -49,6 +49,14 @@ def main() -> None:
         .agg(F.sum("l_quantity"), F.max("rn"))
         .collect()
     )
+    # ... and the Arrow-Python runner (pandas UDF + mapInArrow) once: the
+    # first Arrow job in a process pays ~1.5-2 s of worker launch + runner
+    # init, a per-process constant that otherwise lands on whichever Python-
+    # path query happens to run first and skews its "cold" number.
+    # (mo_conv is the pandas UDF get_spark always registers; mapInArrow
+    # warms the Arrow-batch runner path)
+    spark.sql("SELECT mo_conv('ff', 16, 10)").collect()
+    spark.range(1000).mapInArrow(lambda it: it, "id long").count()
 
     # Each query runs N times (default 3). "queries"/"value" report the min
     # (methodology FIXED since r1 so BENCH_r{N} totals stay comparable):

@@ -911,8 +911,15 @@ def _ref_match(spark_pdf, ref_rows, fmt: bool = False) -> bool:
         return "null" if s in ("NaT", "None", "<NA>", "nan") else s
 
     _YEAR_DISP_RE = _re.compile(r"^(\d{1,4})-01-01$")
+    # YEAR display-equivalence applies only when the Spark side produced an
+    # integer column (the YEAR type maps to short/int here) — a genuine
+    # int-vs-DATE value disagreement must NOT grade as format-only
+    # (r4 advisor, low)
+    _int_cols = [
+        str(dt).lower().startswith(("int", "uint")) for dt in spark_pdf.dtypes
+    ]
 
-    def cell_eq(a: str, b: str) -> bool:
+    def cell_eq(a: str, b: str, col: int) -> bool:
         if a == b:
             return True
         la, lb = a.lower(), b.lower()
@@ -920,7 +927,7 @@ def _ref_match(spark_pdf, ref_rows, fmt: bool = False) -> bool:
             return True
         if {la, lb} in ({"true", "1"}, {"false", "0"}):
             return True
-        if fmt:
+        if fmt and _int_cols[col]:
             # YEAR columns render as 'YYYY-01-01' in the reference .result
             ym = _YEAR_DISP_RE.match(b)
             if ym:
@@ -942,7 +949,9 @@ def _ref_match(spark_pdf, ref_rows, fmt: bool = False) -> bool:
         # fmt: the reference prints ~6 significant digits ('-1.79769' for
         # -1.7976931348623157) — grade agreement at 6 sig digits as
         # format-only.
-        tol = 5e-6 if fmt else 1e-6
+        # fmt: 1e-5 covers the reference's TRUNCATED (not rounded)
+        # 6-significant-digit prints (up to ~1e-5 relative; r4 advisor)
+        tol = 1e-5 if fmt else 1e-6
         return abs(fa - fb) <= tol * max(abs(fa), abs(fb), 1e-30)
 
     got = sorted(
@@ -957,7 +966,7 @@ def _ref_match(spark_pdf, ref_rows, fmt: bool = False) -> bool:
         for idx, w in enumerate(want):
             if used[idx]:
                 continue
-            if all(cell_eq(a, b) for a, b in zip(g, w)):
+            if all(cell_eq(a, b, ci) for ci, (a, b) in enumerate(zip(g, w))):
                 used[idx] = True
                 hit = True
                 break

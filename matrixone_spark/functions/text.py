@@ -30,10 +30,97 @@ def _c(x) -> Column:
 _TOKEN_SPLIT = r"[^a-z0-9]+"
 
 
-def tokenize(col) -> Column:
-    """lower + split on non-alphanumerics, drop empties (fulltext tokenizer
-    parity, pkg/fulltext/)."""
+def tokenize(col, mode: str = "simple") -> Column:
+    """``mode='simple'``: lower + split on non-alphanumerics, drop empties
+    (fulltext tokenizer parity, pkg/fulltext/ — the ASCII fast path).
+    ``mode='mixed'``: the reference SimpleTokenizer's full CJK behavior
+    (see tokenize_mixed)."""
+    if mode == "mixed":
+        return tokenize_mixed(col)
     return F.filter(F.split(F.lower(_c(col)), _TOKEN_SPLIT), lambda t: t != "")
+
+
+# Breakers, reference monlp/tokenizer/simple.go isBreakerRune: ASCII
+# non-alphanumerics; above ASCII, punctuation/space (we add \p{C} controls —
+# harmless widening). Latin class = token chars < U+0800 (1-2 byte UTF-8,
+# simple.go isLatin); CJK class = token chars >= U+0800.
+_MIXED_BREAKER = r"[\x00-\x2f\x3a-\x40\x5b-\x60\x7b-\x7f\p{P}\p{Z}\p{C}]"
+_CJK_CLASS = "[ࠀ-￿]"
+_LATIN_CLASS = "[0-9a-z-߿]"
+
+
+def tokenize_mixed(col) -> Column:
+    """CJK-aware tokenizer — clean-room implementation of the reference's
+    default (non-jieba) SimpleTokenizer (pkg/monlp/tokenizer/simple.go:
+    beginToken/latinToken/cjkToken state machine; used by the fulltext
+    index build and ParsePatternInNLMode, pkg/fulltext/fulltext.go:919):
+
+    - text splits into runs at breaker chars and at latin<->CJK script
+      boundaries;
+    - latin runs (runes < U+0800) emit one lowercased token;
+    - CJK runs emit OVERLAPPING RUNE TRIGRAMS (simple.go outputCJK slides a
+      3-rune window by 1), runs shorter than 3 runes emit the whole run —
+      so Chinese fulltext/dedup work without a dictionary.
+
+    Pure Catalyst: two boundary regexp passes + split + a transform/flatten
+    over runs; no Python in the hot path, safe to fuse into a 100 TB scan.
+    Supplementary-plane codepoints (outside the BMP) ride through as
+    surrogate pairs and may split mid-pair inside a trigram — a documented
+    divergence (the reference BVT corpus is BMP)."""
+    s = F.regexp_replace(F.lower(_c(col)), _MIXED_BREAKER, " ")
+    s = F.regexp_replace(s, f"(?<={_LATIN_CLASS})(?={_CJK_CLASS})", " ")
+    s = F.regexp_replace(s, f"(?<={_CJK_CLASS})(?={_LATIN_CLASS})", " ")
+    runs = F.filter(F.split(s, " +"), lambda t: t != "")
+
+    def expand(run: Column) -> Column:
+        n = F.length(run)
+        tri = F.transform(
+            F.sequence(F.lit(1), n - F.lit(2)),
+            lambda i: F.substring(run, i, F.lit(3)),
+        )
+        return F.when(run.rlike(f"^{_CJK_CLASS}") & (n >= 3), tri).otherwise(F.array(run))
+
+    return F.flatten(F.transform(runs, expand))
+
+
+def tokenize_mixed_py(text: str) -> "list[str]":
+    """Driver-side mirror of tokenize_mixed for QUERY strings (the analogue
+    of ParsePatternInNLMode's tokenize-the-pattern step): tiny inputs, so a
+    character-walk keeps the two sides in lockstep — gated against the
+    Column form in tests."""
+    import unicodedata
+
+    def klass(ch: str) -> int:  # 0 breaker, 1 latin, 2 cjk
+        o = ord(ch)
+        if o < 128:
+            return 1 if ch.isalnum() else 0
+        if unicodedata.category(ch)[0] in ("P", "Z", "C"):
+            return 0
+        return 1 if o < 0x800 else 2
+
+    out: "list[str]" = []
+    run: "list[str]" = []
+    run_k = 0
+
+    def flush() -> None:
+        if not run:
+            return
+        w = "".join(run)
+        if run_k == 2 and len(w) >= 3:
+            out.extend(w[i : i + 3] for i in range(len(w) - 2))
+        else:
+            out.append(w)
+        run.clear()
+
+    for ch in text.lower():
+        k = klass(ch)
+        if k != run_k:
+            flush()
+            run_k = k
+        if k:
+            run.append(ch)
+    flush()
+    return out
 
 
 def tokenize_positions(col) -> Column:

@@ -1002,23 +1002,31 @@ def _u64_duck(x: str) -> str:
     return f"((CAST(({x}) AS HUGEINT) % {h} + {h}) % {h})"
 
 
-_SHIFT_XOR_RE = re.compile(r"<<|>>|\^")
+_XOR_RE = re.compile(r"\^")
+_SHIFT_RE = re.compile(r"<<|>>")
 
 
 def rewrite_unsigned_bitwise(masked: str, engine: str = "spark") -> str:
     """MySQL shifts and XOR operate on BIGINT UNSIGNED (64-bit) values:
     -1 << 1 = 18446744073709551614, -1 >> 1 = 9223372036854775807 (logical
-    shift), shift counts outside 0..63 give 0, and -1 ^ 8 displays as the
-    unsigned 18446744073709551607. Spark's operators are signed (arithmetic
-    >>), so rewrite ``a << b`` / ``a >> b`` / ``a ^ b`` into unsigned-domain
-    expressions; ``engine='duck'`` emits the HUGEINT dialect form so the
-    co-executor's oracle side keeps identical semantics (DuckDB's ^ is
-    exponentiation). Single-primary operand scan — same precedence
-    limitation as rewrite_bitwise_not (documented)."""
+    shift), shift counts outside 0..63 give 0, NULL operands propagate NULL,
+    and -1 ^ 8 displays as the unsigned 18446744073709551607. Spark's
+    operators are signed (arithmetic >>), so rewrite ``a << b`` / ``a >> b``
+    / ``a ^ b`` into unsigned-domain expressions; ``engine='duck'`` emits
+    the HUGEINT dialect form so the co-executor's oracle side keeps
+    identical semantics (DuckDB's ^ is exponentiation). ^ is processed in a
+    FIRST pass because MySQL binds ^ tighter than shifts (1 << 1 ^ 2 =
+    1 << (1^2) = 8; r4 advisor, medium). Single-primary operand scan — same
+    precedence limitation as rewrite_bitwise_not (documented)."""
+    out = _rewrite_unsigned_pass(masked, _XOR_RE, engine)
+    return _rewrite_unsigned_pass(out, _SHIFT_RE, engine)
+
+
+def _rewrite_unsigned_pass(masked: str, op_re: "re.Pattern", engine: str) -> str:
     out = masked
     pos = 0
     for _guard in range(1024):
-        m = _SHIFT_XOR_RE.search(out, pos)
+        m = op_re.search(out, pos)
         if not m:
             break
         op = m.group(0)
@@ -1036,18 +1044,21 @@ def rewrite_unsigned_bitwise(masked: str, engine: str = "spark") -> str:
         if not lhs or not rhs:
             pos = m.end()
             continue
+        # MySQL propagates NULL through shifts: a NULL operand or shift
+        # count yields NULL, never the out-of-range-0 arm (r4 verdict #3b)
+        null_guard = f"WHEN ({lhs}) IS NULL OR ({rhs}) IS NULL THEN NULL "
         if engine == "duck":
             h1 = f"CAST(1 AS HUGEINT) << CAST(({rhs}) AS INT)"
             if op == "^":
                 repl = _u64_duck(f"xor(CAST(({lhs}) AS BIGINT), CAST(({rhs}) AS BIGINT))")
             elif op == "<<":
                 repl = (
-                    f"(CASE WHEN CAST(({rhs}) AS BIGINT) BETWEEN 0 AND 63 "
+                    f"(CASE {null_guard}WHEN CAST(({rhs}) AS BIGINT) BETWEEN 0 AND 63 "
                     f"THEN {_u64_duck(f'{_u64_duck(lhs)} * ({h1})')} ELSE 0 END)"
                 )
             else:
                 repl = (
-                    f"(CASE WHEN CAST(({rhs}) AS BIGINT) BETWEEN 0 AND 63 "
+                    f"(CASE {null_guard}WHEN CAST(({rhs}) AS BIGINT) BETWEEN 0 AND 63 "
                     f"THEN ({_u64_duck(lhs)} // ({h1})) ELSE 0 END)"
                 )
         else:
@@ -1057,7 +1068,7 @@ def rewrite_unsigned_bitwise(masked: str, engine: str = "spark") -> str:
                 fn = "shiftleft" if op == "<<" else "shiftrightunsigned"
                 shifted = f"{fn}(CAST(({lhs}) AS BIGINT), CAST(({rhs}) AS INT))"
                 repl = (
-                    f"(CASE WHEN CAST(({rhs}) AS BIGINT) BETWEEN 0 AND 63 "
+                    f"(CASE {null_guard}WHEN CAST(({rhs}) AS BIGINT) BETWEEN 0 AND 63 "
                     f"THEN {_u64_spark(shifted)} ELSE CAST(0 AS DECIMAL(20,0)) END)"
                 )
         out = out[:lhs_start] + repl + out[rhs_end:]
@@ -1074,7 +1085,10 @@ def _adjacent_bitwise(s: str, left_end: int, right_start: int) -> bool:
         r += 1
     if s[r : r + 2] in ("<<", ">>"):
         return True
-    if s[r : r + 1] in "&|^" and s[r : r + 2] not in ("&&", "||"):
+    # tuple membership, NOT substring test: s[r:r+1] == "" at end-of-string
+    # is a substring of "&|^", which misclassified a statement-final ~x as
+    # feeding a bitwise operator (r4 advisor, high)
+    if s[r : r + 1] in ("&", "|", "^") and s[r : r + 2] not in ("&&", "||"):
         return True
     l = left_end
     while l > 0 and s[l - 1].isspace():

@@ -61,7 +61,7 @@ class FullTextIndex:
         self.corpus_stats = corpus_stats  # 1 row: avg_dl (kept lazy/in-plan)
 
     @classmethod
-    def build(cls, docs: DataFrame, id_col: str, text_col: str) -> "FullTextIndex":
+    def build(cls, docs: DataFrame, id_col: str, text_col: str, mode: str = "simple") -> "FullTextIndex":
         """Build postings in ONE tokenize pass: positional postings come from
         posexplode-style offset tokenization, tf-postings and doc lengths
         derive from them (re-aggregations of the small index, not second
@@ -74,23 +74,45 @@ class FullTextIndex:
         Positions are the token's char offset in the lowered text — the
         analogue of the reference index's BytePos (fulltext_index_tokenize;
         identical for ASCII corpora), which SqlPhrase's anchor grouping
-        consumes for phrase matching."""
-        toks = docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(tokenize_positions(text_col)).alias("tk"),
-        )
-        postings_pos = toks.select(
-            "doc_id", F.col("tk.token").alias("token"), F.col("tk.pos").alias("pos")
-        )
-        postings = postings_pos.groupBy("doc_id", "token").agg(
-            F.count(F.lit(1)).alias("tf")
-        )
+        consumes for phrase matching.
+
+        ``mode='mixed'`` tokenizes through the CJK-aware SimpleTokenizer
+        parity path (functions/text.py tokenize_mixed: latin words +
+        overlapping CJK rune trigrams, reference monlp/tokenizer/simple.go)
+        — so Chinese corpora index without a dictionary, exactly like the
+        reference's non-jieba default. Positional postings are skipped in
+        mixed mode (char offsets are an ASCII-path construct; the boolean
+        phrase operator is whitespace-phrase only, matching the reference's
+        non-jieba ParsePhrase)."""
+        if mode == "mixed":
+            from matrixone_spark.functions.text import tokenize_mixed
+
+            postings = (
+                docs.select(
+                    F.col(id_col).alias("doc_id"),
+                    F.explode(tokenize_mixed(text_col)).alias("token"),
+                )
+                .groupBy("doc_id", "token")
+                .agg(F.count(F.lit(1)).alias("tf"))
+            )
+            postings_pos = None
+        else:
+            toks = docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(tokenize_positions(text_col)).alias("tk"),
+            )
+            postings_pos = toks.select(
+                "doc_id", F.col("tk.token").alias("token"), F.col("tk.pos").alias("pos")
+            )
+            postings = postings_pos.groupBy("doc_id", "token").agg(
+                F.count(F.lit(1)).alias("tf")
+            )
         doc_stats = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         corpus_stats = doc_stats.agg(F.avg("dl").alias("avg_dl"))
         return cls(postings, doc_stats, docs.count(), corpus_stats, postings_pos)
 
     @classmethod
-    def build_cached(cls, docs: DataFrame, id_col: str, text_col: str) -> "FullTextIndex":
+    def build_cached(cls, docs: DataFrame, id_col: str, text_col: str, mode: str = "simple") -> "FullTextIndex":
         """Build-once index per corpus, postings persisted.
 
         Reference parity: MATCH...AGAINST probes a persistent fulltext
@@ -108,12 +130,14 @@ class FullTextIndex:
             docs.semanticHash(),
             id_col,
             text_col,
+            mode,
         )
         idx = _INDEX_CACHE.get(key)
         if idx is None:
-            idx = cls.build(docs, id_col, text_col)
+            idx = cls.build(docs, id_col, text_col, mode=mode)
             idx.postings = idx.postings.persist()
-            idx.postings_pos = idx.postings_pos.persist()
+            if idx.postings_pos is not None:
+                idx.postings_pos = idx.postings_pos.persist()
             idx.doc_stats = idx.doc_stats.persist()
             _INDEX_CACHE[key] = idx
             while len(_INDEX_CACHE) > _INDEX_CACHE_MAX:
@@ -267,6 +291,12 @@ class FullTextIndex:
         the TVF's phrase path (table_function/fulltext.go:805-828): docvec
         dummy-filled 1 per keyword, df = docs matching the PHRASE, so
         score = n_children · idf² · tf_part(tf=1)."""
+        if self.postings_pos is None:
+            raise ValueError(
+                "phrase search requires positional postings (simple mode); "
+                "mixed-mode (CJK trigram) indexes do not store them — the "
+                "reference's non-jieba path has the same restriction"
+            )
         kids = ph.children
         base = kids[0].position
         parts = [

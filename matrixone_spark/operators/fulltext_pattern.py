@@ -121,7 +121,13 @@ def _parse_tokens(pattern: str) -> "list[Pattern]":
 def _create(tok: str) -> Pattern:
     if tok.startswith("(") and tok.endswith(")"):
         inner = tok[1:-1].strip()
-        return Pattern(op=GROUP, text=tok, children=_parse_tokens(inner))
+        children = _parse_tokens(inner)
+        if not children:
+            # reference parser rejects empty groups; without this, a pattern
+            # of only empty groups reaches match_pattern with zero leaves
+            # and crashes on frames[0] (r4 advisor, low)
+            raise ValueError(f"empty group {tok!r} in boolean search string")
+        return Pattern(op=GROUP, text=tok, children=children)
     op = _OPS.get(tok[0])
     if op is None:
         if tok.endswith("*") and len(tok) > 1:

@@ -22,6 +22,7 @@ Determinism discipline (hash-match requirement):
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -41,12 +42,27 @@ REGISTRY: "dict[str, Query]" = {}
 
 
 def register(name: str, oracle: "str | None", tags: tuple = (), doc: str = ""):
-    """Decorator: register a (spark, sf_dir) -> DataFrame callable."""
+    """Decorator: register a (spark, sf_dir) -> DataFrame callable.
+
+    The stored callable self-registers the SQL-text UDF surface (mo_*, h3_*,
+    …) on whatever session it is handed: the driver contract supplies an
+    ARBITRARY SparkSession, not our get_spark one, so a translate-based
+    query must never assume the session was pre-provisioned (round-4 red
+    row: UNRESOLVED_ROUTINE mo_conv). _ensure_sql_udfs is a per-session-id
+    no-op after the first call, so this costs nothing on the hot path."""
 
     def deco(fn):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, tags=tags, doc=doc)
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from matrixone_spark.session import _ensure_sql_udfs
+
+            _ensure_sql_udfs(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = Query(name=name, fn=wrapped, oracle=oracle, tags=tags, doc=doc)
         return fn
 
     return deco
@@ -61,72 +77,79 @@ def register(name: str, oracle: "str | None", tags: tuple = (), doc: str = ""):
 # priority order, with the already-green round-1 families at the back.
 # Rotate _MODULE_PRIORITY between rounds to sweep the remaining families.
 
-# Round 4: no sentinels — tpch_q1/q5/q12/q21 carry triple-green r01–r03
-# history, and every one of the 50 window slots is needed to drain the
-# remaining never-driver-verified ledger (47 queries, CORRECTNESS_r01–r03
-# union) plus the r03 red row (approx_percentile_tdigest, now scalar-only)
-# and the two plan-fragile re-pins the round-3 verdict called stale
-# (window_range_frame, sample_per_group — green only in r01).
+# Round 5: the r04 window drained the never-verified ledger, so sentinels
+# return — tpch regression canaries plus the r04-stale/red re-pins the r4
+# verdict names (#2/#3/#4): the fulltext boolean quartet (only registered
+# queries with zero driver history), the two fixed red rows, the re-built
+# S2 pair, and this round's new queries. The tail of the 50-row window
+# refreshes the oldest r01-only greens (plan-fragility check).
 _SENTINELS: "tuple[str, ...]" = ()
 
-# Exactly the 50 rows the r04 driver window must convert, in risk order:
-# the fixed red row first, then the stale re-pins, then the never-verified
-# families (streaming/multimodal tail, index TVFs, scalar batteries,
-# timeseries, table funcs, baked BVT batteries).
+# The 50 rows the r05 driver window must convert, in risk order: the four
+# never-driver-checked fulltext boolean queries, this round's new queries,
+# the r04 red/stale re-pins (all fixed this round), then a refresh of the
+# oldest (r01-only) greens — tpch first (regression canaries), overflow
+# past 50 harmlessly waits for r06.
 _HEAD: "tuple[str, ...]" = (
-    # -- r03 red row, fixed (array col projected to scalars) --
-    "approx_percentile_tdigest",
-    # -- plan-fragile re-pins, stale since r01 --
-    "window_range_frame",
-    "sample_per_group",
-    # -- never driver-verified in r01–r03 (47) --
-    "multimodal_features",
-    "multimodal_metadata_stats",
-    "ivfpq_search",
+    # -- never driver-verified (registered after the r04 window ran) --
+    "fulltext_boolean_phrase",
+    "fulltext_boolean_wildcard",
+    "fulltext_boolean_weights",
+    "fulltext_boolean_group",
+    # -- new round-5 queries --
+    "fulltext_cjk",
+    # -- r04 red rows, fixed (UDF self-registration; duck-engine oracle +
+    #    NULL-propagating shifts) --
     "func_mysql3_battery",
-    "bvt_subquery_battery",
-    "bvt_union_battery",
-    "bvt_distinct_battery",
-    "func_time_battery",
-    "stream_tumbling_counts",
-    "stream_stream_join",
-    "stream_dedup_exactly_once",
-    "stream_session_windows",
-    "func_string_battery",
-    "func_regexp_battery",
-    "func_date_battery",
-    "func_math_battery",
-    "func_conditional_battery",
-    "func_encode_battery",
-    "func_uint64_decimal",
-    "func_cast_battery",
-    "system_meta_battery",
-    "func_crypto_battery",
-    "func_mysql2_battery",
-    "func_compress_battery",
-    "func_serial_pack",
-    "func_regexp2_battery",
-    "func_math2_battery",
-    "func_inet6_battery",
-    "system_clock_battery",
-    "func_misc_battery",
-    "operator_battery",
-    "collation_ci_battery",
-    "timewin_tumbling",
-    "timewin_sliding",
-    "timewin_fill_prev",
-    "timewin_fill_linear",
-    "timewin_fill_value",
-    "sessionize_events",
-    "timewin_per_user_hourly",
-    "tvf_generate_series",
-    "tvf_generate_series_step",
-    "tvf_generate_series_ts",
-    "tvf_lateral_series",
-    "tvf_unnest_ordinality",
-    "tvf_outer_apply",
-    "tvf_random_deterministic",
+    "bvt_operator_battery",
+    # -- r04 stale/broken S2 pair, rebuilt on the fused mapInArrow path --
+    "geo_s2_bucket_join",
     "geo_s2_join_bench",
+    # -- oldest driver evidence (r01-only), refresh for plan fragility --
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q22",
+    "join_anti",
+    "join_cross",
+    "join_full_outer",
+    "join_left_outer",
+    "join_mark_null_aware",
+    "join_nonequi_range",
+    "join_right_outer",
+    "join_semi",
+    "join_single_scalar",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all",
+    "setop_union_distinct",
+    "window_lag_lead",
+    "window_ranks",
+    "window_rows_frame",
+    "window_topn_per_group",
+    "window_value_funcs",
+    "grouping_sets_cube",
+    "grouping_sets_rollup",
+    "cte_reuse",
+    "recursive_cte_hierarchy",
+    "limit_offset",
+    "sample_deterministic",
+    "scalar_subquery_uncorrelated",
 )
 
 # Module order for everything else (module name without package prefix).

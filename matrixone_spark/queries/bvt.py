@@ -205,15 +205,18 @@ def _pop_aggs(e: str) -> str:
     """MySQL STD/STDDEV/VARIANCE are population variants; DuckDB's (like
     Spark's) same-named functions are sample variants, so the oracle text
     must be rewritten the same way the Spark-side dialect renames them.
-    Likewise ``~`` carries MySQL's unsigned-64-bit semantics on both sides
-    (duck-dialect rendering, HUGEINT)."""
-    from matrixone_spark.mysql_dialect import rewrite_bitwise_not
+    Likewise ``~`` and ``<< >> ^`` carry MySQL's unsigned-64-bit semantics
+    on both sides (duck-dialect rendering, HUGEINT) — same rewrite order as
+    the Spark-side translate (bitwise-not, then unsigned shift/xor)."""
+    from matrixone_spark.mysql_dialect import rewrite_bitwise_not, rewrite_unsigned_bitwise
 
     e = _POP_AGG_RE.sub(
         lambda m: "var_pop(" if m.group(1).lower() == "variance" else "stddev_pop(", e
     )
     if "~" in e:
         e = rewrite_bitwise_not(e, engine="duck")
+    if "<<" in e or ">>" in e or "^" in e:
+        e = rewrite_unsigned_bitwise(e, engine="duck")
     return e
 
 

@@ -580,15 +580,14 @@ def geo_s2_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((k % 720).cast("double") / 2.0 - 179.5).alias("lon"),
         ((k % 340).cast("double") / 2.0 - 84.5).alias("lat"),
     )
-    # staged-projection Catalyst cell id: scan-stage JVM arithmetic, no
-    # Arrow round trip (s2cell.with_s2_cellid docstring has the numbers)
-    pts = S2.with_s2_cellid(pts, "lon", "lat", "cell", level=5)
-    nbr_arr = F.from_json(S2.s2_cellid_allneighbors(F.col("cell")), "array<decimal(20,0)>")
+    # ONE fused mapInArrow pass: vectorized-numpy cell id + per-distinct-cell
+    # neighbor sets (s2cell.with_s2_buckets docstring has the design)
+    pts = S2.with_s2_buckets(pts, "lon", "lat", "cell", "buckets", level=5)
     expanded = pts.select(
         F.col("id").alias("id_b"),
         F.col("lon").alias("lon_b"),
         F.col("lat").alias("lat_b"),
-        F.explode(F.array_union(F.array(F.col("cell")), nbr_arr)).alias("bucket"),
+        F.explode("buckets").alias("bucket"),
     )
     a = pts.select(
         F.col("id").alias("id_a"), F.col("lon").alias("lon_a"), F.col("lat").alias("lat_a"),
@@ -633,20 +632,16 @@ def geo_s2_join_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("id"),
         ((k % 720).cast("double") / 2.0 - 179.5).alias("lon"),
         ((k % 340).cast("double") / 2.0 - 84.5).alias("lat"),
-    ).repartition(32)
-    # staged-projection Catalyst cell id (round-4): the leaf+parent math is
-    # whole-stage-codegen scan arithmetic now, not a pandas UDF — the cold
-    # pass no longer pays the Arrow/Python worker spin-up
-    pts = S2.with_s2_cellid(pts, "lon", "lat", "cell", level=5)
-    nbr_arr = F.from_json(S2.s2_cellid_allneighbors(F.col("cell")), "array<decimal(20,0)>")
-    # ONE neighbor-UDF pass: both join branches read the same persisted
-    # (id, lon, lat, cell, buckets) frame, so the remaining Python step
-    # (neighbor expansion) runs once instead of once per branch. Bounded
-    # cache keyed by (app, sf_dir) — at 100 TB this is the table you'd
-    # write out partitioned by cell; persisting the annotated points is the
-    # in-session analogue.
+    )
+    # ONE fused mapInArrow pass (cell id + neighbor buckets, round-5): the
+    # cold path pays a single Python-worker launch on the scan's natural
+    # partitioning; the bucket equi-join's shuffle then spreads the verify
+    # across all cores. Both join branches read the same persisted frame.
+    # Bounded cache keyed by (app, sf_dir) — at 100 TB this is the table
+    # you'd write out partitioned by cell; persisting the annotated points
+    # is the in-session analogue.
     base = _s2_bench_base(
-        pts.withColumn("buckets", F.array_union(F.array(F.col("cell")), nbr_arr)),
+        S2.with_s2_buckets(pts, "lon", "lat", "cell", "buckets", level=5),
         sf_dir,
     )
     expanded = base.select(

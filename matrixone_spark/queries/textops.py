@@ -344,6 +344,71 @@ def fulltext_boolean_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.match_pattern("+table +(query spark)", algo="tfidf")
 
 
+# Deterministic Chinese corpus: three 2-char words picked by key arithmetic,
+# concatenated WITHOUT separators (real CJK text has none) + a latin tail to
+# exercise the script-boundary split. Same expression on both engines.
+_CJK_WORDS = ["北京", "大学", "数据", "查询", "分析", "系统", "引擎", "中文"]
+_CJK_WORDS_SQL = "[" + ",".join(f"'{w}'" for w in _CJK_WORDS) + "]"
+
+
+@register(
+    "fulltext_cjk",
+    oracle=f"""
+WITH corpus AS (
+  SELECT c_custkey AS doc_id,
+         ({_CJK_WORDS_SQL})[(c_custkey % 8) + 1]
+      || ({_CJK_WORDS_SQL})[((c_custkey // 8) % 8) + 1]
+      || ({_CJK_WORDS_SQL})[((c_custkey // 64) % 8) + 1] AS ctext
+  FROM customer WHERE c_custkey <= 800),
+posts AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, 5), i -> substr(ctext, CAST(i AS INT), 3))) AS tok
+        FROM corpus) t(doc_id, tok)
+  WHERE tok IN ('北京大', '京大学')
+  GROUP BY doc_id, tok),
+tdf AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM posts GROUP BY tok),
+nn AS (SELECT COUNT(*) AS n FROM corpus)
+SELECT p.doc_id,
+       ROUND(SUM(p.tf * LOG10(CAST(nn.n AS DOUBLE)/tdf.df) * LOG10(CAST(nn.n AS DOUBLE)/tdf.df)), 6) AS score
+FROM posts p JOIN tdf USING (tok) CROSS JOIN nn
+GROUP BY p.doc_id
+""",
+    tags=("text", "fulltext", "cjk"),
+    doc=(
+        "Chinese fulltext MATCH...AGAINST in NATURAL LANGUAGE MODE over a "
+        "mixed-script corpus: the index builds with the CJK-aware "
+        "SimpleTokenizer parity path (overlapping rune trigrams, reference "
+        "monlp/tokenizer/simple.go outputCJK; NL-mode query tokenization "
+        "fulltext.go:919 ParsePatternInNLMode), query '北京大学' → trigram "
+        "terms scored TF-IDF (tf·idf², fulltext.go:208). The oracle "
+        "recomputes the trigram postings and scores in DuckDB SQL — a "
+        "missed or spurious trigram fails the hash gate. The latin tail in "
+        "each doc proves script-boundary splitting contributes no false "
+        "trigrams."
+    ),
+)
+def fulltext_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matrixone_spark.functions.text import tokenize_mixed_py
+
+    c = Catalog(spark, sf_dir).table("customer").filter(F.col("c_custkey") <= 800)
+    k = F.col("c_custkey")
+    w = F.array(*[F.lit(x) for x in _CJK_WORDS])
+    docs = c.select(
+        k.alias("doc_id"),
+        F.concat(
+            F.element_at(w, (k % 8 + 1).cast("int")),
+            F.element_at(w, ((k / 8).cast("int") % 8 + 1).cast("int")),
+            F.element_at(w, ((k / 64).cast("int") % 8 + 1).cast("int")),
+            F.lit(" data"),
+            (k % 5).cast("string"),
+        ).alias("text"),
+    )
+    idx = FullTextIndex.build_cached(docs, "doc_id", "text", mode="mixed")
+    terms = tokenize_mixed_py("北京大学")  # NL-mode query-side tokenization
+    return idx.match_natural(terms, algo="tfidf")
+
+
 _QUALITY_SQL = f"""ROUND((
            (CASE WHEN len({_TOKS_SQL}) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.4 END)
          + (CASE WHEN (CASE WHEN len({_TOKS_SQL}) > 0

@@ -68,14 +68,26 @@ def get_spark(app_name: str = "mospark", master: str | None = None) -> SparkSess
     return spark
 
 
+_UDF_SESSIONS: "set[int]" = set()
+
+
 def _ensure_sql_udfs(spark: SparkSession) -> None:
     """Register pandas-UDF-backed MySQL functions for SQL-text use.
 
-    Idempotent; called on every get_spark. Only functions whose MySQL
-    semantics can't be expressed as a Spark-SQL rewrite live here — the
-    dialect layer routes their names to the mo_* registrations."""
+    Idempotent and cheap when already done (per-session-id guard): besides
+    get_spark, EVERY registry query calls this on its way in (queries/
+    __init__.py register wrapper), because the driver contract hands queries
+    an arbitrary SparkSession — round-4's only red driver row was a
+    translate-based query assuming get_spark had pre-registered mo_conv.
+    Only functions whose MySQL semantics can't be expressed as a Spark-SQL
+    rewrite live here — the dialect layer routes their names to the mo_*
+    registrations."""
+    key = id(spark)
+    if key in _UDF_SESSIONS:
+        return
     from matrixone_spark.functions.mysql import _conv_udf
     from matrixone_spark.functions.sql_udfs import register_all
 
     spark.udf.register("mo_conv", _conv_udf)
     register_all(spark)
+    _UDF_SESSIONS.add(key)

@@ -94,3 +94,48 @@ def test_spark_udf_battery(spark):
     from tests.conftest import assert_matches_oracle
 
     assert_matches_oracle(spark, load_all()["geo_s2_battery"])
+
+
+def test_vectorized_core_parity_world_grid():
+    """Round-5 parity gate (r4 verdict #1): the vectorized numpy core that
+    backs with_s2_cellid/with_s2_buckets must agree bit-for-bit with the
+    scalar codec over a world grid covering all 6 cube faces — including
+    faces 4/5 (ids beyond int64) and antimeridian points."""
+    import numpy as np
+
+    from matrixone_spark.functions.s2cell import _cellids_np
+
+    lons = np.array([lo for lo in np.linspace(-180.0, 180.0, 49) for _ in range(25)])
+    lats = np.array([la for _ in range(49) for la in np.linspace(-90.0, 90.0, 25)])
+    leaf = _cellids_np(lons, lats)
+    faces = set(int(v) >> 61 for v in leaf)
+    assert faces == {0, 1, 2, 3, 4, 5}
+    for lo, la, v in zip(lons, lats, leaf):
+        assert int(v) == cellid_from_lonlat(float(lo), float(la))
+    lvl5 = _cellids_np(lons, lats, 5)
+    for lo, la, v in zip(lons, lats, lvl5):
+        assert int(v) == cell_parent(cellid_from_lonlat(float(lo), float(la)), 5)
+
+
+def test_with_s2_buckets_spark(spark):
+    """with_s2_buckets: one mapInArrow pass adds the parent cell and the
+    [cell]+8-neighbor bucket array; null coordinates yield null cell/buckets."""
+    from decimal import Decimal
+
+    from matrixone_spark.functions.s2cell import cell_all_neighbors, with_s2_buckets
+
+    rows = [
+        (1, 116.3975, 39.9087),
+        (2, 179.9, -41.3),       # antimeridian / face-5 side
+        (3, -179.9, -41.3),
+        (4, None, 10.0),         # null lon -> null outputs
+    ]
+    df = spark.createDataFrame(rows, "id int, lon double, lat double")
+    out = {r["id"]: r for r in with_s2_buckets(df, "lon", "lat", "cell", "buckets", 5).collect()}
+    for rid, lon, lat in rows:
+        if lon is None:
+            assert out[rid]["cell"] is None and out[rid]["buckets"] is None
+            continue
+        exp = cell_parent(cellid_from_lonlat(lon, lat), 5)
+        assert out[rid]["cell"] == Decimal(exp)
+        assert [int(b) for b in out[rid]["buckets"]] == [exp] + cell_all_neighbors(exp)
