@@ -85,6 +85,34 @@ class SkipStatement(Exception):
     """Statement shape this runner does not support."""
 
 
+_MATCH_AGAINST_RE = re.compile(
+    r"\bmatch\s*\((?P<cols>[^)]*)\)\s*against\s*\(", re.IGNORECASE
+)
+
+
+def _scan_to_close(s: str, open_idx: int) -> int:
+    """Index of the ')' closing the '(' at open_idx (quote-aware)."""
+    depth, i, n = 0, open_idx, len(s)
+    in_q = False
+    while i < n:
+        ch = s[i]
+        if in_q:
+            if ch == "\\":
+                i += 1
+            elif ch == "'":
+                in_q = False
+        elif ch == "'":
+            in_q = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise SkipStatement("unbalanced parentheses in MATCH...AGAINST")
+
+
 def _name_token(raw: str, spans: "list[str]") -> str:
     """Resolve a (possibly literal-masked, backticked, db-qualified) table
     name token to its bare name."""
@@ -97,7 +125,7 @@ def _norm_type(raw: str) -> str:
         m = re.match(pat + r"\s*$", t, re.IGNORECASE)
         if m:
             if target is None:
-                return t if "(" in t else t + "(10,0)" if t.startswith(("decimal", "numeric")) else t
+                return t if "(" in t else t + "(38,0)" if t.startswith(("decimal", "numeric")) else t
             return target
     # non-integer UNSIGNED (decimal/double/float): sign restriction only —
     # the base type already holds the value range
@@ -210,6 +238,15 @@ class BvtSession:
         # table → {"binpads": {col: n}, "autoinc": {col}} column metadata
         # (fixed-length BINARY zero-padding, AUTO_INCREMENT fill)
         self.colmeta: "dict[str, dict]" = {}
+        # fulltext session state: relevancy algorithm (set
+        # ft_relevancy_algorithm = "TF-IDF"|"BM25") and a counter for the
+        # per-query scored views the MATCH...AGAINST rewrite registers
+        self.ft_algo: str = "tfidf"
+        self._ft_counter: int = 0
+        # table -> {index_name: (col, ...)} registered fulltext indexes;
+        # MATCH requires an exactly-covering index (reference planner
+        # apply_indices_fulltext rejects full-table-scan fulltext)
+        self.ft_indexes: "dict[str, dict[str, tuple]]" = {}
 
     # BVT fixtures are tens of rows; anything bigger than this is a runaway
     # (e.g. an INSERT..SELECT off generate_series) and stays lazy.
@@ -341,8 +378,72 @@ class BvtSession:
             # (dml/select/dual.sql creates one)
             if "dual" not in self.tables and _FROM_DUAL_RE.search(masked):
                 stmt = unmask_literals(_FROM_DUAL_RE.sub(" ", masked), spans)
+            if _MATCH_AGAINST_RE.search(stmt):
+                stmt = self._rewrite_match(stmt)
             return "select", self.spark.sql(translate(stmt))
+        if head == "set":
+            # fulltext session variables the scripts drive; other SETs keep
+            # the unsupported-statement path (user @vars go via preprocess)
+            sm = re.match(
+                r"\s*set\s+(?:global\s+|session\s+)?ft_relevancy_algorithm\s*=",
+                masked, re.IGNORECASE,
+            )
+            if sm:
+                self.ft_algo = "bm25" if "bm25" in stmt.lower() else "tfidf"
+                return "ddl", None
+            if re.match(
+                r"\s*set\s+(?:global\s+|session\s+)?experimental_fulltext_index\s*=",
+                masked, re.IGNORECASE,
+            ):
+                return "ddl", None
+            raise SkipStatement("unsupported SET")
+        if head == "alter":
+            am = re.match(
+                r"\s*alter\s+table\s+[`]?([\w.]+)[`]?\s+add\s+fulltext\s+"
+                r"(?:index\s+)?[`]?(\w+)[`]?\s*\(([^)]*)\)",
+                masked, re.IGNORECASE,
+            )
+            if am:
+                tbl, name = am.group(1).split(".")[-1], am.group(2)
+                cols = tuple(
+                    c.strip().strip("`").lower() for c in am.group(3).split(",")
+                )
+                existing = self.ft_indexes.setdefault(tbl, {})
+                used = {c for cs in existing.values() for c in cs}
+                if used & set(cols):
+                    raise RuntimeError(
+                        "Fulltext index are not allowed to use the same column"
+                    )
+                existing[name] = cols
+                return "ddl", None
+            if re.match(
+                r"\s*alter\s+table\s+[`\w.\x01]+\s+add\s+fulltext",
+                masked, re.IGNORECASE,
+            ):
+                return "ddl", None
         if head == "create":
+            fm = re.match(
+                r"\s*create\s+fulltext\s+index\s+[`]?(\w+)[`]?\s+on\s+"
+                r"[`]?([\w.]+)[`]?\s*\(([^)]*)\)",
+                masked, re.IGNORECASE,
+            )
+            if fm:
+                name, tbl = fm.group(1), fm.group(2).split(".")[-1]
+                cols = tuple(
+                    c.strip().strip("`").lower() for c in fm.group(3).split(",")
+                )
+                existing = self.ft_indexes.setdefault(tbl, {})
+                used = {c for cs in existing.values() for c in cs}
+                if used & set(cols):
+                    # reference: "Fulltext index are not allowed to use the
+                    # same column" — surfaces as a statement error
+                    raise RuntimeError(
+                        "Fulltext index are not allowed to use the same column"
+                    )
+                existing[name] = cols
+                return "ddl", None
+            if re.match(r"\s*create\s+fulltext\s+index\b", masked, re.IGNORECASE):
+                return "ddl", None
             if re.match(r"\s*create\s+(?:temporary\s+)?table", masked, re.IGNORECASE):
                 name, cols, defaults, meta = parse_create_table(stmt)
                 self.schemas[name] = cols
@@ -367,6 +468,15 @@ class BvtSession:
         if head == "drop":
             if re.match(r"\s*drop\s+(?:database|schema)\b", masked, re.IGNORECASE):
                 return "ddl", None
+            dim = re.match(
+                r"\s*drop\s+index\s+[`]?(\w+)[`]?\s+on\s+[`]?([\w.]+)[`]?\s*$",
+                masked, re.IGNORECASE,
+            )
+            if dim:
+                tbl = dim.group(2).split(".")[-1]
+                if self.ft_indexes.get(tbl, {}).pop(dim.group(1), None) is not None:
+                    return "ddl", None
+                raise SkipStatement("DROP INDEX of unknown index")
             # full-match so malformed shapes (`drop table t1(a int)`) fail on
             # BOTH engines instead of silently "succeeding" here only
             m = re.match(
@@ -385,6 +495,7 @@ class BvtSession:
                     self.defaults.pop(name, None)
                     self.colmeta.pop(name, None)
                     self.views.pop(name, None)
+                    self.ft_indexes.pop(name, None)
                     self.last_dropped.append(name)
             return "ddl", None
         if head in ("use",) or re.match(
@@ -540,6 +651,157 @@ class BvtSession:
         self.last_table = name
         return "dml", None
 
+    # ---------------------------------------------- MATCH ... AGAINST
+    # The reference's fulltext surface (MATCH(cols) AGAINST('pattern' [IN
+    # NATURAL LANGUAGE MODE | IN BOOLEAN MODE]), fulltext BVT category) has
+    # no Spark-SQL spelling, so the replay rewrites each SELECT: build the
+    # inverted index over the source table with operators/fulltext.py
+    # (mixed/CJK tokenizer — the same scripts exercise Chinese trigrams),
+    # register an augmented temp view carrying one score column per call,
+    # swap the table reference, and substitute the call site with the score
+    # (WHERE context: score <> 0). DuckDB cannot run these statements, so
+    # the co-executor grades the Spark rows against the reference .result.
+
+    def _rewrite_match(self, stmt: str) -> str:
+        out = self._expand_star(stmt)
+        first_sc, first_bool = None, True
+        for _guard in range(16):
+            m = _MATCH_AGAINST_RE.search(out)
+            if not m:
+                break
+            cols = [
+                c.strip().strip("`").split(".")[-1]
+                for c in m.group("cols").split(",")
+            ]
+            close = _scan_to_close(out, m.end() - 1)  # index of against's ')'
+            inner = out[m.end() : close]
+            pm = re.match(r"\s*'((?:[^'\\]|\\.|'')*)'\s*(.*)$", inner, re.DOTALL)
+            if not pm:
+                raise SkipStatement("unsupported MATCH...AGAINST argument shape")
+            pattern = pm.group(1).replace("\\'", "'").replace("''", "'").replace("\\\\", "\\")
+            boolean = "boolean" in pm.group(2).lower()
+            tbl = self._find_match_table(out, cols)
+            # the reference REJECTS MATCH without an exactly-covering
+            # fulltext index (fulltext.result: "cannot be replaced by
+            # FULLTEXT INDEX ... full table scan ... not supported")
+            have = {frozenset(c) for c in self.ft_indexes.get(tbl, {}).values()}
+            if frozenset(c.lower() for c in cols) not in have:
+                raise RuntimeError(
+                    "MATCH() AGAINST() function cannot be replaced by FULLTEXT "
+                    "INDEX and full table scan with fulltext search is not supported"
+                )
+            view, sc = self._ft_scored_view(tbl, cols, pattern, boolean)
+            if first_sc is None:
+                first_sc, first_bool = sc, boolean
+            # WHERE context: the scored view's INNER join already keeps
+            # only matched docs — the reference includes zero-score
+            # matches (e.g. '+red ~blue' where the ~ weight cancels the
+            # score), so the predicate must NOT test score <> 0
+            repl = "TRUE" if self._ft_bool_context(out, m.start(), close) else sc
+            out = out[: m.start()] + repl + out[close + 1 :]
+            out = re.sub(rf"\b{re.escape(tbl)}\b", view, out)
+        # NL-mode LIMIT without ORDER BY: the reference's index pushdown
+        # returns top-k BY SCORE (fulltext.sql topk regression) — make the
+        # implicit ordering explicit
+        if (
+            first_sc is not None
+            and not first_bool
+            and re.search(r"\blimit\b", out, re.IGNORECASE)
+            and not re.search(r"\border\s+by\b", out, re.IGNORECASE)
+        ):
+            out = re.sub(
+                r"\blimit\b", f"ORDER BY {first_sc} DESC LIMIT", out, count=1,
+                flags=re.IGNORECASE,
+            )
+        return out
+
+    _FROM_TBL_RE = re.compile(
+        r"\b(from|join)\s+[`]?(\w+)[`]?(?:\s+(?:as\s+)?(?!where|on|join|left|right|"
+        r"inner|outer|cross|full|group|order|limit|having|union|natural)(\w+))?",
+        re.IGNORECASE,
+    )
+
+    def _expand_star(self, stmt: str) -> str:
+        """Expand `*` / `alias.*` select items to the source tables' columns
+        BEFORE the match rewrite swaps tables for scored views — otherwise
+        the view's internal score column leaks into `SELECT *`."""
+        tbls = []  # (alias_or_name, table)
+        for _kw, name, alias in self._FROM_TBL_RE.findall(stmt):
+            if name in self.tables:
+                tbls.append((alias or name, name))
+        if not tbls:
+            return stmt
+
+        def cols_of(alias: str, tbl: str) -> str:
+            return ", ".join(f"{alias}.`{c}`" for c in self.tables[tbl].columns)
+
+        out = re.sub(
+            r"\b(\w+)\.\*",
+            lambda m: cols_of(m.group(1), dict(tbls)[m.group(1)])
+            if m.group(1) in dict(tbls)
+            else m.group(0),
+            stmt,
+        )
+        all_cols = ", ".join(cols_of(a, t) for a, t in tbls)
+        out = re.sub(r"(?i)^(\s*select\s+(?:distinct\s+)?)\*", lambda m: m.group(1) + all_cols, out)
+        return out
+
+    @staticmethod
+    def _ft_bool_context(s: str, start: int, close: int) -> bool:
+        """True when the call site sits directly under WHERE/AND/OR/NOT —
+        MySQL coerces the relevance to a truth value there; Spark needs an
+        explicit boolean. A following comparison operator keeps it numeric."""
+        nxt = s[close + 1 :].lstrip()[:2]
+        if nxt[:1] in ("<", ">", "=", "!", "+", "-", "*", "/", ","):
+            return False
+        prev = s[:start].rstrip()
+        ptok = re.search(r"(\w+|\()\s*$", prev)
+        return bool(ptok) and ptok.group(1).lower() in (
+            "where", "and", "or", "not", "when", "on", "having", "(",
+        )
+
+    def _find_match_table(self, stmt: str, cols: "list[str]") -> str:
+        cands = re.findall(r"\b(?:from|join)\s+[`]?(\w+)[`]?", stmt, re.IGNORECASE)
+        for t in cands:
+            if t in self.tables and {c.lower() for c in cols} <= {
+                c.lower() for c in self.tables[t].columns
+            }:
+                return t
+        raise SkipStatement(f"MATCH columns {cols} not found in FROM tables {cands}")
+
+    def _ft_scored_view(self, tbl: str, cols: "list[str]", pattern: str, boolean: bool) -> "tuple[str, str]":
+        from matrixone_spark.operators.fulltext import FullTextIndex
+
+        base = self.tables[tbl]
+        rid = "__ft_rid"
+        based = base.withColumn(rid, F.monotonically_increasing_id())
+        docs = based.select(
+            rid,
+            F.concat_ws(" ", *[F.col(c).cast("string") for c in cols]).alias("__ft_text"),
+        )
+        idx = FullTextIndex.build_cached(docs, rid, "__ft_text", mode="mixed")
+        if boolean:
+            scores = idx.match_pattern(pattern, algo=self.ft_algo)
+        else:
+            scores = idx.match_nl(pattern, algo=self.ft_algo)
+        self._ft_counter += 1
+        sc = f"__ft_sc_{self._ft_counter}"
+        view = f"__ft_v_{self._ft_counter}"
+        # INNER join: the reference's planner rewrite returns ONLY matched
+        # documents even when MATCH sits in the SELECT list
+        # (fulltext.result: `select *, match(...) as score` rows)
+        scored = (
+            based.join(
+                scores.withColumnRenamed("doc_id", rid).withColumnRenamed("score", sc),
+                rid,
+                "inner",
+            )
+            .drop(rid)
+        )
+        self.tables[view] = scored
+        scored.createOrReplaceTempView(view)
+        return view, sc
+
     def snapshot(self) -> tuple:
         """Cheap state snapshot — DataFrames are immutable, dicts are replaced."""
         return (
@@ -687,9 +949,10 @@ _DUCK_TYPE_SUBS = [
     (re.compile(r"\b(?:mediumint|int|integer)\s+unsigned\b", re.IGNORECASE), "UINTEGER"),
     (re.compile(r"\bbigint\s+unsigned\b", re.IGNORECASE), "UBIGINT"),
     (re.compile(r"\bmediumint\b", re.IGNORECASE), "INTEGER"),
-    # MySQL's bare DECIMAL defaults to (10,0); DuckDB's defaults to (18,3) —
-    # pin the MySQL default so both engines round identically
-    (re.compile(r"\b(decimal|numeric)\b(?!\s*\()", re.IGNORECASE), "DECIMAL(10,0)"),
+    # the reference's bare DECIMAL defaults to decimal128(38,0)
+    # (mysql_sql.y DisplayWith: 38); DuckDB's defaults to (18,3) — pin the
+    # reference default so both engines round identically
+    (re.compile(r"\b(decimal|numeric)\b(?!\s*\()", re.IGNORECASE), "DECIMAL(38,0)"),
     (re.compile(r"\bint\(\d+\)", re.IGNORECASE), "INTEGER"),
     (re.compile(r"\bdatetime(\(\d+\))?\b", re.IGNORECASE), "TIMESTAMP"),
     (re.compile(r"\b(?:tiny|medium|long)text\b", re.IGNORECASE), "TEXT"),
@@ -740,9 +1003,50 @@ def _concat_to_pipes(args: "list[str]") -> "str | None":
 
 _DUCK_POP_AGG_RE = re.compile(r"\b(stddev|std|variance)\s*\(", re.IGNORECASE)
 
+_DUCK_CAST_DEC_RE = re.compile(
+    r"^(?P<expr>.*)\s+as\s+(?P<type>(?:decimal|dec|numeric|fixed)"
+    r"\s*\(\s*\d+\s*(?:,\s*\d+)?\s*\))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _duck_cast_decimal_sat(masked: str) -> str:
+    from matrixone_spark.mysql_dialect import (
+        _CAST_CALL_RE,
+        _DEC_TYPE_RE,
+        _decimal_sat_sql,
+    )
+
+    def build(args):
+        if len(args) != 1:
+            return None
+        m = _DUCK_CAST_DEC_RE.match(args[0])
+        if not m:
+            return None
+        if m.group("expr").lstrip().startswith("CASE WHEN CAST(("):
+            return None  # idempotence: already our saturation output
+        dm = _DEC_TYPE_RE.match(m.group("type").strip())
+        p, s = int(dm.group(1)), int(dm.group(2) or 0)
+        # p == 38: the intermediate CAST(38,s) nulls out-of-range input
+        # before saturation could apply — and skipping it terminates the
+        # fixpoint (our own output's inner casts are all precision 38)
+        if 0 < p < 38 and s <= p:
+            return _decimal_sat_sql(m.group("expr"), p, s)
+        return None
+
+    prev = None
+    while prev != masked:
+        prev = masked
+        masked = _rewrite_calls(masked, _CAST_CALL_RE, build)
+    return masked
+
 
 def _duckify(stmt: str) -> str:
-    from matrixone_spark.mysql_dialect import rewrite_unsigned_bitwise
+    from matrixone_spark.mysql_dialect import (
+        _DIV_WORD_RE as _re_div,
+        rewrite_intdiv,
+        rewrite_unsigned_bitwise,
+    )
 
     masked, spans = mask_literals(stmt)
     masked = masked.replace("`", '"')
@@ -750,6 +1054,13 @@ def _duckify(stmt: str) -> str:
     if "<<" in masked or ">>" in masked or "^" in masked:
         # MySQL unsigned shift/xor semantics (DuckDB's ^ is exponentiation)
         masked = rewrite_unsigned_bitwise(masked, engine="duck")
+    if _re_div.search(masked):
+        masked = rewrite_intdiv(masked, engine="duck")
+    if "cast" in masked.lower():
+        # MySQL saturating decimal casts (same engine-neutral rendering the
+        # Spark side gets from _cast_rewrite; DuckDB otherwise ERRORS on
+        # out-of-range decimal casts)
+        masked = _duck_cast_decimal_sat(masked)
     # MySQL STD/STDDEV/VARIANCE are population variants; DuckDB's same-named
     # functions are sample variants (mirrors the Spark-side dialect rename)
     masked = _DUCK_POP_AGG_RE.sub(
@@ -975,6 +1286,37 @@ def _ref_match(spark_pdf, ref_rows, fmt: bool = False) -> bool:
     return True
 
 
+def _cell_close(a, b, tol: float = 1e-6) -> bool:
+    if a == b:
+        return True
+    if isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b) == 2:
+        ka, va = a
+        kb, vb = b
+        if ka == kb == "f":
+            try:
+                fa, fb = float(va), float(vb)
+            except (TypeError, ValueError):
+                return False
+            return abs(fa - fb) <= tol * max(abs(fa), abs(fb), 1e-30)
+        if ka == kb == "l":
+            return len(va) == len(vb) and all(_cell_close(x, y, tol) for x, y in zip(va, vb))
+    return False
+
+
+def _rows_close(s_rows, o_rows, tol: float = 1e-6) -> bool:
+    """Canonical-row multiset equality with relative float tolerance:
+    catches the float32-vs-double representation gap (DuckDB keeps FLOAT
+    arithmetic in float32; Spark and MySQL promote to double). Both lists
+    come pre-sorted from canonical_rows; near-equal floats sort the same
+    except in pathological ties, so zip-compare suffices."""
+    if len(s_rows) != len(o_rows):
+        return False
+    return all(
+        len(sr) == len(orr) and all(_cell_close(a, b, tol) for a, b in zip(sr, orr))
+        for sr, orr in zip(s_rows, o_rows)
+    )
+
+
 class CoExecutor:
     # per-statement wall clock cap for EACH engine (runaway guard)
     STMT_TIMEOUT_S = 60
@@ -983,6 +1325,7 @@ class CoExecutor:
     def __init__(self, spark: SparkSession):
         import duckdb
 
+        self.spark = spark
         self.sess = BvtSession(spark)
         self.con = duckdb.connect()
 
@@ -1005,6 +1348,27 @@ class CoExecutor:
         expected rows: Spark agreeing with the reference counts as
         ``ref_pass`` (DuckDB was the divergent engine), not ``mismatch``.
         """
+        from matrixone_spark.oracle import canonical_rows
+
+        # The reference's decimal division keeps high fractional precision
+        # (numeric_resolver.go decimalDivResultType: scale >= s1, up to
+        # s1+6); Spark's default allowPrecisionLoss=true collapses big-
+        # precision division to scale 6. Scoped to this script run so the
+        # shared test session's other plans keep default semantics.
+        _prec_conf = "spark.sql.decimalOperations.allowPrecisionLoss"
+        _prec_old = self.spark.conf.get(_prec_conf, "true")
+        self.spark.conf.set(_prec_conf, "false")
+        try:
+            return self._run_script_inner(text, details, ref)
+        finally:
+            self.spark.conf.set(_prec_conf, _prec_old)
+
+    def _run_script_inner(
+        self,
+        text: str,
+        details: "list | None" = None,
+        ref: "RefResults | None" = None,
+    ) -> "dict[str, int]":
         from matrixone_spark.oracle import canonical_rows
 
         stats = {"compared": 0, "mismatch": 0, "ref_pass": 0,
@@ -1158,7 +1522,13 @@ class CoExecutor:
                 s_rows, _ = canonical_rows(_pos(spark_df))
                 o_rows, _ = canonical_rows(_pos(duck_df))
                 stats["compared"] += 1
-                if s_rows != o_rows:
+                if s_rows != o_rows and _rows_close(s_rows, o_rows):
+                    # float-representation divergence only: DuckDB keeps
+                    # FLOAT columns float32 through arithmetic while Spark
+                    # (like MySQL) promotes to double — within 1e-6
+                    # relative the values agree
+                    pass
+                elif s_rows != o_rows:
                     claimed = ref.claim(orig) if ref is not None else None
                     if (
                         claimed is not None
@@ -1181,7 +1551,11 @@ class CoExecutor:
                 # DuckDB could not run the statement (MySQL-ism). The
                 # reference's own .result still grades Spark directly.
                 claimed = ref.claim(orig) if ref is not None else None
-                if claimed is not None and claimed[0] == "rows":
+                if claimed is not None and claimed[0] == "error":
+                    # the reference REJECTS this statement; Spark answered —
+                    # a behavioral divergence, not a data mismatch
+                    stats["ref_error"] += 1
+                elif claimed is not None and claimed[0] == "rows":
                     if _ref_match(spark_df, claimed[1]):
                         stats["ref_pass"] += 1
                     elif _ref_match(spark_df, claimed[1], fmt=True):

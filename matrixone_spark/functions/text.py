@@ -59,8 +59,10 @@ def tokenize_mixed(col) -> Column:
       boundaries;
     - latin runs (runes < U+0800) emit one lowercased token;
     - CJK runs emit OVERLAPPING RUNE TRIGRAMS (simple.go outputCJK slides a
-      3-rune window by 1), runs shorter than 3 runes emit the whole run —
-      so Chinese fulltext/dedup work without a dictionary.
+      3-rune window by 1) INCLUDING the shrinking tail windows — a run of n
+      runes yields n tokens, the last two of length 2 and 1 (outputCJK's
+      loop keeps emitting while ia < id as the window collapses at the run
+      end) — so Chinese fulltext/dedup work without a dictionary.
 
     Pure Catalyst: two boundary regexp passes + split + a transform/flatten
     over runs; no Python in the hot path, safe to fuse into a 100 TB scan.
@@ -75,10 +77,10 @@ def tokenize_mixed(col) -> Column:
     def expand(run: Column) -> Column:
         n = F.length(run)
         tri = F.transform(
-            F.sequence(F.lit(1), n - F.lit(2)),
-            lambda i: F.substring(run, i, F.lit(3)),
+            F.sequence(F.lit(1), n),
+            lambda i: F.substring(run, i, F.lit(3)),  # clips at the run end
         )
-        return F.when(run.rlike(f"^{_CJK_CLASS}") & (n >= 3), tri).otherwise(F.array(run))
+        return F.when(run.rlike(f"^{_CJK_CLASS}"), tri).otherwise(F.array(run))
 
     return F.flatten(F.transform(runs, expand))
 
@@ -106,8 +108,8 @@ def tokenize_mixed_py(text: str) -> "list[str]":
         if not run:
             return
         w = "".join(run)
-        if run_k == 2 and len(w) >= 3:
-            out.extend(w[i : i + 3] for i in range(len(w) - 2))
+        if run_k == 2:
+            out.extend(w[i : i + 3] for i in range(len(w)))
         else:
             out.append(w)
         run.clear()
@@ -258,3 +260,93 @@ def fingerprint_t(toks) -> Column:
 
 def fingerprint(col) -> Column:
     return fingerprint_t(tokenize(col))
+
+
+def tokenize_mixed_pos_py(text: str) -> "list[tuple[str, int]]":
+    """Index-side positional mixed tokenization: (token, RUNE offset) pairs,
+    INCLUDING the shrinking CJK tail windows — mirrors simple.go outputCJK
+    exactly (BytePos there; rune offsets here: deltas agree because every
+    BMP CJK rune is 3 bytes and every breaker is one rune, so both schemes
+    scale the same span)."""
+    import unicodedata
+
+    def klass(ch: str) -> int:
+        o = ord(ch)
+        if o < 128:
+            return 1 if ch.isalnum() else 0
+        if unicodedata.category(ch)[0] in ("P", "Z", "C"):
+            return 0
+        return 1 if o < 0x800 else 2
+
+    out: "list[tuple[str, int]]" = []
+    run: "list[str]" = []
+    run_k = 0
+    run_start = 0
+    low = text.lower()
+
+    def flush() -> None:
+        if not run:
+            return
+        w = "".join(run)
+        if run_k == 2:
+            out.extend((w[i : i + 3], run_start + i) for i in range(len(w)))
+        else:
+            out.append((w, run_start))
+        run.clear()
+
+    for pos, ch in enumerate(low):
+        k = klass(ch)
+        if k != run_k:
+            flush()
+            run_k = k
+            run_start = pos
+        if k:
+            run.append(ch)
+    flush()
+    return out
+
+
+def nl_query_leaves_py(pattern: str) -> "list[tuple[str, str, int]]":
+    """Query-side NATURAL LANGUAGE tokenization (ParsePatternInNLMode,
+    fulltext.go:919): (kind, token, rune_offset) — CJK runs contribute FULL
+    trigrams only (no tail windows; the reference's overlap handling folds
+    them away), runs/words shorter than the 3-rune ngram floor become
+    prefix STAR leaves. Offsets are rune offsets so phrase-adjacency deltas
+    agree with the index side."""
+    import unicodedata
+
+    def klass(ch: str) -> int:
+        o = ord(ch)
+        if o < 128:
+            return 1 if ch.isalnum() else 0
+        if unicodedata.category(ch)[0] in ("P", "Z", "C"):
+            return 0
+        return 1 if o < 0x800 else 2
+
+    out: "list[tuple[str, str, int]]" = []
+    run: "list[str]" = []
+    run_k = 0
+    run_start = 0
+
+    def flush() -> None:
+        if not run:
+            return
+        w = "".join(run)
+        if run_k == 2 and len(w) >= 3:
+            out.extend(("eq", w[i : i + 3], run_start + i) for i in range(len(w) - 2))
+        elif len(w) < 3:
+            out.append(("star", w, run_start))
+        else:
+            out.append(("eq", w, run_start))
+        run.clear()
+
+    for pos, ch in enumerate(pattern.lower()):
+        k = klass(ch)
+        if k != run_k:
+            flush()
+            run_k = k
+            run_start = pos
+        if k:
+            run.append(ch)
+    flush()
+    return out

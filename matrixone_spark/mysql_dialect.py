@@ -171,9 +171,30 @@ def _convert_tz_rewrite(masked: str) -> str:
 _CAST_CALL_RE = re.compile(r"\bcast\s*\(", re.IGNORECASE)
 _CAST_AS_RE = re.compile(
     r"^(?P<expr>.*)\s+as\s+(?P<type>datetime|signed(?:\s+integer)?"
-    r"|unsigned(?:\s+integer)?|n?char|binary)\s*$",
+    r"|unsigned(?:\s+integer)?|n?char|binary"
+    r"|(?:decimal|dec|numeric|fixed)\s*(?:\(\s*\d+\s*(?:,\s*\d+)?\s*\))?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+_DEC_TYPE_RE = re.compile(
+    r"^(?:decimal|dec|numeric|fixed)\s*(?:\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\))?$",
+    re.IGNORECASE,
+)
+
+
+def _decimal_sat_sql(x: str, p: int, s: int) -> str:
+    """MySQL/reference CAST to DECIMAL(p,s) SATURATES out-of-range values at
+    ±(10^(p-s) − 10^−s) instead of returning NULL (dtype/decimal.test:
+    CAST(9.9999999999 AS DECIMAL(10,9)) = 9.999999999). Engine-neutral SQL
+    (valid on Spark and DuckDB). NULL propagates via the explicit CASE arm
+    because LEAST/GREATEST skip NULLs on Spark."""
+    m = ("9" * (p - s) if p > s else "0") + ("." + "9" * s if s else "")
+    inner = f"CAST(({x}) AS DECIMAL(38,{s}))"
+    return (
+        f"CAST(CASE WHEN {inner} IS NULL THEN NULL "
+        f"WHEN {inner} > {m} THEN {m} WHEN {inner} < -{m} THEN -{m} "
+        f"ELSE {inner} END AS DECIMAL({p},{s}))"
+    )
 
 
 def _cast_rewrite(masked: str) -> str:
@@ -186,6 +207,19 @@ def _cast_rewrite(masked: str) -> str:
         if not m:
             return None
         x, ty = m.group("expr"), m.group("type").lower().split()[0]
+        dm = _DEC_TYPE_RE.match(m.group("type").strip())
+        if dm and dm.group(1) is not None:
+            # idempotence guard: our own saturation output is itself a
+            # CAST(CASE … AS DECIMAL(p,s)) — rewriting it again would loop
+            if x.lstrip().startswith("CASE WHEN CAST(("):
+                return None
+            p, s = int(dm.group(1)), int(dm.group(2) or 0)
+            # p == 38 skipped: intermediate CAST(38,s) nulls out-of-range
+            # first, and the skip terminates the rewrite fixpoint (our own
+            # output's inner casts are all precision 38)
+            if 0 < p < 38 and s <= p:
+                return _decimal_sat_sql(x, p, s)
+            return None
         if ty == "datetime":
             return f"CAST({x} AS TIMESTAMP)"
         if ty in ("char", "nchar"):
@@ -193,12 +227,21 @@ def _cast_rewrite(masked: str) -> str:
             return f"CAST({x} AS STRING)"
         if ty == "binary":
             return f"CAST({x} AS BINARY)"
+        if ty in ("decimal", "dec", "numeric", "fixed"):
+            # bare DECIMAL: the reference's default is decimal128 (38,0) —
+            # CAST('-29012123143.43…' AS DECIMAL) keeps all 11 integer
+            # digits (dtype/decimal.test), unlike MySQL/Spark's (10,0)
+            return f"CAST(({x}) AS DECIMAL(38,0))"
         # round-to-nearest via DECIMAL, not ROUND(double): a 20-digit cell id
         # string must survive bit-exact (geo_s2h3.sql chains CAST AS UNSIGNED
         # over uint64 ids; a double round-trip silently drops low bits)
         if ty == "signed":
             return f"CAST(ROUND(CAST(({x}) AS DECIMAL(38,9)), 0) AS BIGINT)"
-        return f"CAST(ROUND(CAST(({x}) AS DECIMAL(38,9)), 0) AS DECIMAL(20,0))"
+        # MySQL saturates out-of-range unsigned casts at 2^64-1
+        return (
+            f"CAST(LEAST(ROUND(CAST(({x}) AS DECIMAL(38,9)), 0), "
+            f"CAST('18446744073709551615' AS DECIMAL(38,9))) AS DECIMAL(20,0))"
+        )
 
     # innermost-first: repeat until no rewrite applies (nested casts)
     prev = None
@@ -1000,6 +1043,40 @@ def _u64_spark(x: str) -> str:
 def _u64_duck(x: str) -> str:
     h = f"CAST('{_U64_MOD}' AS HUGEINT)"
     return f"((CAST(({x}) AS HUGEINT) % {h} + {h}) % {h})"
+
+
+_DIV_WORD_RE = re.compile(r"\bdiv\b", re.IGNORECASE)
+
+
+def rewrite_intdiv(masked: str, engine: str = "spark") -> str:
+    """MySQL ``a DIV b``: integer division truncating toward zero, NULL on
+    division by zero, BIGINT result (reference numeric_resolver.go
+    numericOpIntegerDiv → T_int64). Spark's ``div`` operator rejects mixed
+    float/double operand types and DuckDB has no DIV keyword, so both
+    engines get the same truncated-double rendering (documented divergence:
+    operands beyond 2^53 lose low bits in the double)."""
+    out = masked
+    pos = 0
+    for _guard in range(256):
+        m = _DIV_WORD_RE.search(out, pos)
+        if not m:
+            break
+        lhs_start, lhs_end = _lhs_span(out, m.start())
+        lhs_start = _extend_unary_sign(out, lhs_start)
+        lhs = out[lhs_start:lhs_end].strip()
+        rhs_start, rhs_end = _rhs_span(out, m.end())
+        rhs = out[rhs_start:rhs_end].strip()
+        if not lhs or not rhs:
+            pos = m.end()
+            continue
+        body = f"CAST(({lhs}) AS DOUBLE) / nullif(CAST(({rhs}) AS DOUBLE), 0)"
+        if engine == "duck":
+            repl = f"CAST(TRUNC({body}) AS BIGINT)"
+        else:
+            repl = f"CAST({body} AS BIGINT)"  # bigint cast truncates toward 0
+        out = out[:lhs_start] + repl + out[rhs_end:]
+        pos = lhs_start + len(repl)
+    return out
 
 
 _XOR_RE = re.compile(r"\^")
@@ -1852,6 +1929,8 @@ def translate(sql: str) -> str:
         masked = rewrite_bitwise_not(masked)
     if "<<" in masked or ">>" in masked or "^" in masked:
         masked = rewrite_unsigned_bitwise(masked)
+    if _DIV_WORD_RE.search(masked):
+        masked = rewrite_intdiv(masked)
     if "(" in masked:
         masked = rewrite_row_in_list(masked)
         masked = rewrite_row_comparisons(masked)

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from collections import OrderedDict
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -41,6 +43,30 @@ _INDEX_CACHE_MAX = 8
 BM25_K1 = 1.5  # reference pkg/fulltext/types.go:19
 BM25_B = 0.75  # reference pkg/fulltext/types.go:20
 
+_MIXED_POS_UDF = None
+
+
+def _mixed_pos_udf(col):
+    """Arrow-batched pandas UDF: text → array<struct<token,pos>> via
+    tokenize_mixed_pos_py (CJK-aware, rune offsets)."""
+    global _MIXED_POS_UDF
+    if _MIXED_POS_UDF is None:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<struct<token:string,pos:int>>")
+        def udf(texts: pd.Series) -> pd.Series:
+            from matrixone_spark.functions.text import tokenize_mixed_pos_py
+
+            return pd.Series(
+                [
+                    None if t is None else tokenize_mixed_pos_py(str(t))
+                    for t in texts
+                ]
+            )
+
+        _MIXED_POS_UDF = udf
+    return _MIXED_POS_UDF(col)
+
 
 class FullTextIndex:
     """Inverted index over (doc_id, text): postings (doc_id, token, tf) +
@@ -53,12 +79,14 @@ class FullTextIndex:
         n_docs: int,
         corpus_stats: DataFrame,
         postings_pos: "DataFrame | None" = None,
+        mode: str = "simple",
     ):
         self.postings = postings          # doc_id, token, tf
         self.postings_pos = postings_pos  # doc_id, token, pos (phrase search)
         self.doc_stats = doc_stats        # doc_id, dl (token count)
         self.n_docs = n_docs
         self.corpus_stats = corpus_stats  # 1 row: avg_dl (kept lazy/in-plan)
+        self.mode = mode                  # tokenizer the postings were built with
 
     @classmethod
     def build(cls, docs: DataFrame, id_col: str, text_col: str, mode: str = "simple") -> "FullTextIndex":
@@ -77,25 +105,25 @@ class FullTextIndex:
         consumes for phrase matching.
 
         ``mode='mixed'`` tokenizes through the CJK-aware SimpleTokenizer
-        parity path (functions/text.py tokenize_mixed: latin words +
-        overlapping CJK rune trigrams, reference monlp/tokenizer/simple.go)
-        — so Chinese corpora index without a dictionary, exactly like the
-        reference's non-jieba default. Positional postings are skipped in
-        mixed mode (char offsets are an ASCII-path construct; the boolean
-        phrase operator is whitespace-phrase only, matching the reference's
-        non-jieba ParsePhrase)."""
+        parity path (functions/text.py tokenize_mixed_pos_py: latin words +
+        overlapping CJK rune trigrams INCLUDING the shrinking tail windows,
+        reference monlp/tokenizer/simple.go outputCJK) with RUNE-offset
+        positions — deltas agree with the reference's BytePos scheme, so
+        phrase adjacency (incl. across breaker runes) is exact. The mixed
+        positional tokenizer is an Arrow-batched pandas UDF (state-machine
+        tokenization doesn't decompose into Catalyst primitives without
+        nested-HOF planning blowups); at 100 TB the postings are built once
+        at ingest and persisted bucketed by token."""
         if mode == "mixed":
-            from matrixone_spark.functions.text import tokenize_mixed
-
-            postings = (
-                docs.select(
-                    F.col(id_col).alias("doc_id"),
-                    F.explode(tokenize_mixed(text_col)).alias("token"),
-                )
-                .groupBy("doc_id", "token")
-                .agg(F.count(F.lit(1)).alias("tf"))
+            postings_pos = docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(_mixed_pos_udf(F.col(text_col))).alias("tk"),
+            ).select(
+                "doc_id", F.col("tk.token").alias("token"), F.col("tk.pos").alias("pos")
             )
-            postings_pos = None
+            postings = postings_pos.groupBy("doc_id", "token").agg(
+                F.count(F.lit(1)).alias("tf")
+            )
         else:
             toks = docs.select(
                 F.col(id_col).alias("doc_id"),
@@ -109,7 +137,9 @@ class FullTextIndex:
             )
         doc_stats = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         corpus_stats = doc_stats.agg(F.avg("dl").alias("avg_dl"))
-        return cls(postings, doc_stats, docs.count(), corpus_stats, postings_pos)
+        # N = documents with at least one token: an all-NULL/empty doc is
+        # not in the reference's index and does not dilute idf
+        return cls(postings, doc_stats, doc_stats.count(), corpus_stats, postings_pos, mode=mode)
 
     @classmethod
     def build_cached(cls, docs: DataFrame, id_col: str, text_col: str, mode: str = "simple") -> "FullTextIndex":
@@ -173,6 +203,74 @@ class FullTextIndex:
             raise ValueError(f"unknown algo {algo!r}")
         return scored.withColumn("term_score", score)
 
+    def match_nl(self, pattern: str, algo: str = "tfidf") -> DataFrame:
+        """NATURAL LANGUAGE MODE over a raw search string — reference
+        ParsePatternInNLMode parity (fulltext.go:919-997): the pattern is
+        tokenized with the index's tokenizer (mixed/CJK-aware); the whole
+        pattern or any token shorter than the ngram size (3 runes) probes
+        as a PREFIX (STAR rewrite, `word*`), longer tokens probe exact;
+        score = Σ tf·idf² (TFIDF) or BM25 over matched terms. Returns
+        (doc_id, score)."""
+        from matrixone_spark.functions.text import nl_query_leaves_py
+
+        pattern = pattern.strip()
+        if len(pattern) < 3:
+            leaves = [("star", pattern.lower(), 0)]
+        else:
+            leaves = nl_query_leaves_py(pattern)
+            if not leaves:
+                raise ValueError("search string converted to empty pattern")
+        if len(leaves) > 1:
+            # multi-token NL is a POSITIONAL PHRASE over the tokens, not a
+            # bag-of-words sum: patternToSql routes FULLTEXT_NL through
+            # SqlPhrase (sql.go:577), so "is red" only matches docs where
+            # the tokens sit at the query's rune-offset deltas; df is the
+            # phrase document frequency and score = n_tokens·idf²·tf_part
+            kids = [
+                fp.Pattern(
+                    op=fp.STAR if kind == "star" else fp.TEXT,
+                    text=(t + "*") if kind == "star" else t,
+                    position=off,
+                    index=i,
+                )
+                for i, (kind, t, off) in enumerate(leaves)
+            ]
+            ph = fp.Pattern(op=fp.PHRASE, text=pattern, children=kids)
+            return self._match_phrase(ph, algo)
+        frames = []
+        for i, (kind, t, _off) in enumerate(leaves):
+            cond = (
+                F.col("token").startswith(t) if kind == "star" else F.col("token") == t
+            )
+            frames.append(
+                self.postings.filter(cond)
+                .groupBy("doc_id")
+                .agg(F.sum("tf").alias("tf"))
+                .withColumn("__i", F.lit(i))
+            )
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        dfs = u.groupBy("__i").agg(F.count(F.lit(1)).alias("df"))
+        scored = u.join(F.broadcast(dfs), "__i")
+        idf = F.log10(F.lit(float(self.n_docs)) / F.col("df"))
+        if algo == "tfidf":
+            score = F.col("tf") * idf * idf
+        elif algo == "bm25":
+            scored = scored.join(self.doc_stats, "doc_id").crossJoin(
+                F.broadcast(self.corpus_stats)
+            )
+            tf = F.col("tf")
+            denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl") / F.col("avg_dl")))
+            score = idf * idf * tf * (BM25_K1 + 1) / denom
+        else:
+            raise ValueError(f"unknown algo {algo!r}")
+        return (
+            scored.withColumn("term_score", score)
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("term_score"), 6).alias("score"))
+        )
+
     def match_natural(self, terms: "list[str]", algo: str = "bm25") -> DataFrame:
         """NATURAL LANGUAGE MODE: Σ term scores per doc (fulltext.go EvalLeaf
         summed over the pattern's terms). Returns (doc_id, score)."""
@@ -214,6 +312,51 @@ class FullTextIndex:
             return F.col("token").startswith(leaf.text.rstrip("*").lower())
         return F.col("token") == leaf.text.lower()
 
+    def _leaf_docs(self, leaf) -> DataFrame:
+        """Distinct docs matching one boolean leaf. A TEXT word that
+        re-tokenizes into several index tokens (a CJK word over the trigram
+        index) matches docs where the tokens sit at the query's rune-offset
+        deltas — the reference's GenTextSql runs each boolean TEXT word
+        through ParsePatternInNLMode and SqlPhrase (sql.go:168-189), so a
+        Chinese keyword is a positional phrase of its trigrams; tokens
+        shorter than the 3-rune ngram floor probe as prefixes."""
+        if leaf.op == fp.STAR:
+            return (
+                self.postings.filter(self._leaf_cond(leaf)).select("doc_id").distinct()
+            )
+        leaves = None
+        if self.mode == "mixed":
+            from matrixone_spark.functions.text import nl_query_leaves_py
+
+            leaves = nl_query_leaves_py(leaf.text)
+        if not leaves or (
+            len(leaves) == 1 and leaves[0][0] == "eq" and leaves[0][1] == leaf.text.lower()
+        ):
+            return (
+                self.postings.filter(F.col("token") == leaf.text.lower())
+                .select("doc_id")
+                .distinct()
+            )
+        base = leaves[0][2]
+        parts = []
+        for kind, t, off in leaves:
+            cond = F.col("token").startswith(t) if kind == "star" else F.col("token") == t
+            parts.append(
+                self.postings_pos.filter(cond).select(
+                    "doc_id", (F.col("pos") - F.lit(off - base)).alias("anchor")
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return (
+            u.groupBy("doc_id", "anchor")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .filter(F.col("k") == len(parts))
+            .select("doc_id")
+            .distinct()
+        )
+
     def _bm25_tf1(self):
         """BM25 tf-part with tf=1 (boolean mode ignores occurrence counts,
         sql.go GROUP BY doc_id): (k1+1) / (1 + k1·(1−b+b·dl/avgdl))."""
@@ -235,10 +378,7 @@ class FullTextIndex:
         lvs = fp.leaves(ps)
         n = len(lvs)
         frames = [
-            self.postings.filter(self._leaf_cond(leaf))
-            .select("doc_id")
-            .distinct()
-            .withColumn("__idx", F.lit(i))
+            self._leaf_docs(leaf).withColumn("__idx", F.lit(i))
             for i, leaf in enumerate(lvs)
         ]
         u = frames[0]
@@ -292,11 +432,7 @@ class FullTextIndex:
         dummy-filled 1 per keyword, df = docs matching the PHRASE, so
         score = n_children · idf² · tf_part(tf=1)."""
         if self.postings_pos is None:
-            raise ValueError(
-                "phrase search requires positional postings (simple mode); "
-                "mixed-mode (CJK trigram) indexes do not store them — the "
-                "reference's non-jieba path has the same restriction"
-            )
+            raise ValueError("phrase search requires positional postings")
         kids = ph.children
         base = kids[0].position
         parts = [

@@ -405,8 +405,11 @@ def fulltext_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     idx = FullTextIndex.build_cached(docs, "doc_id", "text", mode="mixed")
-    terms = tokenize_mixed_py("北京大学")  # NL-mode query-side tokenization
-    return idx.match_natural(terms, algo="tfidf")
+    # term-level probe of the trigram index ('北京大学' full trigrams); the
+    # oracle models exactly these two postings probes. (NL-mode phrase
+    # semantics over the same index are exercised by the BVT fulltext
+    # replay — bvt_runner._rewrite_match / FullTextIndex.match_nl.)
+    return idx.match_natural(["北京大", "京大学"], algo="tfidf")
 
 
 _QUALITY_SQL = f"""ROUND((

@@ -24,14 +24,27 @@ CASES = [
 
 
 def test_trigram_semantics():
-    # outputCJK: 3-rune window sliding by 1; short runs emit whole run
-    assert tokenize_mixed_py("苹果") == ["苹果"]
-    assert tokenize_mixed_py("苹果香") == ["苹果香"]
-    assert tokenize_mixed_py("苹果香蕉") == ["苹果香", "果香蕉"]
+    # outputCJK: 3-rune window sliding by 1, INCLUDING the shrinking tail
+    # windows at each run end (simple.go outputCJK loops while ia < id)
+    assert tokenize_mixed_py("苹果") == ["苹果", "果"]
+    assert tokenize_mixed_py("苹果香") == ["苹果香", "果香", "香"]
+    assert tokenize_mixed_py("苹果香蕉") == ["苹果香", "果香蕉", "香蕉", "蕉"]
     # latin lowercased, digits glued (simple.go latinToken)
     assert tokenize_mixed_py("Hello123 World") == ["hello123", "world"]
     # CJK punctuation breaks runs (isBreakerRune: unicode.IsPunct)
-    assert tokenize_mixed_py("你好，世界啊") == ["你好", "世界啊"]
+    assert tokenize_mixed_py("你好，世界啊") == ["你好", "好", "世界啊", "界啊", "啊"]
+
+
+def test_positional_and_query_tokenizers():
+    from matrixone_spark.functions.text import nl_query_leaves_py, tokenize_mixed_pos_py
+
+    # rune offsets; breaker runes keep their width in the offsets
+    assert tokenize_mixed_pos_py("版一、二冊") == [("版一", 0), ("一", 1), ("二冊", 3), ("冊", 4)]
+    assert tokenize_mixed_pos_py("color is red") == [("color", 0), ("is", 6), ("red", 9)]
+    # NL query side: full trigrams only, short runs/words become STAR
+    assert nl_query_leaves_py("遠東兒童中文") == [
+        ("eq", "遠東兒", 0), ("eq", "東兒童", 1), ("eq", "兒童中", 2), ("eq", "童中文", 3)]
+    assert nl_query_leaves_py("is red") == [("star", "is", 0), ("eq", "red", 3)]
 
 
 def test_spark_column_matches_python_mirror(spark):
@@ -47,13 +60,24 @@ def test_fulltext_cjk_oracle(spark, registry):
     assert_matches_oracle(spark, registry["fulltext_cjk"])
 
 
-def test_mixed_mode_phrase_rejected(spark, registry):
-    from matrixone_spark.catalog import Catalog
-    from matrixone_spark.operators.fulltext import FullTextIndex
-    from tests.conftest import SF_DIR
-    from pyspark.sql import functions as F
+def test_mixed_mode_phrase_and_nl(spark, registry):
+    """Mixed-mode positional postings: ASCII phrase adjacency and CJK
+    NL-phrase both work over the rune-offset scheme."""
+    from pyspark.sql import Row
 
-    d = Catalog(spark, SF_DIR).table("documents").limit(20)
-    idx = FullTextIndex.build(d, "doc_id", "text", mode="mixed")
-    with pytest.raises(ValueError, match="positional"):
-        idx.match_pattern('"some phrase"')
+    from matrixone_spark.operators.fulltext import FullTextIndex
+
+    rows = [
+        Row(doc_id=0, text="blue is not red here"),
+        Row(doc_id=1, text="red is not blue"),
+        Row(doc_id=2, text="遠東兒童中文是教材"),
+        Row(doc_id=3, text="中文教材 not related"),
+    ]
+    idx = FullTextIndex.build(spark.createDataFrame(rows), "doc_id", "text", mode="mixed")
+    got = {r["doc_id"] for r in idx.match_pattern('"is not red"', algo="tfidf").collect()}
+    assert got == {0}
+    nl = {r["doc_id"] for r in idx.match_nl("遠東兒童中文", algo="tfidf").collect()}
+    assert nl == {2}
+    # single-term NL still scores by tf
+    one = {r["doc_id"] for r in idx.match_nl("red", algo="tfidf").collect()}
+    assert one == {0, 1}

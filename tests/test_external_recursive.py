@@ -108,6 +108,9 @@ def test_read_connector_surface(spark):
 
     with pytest.raises(ValueError, match="unknown connector"):
         read_connector(spark, "cassandra")
-    # without the jar, the surface fails with the actionable package name
+    # without the jar, the surface fails with the actionable package name.
+    # fresh session: tests/test_connectors.py registers a Python DataSource
+    # named "mongodb" on the shared session, which would satisfy the load
+    fresh = spark.newSession()
     with pytest.raises(NotImplementedError, match="mongo-spark-connector"):
-        read_connector(spark, "mongodb", {"connection.uri": "mongodb://x", "database": "d", "collection": "c"})
+        read_connector(fresh, "mongodb", {"connection.uri": "mongodb://x", "database": "d", "collection": "c"})
