@@ -50,6 +50,8 @@ _TYPE_MAP = [
     (r"(?:tiny|small|medium)?int(?:eger)?\s+unsigned", "bigint"),
     (r"bigint(?:\(\d+\))?", "bigint"),
     (r"(?:tiny|small|medium)?int(?:eger)?(?:\(\d+\))?", "int"),
+    (r"vecf32\s*\(\s*[1-9]\d*\s*\)", "array<float>"),
+    (r"vecf64\s*\(\s*[1-9]\d*\s*\)", "array<double>"),
     (r"decimal(\(\d+(?:,\s*\d+)?\))?", None),  # keep as written (incl. precision)
     (r"numeric(\(\d+(?:,\s*\d+)?\))?", None),
     (r"double(?:\s+precision)?(?:\(\d+,\s*\d+\))?", "double"),
@@ -263,7 +265,12 @@ class BvtSession:
                 rows = df.limit(self._MATERIALIZE_CAP + 1).collect()
                 if len(rows) <= self._MATERIALIZE_CAP:
                     df = self.spark.createDataFrame(rows, df.schema)
-            except Exception:
+            except Exception as e:
+                if "USER_RAISED_EXCEPTION" in str(e):
+                    # our own validation raise_error (e.g. malformed vector
+                    # literal): the DML must FAIL like the reference's, not
+                    # register a poisoned lazy frame
+                    raise
                 pass  # unmaterializable state surfaces on first SELECT
         self.tables[name] = df
         df.createOrReplaceTempView(name)
@@ -297,7 +304,28 @@ class BvtSession:
         src_types = dict(df.dtypes)
         for c, t in schema:
             if c in provided:
-                expr = F.col(provided[c]).cast(t)
+                if t.startswith("array<") and not src_types.get(
+                    provided[c], ""
+                ).startswith("array"):
+                    # vector literals arrive as '[x,y,z]' strings (MySQL has
+                    # no array literal). The reference REJECTS malformed
+                    # vectors — bracket-less forms and NULL elements
+                    # (vector_type.result) — so those error the INSERT at
+                    # materialization instead of storing a mangled value.
+                    s = F.col(provided[c]).cast("string")
+                    parsed = F.from_json(s, t)
+                    bad = s.isNotNull() & (
+                        ~s.startswith("[")
+                        | parsed.isNull()
+                        | F.exists(parsed, lambda x: x.isNull())
+                    )
+                    err = F.raise_error(F.lit("invalid vector literal")).cast(t)
+                    expr = F.when(bad, err).otherwise(parsed)
+                else:
+                    expr = F.col(provided[c]).cast(t)
+                if t.startswith("array<"):
+                    sel.append(expr.alias(c))
+                    continue
                 if c in years:
                     # MySQL YEAR 2-digit expansion; '0' (string) → 2000 but
                     # numeric 0 stays 0000
@@ -949,6 +977,8 @@ _DUCK_TYPE_SUBS = [
     (re.compile(r"\b(?:mediumint|int|integer)\s+unsigned\b", re.IGNORECASE), "UINTEGER"),
     (re.compile(r"\bbigint\s+unsigned\b", re.IGNORECASE), "UBIGINT"),
     (re.compile(r"\bmediumint\b", re.IGNORECASE), "INTEGER"),
+    (re.compile(r"\bvecf32\s*\(\s*\d+\s*\)", re.IGNORECASE), "FLOAT[]"),
+    (re.compile(r"\bvecf64\s*\(\s*\d+\s*\)", re.IGNORECASE), "DOUBLE[]"),
     # the reference's bare DECIMAL defaults to decimal128(38,0)
     # (mysql_sql.y DisplayWith: 38); DuckDB's defaults to (18,3) — pin the
     # reference default so both engines round identically
@@ -1218,6 +1248,14 @@ def _ref_match(spark_pdf, ref_rows, fmt: bool = False) -> bool:
             return "1" if v else "0"
         if isinstance(v, bytes):
             return v.decode("utf-8", "replace")
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            import json as _json
+
+            vv = v.tolist() if hasattr(v, "tolist") else list(v)
+            try:
+                return _json.dumps(vv)
+            except (TypeError, ValueError):
+                return str(vv)
         s = str(v)
         return "null" if s in ("NaT", "None", "<NA>", "nan") else s
 
@@ -1236,6 +1274,28 @@ def _ref_match(spark_pdf, ref_rows, fmt: bool = False) -> bool:
         la, lb = a.lower(), b.lower()
         if la == lb:
             return True
+        # the reference stores JSON as binary JSON and renders it with
+        # canonical (sorted) keys, and prints vectors as '[a, b, c]' with
+        # float32/float64 display digits; compare JSON cells structurally
+        # with relative float tolerance
+        if a[:1] in ("{", "[") and b[:1] in ("{", "["):
+            import json as _json
+
+            def close(x, y) -> bool:
+                if isinstance(x, dict) and isinstance(y, dict):
+                    return x.keys() == y.keys() and all(close(x[k], y[k]) for k in x)
+                if isinstance(x, list) and isinstance(y, list):
+                    return len(x) == len(y) and all(close(p, q) for p, q in zip(x, y))
+                if isinstance(x, (int, float)) and isinstance(y, (int, float)) \
+                        and not isinstance(x, bool) and not isinstance(y, bool):
+                    fx, fy = float(x), float(y)
+                    return abs(fx - fy) <= 1e-6 * max(abs(fx), abs(fy), 1e-30)
+                return x == y
+            try:
+                if close(_json.loads(a), _json.loads(b)):
+                    return True
+            except ValueError:
+                pass
         if {la, lb} in ({"true", "1"}, {"false", "0"}):
             return True
         if fmt and _int_cols[col]:

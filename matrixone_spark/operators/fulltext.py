@@ -214,6 +214,10 @@ class FullTextIndex:
         from matrixone_spark.functions.text import nl_query_leaves_py
 
         pattern = pattern.strip()
+        if not pattern:
+            # reference: "Invalid input search string. search string
+            # converted to empty pattern"
+            raise ValueError("search string converted to empty pattern")
         if len(pattern) < 3:
             leaves = [("star", pattern.lower(), 0)]
         else:
