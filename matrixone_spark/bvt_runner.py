@@ -83,6 +83,26 @@ _COL_CONSTRAINT_RE = re.compile(
 )
 
 
+
+_WITH_INSERT_RE = re.compile(r"^(\s*insert\s+into\s+[`\w.\x01]+\s*(?:\([^)]*\)\s*)?)", re.IGNORECASE)
+
+
+def _with_dml_split(masked: str) -> "int | None":
+    """For a statement starting WITH, return the index of a TOP-LEVEL
+    INSERT keyword (MySQL supports WITH ... INSERT INTO ... SELECT,
+    recursive_cte/with_insert.sql); None if it is a plain query."""
+    depth = 0
+    for m in re.finditer(r"[()]|\b(?:insert|update|delete)\b", masked, re.IGNORECASE):
+        t = m.group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            return m.start()
+    return None
+
+
 class SkipStatement(Exception):
     """Statement shape this runner does not support."""
 
@@ -399,6 +419,20 @@ class BvtSession:
         masked, spans = mask_literals(stmt)
         head = masked.strip().split(None, 1)[0].lower() if masked.strip() else ""
         head = head.lstrip("(")
+        if head == "with":
+            wi = _with_dml_split(masked)
+            if wi is not None:
+                with_part = unmask_literals(masked[:wi], spans).strip()
+                rest = unmask_literals(masked[wi:], spans)
+                hm = _WITH_INSERT_RE.match(rest)
+                if not hm:
+                    # WITH ... UPDATE/DELETE: skipped on Spark; the
+                    # co-executor then rolls back BOTH engines (diverged),
+                    # keeping state identical instead of duck-only drift
+                    raise SkipStatement("unsupported WITH-DML shape")
+                stmt2 = hm.group(1) + " " + with_part + " " + rest[hm.end():]
+                m2, s2 = mask_literals(stmt2)
+                return self._insert(stmt2, m2, s2)
         if head in ("select", "with", "values", "table"):
             from matrixone_spark.mysql_dialect import _FROM_DUAL_RE
 
@@ -566,7 +600,7 @@ class BvtSession:
 
     def _insert(self, stmt, masked, spans):
         m = re.match(
-            r"\s*insert\s+(?:ignore\s+)?into\s+([`\w.\x01]+)\s*(\(([^)]*)\))?\s*(values|select)\b(.*)$",
+            r"\s*insert\s+(?:ignore\s+)?into\s+([`\w.\x01]+)\s*(\(([^)]*)\))?\s*(values|select|with)\b(.*)$",
             masked,
             re.IGNORECASE | re.DOTALL,
         )
@@ -1470,6 +1504,8 @@ class CoExecutor:
             masked, _ = mask_literals(stmt)
             head = masked.strip().lstrip("(").split(None, 1)[0].lower() if masked.strip() else ""
             is_query = head in ("select", "with", "values", "table")
+            if head == "with" and _with_dml_split(stmt) is not None:
+                is_query = False
             snap = None if is_query else self.sess.snapshot()
             if not is_query:
                 try:
