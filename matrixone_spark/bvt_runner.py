@@ -202,6 +202,8 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
     autoinc: "set[str]" = set()
     years: "set[str]" = set()
     rounds: "dict[str, int]" = {}
+    tsprec: "dict[str, int]" = {}
+    intrange: "dict[str, tuple[int, int]]" = {}
     for part in parts:
         part = unmask_literals(part, spans).strip()
         if re.match(r"(primary|unique|key|index|constraint|foreign|check)\b", part, re.IGNORECASE):
@@ -231,10 +233,34 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
         if rm:
             # MySQL DOUBLE(M,D)/FLOAT(M,D) round stored values to D decimals
             rounds[col] = int(rm.group(1))
+        tm = re.match(r"(?:datetime|timestamp)\s*(?:\(\s*(\d)\s*\))?\s*$", rest, re.IGNORECASE)
+        if tm:
+            # MySQL DATETIME(n)/TIMESTAMP(n) ROUND stored values to n
+            # fractional digits (default 0: '12:34:56.789' stores as
+            # 12:34:57) — dtype/datetime_precision_comprehensive.sql
+            tsprec[col] = int(tm.group(1) or 0)
+        im = re.match(
+            r"(tiny|small|medium|big)?int(?:eger)?(?:\(\d+\))?(\s+unsigned)?\s*$",
+            rest,
+            re.IGNORECASE,
+        )
+        if im:
+            # MySQL integer stores CLAMP out-of-range values to the type's
+            # min/max (with a warning) and ROUND fractional sources half
+            # away from zero; Spark's cast wraps/NULLs and truncates —
+            # dtype/boundary_comprehensive.sql, operator/row_constructor.sql
+            bits = {"tiny": 8, "small": 16, "medium": 24, "big": 64}.get(
+                (im.group(1) or "").lower(), 32
+            )
+            if im.group(2):
+                intrange[col] = (0, (1 << bits) - 1)
+            else:
+                intrange[col] = (-(1 << (bits - 1)), (1 << (bits - 1)) - 1)
     if not cols:
         raise SkipStatement("CREATE TABLE with no parseable columns")
     return name, cols, defaults, {
         "binpads": pads, "autoinc": autoinc, "years": years, "rounds": rounds,
+        "tsprec": tsprec, "intrange": intrange,
     }
 
 
@@ -321,6 +347,8 @@ class BvtSession:
         autoinc = meta.get("autoinc", set())
         years = meta.get("years", set())
         rounds = meta.get("rounds", {})
+        tsprec = meta.get("tsprec", {})
+        intrange = meta.get("intrange", {})
         src_types = dict(df.dtypes)
         for c, t in schema:
             if c in provided:
@@ -359,6 +387,59 @@ class BvtSession:
                     )
                 if c in rounds:
                     expr = F.round(F.col(provided[c]).cast("double"), rounds[c]).cast(t)
+                if c in tsprec and t == "timestamp":
+                    scale = 10 ** (6 - tsprec[c])
+                    us = F.unix_micros(F.col(provided[c]).cast("timestamp"))
+                    expr = F.timestamp_micros(
+                        (F.floor(us / scale + F.lit(0.5)) * scale).cast("long")
+                    )
+                if c in intrange and c not in years:
+                    # MySQL clamps out-of-range integer stores to the type
+                    # min/max and rounds fractional sources half away from
+                    # zero (decimal(38,0) cast rounds HALF_UP = away from
+                    # zero for both signs); Spark's direct cast wraps/NULLs
+                    # and truncates
+                    mn, mx = intrange[c]
+                    src = F.col(provided[c])
+                    num = src.cast("decimal(38,0)")
+                    dbl = src.cast("double")
+                    lo = F.lit(str(mn)).cast("decimal(38,0)")
+                    hi = F.lit(str(mx)).cast("decimal(38,0)")
+                    over = (
+                        F.when(dbl > float(mx), F.lit(str(mx)).cast(t))
+                        .when(dbl < float(mn), F.lit(str(mn)).cast(t))
+                    )
+                    # NULL source (and unparseable strings) must stay NULL:
+                    # least/greatest IGNORE null operands, so route them
+                    # through `over` (null unless the double view overflows)
+                    expr = F.when(num.isNull(), over).otherwise(
+                        F.least(F.greatest(num, lo), hi).cast(t)
+                    )
+                elif t.startswith("decimal(") and not src_types.get(
+                    provided[c], ""
+                ).startswith("decimal"):
+                    # MySQL saturates out-of-range DECIMAL stores to the
+                    # column's ±max instead of NULLing (same rule the
+                    # dialect's CAST path applies) — operator/row_constructor
+                    # row03. Skip decimal→decimal sources: Spark's own cast
+                    # handles scale change and in-range stores identically.
+                    dm2 = re.match(r"decimal\((\d+),\s*(\d+)\)", t)
+                    p_, s_ = int(dm2.group(1)), int(dm2.group(2))
+                    mxs = "9" * (p_ - s_) + ("." + "9" * s_ if s_ else "")
+                    if p_ > s_:
+                        src = F.col(provided[c])
+                        wide = f"decimal(38,{min(s_, 37)})"
+                        num = src.cast(wide)
+                        dbl = src.cast("double")
+                        lo = F.lit("-" + mxs).cast(wide)
+                        hi = F.lit(mxs).cast(wide)
+                        over = (
+                            F.when(dbl > float(mxs), F.lit(mxs).cast(t))
+                            .when(dbl < -float(mxs), F.lit("-" + mxs).cast(t))
+                        )
+                        expr = F.when(num.isNull(), over).otherwise(
+                            F.least(F.greatest(num, lo), hi).cast(t)
+                        )
             else:
                 dflt = self.defaults.get(name, {}).get(c)
                 expr = (F.expr(dflt) if dflt is not None else F.lit(None)).cast(t)
@@ -630,11 +711,21 @@ class BvtSession:
             src = self.spark.sql(translate(sub))
         new = self._cast_to_schema(name, src, cols)
         meta = self.colmeta.get(name, {})
-        if meta.get("autoinc") or meta.get("years") or meta.get("rounds"):
+        if (
+            meta.get("autoinc")
+            or meta.get("years")
+            or meta.get("rounds")
+            or meta.get("tsprec")
+            or meta.get("intrange")
+            or any(ty.startswith("decimal(") for _, ty in self.schemas[name])
+        ):
             # Spark-side value coercion (AUTO_INCREMENT fill, YEAR 2-digit
-            # expansion, DOUBLE(M,D) rounding) has no DuckDB equivalent in
-            # the raw statement text: hand the co-executor a literal INSERT
-            # of the coerced rows so both engines hold identical data.
+            # expansion, DOUBLE(M,D)/DATETIME(n) rounding, MySQL int/decimal
+            # store clamping) has no DuckDB equivalent in the raw statement
+            # text: hand the co-executor a literal INSERT of the coerced
+            # rows so both engines hold identical data (DuckDB would
+            # otherwise ERROR on out-of-range stores MySQL clamps, rolling
+            # back rows the reference keeps).
             self.last_duck_override = self._literal_insert_sql(name, new)
         self._register(name, self.tables[name].unionAll(new))
         self.last_table = name

@@ -170,7 +170,7 @@ def _convert_tz_rewrite(masked: str) -> str:
 # on 20-digit unsigned values — and rounds decimals/doubles.
 _CAST_CALL_RE = re.compile(r"\bcast\s*\(", re.IGNORECASE)
 _CAST_AS_RE = re.compile(
-    r"^(?P<expr>.*)\s+as\s+(?P<type>datetime|signed(?:\s+integer)?"
+    r"^(?P<expr>.*)\s+as\s+(?P<type>datetime(?:\s*\(\s*\d\s*\))?|signed(?:\s+integer)?"
     r"|unsigned(?:\s+integer)?|n?char|binary"
     r"|(?:decimal|dec|numeric|fixed)\s*(?:\(\s*\d+\s*(?:,\s*\d+)?\s*\))?)\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -220,7 +220,16 @@ def _cast_rewrite(masked: str) -> str:
             if 0 < p < 38 and s <= p:
                 return _decimal_sat_sql(x, p, s)
             return None
-        if ty == "datetime":
+        if ty.startswith("datetime"):
+            tn = re.search(r"\((\d)\)", m.group("type"))
+            if tn:
+                # MySQL CAST(... AS DATETIME(n)) ROUNDS to n fractional
+                # digits (half-up); Spark TIMESTAMP keeps micros
+                sc = 10 ** (6 - int(tn.group(1)))
+                return (
+                    f"timestamp_micros(CAST(FLOOR(unix_micros(CAST(({x}) AS TIMESTAMP))"
+                    f" / {sc} + 0.5) * {sc} AS BIGINT))"
+                )
             return f"CAST({x} AS TIMESTAMP)"
         if ty in ("char", "nchar"):
             # length-less CHAR (MySQL display cast) — Spark requires CHAR(n)
