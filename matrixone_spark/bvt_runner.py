@@ -69,6 +69,10 @@ _TYPE_MAP = [
     (r"bool(?:ean)?", "boolean"),
     # ENUM/SET store their member strings; ordering-by-index is a MySQL
     # nicety the text replay does not reproduce
+    # geometry values travel as EWKT strings (functions/geo_sql.py
+    # convention); SRID n column attribute folds into the stored EWKT
+    (r"(?:geometry|geometry32|geography|point|linestring|polygon"
+     r"|multipoint|multilinestring|multipolygon)(?:\s+srid\s+\d+)?", "string"),
     (r"enum\s*\([^)]*\)", "string"),
     (r"set\s*\([^)]*\)", "string"),
     (r"json", "string"),
@@ -748,7 +752,11 @@ class BvtSession:
         if isinstance(v, (int, _Dec)):
             return str(v)
         if isinstance(v, str):
-            return "'" + v.replace("'", "''") + "'"
+            # backslashes doubled: the override re-enters _duckify, which
+            # renders backslash-bearing literals as E'...' (MySQL-style
+            # escape processing for raw script text) and would otherwise
+            # unescape an already-unescaped value a second time
+            return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
         if isinstance(v, _dt.datetime):
             return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
         if isinstance(v, _dt.date):
@@ -1097,6 +1105,9 @@ class BvtSession:
 # ------------------------------------------------------------ co-execution
 
 _DUCK_TYPE_SUBS = [
+    (re.compile(
+        r"\b(?:geometry32|geometry|geography)(?:\s+srid\s+\d+)?\b",
+        re.IGNORECASE), "VARCHAR"),
     (re.compile(r"\btinyint\s+unsigned\b", re.IGNORECASE), "UTINYINT"),
     (re.compile(r"\bsmallint\s+unsigned\b", re.IGNORECASE), "USMALLINT"),
     (re.compile(r"\b(?:mediumint|int|integer)\s+unsigned\b", re.IGNORECASE), "UINTEGER"),
@@ -1119,6 +1130,13 @@ _DUCK_TYPE_SUBS = [
 # MySQL-only semantics (constraint enforcement is not under test — both
 # engines run constraint-free so they stay consistent with EACH OTHER).
 _DUCK_ELEMENT_SUBS = [
+    # MySQL typed geometry columns (CREATE-only: 'point' etc. are common
+    # identifiers elsewhere); values travel as EWKT VARCHAR
+    # (?<=\w)\s+ : the word must follow a column NAME — a column literally
+    # named 'point' sits after '(' or ',' and is left alone
+    (re.compile(
+        r"(?<=\w)\s+(?:point|linestring|polygon|multipoint|multilinestring"
+        r"|multipolygon)(?:\s+srid\s+\d+)?\b(?!\s*\()", re.IGNORECASE), " VARCHAR"),
     # inline secondary indexes: ", index name(cols)" / ", key name(cols)" / fulltext
     (re.compile(r",\s*(?:unique\s+)?(?:fulltext\s+)?(?:index|key)\s+`?\w*`?\s*\([^)]*\)", re.IGNORECASE), ""),
     # table-level primary key / unique constraints
@@ -1139,12 +1157,15 @@ def _duck_span(s: str) -> str:
     MySQL: "..." is a string; '...' and "..." take backslash escapes.
     DuckDB: "..." is an identifier; '...' is escape-free (E'...' enables them).
     """
-    if s[:1] == '"':
-        body = s[1:-1].replace('\\"', '"').replace('""', '"')
-        body = body.replace("\\'", "'").replace("'", "''")
+    if s[:1] == '"' or (s[:1] == "'" and "\\" in s):
+        # decode under MySQL rules (\% and \_ keep the backslash — LIKE
+        # escapes; DuckDB's E'...' would otherwise drop it like any
+        # unrecognized escape), then re-encode as a DuckDB E-string
+        from matrixone_spark.mysql_dialect import mysql_decode_literal
+
+        dec = mysql_decode_literal(s)
+        body = dec.replace("\\", "\\\\").replace("'", "''")
         return "E'" + body + "'" if "\\" in body else "'" + body + "'"
-    if s[:1] == "'" and "\\" in s:
-        return "E" + s
     return s
 
 
@@ -1157,6 +1178,8 @@ def _concat_to_pipes(args: "list[str]") -> "str | None":
 
 
 _DUCK_POP_AGG_RE = re.compile(r"\b(stddev|std|variance)\s*\(", re.IGNORECASE)
+_DUCK_LENGTH_RE = re.compile(r"(?<![\w.])length\s*\(", re.IGNORECASE)
+_DUCK_LIKE_PAT_RE = re.compile(r"\bi?like\s+\x01(\d+)\x01(?!\s*escape)", re.IGNORECASE)
 
 _DUCK_CAST_DEC_RE = re.compile(
     r"^(?P<expr>.*)\s+as\s+(?P<type>(?:decimal|dec|numeric|fixed)"
@@ -1221,6 +1244,14 @@ def _duckify(stmt: str) -> str:
     masked = _DUCK_POP_AGG_RE.sub(
         lambda m: ("var_pop(" if m.group(1).lower() == "variance" else "stddev_pop("), masked
     )
+    if "length" in masked.lower():
+        # MySQL LENGTH() counts UTF-8 bytes; DuckDB length() counts
+        # characters (mirrors the Spark-side octet_length rename)
+        masked = _rewrite_calls(
+            masked,
+            _DUCK_LENGTH_RE,
+            lambda args: f"strlen(CAST(({args[0]}) AS VARCHAR))" if len(args) == 1 else None,
+        )
     prev = None
     while "concat" in masked.lower() and prev != masked:  # fixpoint for nesting
         prev = masked
@@ -1232,7 +1263,26 @@ def _duckify(stmt: str) -> str:
     if re.match(r"\s*create\s+(?:temporary\s+)?table\b", masked, re.IGNORECASE):
         for pat, repl in _DUCK_ELEMENT_SUBS:
             masked = pat.sub(repl, masked)
-    return unmask_literals(masked, [_duck_span(s) for s in spans])
+    duck_spans = [_duck_span(s) for s in spans]
+
+    def _like_fix(m: "re.Match") -> str:
+        # MySQL LIKE's default escape character is backslash; DuckDB LIKE
+        # has NONE unless an ESCAPE clause is given. A trailing unpaired
+        # escape is a literal backslash in MySQL — double it (decoded
+        # level) so the explicit ESCAPE clause accepts the pattern.
+        # (operator/like_operator.sql)
+        n = int(m.group(1))
+        s = duck_spans[n]
+        if not s.startswith("E'"):
+            return m.group(0)
+        body = s[2:-1]
+        run = len(body) - len(body.rstrip("\\"))
+        if (run // 2) % 2 == 1:
+            duck_spans[n] = "E'" + body + "\\\\'"
+        return m.group(0) + " ESCAPE '\\'"
+
+    masked = _DUCK_LIKE_PAT_RE.sub(_like_fix, masked)
+    return unmask_literals(masked, duck_spans)
 
 
 class RefResults:

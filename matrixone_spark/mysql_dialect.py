@@ -79,6 +79,52 @@ def unmask_literals(masked: str, spans: "list[str]") -> str:
         masked = out
 
 
+# MySQL string-escape decode table: recognized C escapes map to their
+# character; \% and \_ KEEP the backslash (LIKE-pattern escapes,
+# https://dev.mysql.com/doc/refman/8.0/en/string-literals.html); any other
+# escaped character drops the backslash.
+_MYSQL_ESCAPES = {
+    "0": "\0", "'": "'", '"': '"', "b": "\b", "n": "\n", "r": "\r",
+    "t": "\t", "Z": "\x1a", "\\": "\\", "%": "\\%", "_": "\\_",
+}
+
+
+def _spark_respan(span: str) -> str:
+    """Re-render one MySQL string literal for Spark's C-style parser.
+
+    MySQL keeps the backslash in ``\\%``/``\\_`` (LIKE escapes) and drops it
+    for unrecognized escapes; Spark's parser consumes backslashes uniformly,
+    so a pattern literal ``'%\\_%'`` must re-encode as ``'%\\\\_%'`` to reach
+    LIKE intact (operator/like_operator.sql). Only backslash-bearing
+    string spans are touched; backtick identifiers pass through."""
+    q = span[:1]
+    if q not in "'\"" or "\\" not in span:
+        return span
+    dec = mysql_decode_literal(span)
+    enc = dec.replace("\\", "\\\\").replace("'", "\\'").replace("\0", "\\0")
+    return "'" + enc + "'"
+
+
+def mysql_decode_literal(span: str) -> str:
+    """Decode a quoted MySQL string span ('...'/"...") to its character
+    content under MySQL escape rules (``\\%``/``\\_`` keep the backslash)."""
+    q = span[:1]
+    body, out, i = span[1:-1], [], 0
+    n = len(body)
+    while i < n:
+        ch = body[i]
+        if ch == "\\" and i + 1 < n:
+            out.append(_MYSQL_ESCAPES.get(body[i + 1], body[i + 1]))
+            i += 2
+        elif ch == q and i + 1 < n and body[i + 1] == q:
+            out.append(q)
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def _literal_text(spans: "list[str]", idx: int) -> str:
     """Unquoted content of span #idx (only called for '...' format strings)."""
     s = spans[idx]
@@ -171,7 +217,7 @@ def _convert_tz_rewrite(masked: str) -> str:
 _CAST_CALL_RE = re.compile(r"\bcast\s*\(", re.IGNORECASE)
 _CAST_AS_RE = re.compile(
     r"^(?P<expr>.*)\s+as\s+(?P<type>datetime(?:\s*\(\s*\d\s*\))?|signed(?:\s+integer)?"
-    r"|unsigned(?:\s+integer)?|n?char|binary"
+    r"|unsigned(?:\s+integer)?|n?char|binary|geometry"
     r"|(?:decimal|dec|numeric|fixed)\s*(?:\(\s*\d+\s*(?:,\s*\d+)?\s*\))?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -231,6 +277,10 @@ def _cast_rewrite(masked: str) -> str:
                     f" / {sc} + 0.5) * {sc} AS BIGINT))"
                 )
             return f"CAST({x} AS TIMESTAMP)"
+        if ty == "geometry":
+            # MySQL CAST(x AS GEOMETRY) parses WKT (geo/geo_io.sql); the
+            # engine's geometry value is our EWKT string convention
+            return f"st_geomfromtext({x}, NULL)"
         if ty in ("char", "nchar"):
             # length-less CHAR (MySQL display cast) — Spark requires CHAR(n)
             return f"CAST({x} AS STRING)"
@@ -310,6 +360,9 @@ _FN_RENAME = {
     "iff": "if",
     "findinset": "find_in_set",
     "lengthutf8": "char_length",
+    # MySQL LENGTH() counts UTF-8 BYTES (CHAR_LENGTH counts characters);
+    # Spark's length() counts characters — dtype/boundary_comprehensive.sql
+    "length": "octet_length",
     "mid": "substring",
     "localtime": "localtimestamp",
     "ucase": "ucase",  # native; listed for the coverage scanner
@@ -1868,12 +1921,40 @@ def rewrite_generate_series(masked: str, body_fmt: str) -> str:
     return out
 
 
+_LIKE_SPAN_RE = re.compile(r"\bi?like\s+\x01(\d+)\x01(?!\s*escape)", re.IGNORECASE)
+_GEO_FN_RE = re.compile(r"\b(st_[a-z0-9_]+)\s*\(", re.IGNORECASE)
+
+
+def _pad_geo_args(masked: str) -> str:
+    """Pad st_* calls with trailing NULLs to the registered UDF arity.
+
+    MySQL's geo functions take optional arguments (st_geomfromtext(wkt[,
+    srid]), st_buffer(g, d[, quads])); Spark SQL UDF registration is
+    fixed-arity, so geo_sql registers the max form and kernels treat
+    trailing NULLs as omitted. Fixpoint: one _rewrite_calls pass skips
+    calls nested inside a rewritten outer call."""
+    from matrixone_spark.functions.geo_sql import GEO_SQL_ARITY
+
+    def build(name, args):
+        n = GEO_SQL_ARITY.get(name.lower())
+        if n is None or len(args) >= n or (len(args) == 1 and not args[0].strip()):
+            return None
+        return f"{name}(" + ", ".join(args + ["NULL"] * (n - len(args))) + ")"
+
+    prev = None
+    while prev != masked:
+        prev = masked
+        masked = _rewrite_calls(masked, _GEO_FN_RE, None, per_name_builder=build)
+    return masked
+
+
 def translate(sql: str) -> str:
     """Rewrite MySQL-dialect constructs into Spark SQL (literal-safe)."""
     from matrixone_spark.functions.system import DEFAULT_CONTEXT, sql_literals
 
     sys_lits = sql_literals(DEFAULT_CONTEXT)
     masked, spans = mask_literals(sql)
+    n_src_spans = len(spans)  # spans appended by rewrites are already Spark-ready
 
     def fmt_repl(m: "re.Match") -> str:
         fn, arg = m.group(1).lower(), m.group(2)
@@ -1923,6 +2004,8 @@ def translate(sql: str) -> str:
     masked = _truncate_rewrite(masked)
     masked = _convert_tz_rewrite(masked)
     masked = _cast_rewrite(masked)
+    if "st_" in masked.lower():
+        masked = _pad_geo_args(masked)
     masked = rewrite_limit(masked)
     if re.search(r"\d{10,}", masked):
         masked = rewrite_substr_clamp(masked)
@@ -1944,4 +2027,15 @@ def translate(sql: str) -> str:
         masked = rewrite_row_in_list(masked)
         masked = rewrite_row_comparisons(masked)
     masked = _SYSTEM_FN_RE.sub(lambda m: sys_lits[m.group(1).lower()], masked)
+    spans[:n_src_spans] = [_spark_respan(s) for s in spans[:n_src_spans]]
+    for lm in _LIKE_SPAN_RE.finditer(masked):
+        # MySQL LIKE treats a trailing unpaired escape char as a literal
+        # backslash; Spark rejects the pattern — double it (decoded level)
+        n = int(lm.group(1))
+        s = spans[n]
+        if s[:1] == "'":
+            body = s[1:-1]
+            run = len(body) - len(body.rstrip("\\"))
+            if (run // 2) % 2 == 1:
+                spans[n] = "'" + body + "\\\\'"
     return unmask_literals(masked, spans)
