@@ -1179,6 +1179,8 @@ def _concat_to_pipes(args: "list[str]") -> "str | None":
 
 _DUCK_POP_AGG_RE = re.compile(r"\b(stddev|std|variance)\s*\(", re.IGNORECASE)
 _DUCK_LENGTH_RE = re.compile(r"(?<![\w.])length\s*\(", re.IGNORECASE)
+_DUCK_LOG_RE = re.compile(r"(?<![\w.])log\s*\(", re.IGNORECASE)
+_DUCK_GC_SEP_RE = re.compile(r"\s+separator\s+(\x01\d+\x01)\s*\)", re.IGNORECASE)
 _DUCK_LIKE_PAT_RE = re.compile(r"\bi?like\s+\x01(\d+)\x01(?!\s*escape)", re.IGNORECASE)
 
 _DUCK_CAST_DEC_RE = re.compile(
@@ -1251,6 +1253,25 @@ def _duckify(stmt: str) -> str:
             masked,
             _DUCK_LENGTH_RE,
             lambda args: f"strlen(CAST(({args[0]}) AS VARCHAR))" if len(args) == 1 else None,
+        )
+    if re.search(r"repeat|space|split_part|median", masked, re.IGNORECASE):
+        # max_allowed_packet NULL clamp + split_part out-of-range NULL +
+        # discrete median (mirrors the Spark-side rewrite)
+        from matrixone_spark.mysql_dialect import rewrite_repeat_clamp
+
+        masked = rewrite_repeat_clamp(masked, engine="duck")
+    if "group_concat" in masked.lower():
+        # DuckDB's group_concat takes the separator as a 2nd argument and
+        # already has MySQL's insertion order / NULL-for-empty semantics
+        masked = _DUCK_GC_SEP_RE.sub(lambda m: f", {m.group(1)})", masked)
+    if "log" in masked.lower():
+        # MySQL single-arg LOG() is the NATURAL log; DuckDB's is log10
+        # (dtype/decimal.test LOG(ABS(a)) divergence). Two-arg log(b, x)
+        # agrees between the engines.
+        masked = _rewrite_calls(
+            masked,
+            _DUCK_LOG_RE,
+            lambda args: f"ln({args[0]})" if len(args) == 1 else None,
         )
     prev = None
     while "concat" in masked.lower() and prev != masked:  # fixpoint for nesting

@@ -217,7 +217,7 @@ def _convert_tz_rewrite(masked: str) -> str:
 _CAST_CALL_RE = re.compile(r"\bcast\s*\(", re.IGNORECASE)
 _CAST_AS_RE = re.compile(
     r"^(?P<expr>.*)\s+as\s+(?P<type>datetime(?:\s*\(\s*\d\s*\))?|signed(?:\s+integer)?"
-    r"|unsigned(?:\s+integer)?|n?char|binary|geometry"
+    r"|unsigned(?:\s+integer)?|n?char|binary|geometry|double|float"
     r"|(?:decimal|dec|numeric|fixed)\s*(?:\(\s*\d+\s*(?:,\s*\d+)?\s*\))?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -243,7 +243,21 @@ def _decimal_sat_sql(x: str, p: int, s: int) -> str:
     )
 
 
-def _cast_rewrite(masked: str) -> str:
+_LONE_PH_RE = re.compile(r"^\s*\x01(\d+)\x01\s*$")
+
+
+def _cast_rewrite(masked: str, spans: "list[str] | None" = None) -> str:
+    def _is_string_span(expr: str) -> bool:
+        """expr is exactly one masked '…'/"…" literal (backtick spans are
+        identifiers — those take the numeric conversion path)."""
+        m = _LONE_PH_RE.match(expr)
+        return bool(
+            m
+            and spans is not None
+            and int(m.group(1)) < len(spans)
+            and spans[int(m.group(1))][:1] in ("'", '"')
+        )
+
     def build(args):
         if len(args) != 1:
             return None
@@ -291,15 +305,68 @@ def _cast_rewrite(masked: str) -> str:
             # CAST('-29012123143.43…' AS DECIMAL) keeps all 11 integer
             # digits (dtype/decimal.test), unlike MySQL/Spark's (10,0)
             return f"CAST(({x}) AS DECIMAL(38,0))"
+        # MySQL string→number: an unparseable string converts to its longest
+        # numeric PREFIX, 0 when there is none ('10x'→10, 'a'→0,
+        # func_cast.test) — never NULL unless the input itself is NULL.
+        # (emitted casts below are try_cast — same non-ANSI NULL-on-fail
+        # semantics, but invisible to this rewrite's fixpoint rescan)
+        if ty in ("double", "float"):
+            return (
+                f"(CASE WHEN ({x}) IS NULL THEN try_cast(NULL AS DOUBLE) "
+                f"ELSE COALESCE(try_cast(({x}) AS DOUBLE), "
+                f"try_cast(regexp_extract(try_cast(({x}) AS STRING), "
+                f"'^[ \\\\t]*[+-]?([0-9]+(\\\\.[0-9]*)?|\\\\.[0-9]+)"
+                f"([eE][+-]?[0-9]+)?', 0) AS DOUBLE), 0.0D) END)"
+            )
         # round-to-nearest via DECIMAL, not ROUND(double): a 20-digit cell id
         # string must survive bit-exact (geo_s2h3.sql chains CAST AS UNSIGNED
-        # over uint64 ids; a double round-trip silently drops low bits)
+        # over uint64 ids; a double round-trip silently drops low bits).
+        #
+        # Reference integer-cast model (func_cast.result): the value is
+        # parsed/clamped into uint64 (negatives wrap two's-complement,
+        # overflow saturates at 2^64-1) and SIGNED then reinterprets those
+        # 64 bits — cast('999…999' as signed) = -1, cast(1-2 as unsigned) =
+        # 18446744073709551615. A string LITERAL converts by its integer
+        # prefix only ('1.5e0'→1, '0b1010'→10, 'abc'→0); other operands
+        # round half-up via DECIMAL.
+        if _is_string_span(x):
+            digits = (
+                f"regexp_extract(({x}), "
+                f"'^[ \\\\t]*[+-]?(0[bB][01]+|[0-9]+)', 1)"
+            )
+            mag = (
+                f"COALESCE(CASE WHEN lower(substring({digits}, 1, 2)) = '0b' "
+                f"THEN try_cast(conv(substring({digits}, 3), 2, 10) AS DECIMAL(38,0)) "
+                f"ELSE try_cast(substring({digits}, 1, 30) AS DECIMAL(38,0)) END, "
+                f"try_cast(0 AS DECIMAL(38,0)))"
+            )
+            num = (
+                f"(CASE WHEN regexp_extract(({x}), '^[ \\\\t]*(-)', 1) = '-' "
+                f"THEN -{mag} ELSE {mag} END)"
+            )
+        else:
+            num = (
+                f"COALESCE(ROUND(try_cast(({x}) AS DECIMAL(38,9)), 0), "
+                f"try_cast(regexp_extract(try_cast(({x}) AS STRING), "
+                f"'^[ \\\\t]*[+-]?[0-9]+', 0) AS DECIMAL(38,0)), "
+                f"try_cast(0 AS DECIMAL(38,0)))"
+            )
+        u64 = (
+            f"(CASE WHEN {num} < 0 THEN "
+            f"GREATEST({num} + try_cast('18446744073709551616' AS DECIMAL(38,0)), 0) "
+            f"ELSE LEAST({num}, try_cast('18446744073709551615' AS DECIMAL(38,0))) END)"
+        )
         if ty == "signed":
-            return f"CAST(ROUND(CAST(({x}) AS DECIMAL(38,9)), 0) AS BIGINT)"
-        # MySQL saturates out-of-range unsigned casts at 2^64-1
+            return (
+                f"(CASE WHEN ({x}) IS NULL THEN try_cast(NULL AS BIGINT) "
+                f"ELSE try_cast((CASE WHEN {u64} >= "
+                f"try_cast('9223372036854775808' AS DECIMAL(38,0)) THEN "
+                f"{u64} - try_cast('18446744073709551616' AS DECIMAL(38,0)) "
+                f"ELSE {u64} END) AS BIGINT) END)"
+            )
         return (
-            f"CAST(LEAST(ROUND(CAST(({x}) AS DECIMAL(38,9)), 0), "
-            f"CAST('18446744073709551615' AS DECIMAL(38,9))) AS DECIMAL(20,0))"
+            f"(CASE WHEN ({x}) IS NULL THEN try_cast(NULL AS DECIMAL(20,0)) "
+            f"ELSE try_cast({u64} AS DECIMAL(20,0)) END)"
         )
 
     # innermost-first: repeat until no rewrite applies (nested casts)
@@ -1923,6 +1990,69 @@ def rewrite_generate_series(masked: str, body_fmt: str) -> str:
 
 _LIKE_SPAN_RE = re.compile(r"\bi?like\s+\x01(\d+)\x01(?!\s*escape)", re.IGNORECASE)
 _GEO_FN_RE = re.compile(r"\b(st_[a-z0-9_]+)\s*\(", re.IGNORECASE)
+_REPEAT_RE = re.compile(
+    r"(?<![\w.])(repeat|space|split_part|median)\s*\(", re.IGNORECASE
+)
+
+# MySQL NULLs any string-function result wider than max_allowed_packet
+# (16 MB reference default): repeat('abc', 1e11) must return NULL, not OOM
+# the executor (func_string_repeat.sql; a 300 GB build string killed the
+# replay JVM). Non-integer counts round (MySQL DECIMAL→int conversion).
+_MAX_PACKET = 16777216
+
+
+def rewrite_repeat_clamp(masked: str, engine: str = "spark") -> str:
+    """String-function fidelity wrappers shared by both replay engines.
+
+    - repeat()/space(): max_allowed_packet width guard (NULL, not OOM).
+    - split_part(): the reference returns NULL for an out-of-range part
+      index and for any NULL argument (function_split_part.sql; Spark and
+      DuckDB both return '' out of range, DuckDB also '' for NULL args).
+
+    Single `_rewrite_calls` pass: the emitted inner call is part of a
+    rewritten span, so it is never re-wrapped."""
+    str_t = "VARCHAR" if engine == "duck" else "STRING"
+    cast = "TRY_CAST" if engine == "duck" else "CAST"
+    blen = "strlen" if engine == "duck" else "octet_length"
+    clen = "length" if engine == "duck" else "char_length"
+
+    def build(name, args):
+        name = name.lower()
+        if name == "median" and len(args) == 1:
+            # the reference's median is the DISCRETE lower-middle element
+            # (func_aggr_median.test: median of [1.1, 2.2] is 1.1), not the
+            # interpolated value Spark's/DuckDB's median() returns
+            if engine == "duck":
+                return f"quantile_disc({args[0]}, 0.5)"
+            return f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {args[0]})"
+        if name == "split_part" and len(args) == 3:
+            s, d, n = args
+            sc = f"CAST(({s}) AS {str_t})"
+            parts = (
+                f"({clen}({sc}) - {clen}(replace({sc}, ({d}), '')))"
+                f" / {clen}(({d})) + 1"
+            )
+            return (
+                f"(CASE WHEN ({s}) IS NULL OR ({d}) IS NULL OR ({n}) IS NULL"
+                f" THEN NULL WHEN ({n}) > {parts} THEN NULL"
+                f" ELSE split_part({sc}, ({d}),"
+                f" CAST(({n}) AS {'BIGINT' if engine == 'duck' else 'INT'})) END)"
+            )
+        if name == "space" and len(args) == 1:
+            s, n = "' '", args[0]
+        elif name == "repeat" and len(args) == 2:
+            s, n = args
+        else:
+            return None
+        return (
+            f"(CASE WHEN {blen}(CAST(({s}) AS {str_t}))"
+            f" * {cast}(({n}) AS DOUBLE) > {_MAX_PACKET}.0 THEN NULL"
+            f" ELSE repeat(CAST(({s}) AS {str_t}),"
+            f" CAST(round({cast}(({n}) AS DOUBLE)) AS "
+            f"{'BIGINT' if engine == 'duck' else 'INT'})) END)"
+        )
+
+    return _rewrite_calls(masked, _REPEAT_RE, None, per_name_builder=build)
 
 
 def _pad_geo_args(masked: str) -> str:
@@ -1966,9 +2096,15 @@ def translate(sql: str) -> str:
         return f"date_format({arg}, {ph})"
 
     def gc_repl(m: "re.Match") -> str:
+        # MySQL group_concat: scan (insertion) order — collect_list, NOT
+        # array_sort (function_group_concat.sql: the reference emits rows
+        # in insertion order); an all-NULL/empty group yields NULL, not ''.
         arg = m.group(1)
         sep_ph = _PH.format(int(m.group(2))) if m.group(2) is not None else "','"
-        return f"concat_ws({sep_ph}, array_sort(collect_list({arg})))"
+        return (
+            f"(CASE WHEN count({arg}) = 0 THEN NULL"
+            f" ELSE concat_ws({sep_ph}, collect_list({arg})) END)"
+        )
 
     masked = _DATE_FORMAT_RE.sub(fmt_repl, masked)
     masked = _GROUP_CONCAT_RE.sub(gc_repl, masked)
@@ -2003,9 +2139,11 @@ def translate(sql: str) -> str:
         masked = rewrite_in_mixed_numeric(masked, spans)
     masked = _truncate_rewrite(masked)
     masked = _convert_tz_rewrite(masked)
-    masked = _cast_rewrite(masked)
+    masked = _cast_rewrite(masked, spans)
     if "st_" in masked.lower():
         masked = _pad_geo_args(masked)
+    if _REPEAT_RE.search(masked):
+        masked = rewrite_repeat_clamp(masked)
     masked = rewrite_limit(masked)
     if re.search(r"\d{10,}", masked):
         masked = rewrite_substr_clamp(masked)

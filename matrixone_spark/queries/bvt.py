@@ -210,14 +210,28 @@ def _pop_aggs(e: str) -> str:
     the Spark-side translate (bitwise-not, then unsigned shift/xor)."""
     from matrixone_spark.mysql_dialect import rewrite_bitwise_not, rewrite_unsigned_bitwise
 
-    e = _POP_AGG_RE.sub(
-        lambda m: "var_pop(" if m.group(1).lower() == "variance" else "stddev_pop(", e
+    from matrixone_spark.mysql_dialect import (
+        mask_literals,
+        rewrite_repeat_clamp,
+        unmask_literals,
     )
-    if "~" in e:
-        e = rewrite_bitwise_not(e, engine="duck")
-    if "<<" in e or ">>" in e or "^" in e:
-        e = rewrite_unsigned_bitwise(e, engine="duck")
-    return e
+
+    # all rewrites run on literal-MASKED text (same as translate/_duckify):
+    # a '^' or '~' INSIDE a string literal must not trigger the bitwise pass
+    masked, spans = mask_literals(e)
+    masked = _POP_AGG_RE.sub(
+        lambda m: "var_pop(" if m.group(1).lower() == "variance" else "stddev_pop(",
+        masked,
+    )
+    if "~" in masked:
+        masked = rewrite_bitwise_not(masked, engine="duck")
+    if "<<" in masked or ">>" in masked or "^" in masked:
+        masked = rewrite_unsigned_bitwise(masked, engine="duck")
+    if _re.search(r"repeat|space|split_part|median", masked, _re.IGNORECASE):
+        # repeat/space packet clamp, split_part out-of-range NULL, discrete
+        # median — the same duck-engine fidelity pass the co-executor applies
+        masked = rewrite_repeat_clamp(masked, engine="duck")
+    return unmask_literals(masked, spans)
 
 
 def _spark_sql() -> str:
@@ -252,6 +266,7 @@ def _oracle_sql() -> str:
         )
     base = len(BVT_NUMERIC)
     for i, (_, e) in enumerate(BVT_STRING):
+        e = _pop_aggs(e)
         rows.append(
             f"SELECT CAST({base + i} AS INT) AS sid, CAST(NULL AS DOUBLE) AS val_num, "
             f"CAST(({e}) AS VARCHAR) AS val_str"
@@ -465,6 +480,7 @@ def _battery_oracle_sql(numeric, strings) -> str:
         )
     base = len(numeric)
     for i, (_, e) in enumerate(strings):
+        e = _pop_aggs(e)
         rows.append(
             f"SELECT CAST({base + i} AS INT) AS sid, CAST(NULL AS DOUBLE) AS val_num, "
             f"CAST(({e}) AS VARCHAR) AS val_str"

@@ -16,13 +16,17 @@ def test_translate_patterns():
         translate("SELECT STR_TO_DATE(s, '%d/%m/%Y') FROM t")
         == "SELECT to_timestamp(s, 'dd/MM/yyyy') FROM t"
     )
+    # MySQL group_concat: insertion order (no array_sort), NULL for an
+    # all-NULL/empty group
     assert (
         translate("SELECT GROUP_CONCAT(n_name SEPARATOR '|') FROM nation")
-        == "SELECT concat_ws('|', array_sort(collect_list(n_name))) FROM nation"
+        == "SELECT (CASE WHEN count(n_name) = 0 THEN NULL"
+        " ELSE concat_ws('|', collect_list(n_name)) END) FROM nation"
     )
     assert (
         translate("SELECT GROUP_CONCAT(n_name) FROM nation")
-        == "SELECT concat_ws(',', array_sort(collect_list(n_name))) FROM nation"
+        == "SELECT (CASE WHEN count(n_name) = 0 THEN NULL"
+        " ELSE concat_ws(',', collect_list(n_name)) END) FROM nation"
     )
 
 
