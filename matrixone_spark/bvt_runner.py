@@ -1181,6 +1181,8 @@ _DUCK_POP_AGG_RE = re.compile(r"\b(stddev|std|variance)\s*\(", re.IGNORECASE)
 _DUCK_LENGTH_RE = re.compile(r"(?<![\w.])length\s*\(", re.IGNORECASE)
 _DUCK_LOG_RE = re.compile(r"(?<![\w.])log\s*\(", re.IGNORECASE)
 _DUCK_GC_SEP_RE = re.compile(r"\s+separator\s+(\x01\d+\x01)\s*\)", re.IGNORECASE)
+_DUCK_WEEKDAY_RE = re.compile(r"(?<![\w.])weekday\s*\(", re.IGNORECASE)
+_DUCK_ORD_RE = re.compile(r"(?<![\w.])ord\s*\(", re.IGNORECASE)
 _DUCK_LIKE_PAT_RE = re.compile(r"\bi?like\s+\x01(\d+)\x01(?!\s*escape)", re.IGNORECASE)
 
 _DUCK_CAST_DEC_RE = re.compile(
@@ -1272,6 +1274,24 @@ def _duckify(stmt: str) -> str:
             masked,
             _DUCK_LOG_RE,
             lambda args: f"ln({args[0]})" if len(args) == 1 else None,
+        )
+    if "weekday" in masked.lower():
+        # MySQL WEEKDAY is Monday=0; DuckDB's weekday() is Sunday=0
+        masked = _rewrite_calls(
+            masked,
+            _DUCK_WEEKDAY_RE,
+            lambda args: f"((dayofweek({args[0]}) + 6) % 7)" if len(args) == 1 else None,
+        )
+    if "ord" in masked.lower():
+        # MySQL ORD('') = 0; DuckDB's ord('') = -1
+        masked = _rewrite_calls(
+            masked,
+            _DUCK_ORD_RE,
+            lambda args: (
+                f"(CASE WHEN ({args[0]}) = '' THEN 0 ELSE ord({args[0]}) END)"
+                if len(args) == 1
+                else None
+            ),
         )
     prev = None
     while "concat" in masked.lower() and prev != masked:  # fixpoint for nesting

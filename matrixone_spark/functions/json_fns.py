@@ -534,3 +534,154 @@ def try_jq(doc, program) -> Column:
     """try_jq: like jq but returns NULL on evaluation errors
     (func_builtin_jq.go:try_jq)."""
     return _try_jq_udf(_c(doc), _c(program))
+
+
+# --- MySQL JSON path evaluation (wildcards / ** / last / ranges) ------------
+# Reference: pkg/container/bytejson path grammar (func_json_extract.test):
+#   $.key  $."quoted key"  $.*  $[N]  $[last]  $[last-N]  $[A to B]  $[*]  $**
+# A path containing * / ** / a range always yields a JSON ARRAY of matches;
+# otherwise a single match is returned bare. No match -> NULL. A non-array
+# value is addressed as a one-element array by index/range legs ($[0] on a
+# scalar returns the scalar, func_json_extract.test $[0 to 0] on '1' -> [1]).
+
+_JSON_PATH_TOKEN_RE = re.compile(
+    r"""\.\s*"(?P<qkey>(?:[^"\\]|\\.)*)"   # ."quoted key"
+      | \.\s*(?P<wildkey>\*)               # .*
+      | \.\s*(?P<key>[^.\[\*"]+)           # .key
+      | \[\s*(?P<body>[^\]]*)\]            # [ ... ]
+      | (?P<rec>\*\*)                      # **
+    """,
+    re.VERBOSE,
+)
+_JSON_IDX_RE = re.compile(r"^(?:(?P<n>\d+)|last(?:\s*-\s*(?P<off>\d+))?)$")
+
+
+def _parse_json_path(path: str) -> "list[tuple] | None":
+    p = path.strip()
+    if not p.startswith("$"):
+        return None
+    steps: "list[tuple]" = []
+    i = 1
+    while i < len(p):
+        m = _JSON_PATH_TOKEN_RE.match(p, i)
+        if not m:
+            return None
+        if m.group("qkey") is not None:
+            steps.append(("key", m.group("qkey").replace('\\"', '"')))
+        elif m.group("wildkey"):
+            steps.append(("key_wild",))
+        elif m.group("key") is not None:
+            steps.append(("key", m.group("key").strip()))
+        elif m.group("rec"):
+            steps.append(("rec",))
+        else:
+            body = m.group("body").strip()
+            if body == "*":
+                steps.append(("idx_wild",))
+            elif " to " in body:
+                lo, hi = (s.strip() for s in body.split(" to ", 1))
+                ml, mh = _JSON_IDX_RE.match(lo), _JSON_IDX_RE.match(hi)
+                if not ml or not mh:
+                    return None
+                steps.append(("range", _idx_spec(ml), _idx_spec(mh)))
+            else:
+                mi = _JSON_IDX_RE.match(body)
+                if not mi:
+                    return None
+                spec = _idx_spec(mi)
+                steps.append(("idx", spec))
+        i = m.end()
+    return steps
+
+
+def _idx_spec(m: "re.Match") -> "tuple[str, int]":
+    if m.group("n") is not None:
+        return ("n", int(m.group("n")))
+    return ("last", int(m.group("off") or 0))
+
+
+def _resolve_idx(spec: "tuple[str, int]", n: int) -> int:
+    return spec[1] if spec[0] == "n" else n - 1 - spec[1]
+
+
+def _all_json_nodes(node):
+    yield node
+    if isinstance(node, dict):
+        for v in node.values():
+            yield from _all_json_nodes(v)
+    elif isinstance(node, list):
+        for v in node:
+            yield from _all_json_nodes(v)
+
+
+def _eval_json_path(node, steps: "list[tuple]") -> list:
+    if not steps:
+        return [node]
+    head, rest = steps[0], steps[1:]
+    kind = head[0]
+    out: list = []
+    if kind == "key":
+        if isinstance(node, dict) and head[1] in node:
+            out += _eval_json_path(node[head[1]], rest)
+    elif kind == "key_wild":
+        if isinstance(node, dict):
+            for v in node.values():
+                out += _eval_json_path(v, rest)
+    elif kind == "idx":
+        arr = node if isinstance(node, list) else [node]
+        i = _resolve_idx(head[1], len(arr))
+        if 0 <= i < len(arr):
+            out += _eval_json_path(arr[i], rest)
+    elif kind == "range":
+        arr = node if isinstance(node, list) else [node]
+        a = max(_resolve_idx(head[1], len(arr)), 0)
+        b = min(_resolve_idx(head[2], len(arr)), len(arr) - 1)
+        for i in range(a, b + 1):
+            out += _eval_json_path(arr[i], rest)
+    elif kind == "idx_wild":
+        if isinstance(node, list):
+            for v in node:
+                out += _eval_json_path(v, rest)
+    elif kind == "rec":
+        for n in _all_json_nodes(node):
+            out += _eval_json_path(n, rest)
+    return out
+
+
+def _mysql_dumps(obj) -> str:
+    return json.dumps(obj, separators=(", ", ": "), ensure_ascii=False)
+
+
+def mysql_json_extract_str(doc: "str | None", path: "str | None") -> "str | None":
+    if doc is None or path is None:
+        return None
+    steps = _parse_json_path(str(path))
+    if steps is None:
+        raise ValueError(f"invalid json path {path!r}")
+    node = json.loads(doc)
+    matches = _eval_json_path(node, steps)
+    if not matches:
+        return None
+    wild = any(s[0] in ("key_wild", "idx_wild", "range", "rec") for s in steps)
+    if wild or len(matches) > 1:
+        return _mysql_dumps(matches)
+    return _mysql_dumps(matches[0])
+
+
+@pandas_udf(StringType())
+def _mo_json_extract_udf(docs: pd.Series, paths: pd.Series) -> pd.Series:
+    out = []
+    for d, p in zip(docs, paths):
+        try:
+            out.append(mysql_json_extract_str(d, p))
+        except (TypeError, ValueError):
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+def mo_json_extract(doc, path) -> Column:
+    """json_extract with the reference's full path grammar (wildcards,
+    ``**`` recursive descent, ``last``/ranges) — bytejson path semantics;
+    the dialect routes wildcard paths here, plain paths stay on Spark's
+    JVM-side get_json_object."""
+    return _mo_json_extract_udf(_c(doc), _c(path))

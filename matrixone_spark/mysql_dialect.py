@@ -450,7 +450,7 @@ _FN_RENAME_RE = re.compile(
 # builder receives the top-level-split argument list and returns Spark SQL.
 _FN_COMPOSE_RE = re.compile(
     r"\b(field|oct|ord|conv|export_set|make_set|random_bytes"
-    r"|validate_password_strength|insert|in_range|if"
+    r"|validate_password_strength|insert|in_range|if|dayname"
     r"|h3_h3index_parent|h3_h3index|json_length|json_extract|json_unquote)\s*\(",
     re.IGNORECASE,
 )
@@ -493,8 +493,18 @@ def _compose_fn(name: str, args: "list[str]") -> "str | None":
             f"CAST({args[1]} AS INT), CAST({args[2]} AS INT))"
         )
     if name == "ord" and len(args) == 1:
-        # byte-sequence value of the first (possibly multi-byte) character
-        return f"CAST(conv(hex(substring({args[0]}, 1, 1)), 16, 10) AS BIGINT)"
+        # byte-sequence value of the first (possibly multi-byte) character;
+        # ORD('') is 0 in MySQL (func_string_ord.test), not NULL
+        x = args[0]
+        return (
+            f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS BIGINT) "
+            f"ELSE COALESCE(CAST(conv(hex(substring({x}, 1, 1)), 16, 10) "
+            f"AS BIGINT), 0) END)"
+        )
+    if name == "dayname" and len(args) == 1:
+        # MySQL DAYNAME returns the FULL day name; Spark's dayname() is the
+        # 3-letter abbreviation (func_datetime_dayname.test)
+        return f"date_format(try_cast(({args[0]}) AS TIMESTAMP), 'EEEE')"
     if name == "export_set" and 3 <= len(args) <= 5:
         bits, on, off = args[0], args[1], args[2]
         sep = args[3] if len(args) > 3 else "','"
@@ -1989,6 +1999,10 @@ def rewrite_generate_series(masked: str, body_fmt: str) -> str:
 
 
 _LIKE_SPAN_RE = re.compile(r"\bi?like\s+\x01(\d+)\x01(?!\s*escape)", re.IGNORECASE)
+_JSON_EXTRACT_RE = re.compile(r"\b(json_extract)\s*\(", re.IGNORECASE)
+_JE_CMP_RE = re.compile(
+    r"(mo_json_extract\s*\([^()]*\))\s*(=|<>|!=)\s*\x01(\d+)\x01", re.IGNORECASE
+)
 _GEO_FN_RE = re.compile(r"\b(st_[a-z0-9_]+)\s*\(", re.IGNORECASE)
 _REPEAT_RE = re.compile(
     r"(?<![\w.])(repeat|space|split_part|median)\s*\(", re.IGNORECASE
@@ -2108,6 +2122,31 @@ def translate(sql: str) -> str:
 
     masked = _DATE_FORMAT_RE.sub(fmt_repl, masked)
     masked = _GROUP_CONCAT_RE.sub(gc_repl, masked)
+    if "json_extract" in masked.lower():
+        # full bytejson path grammar (wildcards/**/last/ranges) needs the
+        # Python evaluator; plain member paths stay on get_json_object
+        # (JVM fast path) via _compose_fn below
+        def je_build(name, args):
+            if len(args) != 2:
+                return None
+            return f"mo_json_extract({args[0]}, {args[1]})"
+
+        masked = _rewrite_calls(
+            masked, _JSON_EXTRACT_RE, None, per_name_builder=je_build
+        )
+
+        # json_extract(...) = 'lit': MySQL compares as JSON values, so the
+        # bare string literal coerces to a JSON string — quote it to match
+        # the extractor's quoted rendering (func_json_extract.test WHERE
+        # json_extract(data,'$.CODE') = 'CODE-3')
+        def je_cmp(m: "re.Match") -> str:
+            n = int(m.group(3))
+            s = spans[n]
+            if s[:1] == "'" and not s[1:-1].startswith('"'):
+                spans[n] = "'\"" + s[1:-1] + "\"'"
+            return m.group(0)
+
+        masked = _JE_CMP_RE.sub(je_cmp, masked)
     if _FN_RENAME_RE.search(masked) or _FN_COMPOSE_RE.search(masked):
         masked = rewrite_mysql_fns(masked)
     if _HAVING_RE.search(masked):
