@@ -1019,6 +1019,80 @@ class BvtSession:
         out = re.sub(r"(?<!@)@(\w+)", repl, masked)
         return unmask_literals(out, spans)
 
+    def coerce_typed_literals(self, stmt: str) -> str:
+        """Reference comparisons convert the literal to the COLUMN's type:
+        a float32 column matches its decimal literal back (operator.test
+        ``c in (2.001, 2.002)`` — double-widening 2.001f ≠ 2.001 would miss
+        it), and DATE/DATETIME columns parse compact 'YYYYMMDD' strings.
+        Schema-aware textual pass over this session's unambiguous columns,
+        applied before BOTH engines run the statement."""
+        low = stmt.lower()
+        # only tables the statement references contribute columns — a same-
+        # named column of ANOTHER table must not shadow the type
+        tabs = [n for n in self.schemas if re.search(rf"\b{re.escape(n.lower())}\b", low)]
+        colt: "dict[str, str | None]" = {}
+        for name in tabs:
+            for c, t in self.schemas[name]:
+                cl, tl = c.lower(), t.lower()
+                if cl in colt and colt[cl] != tl:
+                    colt[cl] = None
+                else:
+                    colt.setdefault(cl, tl)
+        float_cols = [
+            c for c, t in colt.items() if t == "float" and c in low
+        ]
+        date_cols = [
+            c
+            for c, t in colt.items()
+            if t in ("date", "timestamp") and c in low
+        ]
+        if not float_cols and not date_cols:
+            return stmt
+        masked, spans = mask_literals(stmt)
+        ops = r"(?:=|<>|!=|<=|>=|<|>)"
+        if float_cols:
+            alt = "|".join(re.escape(c) for c in float_cols)
+
+            def fnum(m):
+                # try_cast: the dialect's CAST-AS-FLOAT rewrite (MySQL
+                # string→number fallback) would widen this back to DOUBLE
+                return f"try_cast({m.group(0)} AS FLOAT)"
+
+            def fcmp(m):
+                return m.group(1) + re.sub(r"-?\d+\.\d+", fnum, m.group(2))
+
+            masked = re.sub(
+                rf"(\b(?:{alt})\b\s*{ops}\s*)(-?\d+\.\d+)",
+                fcmp, masked, flags=re.IGNORECASE,
+            )
+            masked = re.sub(
+                rf"(\b(?:{alt})\b\s+in\s*\()([^()]+)(?=\))",
+                lambda m: m.group(1) + re.sub(r"-?\d+\.\d+", fnum, m.group(2)),
+                masked, flags=re.IGNORECASE,
+            )
+        if date_cols:
+            alt = "|".join(re.escape(c) for c in date_cols)
+
+            def dspan(m):
+                for pm in re.finditer(r"\x01(\d+)\x01", m.group(0)):
+                    n = int(pm.group(1))
+                    body = spans[n][1:-1]
+                    if re.fullmatch(r"\d{8}", body):
+                        spans[n] = f"'{body[:4]}-{body[4:6]}-{body[6:]}'"
+                    elif re.fullmatch(r"\d{14}", body):
+                        spans[n] = (
+                            f"'{body[:4]}-{body[4:6]}-{body[6:8]} "
+                            f"{body[8:10]}:{body[10:12]}:{body[12:]}'"
+                        )
+                return m.group(0)
+
+            masked = re.sub(
+                rf"\b(?:{alt})\b\s*(?:{ops}\s*\x01\d+\x01"
+                rf"|in\s*\([^()]+\))",
+                dspan, masked, flags=re.IGNORECASE,
+            )
+        return unmask_literals(masked, spans)
+
     def preprocess(self, stmt: str) -> "str | None":
         """Consume session-state statements (SET @…, PREPARE, EXECUTE,
         DEALLOCATE); return the expanded plain-SQL text for everything that
@@ -1682,7 +1756,7 @@ class CoExecutor:
             if expanded is None:
                 stats["executed"] += 1
                 continue
-            stmt = expanded
+            stmt = self.sess.coerce_typed_literals(expanded)
             masked, _ = mask_literals(stmt)
             head = masked.strip().lstrip("(").split(None, 1)[0].lower() if masked.strip() else ""
             is_query = head in ("select", "with", "values", "table")
