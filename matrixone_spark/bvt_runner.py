@@ -208,6 +208,7 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
     rounds: "dict[str, int]" = {}
     tsprec: "dict[str, int]" = {}
     intrange: "dict[str, tuple[int, int]]" = {}
+    enums: "dict[str, list[str]]" = {}
     for part in parts:
         part = unmask_literals(part, spans).strip()
         if re.match(r"(primary|unique|key|index|constraint|foreign|check)\b", part, re.IGNORECASE):
@@ -224,6 +225,14 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
         rest = _DEFAULT_RE.sub(" ", rest)
         rest = _COL_CONSTRAINT_RE.sub(" ", rest).strip().rstrip(",")
         cols.append((col, _norm_type(rest)))
+        em = re.match(r"enum\s*\(\s*(.*)\)\s*$", rest, re.IGNORECASE | re.DOTALL)
+        if em:
+            # member list in declaration order: MySQL's 1-based enum index
+            # drives numeric context, ordering, and insert-by-number
+            enums[col] = [
+                mm.group(1).replace("''", "'").replace("\\'", "'")
+                for mm in re.finditer(r"'((?:[^'\\]|\\.|'')*)'", em.group(1))
+            ]
         pm = re.match(r"binary\s*\((\d+)\)\s*$", rest, re.IGNORECASE)
         if pm:
             # MySQL BINARY(n) is fixed-length, zero-padded on store
@@ -264,7 +273,7 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
         raise SkipStatement("CREATE TABLE with no parseable columns")
     return name, cols, defaults, {
         "binpads": pads, "autoinc": autoinc, "years": years, "rounds": rounds,
-        "tsprec": tsprec, "intrange": intrange,
+        "tsprec": tsprec, "intrange": intrange, "enums": enums,
     }
 
 
@@ -353,9 +362,23 @@ class BvtSession:
         rounds = meta.get("rounds", {})
         tsprec = meta.get("tsprec", {})
         intrange = meta.get("intrange", {})
+        enums = meta.get("enums", {})
         src_types = dict(df.dtypes)
         for c, t in schema:
             if c in provided:
+                if c in enums and not src_types.get(provided[c], "").startswith(
+                    ("string", "void")
+                ):
+                    # numeric store into ENUM: MySQL looks up the 1-based
+                    # member index (dtype/enum.sql insert-by-number)
+                    idx = F.col(provided[c]).cast("int")
+                    arr = F.array(*[F.lit(mv) for mv in enums[c]])
+                    sel.append(
+                        F.when(idx.isNull(), F.lit(None).cast("string"))
+                        .otherwise(F.element_at(arr, idx))
+                        .alias(c)
+                    )
+                    continue
                 if t.startswith("array<") and not src_types.get(
                     provided[c], ""
                 ).startswith("array"):
@@ -721,6 +744,7 @@ class BvtSession:
             or meta.get("rounds")
             or meta.get("tsprec")
             or meta.get("intrange")
+            or meta.get("enums")
             or any(ty.startswith("decimal(") for _, ty in self.schemas[name])
         ):
             # Spark-side value coercion (AUTO_INCREMENT fill, YEAR 2-digit
@@ -802,10 +826,28 @@ class BvtSession:
             assigns[col] = translate(unmask_literals(am.group(2).strip(), spans))
         cond = translate(unmask_literals(m.group(3), spans)) if m.group(3) else "true"
         schema = self.schemas[name]
+        meta = self.colmeta.get(name, {})
+        tsprec = meta.get("tsprec", {})
+        rounds = meta.get("rounds", {})
         sel = []
         for c, t in schema:
             if c in assigns:
-                sel.append(f"CAST(CASE WHEN coalesce(({cond}), false) THEN ({assigns[c]}) ELSE {c} END AS {t}) AS {c}")
+                new = f"({assigns[c]})"
+                # MySQL store coercion on UPDATE, mirroring the INSERT
+                # path: DATETIME(n)/TIMESTAMP(n) round to n fractional
+                # digits, DOUBLE(M,D)/FLOAT(M,D) round to D decimals
+                if c in tsprec and t == "timestamp":
+                    sc = 10 ** (6 - tsprec[c])
+                    new = (
+                        f"timestamp_micros(CAST(FLOOR(unix_micros(CAST({new} "
+                        f"AS TIMESTAMP)) / {sc} + 0.5) * {sc} AS BIGINT))"
+                    )
+                elif c in rounds:
+                    new = f"round(CAST({new} AS DOUBLE), {rounds[c]})"
+                sel.append(
+                    f"CAST(CASE WHEN coalesce(({cond}), false) "
+                    f"THEN {new} ELSE {c} END AS {t}) AS {c}"
+                )
             else:
                 sel.append(c)
         self._register(name, self.spark.sql(f"SELECT {', '.join(sel)} FROM {name}"))
@@ -1031,6 +1073,7 @@ class BvtSession:
         # named column of ANOTHER table must not shadow the type
         tabs = [n for n in self.schemas if re.search(rf"\b{re.escape(n.lower())}\b", low)]
         colt: "dict[str, str | None]" = {}
+        colp: "dict[str, int]" = {}  # DATETIME(n)/TIMESTAMP(n) precision
         for name in tabs:
             for c, t in self.schemas[name]:
                 cl, tl = c.lower(), t.lower()
@@ -1038,6 +1081,12 @@ class BvtSession:
                     colt[cl] = None
                 else:
                     colt.setdefault(cl, tl)
+            for c, p in self.colmeta.get(name, {}).get("tsprec", {}).items():
+                colp.setdefault(c.lower(), p)
+        enums: "dict[str, list[str]]" = {}
+        for name in tabs:
+            for c, members in self.colmeta.get(name, {}).get("enums", {}).items():
+                enums.setdefault(c.lower(), members)
         float_cols = [
             c for c, t in colt.items() if t == "float" and c in low
         ]
@@ -1046,9 +1095,42 @@ class BvtSession:
             for c, t in colt.items()
             if t in ("date", "timestamp") and c in low
         ]
-        if not float_cols and not date_cols:
+        enum_cols = [c for c in enums if c in low]
+        if not float_cols and not date_cols and not enum_cols:
             return stmt
         masked, spans = mask_literals(stmt)
+        for c in enum_cols:
+            # MySQL evaluates an ENUM column by its 1-based member INDEX in
+            # numeric context (e+0, cast, abs, comparisons with numbers,
+            # BETWEEN) and ORDER BY (dtype/enum.sql windows over enum order)
+            branches = " ".join(
+                "WHEN {} = '{}' THEN {}".format(c, mv.replace("'", "''"), i + 1)
+                for i, mv in enumerate(enums[c])
+            )
+            idx = f"(CASE WHEN {c} IS NULL THEN NULL {branches} ELSE 0 END)"
+            cw = rf"(?<![\w.\x60]){re.escape(c)}\b"
+            masked = re.sub(
+                rf"{cw}(?=\s*[%*/+-]\s*\d)", idx, masked, flags=re.IGNORECASE
+            )
+            masked = re.sub(
+                rf"(\bcast\s*\(\s*){cw}(?=\s+as\s+(?:signed|unsigned|int|bigint|decimal|double|float))",
+                lambda m: m.group(1) + idx, masked, flags=re.IGNORECASE,
+            )
+            masked = re.sub(
+                rf"(\babs\s*\(\s*){cw}(?=\s*\))",
+                lambda m: m.group(1) + idx, masked, flags=re.IGNORECASE,
+            )
+            masked = re.sub(
+                rf"{cw}(?=\s*(?:=|<>|!=|<=|>=|<|>)\s*[+-]?\d)",
+                idx, masked, flags=re.IGNORECASE,
+            )
+            masked = re.sub(
+                rf"{cw}(?=\s+between\s+[+-]?\d)", idx, masked, flags=re.IGNORECASE
+            )
+            masked = re.sub(
+                rf"(\border\s+by\s+){cw}(?=\s|$|\)|,)",
+                lambda m: m.group(1) + idx, masked, flags=re.IGNORECASE,
+            )
         ops = r"(?:=|<>|!=|<=|>=|<|>)"
         if float_cols:
             alt = "|".join(re.escape(c) for c in float_cols)
@@ -1074,6 +1156,7 @@ class BvtSession:
             alt = "|".join(re.escape(c) for c in date_cols)
 
             def dspan(m):
+                prec = colp.get(m.group(1).lower(), 6)
                 for pm in re.finditer(r"\x01(\d+)\x01", m.group(0)):
                     n = int(pm.group(1))
                     body = spans[n][1:-1]
@@ -1084,10 +1167,27 @@ class BvtSession:
                             f"'{body[:4]}-{body[4:6]}-{body[6:8]} "
                             f"{body[8:10]}:{body[10:12]}:{body[12:]}'"
                         )
+                    elif prec < 6 and re.fullmatch(
+                        r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}\.\d+", body
+                    ):
+                        # the literal converts to the COLUMN's DATETIME(n)
+                        # type — ROUND its fraction to n digits (MySQL:
+                        # WHERE dt3 = '…56.789456' matches the stored .789)
+                        import datetime as _dtm
+
+                        base, frac = body.replace("T", " ").split(".")
+                        us = int(frac[:6].ljust(6, "0"))
+                        sc = 10 ** (6 - prec)
+                        us = round(us / sc) * sc
+                        d = _dtm.datetime.strptime(base, "%Y-%m-%d %H:%M:%S")
+                        if us >= 1000000:
+                            d += _dtm.timedelta(seconds=1)
+                            us -= 1000000
+                        spans[n] = f"'{d:%Y-%m-%d %H:%M:%S}.{us:06d}'"
                 return m.group(0)
 
             masked = re.sub(
-                rf"\b(?:{alt})\b\s*(?:{ops}\s*\x01\d+\x01"
+                rf"\b({alt})\b\s*(?:{ops}\s*\x01\d+\x01"
                 rf"|in\s*\([^()]+\))",
                 dspan, masked, flags=re.IGNORECASE,
             )
