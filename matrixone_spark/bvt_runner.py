@@ -116,6 +116,20 @@ _MATCH_AGAINST_RE = re.compile(
 )
 
 
+_SQL_LITERAL_RE = re.compile(r"'(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.)*\"")
+
+
+def _sub_outside_literals(pattern: str, repl: str, s: str) -> str:
+    """re.sub that skips single/double-quoted string literals."""
+    parts, last = [], 0
+    for m in _SQL_LITERAL_RE.finditer(s):
+        parts.append(re.sub(pattern, repl, s[last : m.start()]))
+        parts.append(m.group(0))
+        last = m.end()
+    parts.append(re.sub(pattern, repl, s[last:]))
+    return "".join(parts)
+
+
 def _scan_to_close(s: str, open_idx: int) -> int:
     """Index of the ')' closing the '(' at open_idx (quote-aware)."""
     depth, i, n = 0, open_idx, len(s)
@@ -550,6 +564,7 @@ class BvtSession:
                 stmt = unmask_literals(_FROM_DUAL_RE.sub(" ", masked), spans)
             if _MATCH_AGAINST_RE.search(stmt):
                 stmt = self._rewrite_match(stmt)
+            stmt = self._rewrite_int_sum(stmt)
             return "select", self.spark.sql(translate(stmt))
         if head == "set":
             # fulltext session variables the scripts drive; other SETs keep
@@ -707,6 +722,34 @@ class BvtSession:
         raise SkipStatement(f"unsupported statement head {head!r}")
 
     def _insert(self, stmt, masked, spans):
+        # MySQL `INSERT INTO t SET a = 1, b = 'x'` — rewrite to the
+        # column-list VALUES form (function_group_concat.sql relies on it
+        # together with AUTO_INCREMENT fill). DuckDB can't parse SET-form
+        # either, so the rewritten text doubles as the duck override when
+        # the coercion path doesn't produce a literal one.
+        sm = re.match(
+            r"\s*insert\s+(?:ignore\s+)?into\s+([`\w.\x01]+)\s+set\s+(.*)$",
+            masked,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if sm:
+            assigns = []
+            for part in _split_top_level(sm.group(2).rstrip().rstrip(";")):
+                am = re.match(r"\s*[`]?(\w+)[`]?\s*=\s*(.*)$", part, re.DOTALL)
+                if not am:
+                    raise SkipStatement("unsupported INSERT ... SET shape")
+                assigns.append((am.group(1), am.group(2).strip()))
+            tname = sm.group(1)
+            cols_sql = ", ".join(c for c, _ in assigns)
+            vals_sql = ", ".join(v for _, v in assigns)
+            stmt = unmask_literals(
+                f"INSERT INTO {tname} ({cols_sql}) VALUES ({vals_sql})", spans
+            )
+            masked, spans = mask_literals(stmt)
+            kind = self._insert(stmt, masked, spans)
+            if not self.last_duck_override:
+                self.last_duck_override = stmt
+            return kind
         m = re.match(
             r"\s*insert\s+(?:ignore\s+)?into\s+([`\w.\x01]+)\s*(\(([^)]*)\))?\s*(values|select|with)\b(.*)$",
             masked,
@@ -868,6 +911,16 @@ class BvtSession:
     def _rewrite_match(self, stmt: str) -> str:
         out = self._expand_star(stmt)
         first_sc, first_bool = None, True
+        # Pass 1 — resolve EVERY call site against the ORIGINAL tables and
+        # substitute only the call-site text (the table→view swap happens
+        # after all sites are resolved, so a second MATCH in the same
+        # statement — `SELECT MATCH(c) AGAINST('x') FROM t WHERE MATCH(c)
+        # AGAINST('x')`, the suite's most common shape — still sees the
+        # real table and its fulltext index). Identical (table, cols,
+        # pattern, mode) calls share ONE score column.
+        calls: "dict[tuple, str]" = {}
+        per_table: "dict[str, list]" = {}
+        left_join: "set[str]" = set()
         for _guard in range(16):
             m = _MATCH_AGAINST_RE.search(out)
             if not m:
@@ -893,16 +946,42 @@ class BvtSession:
                     "MATCH() AGAINST() function cannot be replaced by FULLTEXT "
                     "INDEX and full table scan with fulltext search is not supported"
                 )
-            view, sc = self._ft_scored_view(tbl, cols, pattern, boolean)
+            key = (tbl, frozenset(c.lower() for c in cols), pattern, boolean)
+            sc = calls.get(key)
+            if sc is None:
+                self._ft_counter += 1
+                sc = f"__ft_sc_{self._ft_counter}"
+                calls[key] = sc
+                per_table.setdefault(tbl, []).append((cols, pattern, boolean, sc))
             if first_sc is None:
                 first_sc, first_bool = sc, boolean
+            # negated MATCH (`NOT MATCH(...)`): an INNER-joined matched-only
+            # view would make it vacuously false — the table needs a LEFT
+            # join and the bool site becomes `score IS NOT NULL`.
+            if re.search(r"(?i)\bnot\s*$", out[: m.start()]):
+                left_join.add(tbl)
             # WHERE context: the scored view's INNER join already keeps
             # only matched docs — the reference includes zero-score
             # matches (e.g. '+red ~blue' where the ~ weight cancels the
-            # score), so the predicate must NOT test score <> 0
-            repl = "TRUE" if self._ft_bool_context(out, m.start(), close) else sc
+            # score), so the predicate must NOT test score <> 0. Bool sites
+            # are marked with \x02…\x03 and resolved after the join mode
+            # (inner vs left) of every table is known.
+            repl = ("\x02" + sc + "\x03") if self._ft_bool_context(out, m.start(), close) else sc
             out = out[: m.start()] + repl + out[close + 1 :]
-            out = re.sub(rf"\b{re.escape(tbl)}\b", view, out)
+        # Pass 2 — one scored view per table carrying every score column;
+        # swap names only OUTSIDE string literals (a table named e.g. `src`
+        # must not be rewritten inside '... src ...' string constants).
+        for tbl, sites in per_table.items():
+            view = self._ft_scored_view(tbl, sites, left=tbl in left_join)
+            out = _sub_outside_literals(rf"\b{re.escape(tbl)}\b", view, out)
+        sc_tbl = {sc: tbl for (tbl, _c, _p, _b), sc in calls.items()}
+        out = re.sub(
+            "\x02(__ft_sc_\\d+)\x03",
+            lambda m: f"({m.group(1)} IS NOT NULL)"
+            if sc_tbl.get(m.group(1)) in left_join
+            else "TRUE",
+            out,
+        )
         # NL-mode LIMIT without ORDER BY: the reference's index pushdown
         # returns top-k BY SCORE (fulltext.sql topk regression) — make the
         # implicit ordering explicit
@@ -963,6 +1042,35 @@ class BvtSession:
             "where", "and", "or", "not", "when", "on", "having", "(",
         )
 
+    _INT_SUM_RE = re.compile(
+        r"\bsum\s*\(\s*(distinct\s+)?[`]?(\w+)[`]?\.?[`]?(\w+)?[`]?\s*\)",
+        re.IGNORECASE,
+    )
+    _INT_TYPES = ("tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte")
+
+    def _rewrite_int_sum(self, stmt: str) -> str:
+        """MySQL SUM over an integer column returns DECIMAL — exact at any
+        magnitude (boundary_comprehensive.sql sums 3×BIGINT-max). Spark's
+        SUM(bigint) wraps; wrap integer-column args in a decimal(38,0) cast
+        when every FROM table's schema says the column is integral."""
+        if not re.search(r"(?i)\bsum\s*\(", stmt):
+            return stmt
+        coltypes: "dict[str, set]" = {}
+        for _kw, name, _alias in self._FROM_TBL_RE.findall(stmt):
+            for c, ty in self.schemas.get(name, ()):  # (col, sparktype) pairs
+                coltypes.setdefault(c.lower(), set()).add(ty.lower())
+
+        def repl(m: "re.Match") -> str:
+            col = (m.group(3) or m.group(2)).lower()
+            tys = coltypes.get(col)
+            if tys and all(t in self._INT_TYPES for t in tys):
+                dist = m.group(1) or ""
+                inner = m.group(2) + ("." + m.group(3) if m.group(3) else "")
+                return f"sum({dist}cast({inner} as decimal(38,0)))"
+            return m.group(0)
+
+        return self._INT_SUM_RE.sub(repl, stmt)
+
     def _find_match_table(self, stmt: str, cols: "list[str]") -> str:
         cands = re.findall(r"\b(?:from|join)\s+[`]?(\w+)[`]?", stmt, re.IGNORECASE)
         for t in cands:
@@ -972,38 +1080,47 @@ class BvtSession:
                 return t
         raise SkipStatement(f"MATCH columns {cols} not found in FROM tables {cands}")
 
-    def _ft_scored_view(self, tbl: str, cols: "list[str]", pattern: str, boolean: bool) -> "tuple[str, str]":
+    def _ft_scored_view(self, tbl: str, sites: "list[tuple]", left: bool = False) -> str:
+        """One temp view over `tbl` carrying a score column per MATCH call.
+
+        sites: [(cols, pattern, boolean, score_col)]. INNER join by default:
+        the reference's planner rewrite returns ONLY matched documents even
+        when MATCH sits in the SELECT list (fulltext.result: `select *,
+        match(...) as score` rows). `left=True` when the statement negates a
+        MATCH — unmatched rows must survive with a NULL score."""
         from matrixone_spark.operators.fulltext import FullTextIndex
 
         base = self.tables[tbl]
         rid = "__ft_rid"
         based = base.withColumn(rid, F.monotonically_increasing_id())
-        docs = based.select(
-            rid,
-            F.concat_ws(" ", *[F.col(c).cast("string") for c in cols]).alias("__ft_text"),
-        )
-        idx = FullTextIndex.build_cached(docs, rid, "__ft_text", mode="mixed")
-        if boolean:
-            scores = idx.match_pattern(pattern, algo=self.ft_algo)
-        else:
-            scores = idx.match_nl(pattern, algo=self.ft_algo)
-        self._ft_counter += 1
-        sc = f"__ft_sc_{self._ft_counter}"
-        view = f"__ft_v_{self._ft_counter}"
-        # INNER join: the reference's planner rewrite returns ONLY matched
-        # documents even when MATCH sits in the SELECT list
-        # (fulltext.result: `select *, match(...) as score` rows)
-        scored = (
-            based.join(
+        how = "left" if left else "inner"
+        scored = based
+        for cols, pattern, boolean, sc in sites:
+            docs = based.select(
+                rid,
+                F.concat_ws(" ", *[F.col(c).cast("string") for c in cols]).alias("__ft_text"),
+            )
+            idx = FullTextIndex.build_cached(docs, rid, "__ft_text", mode="mixed")
+            if boolean:
+                scores = idx.match_pattern(pattern, algo=self.ft_algo)
+            else:
+                scores = idx.match_nl(pattern, algo=self.ft_algo)
+            scored = scored.join(
                 scores.withColumnRenamed("doc_id", rid).withColumnRenamed("score", sc),
                 rid,
-                "inner",
+                how,
             )
-            .drop(rid)
-        )
+        scored = scored.drop(rid)
+        self._ft_counter += 1
+        view = f"__ft_v_{self._ft_counter}"
         self.tables[view] = scored
+        # a later statement-internal lookup must see the view as fulltext-
+        # covered too (defense in depth for shapes the two-pass rewrite
+        # doesn't foresee)
+        if tbl in self.ft_indexes:
+            self.ft_indexes[view] = dict(self.ft_indexes[tbl])
         scored.createOrReplaceTempView(view)
-        return view, sc
+        return view
 
     def snapshot(self) -> tuple:
         """Cheap state snapshot — DataFrames are immutable, dicts are replaced."""
@@ -1915,7 +2032,30 @@ class CoExecutor:
                     override if (spark_ok and override) else stmt
                 )
             if not is_query:
-                if spark_ok and duck_ok:
+                # arbitration vs the reference's own .result: when IT
+                # records an error for a DML both replay engines executed
+                # (e.g. strict-mode out-of-range store, dup-key insert the
+                # clamp path tolerated), roll BOTH back — downstream
+                # SELECTs must grade against the state the reference
+                # actually holds, not the state MySQL-compatible clamping
+                # would produce. Conversely a reference-successful DML that
+                # only DuckDB rejected keeps Spark's state (taint path).
+                cl = (
+                    ref.claim(orig)
+                    if ref is not None and (spark_ok or duck_ok)
+                    else None
+                )
+                ref_err = cl is not None and cl[0] == "error"
+                ref_rows = cl is not None and cl[0] == "rows"
+                if ref_err:
+                    if spark_ok:
+                        self.sess.restore(snap)
+                    try:
+                        self.con.execute("ROLLBACK")
+                    except Exception:
+                        pass
+                    stats["diverged"] += 1
+                elif spark_ok and duck_ok:
                     self.con.execute("COMMIT")
                     stats["executed"] += 1
                     for t in getattr(self.sess, "last_dropped", ()):  # re-sync
@@ -1925,7 +2065,8 @@ class CoExecutor:
                     and not duck_ok
                     and ref is not None
                     and (
-                        duck_err == "tainted"
+                        ref_rows
+                        or duck_err == "tainted"
                         or any(k in duck_err for k in
                                ("Parser Error", "Binder Error", "Catalog Error",
                                 "Not implemented", "does not exist"))

@@ -425,9 +425,15 @@ _SPEC: "dict[str, tuple[object, int, object]]" = {
 # registered arity (Spark SQL UDFs are fixed-arity, MySQL's are not)
 GEO_SQL_ARITY = {name: spec[1] for name, spec in _SPEC.items()}
 
+# process-local count of swallowed kernel exceptions (executor-side in
+# local mode); lets tests distinguish intentional NULL rows from bugs.
+_KERNEL_ERRORS = [0]
+
 
 def _make_udf(rettype, arity, kernel):
-    dtype = "object" if isinstance(rettype, (StringType, BinaryType)) else "object"
+    # object dtype for every return type: lets None coexist with str/bytes/
+    # float in the same Series; Arrow coerces to the declared Spark type.
+    dtype = "object"
 
     def run(*cols):
         out = []
@@ -443,9 +449,11 @@ def _make_udf(rettype, arity, kernel):
             try:
                 r = kernel(*args)
             except Exception:
+                # NULL-on-error matches the reference's st_* reject rows,
+                # but count it so kernel bugs stay observable (see
+                # GEO_SQL_KERNEL_ERRORS in tests / debugging sessions).
+                _KERNEL_ERRORS[0] += 1
                 r = None
-            if isinstance(r, bool):
-                pass
             out.append(r)
         return pd.Series(out, dtype=dtype)
 

