@@ -223,6 +223,8 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
     tsprec: "dict[str, int]" = {}
     intrange: "dict[str, tuple[int, int]]" = {}
     enums: "dict[str, list[str]]" = {}
+    sets: "dict[str, list[str]]" = {}
+    bitwidth: "dict[str, int]" = {}
     for part in parts:
         part = unmask_literals(part, spans).strip()
         if re.match(r"(primary|unique|key|index|constraint|foreign|check)\b", part, re.IGNORECASE):
@@ -247,6 +249,18 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
                 mm.group(1).replace("''", "'").replace("\\'", "'")
                 for mm in re.finditer(r"'((?:[^'\\]|\\.|'')*)'", em.group(1))
             ]
+        stm = re.match(r"set\s*\(\s*(.*)\)\s*$", rest, re.IGNORECASE | re.DOTALL)
+        if stm:
+            # member list in declaration order: MySQL's SET bitmap assigns
+            # member i the value 2^i; stores normalize to declaration order
+            sets[col] = [
+                mm.group(1).replace("''", "'").replace("\\'", "'")
+                for mm in re.finditer(r"'((?:[^'\\]|\\.|'')*)'", stm.group(1))
+            ]
+        bm = re.match(r"bit\s*\((\d+)\)\s*$", rest, re.IGNORECASE)
+        if bm:
+            # BIT(n): INSERT IGNORE clamps an over-wide value to n set bits
+            bitwidth[col] = int(bm.group(1))
         pm = re.match(r"binary\s*\((\d+)\)\s*$", rest, re.IGNORECASE)
         if pm:
             # MySQL BINARY(n) is fixed-length, zero-padded on store
@@ -287,7 +301,8 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
         raise SkipStatement("CREATE TABLE with no parseable columns")
     return name, cols, defaults, {
         "binpads": pads, "autoinc": autoinc, "years": years, "rounds": rounds,
-        "tsprec": tsprec, "intrange": intrange, "enums": enums,
+        "tsprec": tsprec, "intrange": intrange, "enums": enums, "sets": sets,
+        "bits": bitwidth,
     }
 
 
@@ -352,7 +367,10 @@ class BvtSession:
         schema = ", ".join(f"{c} {t}" for c, t in self.schemas[name])
         return self.spark.createDataFrame([], schema)
 
-    def _cast_to_schema(self, name: str, df: DataFrame, cols: "list[str] | None" = None) -> DataFrame:
+    def _cast_to_schema(
+        self, name: str, df: DataFrame, cols: "list[str] | None" = None,
+        ignore: bool = False,
+    ) -> DataFrame:
         """Positionally cast a parsed relation to the table schema; missing
         columns (column-list INSERT) become NULL."""
         schema = self.schemas[name]
@@ -377,6 +395,8 @@ class BvtSession:
         tsprec = meta.get("tsprec", {})
         intrange = meta.get("intrange", {})
         enums = meta.get("enums", {})
+        setcols = meta.get("sets", {})
+        bitcols = meta.get("bits", {})
         src_types = dict(df.dtypes)
         for c, t in schema:
             if c in provided:
@@ -384,12 +404,71 @@ class BvtSession:
                     ("string", "void")
                 ):
                     # numeric store into ENUM: MySQL looks up the 1-based
-                    # member index (dtype/enum.sql insert-by-number)
+                    # member index (dtype/enum.sql insert-by-number); an
+                    # out-of-range index errors (strict) or stores the
+                    # error member '' (INSERT IGNORE)
                     idx = F.col(provided[c]).cast("int")
                     arr = F.array(*[F.lit(mv) for mv in enums[c]])
+                    bad_val = (
+                        F.lit("")
+                        if ignore
+                        else F.raise_error(F.lit("enum index out of range")).cast("string")
+                    )
                     sel.append(
                         F.when(idx.isNull(), F.lit(None).cast("string"))
-                        .otherwise(F.element_at(arr, idx))
+                        .when(idx.between(1, len(enums[c])), F.element_at(arr, idx))
+                        .otherwise(bad_val)
+                        .alias(c)
+                    )
+                    continue
+                if c in enums:
+                    # string store into ENUM: ci-validate membership and
+                    # normalize to the declared spelling — an unknown label
+                    # errors (strict) or stores the error member ''
+                    # (IGNORE). dtype/enum.sql special_ignore.
+                    v = F.col(provided[c]).cast("string")
+                    bad_val = (
+                        F.lit("")
+                        if ignore
+                        else F.raise_error(F.lit("invalid enum value")).cast("string")
+                    )
+                    expr = bad_val
+                    for mv in reversed(enums[c]):
+                        expr = F.when(F.lower(v) == mv.lower(), F.lit(mv)).otherwise(expr)
+                    sel.append(
+                        F.when(v.isNull(), F.lit(None).cast("string"))
+                        .otherwise(expr)
+                        .alias(c)
+                    )
+                    continue
+                if c in setcols:
+                    # SET store: normalize to declaration order, dedup;
+                    # unknown elements error (strict) or are dropped
+                    # (IGNORE). Empty string is the valid empty set.
+                    members = setcols[c]
+                    v = F.col(provided[c]).cast("string")
+                    elems = F.split(v, ",")
+                    norm = F.concat_ws(
+                        ",",
+                        *[
+                            F.when(F.array_contains(elems, mv), F.lit(mv))
+                            for mv in members
+                        ],
+                    )
+                    has_bad = F.exists(
+                        elems,
+                        lambda x: (x != F.lit("")) & ~x.isin(members),
+                    )
+                    bad_val = (
+                        norm
+                        if ignore
+                        else F.raise_error(F.lit("invalid set value")).cast("string")
+                    )
+                    sel.append(
+                        F.when(v.isNull(), F.lit(None).cast("string"))
+                        .when(v == "", F.lit(""))
+                        .when(has_bad, bad_val)
+                        .otherwise(norm)
                         .alias(c)
                     )
                     continue
@@ -417,13 +496,24 @@ class BvtSession:
                     continue
                 if c in years:
                     # MySQL YEAR 2-digit expansion; '0' (string) → 2000 but
-                    # numeric 0 stays 0000
+                    # numeric 0 stays 0000. Range is 0/1901–2155: an
+                    # out-of-range store errors (strict) or writes 0 (IGNORE)
                     y = F.col(provided[c]).cast("int")
                     lo = 0 if src_types.get(provided[c]) == "string" else 1
-                    expr = (
+                    expanded = (
                         F.when(y.between(lo, 69), y + 2000)
                         .when(y.between(70, 99), y + 1900)
                         .otherwise(y)
+                    )
+                    bad_year = (
+                        F.lit(0)
+                        if ignore
+                        else F.raise_error(F.lit("year out of range")).cast("int")
+                    )
+                    expr = (
+                        F.when(expanded.isNull(), F.lit(None).cast("int"))
+                        .when((expanded == 0) | expanded.between(1901, 2155), expanded)
+                        .otherwise(bad_year)
                         .cast(t)
                     )
                 if c in rounds:
@@ -433,6 +523,22 @@ class BvtSession:
                     us = F.unix_micros(F.col(provided[c]).cast("timestamp"))
                     expr = F.timestamp_micros(
                         (F.floor(us / scale + F.lit(0.5)) * scale).cast("long")
+                    )
+                if c in bitcols:
+                    # BIT(n): over-wide store clamps to n set bits under
+                    # IGNORE, errors under strict mode
+                    mxb = (1 << bitcols[c]) - 1
+                    b = F.col(provided[c]).cast("long")
+                    bad_bit = (
+                        F.lit(mxb).cast("long")
+                        if ignore
+                        else F.raise_error(F.lit("bit value too long")).cast("long")
+                    )
+                    expr = (
+                        F.when(b.isNull(), F.lit(None).cast("long"))
+                        .when(b.between(0, mxb), b)
+                        .otherwise(bad_bit)
+                        .cast(t)
                     )
                 if c in intrange and c not in years:
                     # MySQL clamps out-of-range integer stores to the type
@@ -483,7 +589,20 @@ class BvtSession:
                         )
             else:
                 dflt = self.defaults.get(name, {}).get(c)
-                expr = (F.expr(dflt) if dflt is not None else F.lit(None)).cast(t)
+                if dflt is not None and c in enums:
+                    # ENUM default: a member label stores as-is; a numeric
+                    # (or numeric-string) default resolves by 1-based index
+                    # — dtype/enum.sql default02..05 (default '1' → 'T')
+                    raw = dflt.strip().strip("'\"")
+                    if raw in enums[c]:
+                        expr = F.lit(raw)
+                    elif re.fullmatch(r"\d+", raw) and 1 <= int(raw) <= len(enums[c]):
+                        expr = F.lit(enums[c][int(raw) - 1])
+                    else:
+                        expr = F.lit(raw)
+                    expr = expr.cast(t)
+                else:
+                    expr = (F.expr(dflt) if dflt is not None else F.lit(None)).cast(t)
             if c in autoinc:
                 # AUTO_INCREMENT: omitted/NULL slots continue from the
                 # current max. Count only the NULL-id rows (a mixed batch
@@ -751,18 +870,59 @@ class BvtSession:
                 self.last_duck_override = stmt
             return kind
         m = re.match(
-            r"\s*insert\s+(?:ignore\s+)?into\s+([`\w.\x01]+)\s*(\(([^)]*)\))?\s*(values|select|with)\b(.*)$",
+            r"\s*insert\s+(?P<ig>ignore\s+)?into\s+(?P<tbl>[`\w.\x01]+)\s*"
+            r"(?P<cl>\((?P<cols>[^)]*)\))?\s*(?P<hd>values|select|with)\b(?P<rest>.*)$",
             masked,
             re.IGNORECASE | re.DOTALL,
         )
-        name = _name_token(m.group(1), spans) if m else None
+        ignore = bool(m and m.group("ig"))
+        name = _name_token(m.group("tbl"), spans) if m else None
         if name not in self.schemas:
             raise SkipStatement("unsupported INSERT shape")
         cols = None
-        if m.group(3):
-            cols = [c.strip().strip("`") for c in unmask_literals(m.group(3), spans).split(",")]
-        if m.group(4).lower() == "values":
-            values_text = unmask_literals(m.group(5), spans).strip()
+        if m.group("cols"):
+            cols = [c.strip().strip("`") for c in unmask_literals(m.group("cols"), spans).split(",")]
+        if m.group("hd").lower() == "values":
+            values_masked = m.group("rest").strip()
+            if re.search(r"(?i)\bdefault\b", values_masked):
+                # bare DEFAULT inside a VALUES row: substitute the column's
+                # declared default (NULL when none) positionally —
+                # dtype/enum.sql `insert into default01 values(default)`.
+                # Operates on MASKED text so commas inside string literals
+                # don't break the split; default texts carry no mask marks.
+                target_cols = cols or [c for c, _ in self.schemas[name]]
+                dflts = self.defaults.get(name, {})
+                enums_meta = self.colmeta.get(name, {}).get("enums", {})
+
+                def _default_text(tc: str) -> str:
+                    d = dflts.get(tc)
+                    if d is None:
+                        return "NULL"
+                    if tc in enums_meta:
+                        # ENUM default: numeric (or numeric-string) resolves
+                        # by 1-based member index — default02..05
+                        raw = d.strip().strip("'\"")
+                        members = enums_meta[tc]
+                        if raw not in members and re.fullmatch(r"\d+", raw) \
+                                and 1 <= int(raw) <= len(members):
+                            return "'" + members[int(raw) - 1].replace("'", "''") + "'"
+                    return d
+
+                rows_out = []
+                for row in _split_top_level(values_masked):
+                    row = row.strip()
+                    if not (row.startswith("(") and row.endswith(")")):
+                        raise SkipStatement("unparseable VALUES row")
+                    items = _split_top_level(row[1:-1])
+                    if len(items) != len(target_cols):
+                        raise SkipStatement("VALUES arity mismatch")
+                    fixed = [
+                        (_default_text(tc) if it.strip().lower() == "default" else it)
+                        for it, tc in zip(items, target_cols)
+                    ]
+                    rows_out.append("(" + ", ".join(fixed) + ")")
+                values_masked = ", ".join(rows_out)
+            values_text = unmask_literals(values_masked, spans).strip()
             try:
                 src = self.spark.sql(translate(f"SELECT * FROM VALUES {values_text}"))
             except Exception:
@@ -770,16 +930,16 @@ class BvtSession:
                 # (insert into t values (1, s2_cellid(...))) re-shape into
                 # SELECT ... UNION ALL legs, which allow any expression
                 legs = []
-                for row in _split_top_level(m.group(5).strip()):
+                for row in _split_top_level(values_masked):
                     row = row.strip()
                     if not (row.startswith("(") and row.endswith(")")):
                         raise SkipStatement("unparseable VALUES row")
                     legs.append("SELECT " + unmask_literals(row[1:-1], spans))
                 src = self.spark.sql(translate(" UNION ALL ".join(legs)))
         else:
-            sub = unmask_literals(m.group(4) + m.group(5), spans)
+            sub = unmask_literals(m.group("hd") + m.group("rest"), spans)
             src = self.spark.sql(translate(sub))
-        new = self._cast_to_schema(name, src, cols)
+        new = self._cast_to_schema(name, src, cols, ignore=ignore)
         meta = self.colmeta.get(name, {})
         if (
             meta.get("autoinc")
@@ -788,6 +948,8 @@ class BvtSession:
             or meta.get("tsprec")
             or meta.get("intrange")
             or meta.get("enums")
+            or meta.get("sets")
+            or meta.get("bits")
             or any(ty.startswith("decimal(") for _, ty in self.schemas[name])
         ):
             # Spark-side value coercion (AUTO_INCREMENT fill, YEAR 2-digit
@@ -1201,9 +1363,12 @@ class BvtSession:
             for c, p in self.colmeta.get(name, {}).get("tsprec", {}).items():
                 colp.setdefault(c.lower(), p)
         enums: "dict[str, list[str]]" = {}
+        sets: "dict[str, list[str]]" = {}
         for name in tabs:
             for c, members in self.colmeta.get(name, {}).get("enums", {}).items():
                 enums.setdefault(c.lower(), members)
+            for c, members in self.colmeta.get(name, {}).get("sets", {}).items():
+                sets.setdefault(c.lower(), members)
         float_cols = [
             c for c, t in colt.items() if t == "float" and c in low
         ]
@@ -1212,19 +1377,18 @@ class BvtSession:
             for c, t in colt.items()
             if t in ("date", "timestamp") and c in low
         ]
+        int_like = ("tinyint", "smallint", "int", "integer", "bigint",
+                    "long", "short", "byte")
+        int_cols = [c for c, t in colt.items() if t in int_like and c in low]
         enum_cols = [c for c in enums if c in low]
-        if not float_cols and not date_cols and not enum_cols:
+        set_cols = [c for c in sets if c in low]
+        if not float_cols and not date_cols and not enum_cols and not set_cols:
             return stmt
         masked, spans = mask_literals(stmt)
-        for c in enum_cols:
-            # MySQL evaluates an ENUM column by its 1-based member INDEX in
-            # numeric context (e+0, cast, abs, comparisons with numbers,
-            # BETWEEN) and ORDER BY (dtype/enum.sql windows over enum order)
-            branches = " ".join(
-                "WHEN {} = '{}' THEN {}".format(c, mv.replace("'", "''"), i + 1)
-                for i, mv in enumerate(enums[c])
-            )
-            idx = f"(CASE WHEN {c} IS NULL THEN NULL {branches} ELSE 0 END)"
+        int_alt = "|".join(re.escape(c) for c in int_cols) or "(?!x)x"
+
+        def _numeric_context_sub(c: str, idx: str) -> None:
+            nonlocal masked
             cw = rf"(?<![\w.\x60]){re.escape(c)}\b"
             masked = re.sub(
                 rf"{cw}(?=\s*[%*/+-]\s*\d)", idx, masked, flags=re.IGNORECASE
@@ -1237,8 +1401,14 @@ class BvtSession:
                 rf"(\babs\s*\(\s*){cw}(?=\s*\))",
                 lambda m: m.group(1) + idx, masked, flags=re.IGNORECASE,
             )
+            # comparisons with numeric literals AND with integer COLUMNS
+            # (dtype/enum.sql `e = i`, `e in (i)`)
             masked = re.sub(
-                rf"{cw}(?=\s*(?:=|<>|!=|<=|>=|<|>)\s*[+-]?\d)",
+                rf"{cw}(?=\s*(?:=|<>|!=|<=|>=|<|>)\s*(?:[+-]?\d|(?:{int_alt})\b))",
+                idx, masked, flags=re.IGNORECASE,
+            )
+            masked = re.sub(
+                rf"{cw}(?=\s+in\s*\(\s*(?:[+-]?\d|(?:{int_alt})\b))",
                 idx, masked, flags=re.IGNORECASE,
             )
             masked = re.sub(
@@ -1248,6 +1418,28 @@ class BvtSession:
                 rf"(\border\s+by\s+){cw}(?=\s|$|\)|,)",
                 lambda m: m.group(1) + idx, masked, flags=re.IGNORECASE,
             )
+
+        for c in enum_cols:
+            # MySQL evaluates an ENUM column by its 1-based member INDEX in
+            # numeric context (e+0, cast, abs, comparisons with numbers,
+            # BETWEEN) and ORDER BY (dtype/enum.sql windows over enum order)
+            branches = " ".join(
+                "WHEN {} = '{}' THEN {}".format(c, mv.replace("'", "''"), i + 1)
+                for i, mv in enumerate(enums[c])
+            )
+            idx = f"(CASE WHEN {c} IS NULL THEN NULL {branches} ELSE 0 END)"
+            _numeric_context_sub(c, idx)
+        for c in set_cols:
+            # SET in numeric context evaluates to its bitmap: member i
+            # contributes 2^i (dtype/enum.sql `s + 0`, `cast(s as signed)`)
+            terms = " + ".join(
+                "(CASE WHEN find_in_set('{}', {}) > 0 THEN {} ELSE 0 END)".format(
+                    mv.replace("'", "''"), c, 1 << i
+                )
+                for i, mv in enumerate(sets[c])
+            )
+            idx = f"(CASE WHEN {c} IS NULL THEN NULL ELSE ({terms}) END)"
+            _numeric_context_sub(c, idx)
         ops = r"(?:=|<>|!=|<=|>=|<|>)"
         if float_cols:
             alt = "|".join(re.escape(c) for c in float_cols)

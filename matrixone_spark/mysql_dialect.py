@@ -2192,6 +2192,18 @@ def translate(sql: str) -> str:
         masked = rewrite_rank_no_order(masked)
     if "0x" in masked or "0X" in masked:
         masked = rewrite_hex_literals(masked)
+    # MySQL bit literals b'0101' (integer in numeric context — BIT columns,
+    # dtype/enum.sql INSERT IGNORE); the quoted digits are already masked,
+    # so resolve the span and emit the integer value
+    masked = re.sub(
+        r"(?i)\bb\x01(\d+)\x01",
+        lambda m: (
+            str(int(_literal_text(spans, int(m.group(1))), 2))
+            if re.fullmatch(r"[01]+", _literal_text(spans, int(m.group(1))) or "x")
+            else m.group(0)
+        ),
+        masked,
+    )
     if _IS_TRUTH_RE.search(masked):
         masked = rewrite_is_truth(masked)
     if "~" in masked:

@@ -59,13 +59,13 @@ def test_parse_create_table_defaults():
     )
     assert meta == {"binpads": {}, "autoinc": set(), "years": set(), "rounds": {}, "tsprec": {},
         "intrange": {"b": (-2147483648, 2147483647), "d": (0, 18446744073709551615)},
-        "enums": {}}
+        "enums": {}, "sets": {}, "bits": {}}
     _, _, _, meta2 = parse_create_table(
         "create table t2 (id int primary key auto_increment, b binary(4), "
         "v varbinary(4))"
     )
     assert meta2 == {"binpads": {"b": 4}, "autoinc": {"id"}, "years": set(), "rounds": {}, "tsprec": {},
-        "intrange": {"id": (-2147483648, 2147483647)}, "enums": {}}
+        "intrange": {"id": (-2147483648, 2147483647)}, "enums": {}, "sets": {}, "bits": {}}
     assert name == "t"
     assert cols == [
         ("a", "float"),
@@ -109,3 +109,45 @@ def test_divergence_rolls_back_both(spark):
     # whether the insert executed on both or diverged, the follow-up SELECT
     # must still have compared cleanly
     assert stats["compared"] == 1
+
+
+def test_enum_set_numeric_context(spark):
+    """ENUM evaluates by 1-based member index, SET by its bitmap, in numeric
+    context — including comparisons against integer COLUMNS; INSERT IGNORE
+    coerces invalid specials (enum→'' error member, set drops bad elements,
+    year out-of-range→0, bit clamps); VALUES(DEFAULT) resolves enum numeric
+    defaults by index. Reference: dtype/enum.sql + cast_index_to_value
+    (pkg/sql/plan/function/function_id.go)."""
+    sess = BvtSession(spark)
+    sess.execute(
+        "create table nctx (id int primary key, e enum('a','b',''), "
+        "s set('x','y','z'), i int)"
+    )
+    sess.execute("insert into nctx values (1,'a','x,z',1),(2,'b','y',2),(3,'','',3)")
+    _, df = sess.execute(sess.coerce_typed_literals(
+        "select id, cast(e as signed) ei, cast(s as signed) si, e = i, s = i "
+        "from nctx order by id"
+    ))
+    rows = [tuple(r) for r in df.collect()]
+    assert [(r[1], r[2]) for r in rows] == [(1, 5), (2, 2), (3, 0)]
+    assert [bool(r[3]) for r in rows] == [True, True, True]
+    # INSERT IGNORE coercions
+    sess.execute(
+        "create table mi (id int primary key, y year, b bit(4), "
+        "e enum('a','b'), s set('x','y','z'))"
+    )
+    sess.execute("insert ignore into mi values (1, 2156, b'11111', 'bad', 'x,bad')")
+    r = sess.tables["mi"].collect()[0]
+    assert (r["y"], r["b"], r["e"], r["s"]) == (0, 15, "", "x")
+    # strict mode: the same insert errors at materialization
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+
+    sess.execute("insert into mi values (2, 2024, 1, 'a', 'x')")
+    with _pt.raises(Exception):
+        sess.execute("insert into mi values (3, 1, 1, 'bad', 'x')")
+        sess.tables["mi"].collect()
+    # VALUES(DEFAULT) + numeric enum default resolves by index
+    sess.execute("create table d1 (c enum('T','E') not null default '2')")
+    sess.execute("insert into d1 values(default)")
+    assert sess.tables["d1"].collect()[0][0] == "E"
