@@ -225,8 +225,23 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
     enums: "dict[str, list[str]]" = {}
     sets: "dict[str, list[str]]" = {}
     bitwidth: "dict[str, int]" = {}
+    fulltexts: "list[tuple[str, tuple, str]]" = []
     for part in parts:
         part = unmask_literals(part, spans).strip()
+        fm = re.match(
+            r"fulltext(?:\s+(?:index|key))?\s*[`]?(\w*)[`]?\s*\(([^)]*)\)"
+            r"(?:\s+with\s+parser\s+[`]?(\w+)[`]?)?",
+            part, re.IGNORECASE,
+        )
+        if fm:
+            # inline FULLTEXT constraint (gojieba.sql:186 `FULLTEXT(title,
+            # body) WITH PARSER gojieba`) — register like CREATE FULLTEXT
+            # INDEX; previously this line failed the column parse and the
+            # whole CREATE diverged
+            fcols = tuple(c.strip().strip("`").lower() for c in fm.group(2).split(","))
+            fulltexts.append((fm.group(1) or f"ftidx_{len(fulltexts)}", fcols,
+                              (fm.group(3) or "").lower()))
+            continue
         if re.match(r"(primary|unique|key|index|constraint|foreign|check)\b", part, re.IGNORECASE):
             continue  # table-level constraint
         cm = re.match(r"[`]?(\w+)[`]?\s+(.+)$", part, re.DOTALL)
@@ -302,7 +317,7 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
     return name, cols, defaults, {
         "binpads": pads, "autoinc": autoinc, "years": years, "rounds": rounds,
         "tsprec": tsprec, "intrange": intrange, "enums": enums, "sets": sets,
-        "bits": bitwidth,
+        "bits": bitwidth, "fulltexts": fulltexts,
     }
 
 
@@ -337,6 +352,9 @@ class BvtSession:
         # MATCH requires an exactly-covering index (reference planner
         # apply_indices_fulltext rejects full-table-scan fulltext)
         self.ft_indexes: "dict[str, dict[str, tuple]]" = {}
+        # table -> tokenizer mode for its fulltext indexes ('dict' when the
+        # DDL says WITH PARSER gojieba; default SimpleTokenizer otherwise)
+        self.ft_parser: "dict[str, str]" = {}
 
     # BVT fixtures are tens of rows; anything bigger than this is a runaway
     # (e.g. an INSERT..SELECT off generate_series) and stays lazy.
@@ -719,6 +737,8 @@ class BvtSession:
                         "Fulltext index are not allowed to use the same column"
                     )
                 existing[name] = cols
+                if re.search(r"(?i)with\s+parser\s+[`]?gojieba", masked):
+                    self.ft_parser[tbl] = "dict"
                 return "ddl", None
             if re.match(
                 r"\s*alter\s+table\s+[`\w.\x01]+\s+add\s+fulltext",
@@ -745,6 +765,8 @@ class BvtSession:
                         "Fulltext index are not allowed to use the same column"
                     )
                 existing[name] = cols
+                if re.search(r"(?i)with\s+parser\s+[`]?gojieba", masked):
+                    self.ft_parser[tbl] = "dict"
                 return "ddl", None
             if re.match(r"\s*create\s+fulltext\s+index\b", masked, re.IGNORECASE):
                 return "ddl", None
@@ -753,6 +775,10 @@ class BvtSession:
                 self.schemas[name] = cols
                 self.defaults[name] = defaults
                 self.colmeta[name] = meta
+                for ftname, ftcols, ftparser in meta.get("fulltexts", ()):
+                    self.ft_indexes.setdefault(name, {})[ftname] = ftcols
+                    if ftparser == "gojieba":
+                        self.ft_parser[name] = "dict"
                 self._register(name, self._empty(name))
                 self.last_table = name
                 return "ddl", None
@@ -800,6 +826,7 @@ class BvtSession:
                     self.colmeta.pop(name, None)
                     self.views.pop(name, None)
                     self.ft_indexes.pop(name, None)
+                    self.ft_parser.pop(name, None)
                     self.last_dropped.append(name)
             return "ddl", None
         if head in ("use",) or re.match(
@@ -1256,13 +1283,17 @@ class BvtSession:
         rid = "__ft_rid"
         based = base.withColumn(rid, F.monotonically_increasing_id())
         how = "left" if left else "inner"
+        # WITH PARSER gojieba -> dictionary-mode tokenizer (clean-room
+        # max-prob segmenter, functions/cjk_dict.py); default SimpleTokenizer
+        # (mixed latin + rune trigrams) otherwise
+        ft_mode = self.ft_parser.get(tbl, "mixed")
         scored = based
         for cols, pattern, boolean, sc in sites:
             docs = based.select(
                 rid,
                 F.concat_ws(" ", *[F.col(c).cast("string") for c in cols]).alias("__ft_text"),
             )
-            idx = FullTextIndex.build_cached(docs, rid, "__ft_text", mode="mixed")
+            idx = FullTextIndex.build_cached(docs, rid, "__ft_text", mode=ft_mode)
             if boolean:
                 scores = idx.match_pattern(pattern, algo=self.ft_algo)
             else:
@@ -1945,8 +1976,12 @@ def _ref_match(spark_pdf, ref_rows, fmt: bool = False) -> bool:
             return "null"
         if isinstance(v, (bool,)) or type(v).__name__ == "bool_":
             return "1" if v else "0"
-        if isinstance(v, bytes):
-            return v.decode("utf-8", "replace")
+        if isinstance(v, (bytes, bytearray, memoryview)):
+            # byte-preserving latin-1: the reference prints BINARY cells
+            # byte-per-char (dtype/binary.test: b'a\\x00' renders 'a\\x00'),
+            # and toPandas hands bytearray, which `isinstance(v, bytes)`
+            # missed — cells graded as their Python repr before this
+            return bytes(v).decode("latin-1")
         if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
             import json as _json
 

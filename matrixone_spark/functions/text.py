@@ -34,9 +34,16 @@ def tokenize(col, mode: str = "simple") -> Column:
     """``mode='simple'``: lower + split on non-alphanumerics, drop empties
     (fulltext tokenizer parity, pkg/fulltext/ — the ASCII fast path).
     ``mode='mixed'``: the reference SimpleTokenizer's full CJK behavior
-    (see tokenize_mixed)."""
+    (see tokenize_mixed). ``mode='dict'``: dictionary-mode Chinese word
+    segmentation — the reference's jieba tokenizer path
+    (pkg/monlp/tokenizer, jieba_test.go) re-done as a clean-room
+    max-probability segmenter (functions/cjk_dict.py)."""
     if mode == "mixed":
         return tokenize_mixed(col)
+    if mode == "dict":
+        from matrixone_spark.functions.cjk_dict import tokenize_dict
+
+        return tokenize_dict(col)
     return F.filter(F.split(F.lower(_c(col)), _TOKEN_SPLIT), lambda t: t != "")
 
 

@@ -217,7 +217,7 @@ def _convert_tz_rewrite(masked: str) -> str:
 _CAST_CALL_RE = re.compile(r"\bcast\s*\(", re.IGNORECASE)
 _CAST_AS_RE = re.compile(
     r"^(?P<expr>.*)\s+as\s+(?P<type>datetime(?:\s*\(\s*\d\s*\))?|signed(?:\s+integer)?"
-    r"|unsigned(?:\s+integer)?|n?char|binary|geometry|double|float"
+    r"|unsigned(?:\s+integer)?|n?char|(?:var)?binary(?:\s*\(\s*\d+\s*\))?|geometry|double|float"
     r"|(?:decimal|dec|numeric|fixed)\s*(?:\(\s*\d+\s*(?:,\s*\d+)?\s*\))?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -298,8 +298,32 @@ def _cast_rewrite(masked: str, spans: "list[str] | None" = None) -> str:
         if ty in ("char", "nchar"):
             # length-less CHAR (MySQL display cast) — Spark requires CHAR(n)
             return f"CAST({x} AS STRING)"
-        if ty == "binary":
-            return f"CAST({x} AS BINARY)"
+        if ty.split("(")[0] in ("binary", "varbinary"):
+            ty = ty.split("(")[0]
+            # MySQL CAST(x AS BINARY[(n)]) converts the TEXT rendering to
+            # bytes (binary(12345) = '12345', not the int's raw bytes;
+            # dtype/binary.test), truncates to n, and (BINARY only)
+            # zero-pads to n. Binary sources round-trip byte-exact through
+            # Spark's unvalidated binary<->string reinterpret. Guard
+            # against re-rewriting our own output (fixpoint loop).
+            xl = x.lstrip().upper()
+            if (
+                xl.startswith("RPAD(CAST(SUBSTRING")
+                or xl.startswith("SUBSTRING(CAST((")
+                or re.fullmatch(
+                    r"CAST\(\(.*\)\s*AS\s*STRING\)", xl, re.DOTALL
+                )
+            ):
+                return None
+            bn = re.search(r"\(\s*(\d+)\s*\)", m.group("type"))
+            base = f"CAST(CAST(({x}) AS STRING) AS BINARY)"
+            if not bn:
+                return base
+            n = int(bn.group(1))
+            trunc = f"CAST(substring(CAST(({x}) AS STRING), 1, {n}) AS BINARY)"
+            if ty == "varbinary":
+                return trunc
+            return f"rpad({trunc}, {n}, X'00')"
         if ty in ("decimal", "dec", "numeric", "fixed"):
             # bare DECIMAL: the reference's default is decimal128 (38,0) —
             # CAST('-29012123143.43…' AS DECIMAL) keeps all 11 integer
@@ -2179,6 +2203,22 @@ def translate(sql: str) -> str:
     masked = _truncate_rewrite(masked)
     masked = _convert_tz_rewrite(masked)
     masked = _cast_rewrite(masked, spans)
+    # BINARY(x) function form = CAST(x AS BINARY) over the TEXT rendering
+    # (dtype/binary.test: binary(12345) is '12345'). Runs AFTER the cast
+    # rewrite so `AS BINARY(6)` type suffixes are already consumed.
+    if re.search(r"(?i)\bbinary\s*\(", masked):
+        masked = _rewrite_calls(
+            masked,
+            re.compile(r"\bbinary\s*\(", re.IGNORECASE),
+            lambda args: (
+                f"CAST(CAST(({args[0]}) AS STRING) AS BINARY)"
+                if len(args) == 1 and not re.fullmatch(
+                    r"\s*CAST\(\(.*\)\s*AS\s*STRING\)\s*", args[0],
+                    re.IGNORECASE | re.DOTALL,
+                )
+                else None
+            ),
+        )
     if "st_" in masked.lower():
         masked = _pad_geo_args(masked)
     if _REPEAT_RE.search(masked):

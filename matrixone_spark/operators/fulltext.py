@@ -114,10 +114,18 @@ class FullTextIndex:
         tokenization doesn't decompose into Catalyst primitives without
         nested-HOF planning blowups); at 100 TB the postings are built once
         at ingest and persisted bucketed by token."""
-        if mode == "mixed":
+        if mode in ("mixed", "dict"):
+            if mode == "dict":
+                # dictionary-mode CJK (the reference's jieba tokenizer path;
+                # functions/cjk_dict.py is the clean-room max-prob segmenter)
+                from matrixone_spark.functions.cjk_dict import tokenize_dict_pos
+
+                tok_expr = tokenize_dict_pos(F.col(text_col))
+            else:
+                tok_expr = _mixed_pos_udf(F.col(text_col))
             postings_pos = docs.select(
                 F.col(id_col).alias("doc_id"),
-                F.explode(_mixed_pos_udf(F.col(text_col))).alias("tk"),
+                F.explode(tok_expr).alias("tk"),
             ).select(
                 "doc_id", F.col("tk.token").alias("token"), F.col("tk.pos").alias("pos")
             )
@@ -218,7 +226,19 @@ class FullTextIndex:
             # reference: "Invalid input search string. search string
             # converted to empty pattern"
             raise ValueError("search string converted to empty pattern")
-        if len(pattern) < 3:
+        if self.mode == "dict":
+            # dictionary-mode query tokenization: each segmented word probes
+            # EXACT (a dict word is the index unit); sub-3-char latin tokens
+            # keep the prefix rewrite for parity with the ngram floor
+            from matrixone_spark.functions.cjk_dict import cut_mixed_dict_pos
+
+            leaves = [
+                ("star" if (t.isascii() and len(t) < 3) else "eq", t, off)
+                for t, off in cut_mixed_dict_pos(pattern)
+            ]
+            if not leaves:
+                raise ValueError("search string converted to empty pattern")
+        elif len(pattern) < 3:
             leaves = [("star", pattern.lower(), 0)]
         else:
             leaves = nl_query_leaves_py(pattern)
@@ -333,6 +353,10 @@ class FullTextIndex:
             from matrixone_spark.functions.text import nl_query_leaves_py
 
             leaves = nl_query_leaves_py(leaf.text)
+        elif self.mode == "dict":
+            from matrixone_spark.functions.cjk_dict import cut_mixed_dict_pos
+
+            leaves = [("eq", t, off) for t, off in cut_mixed_dict_pos(leaf.text)]
         if not leaves or (
             len(leaves) == 1 and leaves[0][0] == "eq" and leaves[0][1] == leaf.text.lower()
         ):

@@ -85,68 +85,70 @@ def register(name: str, oracle: "str | None", tags: tuple = (), doc: str = ""):
 # refreshes the oldest r01-only greens (plan-fragility check).
 _SENTINELS: "tuple[str, ...]" = ()
 
-# The 50 rows the r05 driver window must convert, in risk order: the four
-# never-driver-checked fulltext boolean queries, this round's new queries,
-# the r04 red/stale re-pins (all fixed this round), then a refresh of the
-# oldest (r01-only) greens — tpch first (regression canaries), overflow
-# past 50 harmlessly waits for r06.
+# The 50 rows the r06 driver window must convert, in risk order: this
+# round's NEW query (fulltext_cjk_dict), then every query whose module
+# changed this round or late in r5 AFTER its last driver check (VERDICT r5
+# item #6 staleness list: operators/fulltext.py changed r5+r6 -> the
+# natural/boolean/cjk set; functions/json_fns.py changed r5+r6 -> the JSON
+# batteries; s2cell.py r5 -> geo_s2_battery; mysql_dialect.py translate
+# changed r6 -> the scalar/battery canaries), then tpch regression
+# canaries and a refresh of the oldest greens. Overflow past 50 harmlessly
+# waits for r07.
 _HEAD: "tuple[str, ...]" = (
-    # -- never driver-verified (registered after the r04 window ran) --
+    # -- new this round --
+    "fulltext_cjk_dict",
+    # -- fulltext module changed r5+r6 (dict-mode branch, multi-MATCH) --
+    "fulltext_natural_bm25",
+    "fulltext_natural_tfidf",
+    "fulltext_boolean",
     "fulltext_boolean_phrase",
     "fulltext_boolean_wildcard",
     "fulltext_boolean_weights",
     "fulltext_boolean_group",
-    # -- new round-5 queries --
     "fulltext_cjk",
-    # -- r04 red rows, fixed (UDF self-registration; duck-engine oracle +
-    #    NULL-propagating shifts) --
-    "func_mysql3_battery",
-    "bvt_operator_battery",
-    # -- r04 stale/broken S2 pair, rebuilt on the fused mapInArrow path --
+    # -- json_fns.py changed r5+r6 (path grammar; error propagation) --
+    "json_extract_battery",
+    "json_type_quote_battery",
+    "json2_battery",
+    "json_search_battery",
+    "json_construct_nested",
+    "json_mutators",
+    "json_unnest_array",
+    "json_objectagg_sorted",
+    # -- s2cell.py rewritten r5; geo SQL surface extended r5 --
+    "geo_s2_battery",
     "geo_s2_bucket_join",
     "geo_s2_join_bench",
-    # -- oldest driver evidence (r01-only), refresh for plan fragility --
+    # -- translate() changed r6 (bit literals, BINARY casts): canaries --
+    "func_mysql3_battery",
+    "bvt_operator_battery",
+    "func_cast_battery",
+    "operator_battery",
+    "mysql_compat_battery",
+    # -- tpch regression canaries + oldest-green refresh --
+    "tpch_q1",
+    "tpch_q5",
+    "tpch_q12",
+    "tpch_q21",
     "tpch_q2",
     "tpch_q3",
-    "tpch_q4",
     "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
     "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
     "tpch_q15",
-    "tpch_q16",
     "tpch_q17",
-    "tpch_q18",
     "tpch_q19",
-    "tpch_q20",
     "tpch_q22",
-    "join_anti",
-    "join_cross",
-    "join_full_outer",
-    "join_left_outer",
     "join_mark_null_aware",
-    "join_nonequi_range",
-    "join_right_outer",
-    "join_semi",
     "join_single_scalar",
-    "setop_except_all",
-    "setop_intersect",
+    "join_nonequi_range",
     "setop_intersect_all",
-    "setop_union_all",
-    "setop_union_distinct",
-    "window_lag_lead",
+    "setop_except_all",
     "window_ranks",
     "window_rows_frame",
     "window_topn_per_group",
-    "window_value_funcs",
     "grouping_sets_cube",
-    "grouping_sets_rollup",
-    "cte_reuse",
     "recursive_cte_hierarchy",
+    "cte_reuse",
     "limit_offset",
     "sample_deterministic",
     "scalar_subquery_uncorrelated",

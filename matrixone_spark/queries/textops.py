@@ -412,6 +412,63 @@ def fulltext_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.match_natural(["北京大", "京大学"], algo="tfidf")
 
 
+def _cjk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer").filter(F.col("c_custkey") <= 800)
+    k = F.col("c_custkey")
+    w = F.array(*[F.lit(x) for x in _CJK_WORDS])
+    return c.select(
+        k.alias("doc_id"),
+        F.concat(
+            F.element_at(w, (k % 8 + 1).cast("int")),
+            F.element_at(w, ((k / 8).cast("int") % 8 + 1).cast("int")),
+            F.element_at(w, ((k / 64).cast("int") % 8 + 1).cast("int")),
+            F.lit(" data"),
+            (k % 5).cast("string"),
+        ).alias("text"),
+    )
+
+
+@register(
+    "fulltext_cjk_dict",
+    oracle=f"""
+WITH corpus AS (
+  SELECT c_custkey AS doc_id,
+         [({_CJK_WORDS_SQL})[(c_custkey % 8) + 1],
+          ({_CJK_WORDS_SQL})[((c_custkey // 8) % 8) + 1],
+          ({_CJK_WORDS_SQL})[((c_custkey // 64) % 8) + 1]] AS words
+  FROM customer WHERE c_custkey <= 800),
+posts AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(words) AS tok FROM corpus) t(doc_id, tok)
+  WHERE tok IN ('北京', '大学')
+  GROUP BY doc_id, tok),
+tdf AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM posts GROUP BY tok),
+nn AS (SELECT COUNT(*) AS n FROM corpus)
+SELECT p.doc_id,
+       ROUND(SUM(p.tf * LOG10(CAST(nn.n AS DOUBLE)/tdf.df) * LOG10(CAST(nn.n AS DOUBLE)/tdf.df)), 6) AS score
+FROM posts p JOIN tdf USING (tok) CROSS JOIN nn
+GROUP BY p.doc_id
+""",
+    tags=("text", "fulltext", "cjk"),
+    doc=(
+        "Dictionary-mode Chinese fulltext — the reference's jieba tokenizer "
+        "path (pkg/monlp/tokenizer, jieba_test.go) as a clean-room "
+        "max-probability segmenter (functions/cjk_dict.py). The index "
+        "builds with mode='dict' (whole WORDS as tokens, not rune "
+        "trigrams); query terms 北京/大学 probe word postings and score "
+        "tf·idf² (fulltext.go:208). The oracle knows the corpus "
+        "construction (three dictionary words concatenated), so a "
+        "mis-segmented run (e.g. picking a cross-boundary word or "
+        "single-char fallbacks) changes tf/df and fails the hash gate "
+        "end-to-end."
+    ),
+)
+def fulltext_cjk_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _cjk_corpus(spark, sf_dir)
+    idx = FullTextIndex.build_cached(docs, "doc_id", "text", mode="dict")
+    return idx.match_natural(["北京", "大学"], algo="tfidf")
+
+
 _QUALITY_SQL = f"""ROUND((
            (CASE WHEN len({_TOKS_SQL}) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.4 END)
          + (CASE WHEN (CASE WHEN len({_TOKS_SQL}) > 0

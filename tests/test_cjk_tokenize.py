@@ -81,3 +81,76 @@ def test_mixed_mode_phrase_and_nl(spark, registry):
     # single-term NL still scores by tf
     one = {r["doc_id"] for r in idx.match_nl("red", algo="tfidf").collect()}
     assert one == {0, 1}
+
+
+# ---------------------------------------------------------------- dict mode
+
+
+def test_cut_dag_golden():
+    """Max-probability segmentation goldens (clean-room jieba-path,
+    functions/cjk_dict.py; reference pkg/monlp/tokenizer jieba mode)."""
+    from matrixone_spark.functions.cjk_dict import cut_dag, cut_mixed_dict
+
+    assert cut_dag("北京大学数据") == ["北京", "大学", "数据"]
+    assert cut_dag("我们在人工智能和机器学习研究") == [
+        "我们", "在", "人工智能", "和", "机器学习", "研究",
+    ]
+    # longest-match vs probability: 操作系统 (4-char compound) wins over
+    # 系统 alone; unknown runes fall back to single chars
+    assert cut_dag("操作系统引擎") == ["操作系统", "引擎"]
+    assert cut_dag("魔") == ["魔"]
+    # mixed script: latin runs stay whole tokens, lowered
+    assert cut_mixed_dict("北京大学 Data3,中文ABC引擎") == [
+        "北京", "大学", "data3", "中文", "abc", "引擎",
+    ]
+
+
+def test_cut_dict_positions_and_userdict(tmp_path):
+    from matrixone_spark.functions.cjk_dict import (
+        build_prefix_dict,
+        cut_dag,
+        cut_mixed_dict_pos,
+        load_userdict,
+    )
+
+    assert cut_mixed_dict_pos("北京大学 data3") == [
+        ("北京", 0), ("大学", 2), ("data3", 5),
+    ]
+    # user dictionary (public jieba dict.txt format) overrides segmentation
+    p = tmp_path / "dict.txt"
+    p.write_text("北京大学 99999 nt\n北京 100\n大学 100\n", encoding="utf-8")
+    words = load_userdict(str(p))
+    prefix, logtotal = build_prefix_dict(words)
+    assert cut_dag("北京大学", prefix, logtotal) == ["北京大学"]
+
+
+def test_fulltext_cjk_dict_oracle(spark, registry):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, registry["fulltext_cjk_dict"])
+
+
+def test_dict_vs_trigram_recall(spark):
+    """For whole-word Chinese queries both tokenizer modes must retrieve the
+    SAME document set (dict mode ranks by words, trigram by rune 3-grams —
+    recall parity is the gate; jieba_test.go's retrieval intent)."""
+    from pyspark.sql import Row
+
+    from matrixone_spark.operators.fulltext import FullTextIndex
+
+    rows = [
+        Row(doc_id=0, text="北京大学的数据分析系统"),
+        Row(doc_id=1, text="上海的机器学习引擎"),
+        Row(doc_id=2, text="数据系统与中文查询"),
+        Row(doc_id=3, text="completely latin doc"),
+    ]
+    df = spark.createDataFrame(rows)
+    tri = FullTextIndex.build(df, "doc_id", "text", mode="mixed")
+    dic = FullTextIndex.build(df, "doc_id", "text", mode="dict")
+    for q, want in [("数据", {0, 2}), ("引擎", {1}), ("中文", {2})]:
+        got_d = {r["doc_id"] for r in dic.match_nl(q, algo="tfidf").collect()}
+        assert got_d == want, (q, got_d)
+        # trigram mode probes sub-3-char CJK as prefixes of its trigrams —
+        # same docs must come back
+        got_t = {r["doc_id"] for r in tri.match_nl(q, algo="tfidf").collect()}
+        assert got_t == want, (q, got_t)
