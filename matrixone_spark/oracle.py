@@ -64,6 +64,18 @@ def _norm_value(v):
         if v.tzinfo is not None:
             v = v.tz_convert("UTC").tz_localize(None)
         return ("t", v.isoformat())
+    if isinstance(v, (pd.Timedelta, _dt.timedelta)):
+        # MySQL/the reference evaluate date1 - date2 as a NUMBER of days
+        # (dtype/TimeToInt.sql test18: -2935); Spark hands back an interval.
+        # Whole-day intervals canonicalize to their day count, others to
+        # total seconds — matching DuckDB's numeric answer.
+        td = pd.Timedelta(v)
+        if pd.isna(td):
+            return "<null>"
+        secs = td.total_seconds()
+        if secs == int(secs) and int(secs) % 86400 == 0:
+            return ("f", repr(secs / 86400.0))
+        return ("f", repr(secs))
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, (int,)):

@@ -347,3 +347,29 @@ def test_time_window_sql_surface(spark):
         ).collect()
     )
     assert str(rows[0][0]) == "2023-10-26 10:00:00"  # no 09:50 leading window
+
+
+def test_binary_cast_semantics(spark):
+    """MySQL BINARY casts convert the TEXT rendering to bytes, truncate to
+    n and zero-pad (BINARY only) — dtype/binary.test; bit literals b'0101'
+    are integers in numeric context."""
+    from matrixone_spark.mysql_dialect import translate
+
+    assert spark.sql(translate("select binary(12345)")).collect()[0][0] == b"12345"
+    assert (
+        spark.sql(
+            translate("SELECT CAST(TIMESTAMP '2022-01-22 21:45:33' AS BINARY(6))")
+        ).collect()[0][0]
+        == b"2022-0"
+    )
+    assert (
+        spark.sql(translate("select cast('ab' as binary(4))")).collect()[0][0]
+        == b"ab\x00\x00"
+    )
+    assert (
+        spark.sql(translate("select cast('abcdef' as varbinary(3))")).collect()[0][0]
+        == b"abc"
+    )
+    assert spark.sql(translate("select b'11111'")).collect()[0][0] == 31
+    # non-bit b'...' strings stay literals
+    assert translate("select b'xy'") == "select b'xy'"
