@@ -227,8 +227,24 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
     bitwidth: "dict[str, int]" = {}
     times: "set[str]" = set()
     fulltexts: "list[tuple[str, tuple, str]]" = []
+    pkeys: "list[tuple[str, ...]]" = []   # primary key first, then uniques
+    ukeys: "list[tuple[str, ...]]" = []
     for part in parts:
         part = unmask_literals(part, spans).strip()
+        km = re.match(
+            r"(?P<pk>primary\s+key|unique(?:\s+(?:key|index))?(?:\s+[`]?\w+[`]?)?)"
+            r"\s*\(([^)]*)\)",
+            part, re.IGNORECASE,
+        )
+        if km:
+            # table-level PRIMARY KEY / UNIQUE [KEY name] (cols) — prefix
+            # lengths `col(10)` fold to the column
+            kcols = tuple(
+                c.strip().strip("`").split("(")[0].strip().lower()
+                for c in km.group(2).split(",")
+            )
+            (pkeys if km.group("pk").lower().startswith("primary") else ukeys).append(kcols)
+            continue
         fm = re.match(
             r"fulltext(?:\s+(?:index|key))?\s*[`]?(\w*)[`]?\s*\(([^)]*)\)"
             r"(?:\s+with\s+parser\s+[`]?(\w+)[`]?)?",
@@ -251,6 +267,10 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
         col, rest = cm.group(1), cm.group(2)
         if re.search(r"\bauto_increment\b", rest, re.IGNORECASE):
             autoinc.add(col)
+        if re.search(r"\bprimary\s+key\b", rest, re.IGNORECASE):
+            pkeys.append((col.lower(),))
+        elif re.search(r"\bunique\b", rest, re.IGNORECASE):
+            ukeys.append((col.lower(),))
         dm = _DEFAULT_RE.search(rest)
         if dm and dm.group(1).lower() != "null":
             defaults[col] = dm.group(1)
@@ -323,6 +343,7 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
         "binpads": pads, "autoinc": autoinc, "years": years, "rounds": rounds,
         "tsprec": tsprec, "intrange": intrange, "enums": enums, "sets": sets,
         "bits": bitwidth, "fulltexts": fulltexts, "times": times,
+        "keys": pkeys + ukeys,
     }
 
 
@@ -851,9 +872,32 @@ class BvtSession:
             raise SkipStatement("TRUNCATE of unknown table")
         if head == "insert":
             return self._insert(stmt, masked, spans)
+        if head == "replace":
+            return self._insert(stmt, masked, spans, replace=True)
         if head == "update":
+            mm = re.match(
+                r"\s*update\s+(.+?)\s+set\s+(.*?)\s+where\s+(.*)$",
+                masked, re.IGNORECASE | re.DOTALL,
+            )
+            if mm and "," in mm.group(1):
+                return self._multi_update(mm, spans)
             return self._update(stmt, masked, spans)
         if head == "delete":
+            dm = re.match(
+                r"\s*delete\s+[`]?(\w+)[`]?\s+from\s+(.+?)\s+where\s+(.*)$",
+                masked, re.IGNORECASE | re.DOTALL,
+            )
+            if dm is None:
+                dm = re.match(
+                    r"\s*delete\s+from\s+([`\w.\x01]+)\s+using\s+(.+?)\s+where\s+(.*)$",
+                    masked, re.IGNORECASE | re.DOTALL,
+                )
+                if dm is not None:
+                    # DELETE FROM t USING t, u WHERE … — target named in
+                    # the FROM clause, join tables in USING
+                    pass
+            if dm is not None:
+                return self._multi_delete(dm, spans)
             m = re.match(
                 r"\s*delete\s+from\s+([`\w.\x01]+)\s*(?:where\s+(.*))?$",
                 masked, re.IGNORECASE | re.DOTALL,
@@ -872,7 +916,7 @@ class BvtSession:
             return "dml", None
         raise SkipStatement(f"unsupported statement head {head!r}")
 
-    def _insert(self, stmt, masked, spans):
+    def _insert(self, stmt, masked, spans, replace: bool = False):
         # MySQL `INSERT INTO t SET a = 1, b = 'x'` — rewrite to the
         # column-list VALUES form (function_group_concat.sql relies on it
         # together with AUTO_INCREMENT fill). DuckDB can't parse SET-form
@@ -902,7 +946,7 @@ class BvtSession:
                 self.last_duck_override = stmt
             return kind
         m = re.match(
-            r"\s*insert\s+(?P<ig>ignore\s+)?into\s+(?P<tbl>[`\w.\x01]+)\s*"
+            r"\s*(?:insert|replace)\s+(?P<ig>ignore\s+)?into\s+(?P<tbl>[`\w.\x01]+)\s*"
             r"(?P<cl>\((?P<cols>[^)]*)\))?\s*(?P<hd>values|select|with)\b(?P<rest>.*)$",
             masked,
             re.IGNORECASE | re.DOTALL,
@@ -914,8 +958,16 @@ class BvtSession:
         cols = None
         if m.group("cols"):
             cols = [c.strip().strip("`") for c in unmask_literals(m.group("cols"), spans).split(",")]
+        rest_masked = m.group("rest")
+        odku = None
+        om = re.search(
+            r"(?i)\bon\s+duplicate\s+key\s+update\s+(.*)$", rest_masked, re.DOTALL
+        )
+        if om:
+            odku = om.group(1)
+            rest_masked = rest_masked[: om.start()]
         if m.group("hd").lower() == "values":
-            values_masked = m.group("rest").strip()
+            values_masked = rest_masked.strip()
             if re.search(r"(?i)\bdefault\b", values_masked):
                 # bare DEFAULT inside a VALUES row: substitute the column's
                 # declared default (NULL when none) positionally —
@@ -969,11 +1021,43 @@ class BvtSession:
                     legs.append("SELECT " + unmask_literals(row[1:-1], spans))
                 src = self.spark.sql(translate(" UNION ALL ".join(legs)))
         else:
-            sub = unmask_literals(m.group("hd") + m.group("rest"), spans)
+            sub = unmask_literals(m.group("hd") + rest_masked, spans)
             src = self.spark.sql(translate(sub))
         new = self._cast_to_schema(name, src, cols, ignore=ignore)
         meta = self.colmeta.get(name, {})
-        if (
+        cur = self.tables[name]
+        keys = [
+            k for k in meta.get("keys", ())
+            if all(col in {c.lower() for c, _ in self.schemas[name]} for col in k)
+        ]
+        rebuilt = False
+        if keys and (replace or odku is not None or ignore):
+            if replace:
+                # REPLACE INTO = delete key-conflicting rows, then insert
+                for k in keys:
+                    cur = cur.join(new.select(*k).distinct(), list(k), "left_anti")
+                rebuilt = True
+            elif odku is not None:
+                cur, new = self._apply_odku(name, cur, new, keys[0], odku, spans)
+                rebuilt = True
+            else:
+                # INSERT IGNORE skips rows whose key already exists (and
+                # within-batch duplicates, first wins) — dtype/year.sql
+                # t_year_uniq
+                for k in keys:
+                    new = new.dropDuplicates(list(k))
+                    new = new.join(cur.select(*k).distinct(), list(k), "left_anti")
+                rebuilt = True
+        final = cur.unionAll(new)
+        if rebuilt:
+            # keyed REPLACE / ON DUPLICATE KEY / IGNORE mutate existing rows
+            # or drop inserts — DuckDB (whose mirrored DDL carries no keys)
+            # must REBUILD the table to stay identical
+            lit = self._literal_insert_sql(name, final)
+            self.last_duck_override = (
+                f"DELETE FROM {name}; {lit}" if lit is not None else None
+            )
+        elif (
             meta.get("autoinc")
             or meta.get("years")
             or meta.get("rounds")
@@ -992,9 +1076,153 @@ class BvtSession:
             # otherwise ERROR on out-of-range stores MySQL clamps, rolling
             # back rows the reference keeps).
             self.last_duck_override = self._literal_insert_sql(name, new)
-        self._register(name, self.tables[name].unionAll(new))
+        self._register(name, final)
         self.last_table = name
         return "dml", None
+
+    def _parse_table_list(self, clause: str, spans) -> "list[tuple[str, str]]":
+        """'t1 a, db.t2 AS b' → [(table, alias)] against known tables."""
+        out = []
+        for part in _split_top_level(clause):
+            tm = re.match(
+                r"\s*[`]?([\w.\x01]+)[`]?(?:\s+(?:as\s+)?[`]?(\w+)[`]?)?\s*$",
+                part, re.IGNORECASE,
+            )
+            if not tm:
+                raise SkipStatement("unparseable multi-table DML table list")
+            name = _name_token(tm.group(1), spans)
+            if name not in self.tables:
+                raise SkipStatement(f"unknown table {name!r} in multi-table DML")
+            out.append((name, (tm.group(2) or name).lower()))
+        return out
+
+    def _multi_update(self, mm: "re.Match", spans) -> "tuple[str, None]":
+        """MySQL multi-table UPDATE: `UPDATE t1, t2 SET t1.c = expr WHERE
+        join-cond` — rows of the target with a match get the assignment
+        (dtype/year.sql t_year_upd1; dml/update/*). One target table; the
+        first matching row wins when the join multiplies."""
+        tables = self._parse_table_list(mm.group(1), spans)
+        if len(tables) != 2:
+            raise SkipStatement("multi-table UPDATE beyond 2 tables")
+        assigns: "dict[str, str]" = {}
+        tgt_alias = None
+        for part in _split_top_level(mm.group(2)):
+            am = re.match(
+                r"\s*(?:[`]?(\w+)[`]?\.)?[`]?(\w+)[`]?\s*=\s*(.*)$", part, re.DOTALL
+            )
+            if not am:
+                raise SkipStatement("unparseable multi-table SET clause")
+            pref = (am.group(1) or "").lower()
+            if tgt_alias is None and pref:
+                tgt_alias = pref
+            if pref and tgt_alias != pref:
+                raise SkipStatement("multi-table UPDATE assigns to several tables")
+            assigns[am.group(2).lower()] = translate(
+                unmask_literals(am.group(3).strip(), spans)
+            )
+        tgt_alias = tgt_alias or tables[0][1]
+        tgt = next((t for t in tables if t[1] == tgt_alias), None)
+        if tgt is None:
+            raise SkipStatement("multi-table UPDATE target not in table list")
+        other = next(t for t in tables if t is not tgt)
+        cond = translate(unmask_literals(mm.group(3), spans))
+        rid = "__mu_rid"
+        t_df = self.tables[tgt[0]].withColumn(rid, F.monotonically_increasing_id())
+        o_df = self.tables[other[0]].withColumn("__mu_hit", F.lit(1))
+        joined = (
+            t_df.alias(tgt[1])
+            .join(o_df.alias(other[1]), on=F.expr(cond), how="left")
+            .dropDuplicates([rid])
+        )
+        hit = F.col("__mu_hit") == 1
+        sel = []
+        for c, ty in self.schemas[tgt[0]]:
+            a = assigns.get(c.lower())
+            base = F.col(f"{tgt[1]}.{c}")
+            if a is None:
+                sel.append(base.alias(c))
+            else:
+                sel.append(
+                    F.when(hit, F.expr(a).cast(ty)).otherwise(base).alias(c)
+                )
+        final = joined.select(*sel)
+        self._register(tgt[0], final)
+        lit = self._literal_insert_sql(tgt[0], final)
+        self.last_duck_override = (
+            f"DELETE FROM {tgt[0]}; {lit}" if lit is not None else None
+        )
+        self.last_table = tgt[0]
+        return "dml", None
+
+    def _multi_delete(self, dm: "re.Match", spans) -> "tuple[str, None]":
+        """MySQL multi-table DELETE: `DELETE t1 FROM t1, t2 WHERE cond` /
+        `DELETE FROM t1 USING t1, t2 WHERE cond` — target rows with a
+        match are removed (dtype/year.sql t_year_del1)."""
+        tgt_name = _name_token(dm.group(1), spans)
+        tables = self._parse_table_list(dm.group(2), spans)
+        tgt = next((t for t in tables if t[1] == tgt_name.lower() or t[0] == tgt_name), None)
+        if tgt is None or len(tables) != 2:
+            raise SkipStatement("unsupported multi-table DELETE shape")
+        other = next(t for t in tables if t is not tgt)
+        cond = translate(unmask_literals(dm.group(3), spans))
+        rid = "__md_rid"
+        t_df = self.tables[tgt[0]].withColumn(rid, F.monotonically_increasing_id())
+        matched = (
+            t_df.alias(tgt[1])
+            .join(self.tables[other[0]].alias(other[1]), on=F.expr(cond), how="inner")
+            .select(rid)
+            .distinct()
+        )
+        final = t_df.join(matched, rid, "left_anti").drop(rid)
+        self._register(tgt[0], final)
+        lit = self._literal_insert_sql(tgt[0], final)
+        self.last_duck_override = (
+            f"DELETE FROM {tgt[0]}; {lit}" if lit is not None else None
+        )
+        self.last_table = tgt[0]
+        return "dml", None
+
+    def _apply_odku(self, name, cur, new, key, odku_masked, spans):
+        """INSERT ... ON DUPLICATE KEY UPDATE: key-conflicting new rows
+        update the existing row via the assignment list (`VALUES(col)`
+        refers to the incoming row), non-conflicting rows append —
+        dtype/year.sql t_year_dup. Returns (updated_cur, to_append)."""
+        assigns: "dict[str, str]" = {}
+        for part in _split_top_level(odku_masked.strip().rstrip(";")):
+            am = re.match(r"\s*[`]?(\w+)[`]?\s*=\s*(.*)$", part, re.DOTALL)
+            if not am:
+                raise SkipStatement("unparseable ON DUPLICATE KEY UPDATE")
+            assigns[am.group(1).lower()] = unmask_literals(am.group(2).strip(), spans)
+        schema_cols = [c for c, _ in self.schemas[name]]
+        new = new.dropDuplicates(list(key))
+        joined = cur.alias("__c").join(
+            new.alias("__n"),
+            on=[F.col(f"__c.{k}").eqNullSafe(F.col(f"__n.{k}")) for k in key],
+            how="left",
+        )
+        matched = F.col(f"__n.{key[0]}").isNotNull()
+        sel = []
+        for col, t in self.schemas[name]:
+            a = assigns.get(col.lower())
+            if a is None:
+                sel.append(F.col(f"__c.{col}").alias(col))
+                continue
+            sqltxt = translate(a)
+            sqltxt = re.sub(
+                r"(?i)\bvalues\s*\(\s*[`]?(\w+)[`]?\s*\)", r"__n.\1", sqltxt
+            )
+            for sc in sorted(schema_cols, key=len, reverse=True):
+                sqltxt = re.sub(
+                    rf"(?<![\w.\x60]){re.escape(sc)}\b", f"__c.{sc}", sqltxt,
+                    flags=re.IGNORECASE,
+                )
+            expr = F.when(matched, F.expr(sqltxt).cast(t)).otherwise(
+                F.col(f"__c.{col}")
+            )
+            sel.append(expr.alias(col))
+        updated = joined.select(*sel)
+        appended = new.join(cur.select(*key).distinct(), list(key), "left_anti")
+        return updated, appended
 
     @staticmethod
     def _render_literal(v) -> str:
@@ -1081,6 +1309,15 @@ class BvtSession:
                     )
                 elif c in rounds:
                     new = f"round(CAST({new} AS DOUBLE), {rounds[c]})"
+                elif c in meta.get("years", set()):
+                    # YEAR 2-digit expansion on UPDATE too (year.sql:
+                    # `update t_year set y = '75'` stores 1975)
+                    yv = f"CAST({new} AS INT)"
+                    new = (
+                        f"(CASE WHEN {yv} BETWEEN 1 AND 69 THEN {yv} + 2000 "
+                        f"WHEN {yv} BETWEEN 70 AND 99 THEN {yv} + 1900 "
+                        f"ELSE {yv} END)"
+                    )
                 sel.append(
                     f"CAST(CASE WHEN coalesce(({cond}), false) "
                     f"THEN {new} ELSE {c} END AS {t}) AS {c}"
@@ -2077,7 +2314,15 @@ class RefResults:
             raw = raw.strip()
             return "\t" in raw or "    " in raw
 
-        if " " in line and not _is_data_row(line) and self._ERROR_LINE_RE.search(line):
+        if (
+            " " in line
+            and not _is_data_row(line)
+            and self._ERROR_LINE_RE.search(line)
+            # the NEXT statement's echo is not an error message even when
+            # it contains error vocabulary (year.result: `insert ignore …
+            # values (2020, 'duplicate');` right after a no-output insert)
+            and not self._STMT_START_RE.match(line)
+        ):
             return ("error", line)
         block: "list[str]" = []
         k = j
@@ -2154,8 +2399,12 @@ def _ref_match(spark_pdf, ref_rows, fmt: bool = False) -> bool:
     # integer column (the YEAR type maps to short/int here) — a genuine
     # int-vs-DATE value disagreement must NOT grade as format-only
     # (r4 advisor, low)
+    # float dtypes qualify too: a YEAR column with NULLs (or one side of an
+    # outer join) fetches as float64 — the cell check still requires the
+    # value to be integral and equal
     _int_cols = [
-        str(dt).lower().startswith(("int", "uint")) for dt in spark_pdf.dtypes
+        str(dt).lower().startswith(("int", "uint", "float"))
+        for dt in spark_pdf.dtypes
     ]
 
     def cell_eq(a: str, b: str, col: int) -> bool:
@@ -2194,6 +2443,11 @@ def _ref_match(spark_pdf, ref_rows, fmt: bool = False) -> bool:
             if ym:
                 try:
                     if int(float(a)) == int(ym.group(1)) and float(a) == int(float(a)):
+                        return True
+                    # the reference renders YEAR value 0 as '2000-01-01'
+                    # (dtype/year.sql id 40: stored 0 — its own
+                    # `y + 0` prints 0 — displays as 2000)
+                    if float(a) == 0 and int(ym.group(1)) == 2000:
                         return True
                 except ValueError:
                     pass

@@ -59,13 +59,14 @@ def test_parse_create_table_defaults():
     )
     assert meta == {"binpads": {}, "autoinc": set(), "years": set(), "rounds": {}, "tsprec": {},
         "intrange": {"b": (-2147483648, 2147483647), "d": (0, 18446744073709551615)},
-        "enums": {}, "sets": {}, "bits": {}, "fulltexts": [], "times": set()}
+        "enums": {}, "sets": {}, "bits": {}, "fulltexts": [], "times": set(),
+        "keys": [("a",)]}
     _, _, _, meta2 = parse_create_table(
         "create table t2 (id int primary key auto_increment, b binary(4), "
         "v varbinary(4))"
     )
     assert meta2 == {"binpads": {"b": 4}, "autoinc": {"id"}, "years": set(), "rounds": {}, "tsprec": {},
-        "intrange": {"id": (-2147483648, 2147483647)}, "enums": {}, "sets": {}, "bits": {}, "fulltexts": [], "times": set()}
+        "intrange": {"id": (-2147483648, 2147483647)}, "enums": {}, "sets": {}, "bits": {}, "fulltexts": [], "times": set(), "keys": [("id",)]}
     assert name == "t"
     assert cols == [
         ("a", "float"),
@@ -151,3 +152,40 @@ def test_enum_set_numeric_context(spark):
     sess.execute("create table d1 (c enum('T','E') not null default '2')")
     sess.execute("insert into d1 values(default)")
     assert sess.tables["d1"].collect()[0][0] == "E"
+
+
+def test_keyed_dml_shapes(spark):
+    """REPLACE INTO, INSERT IGNORE dup-skip, ON DUPLICATE KEY UPDATE, and
+    multi-table UPDATE/DELETE — the key-aware DML family from
+    dtype/year.sql / dml/update / dml/replace."""
+    sess = BvtSession(spark)
+    sess.execute("create table kt (y int primary key, val int)")
+    sess.execute("insert into kt values (2020, 1), (2021, 2)")
+    # INSERT IGNORE skips the conflicting row
+    sess.execute("insert ignore into kt values (2020, 99), (2022, 3)")
+    rows = {r["y"]: r["val"] for r in sess.tables["kt"].collect()}
+    assert rows == {2020: 1, 2021: 2, 2022: 3}
+    # REPLACE deletes the conflicting row then inserts
+    sess.execute("replace into kt values (2020, 100)")
+    rows = {r["y"]: r["val"] for r in sess.tables["kt"].collect()}
+    assert rows == {2020: 100, 2021: 2, 2022: 3}
+    # ON DUPLICATE KEY UPDATE: matched row updates (col refs = existing
+    # row, VALUES(col) = incoming), unmatched appends
+    sess.execute(
+        "insert into kt values (2021, 7), (2023, 4) "
+        "on duplicate key update val = val + 10"
+    )
+    rows = {r["y"]: r["val"] for r in sess.tables["kt"].collect()}
+    assert rows == {2020: 100, 2021: 12, 2022: 3, 2023: 4}
+    sess.execute(
+        "insert into kt values (2022, 55) on duplicate key update val = values(val)"
+    )
+    assert {r["y"]: r["val"] for r in sess.tables["kt"].collect()}[2022] == 55
+    # multi-table UPDATE and DELETE
+    sess.execute("create table mul (y int, m int)")
+    sess.execute("insert into mul values (2020, 2), (2021, 3)")
+    sess.execute("update kt t1, mul t2 set t1.val = t1.val * t2.m where t1.y = t2.y")
+    rows = {r["y"]: r["val"] for r in sess.tables["kt"].collect()}
+    assert rows == {2020: 200, 2021: 36, 2022: 55, 2023: 4}
+    sess.execute("delete t1 from kt t1, mul t2 where t1.y = t2.y")
+    assert {r["y"] for r in sess.tables["kt"].collect()} == {2022, 2023}
