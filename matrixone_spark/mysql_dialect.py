@@ -217,7 +217,8 @@ def _convert_tz_rewrite(masked: str) -> str:
 _CAST_CALL_RE = re.compile(r"\bcast\s*\(", re.IGNORECASE)
 _CAST_AS_RE = re.compile(
     r"^(?P<expr>.*)\s+as\s+(?P<type>datetime(?:\s*\(\s*\d\s*\))?|signed(?:\s+integer)?"
-    r"|unsigned(?:\s+integer)?|n?char|(?:var)?binary(?:\s*\(\s*\d+\s*\))?|geometry|double|float"
+    r"|unsigned(?:\s+integer)?|n?char(?:\s*\(\s*\d+\s*\))?"
+    r"|(?:var)?binary(?:\s*\(\s*\d+\s*\))?|geometry|double|float|date"
     r"|(?:decimal|dec|numeric|fixed)\s*(?:\(\s*\d+\s*(?:,\s*\d+)?\s*\))?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -267,6 +268,25 @@ def _cast_rewrite(masked: str, spans: "list[str] | None" = None) -> str:
         if not m:
             return None
         x, ty = m.group("expr"), m.group("type").lower().split()[0]
+        if _is_string_span(x) and ty.split("(")[0] in (
+            "signed", "unsigned", "decimal", "dec", "numeric", "fixed",
+            "double", "float",
+        ):
+            # radix-prefixed string literals fold to their value for every
+            # numeric target: '0b1010'/'0o17'/'0x123' with optional sign
+            # and spaces (func_cast.test) — MySQL/the reference parse the
+            # prefix notation, Spark's cast NULLs it
+            ph = _LONE_PH_RE.match(x)
+            body = spans[int(ph.group(1))][1:-1] if ph else ""
+            rm = re.fullmatch(
+                r"\s*([+-]?)0([bB][01]+|[oO][0-7]+|[xX][0-9a-fA-F]+)\s*", body
+            )
+            if rm:
+                base = {"b": 2, "o": 8, "x": 16}[rm.group(2)[0].lower()]
+                v = int(rm.group(2)[1:], base)
+                if rm.group(1) == "-":
+                    v = -v
+                x = str(v)
         dm = _DEC_TYPE_RE.match(m.group("type").strip())
         if dm and dm.group(1) is not None:
             # idempotence guard: our own saturation output is itself a
@@ -295,9 +315,24 @@ def _cast_rewrite(masked: str, spans: "list[str] | None" = None) -> str:
             # MySQL CAST(x AS GEOMETRY) parses WKT (geo/geo_io.sql); the
             # engine's geometry value is our EWKT string convention
             return f"st_geomfromtext({x}, NULL)"
-        if ty in ("char", "nchar"):
-            # length-less CHAR (MySQL display cast) — Spark requires CHAR(n)
+        if ty.split("(")[0] in ("char", "nchar"):
+            # CHAR(n) truncates to n characters; length-less CHAR is the
+            # MySQL display cast (Spark requires CHAR(n), use STRING)
+            cn = re.search(r"\(\s*(\d+)\s*\)", m.group("type"))
+            if cn:
+                return f"substring(CAST({x} AS STRING), 1, {int(cn.group(1))})"
             return f"CAST({x} AS STRING)"
+        if ty == "date":
+            # MySQL parses dotted/loose date text CAST('2006.1.1' AS DATE)
+            # (func_cast.test); chain lenient formats after Spark's cast
+            if x.lstrip().upper().startswith("COALESCE(TRY_CAST"):
+                return None
+            return (
+                f"COALESCE(try_cast(({x}) AS DATE), "
+                f"try_to_date(CAST(({x}) AS STRING), 'y.M.d'), "
+                f"try_to_date(CAST(({x}) AS STRING), 'y/M/d'), "
+                f"try_to_date(CAST(({x}) AS STRING), 'yyyyMMdd'))"
+            )
         if ty.split("(")[0] in ("binary", "varbinary"):
             ty = ty.split("(")[0]
             # MySQL CAST(x AS BINARY[(n)]) converts the TEXT rendering to
@@ -355,18 +390,33 @@ def _cast_rewrite(masked: str, spans: "list[str] | None" = None) -> str:
         # round half-up via DECIMAL.
         nl = re.fullmatch(r"\s*([+-]?\d+)\s*", x)
         if nl:
-            # numeric LITERAL to SIGNED/UNSIGNED: the reference clamps at
-            # the type bounds (dtype/bigint.test: cast(19999999999999999999
-            # as signed) = 9223372036854775807), unlike the uint64-wrap it
-            # applies to string operands below — constant-fold here
+            # numeric LITERAL to SIGNED/UNSIGNED — the reference's model
+            # (func_cast.test + dtype/bigint.test): values inside uint64
+            # REINTERPRET two's-complement (cast(18446744073709551615 as
+            # signed) = -1); beyond uint64 they CLAMP at the int64 bounds
+            # (cast(19999999999999999999 as signed) = 9223372036854775807)
             v = int(nl.group(1))
             if ty == "signed":
-                v = max(-(1 << 63), min(v, (1 << 63) - 1))
+                if 0 <= v < (1 << 64):
+                    v = v - (1 << 64) if v >= (1 << 63) else v
+                else:
+                    v = max(-(1 << 63), min(v, (1 << 63) - 1))
                 return f"CAST({v} AS BIGINT)"
             # negative literals WRAP to unsigned (CAST(-1 AS UNSIGNED) =
             # 2^64-1); over-range clamps at the unsigned max
             v = v % (1 << 64) if v < 0 else min(v, (1 << 64) - 1)
             return f"CAST({v} AS DECIMAL(20,0))"
+        if ty == "signed" and re.search(r"(?i)AS\s+DECIMAL", x):
+            # DECIMAL-typed sources CLAMP at the int64 bounds (func_cast:
+            # cast(cast(18446744073709551615 as decimal(20,0)) as signed)
+            # = 9223372036854775807), unlike the uint64 wrap for strings
+            n0 = f"ROUND(try_cast(({x}) AS DECIMAL(38,9)), 0)"
+            return (
+                f"(CASE WHEN {n0} IS NULL THEN try_cast(NULL AS BIGINT) "
+                f"WHEN {n0} > 9223372036854775807 THEN 9223372036854775807 "
+                f"WHEN {n0} < -9223372036854775808 THEN -9223372036854775808 "
+                f"ELSE CAST({n0} AS BIGINT) END)"
+            )
         if _is_string_span(x):
             digits = (
                 f"regexp_extract(({x}), "
@@ -381,6 +431,14 @@ def _cast_rewrite(masked: str, spans: "list[str] | None" = None) -> str:
             num = (
                 f"(CASE WHEN regexp_extract(({x}), '^[ \\\\t]*(-)', 1) = '-' "
                 f"THEN -{mag} ELSE {mag} END)"
+            )
+        elif re.search(r"(?i)AS\s+(?:DOUBLE|FLOAT)\s*\)", x):
+            # DOUBLE/FLOAT sources round HALF-EVEN to integer (func_cast:
+            # cast(cast(0.5 as double) as signed) = 0, 1.5 -> 2, 2.5 -> 2),
+            # unlike DECIMAL's round-half-away
+            num = (
+                f"COALESCE(try_cast(bround(try_cast(({x}) AS DOUBLE), 0) "
+                f"AS DECIMAL(38,0)), try_cast(0 AS DECIMAL(38,0)))"
             )
         else:
             num = (
@@ -2314,11 +2372,12 @@ def translate(sql: str) -> str:
         )
         return repr(float(pm.group(1))) if pm else "0.0"
 
+    _NUM = r"[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
     _nsc = re.compile(
-        r"(?:\x01(?P<l>\d+)\x01(?P<ws1>\s*)(?P<op1>=|<>|!=|<=|>=|<|>)(?P<ws2>\s*)"
-        r"(?P<num1>[+-]?\d+(?:\.\d+)?)(?![\w.\x01])"
-        r"|(?<![\w.\x01])(?P<num2>[+-]?\d+(?:\.\d+)?)(?P<ws3>\s*)"
-        r"(?P<op2>=|<>|!=|<=|>=|<|>)(?P<ws4>\s*)\x01(?P<r>\d+)\x01)"
+        r"(?:\x01(?P<l>\d+)\x01(?P<ws1>\s*)(?P<op1>=|<>|!=|<=|>=|<|>|[+*/%-])(?P<ws2>\s*)"
+        rf"(?P<num1>{_NUM})(?![\w.\x01])"
+        rf"|(?<![\w.\x01])(?P<num2>{_NUM})(?P<ws3>\s*)"
+        r"(?P<op2>=|<>|!=|<=|>=|<|>|[+*/%-])(?P<ws4>\s*)\x01(?P<r>\d+)\x01)"
     )
 
     def _nsc_repl(m: "re.Match") -> str:
@@ -2339,6 +2398,19 @@ def translate(sql: str) -> str:
         )
 
     masked = _nsc.sub(_nsc_repl, masked)
+    # UNIX_TIMESTAMP of a literal with FRACTIONAL seconds returns a DECIMAL
+    # carrying the fraction (dtype/timestamp.test: '…12:34:56.123456' →
+    # 1705322096.123456); Spark's unix_timestamp truncates to seconds
+    masked = re.sub(
+        r"(?i)\bunix_timestamp\s*\(\s*(\x01(\d+)\x01)\s*\)",
+        lambda m: (
+            f"CAST(unix_micros(CAST({m.group(1)} AS TIMESTAMP)) AS "
+            f"DECIMAL(26,6)) / 1000000"
+            if re.search(r"\.\d+'$", spans[int(m.group(2))] or "")
+            else m.group(0)
+        ),
+        masked,
+    )
     # MySQL bit literals b'0101' (integer in numeric context — BIT columns,
     # dtype/enum.sql INSERT IGNORE); the quoted digits are already masked,
     # so resolve the span and emit the integer value

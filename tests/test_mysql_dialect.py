@@ -373,3 +373,29 @@ def test_binary_cast_semantics(spark):
     assert spark.sql(translate("select b'11111'")).collect()[0][0] == 31
     # non-bit b'...' strings stay literals
     assert translate("select b'xy'") == "select b'xy'"
+
+
+def test_reference_cast_models(spark):
+    """func_cast.test parity: radix string literals, double half-even
+    rounding, decimal-source clamp vs literal uint64 wrap, CHAR(n)
+    truncation, dotted dates, fractional UNIX_TIMESTAMP."""
+    from matrixone_spark.mysql_dialect import translate
+
+    def one(q):
+        return tuple(spark.sql(translate(q)).collect()[0])
+
+    assert one("select cast('0x123' as signed), cast('-0o17' as decimal(6,2)), "
+               "cast('+0b1010' as unsigned)")[0:2] == (291, -15)
+    assert one(
+        "select cast(cast(0.5 as double) as signed), "
+        "cast(cast(2.5 as double) as signed)"
+    ) == (0, 2)
+    assert one("select cast(18446744073709551615 as signed)") == (-1,)
+    assert one("select cast(19999999999999999999 as signed)") == (9223372036854775807,)
+    assert one(
+        "select cast(cast(18446744073709551615 as decimal(20,0)) as signed)"
+    ) == (9223372036854775807,)
+    assert str(one("select cast('2006.1.1' as date)")[0]) == "2006-01-01"
+    assert one("select cast(cast(12345 as unsigned) as char(3))") == ("123",)
+    assert float(one("select UNIX_TIMESTAMP('2024-01-15 12:34:56.5')")[0]) == 1705322096.5
+    assert one("select 10E+0+'a', 1 = '1rest'") == (10.0, True)
