@@ -119,6 +119,75 @@ _MATCH_AGAINST_RE = re.compile(
 _SQL_LITERAL_RE = re.compile(r"'(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.)*\"")
 
 
+def _norm_time_str(s: "str | None", prec: int = 0) -> "str | None":
+    """Normalize MySQL TIME text to the reference's canonical display
+    ('1:59' → '00:01:59' — the reference right-aligns colon groups as
+    [H:]M:S, dtype/TimeToInt.sql; bare digits pack from the right,
+    '1159' → '00:11:59'). Range clamps at ±838:59:59; invalid → None."""
+    if s is None:
+        return None
+    t = str(s).strip()
+    if not t:
+        return None
+    # datetime text contributes its clock part ('2012-12-12 12:00:20' →
+    # '12:00:20', dtype/time.test)
+    dm = re.match(
+        r"^\d{4}-\d{1,2}-\d{1,2}[ T](\d{1,2}):(\d{1,2}):(\d{1,2}(?:\.\d+)?)$", t
+    )
+    if dm:
+        t = f"{dm.group(1)}:{dm.group(2)}:{dm.group(3)}"
+    sign = ""
+    if t[0] in "+-":
+        sign = "-" if t[0] == "-" else ""
+        t = t[1:]
+    frac = 0.0
+    if "." in t:
+        t, f = t.split(".", 1)
+        try:
+            frac = float("0." + f) if f else 0.0
+        except ValueError:
+            return None
+    try:
+        if ":" in t:
+            parts = t.split(":")
+            if len(parts) == 2:
+                h, mnt, sec = 0, int(parts[0]), int(parts[1])
+            elif len(parts) == 3:
+                h, mnt, sec = int(parts[0]), int(parts[1]), int(parts[2])
+            else:
+                return None
+        else:
+            if not t.isdigit():
+                return None
+            v = int(t)
+            sec = v % 100
+            mnt = (v // 100) % 100
+            h = v // 10000
+        if mnt > 59 or sec > 59:
+            return None
+    except ValueError:
+        return None
+    fr = 0
+    if prec > 0:
+        fr = round(frac * 10**prec)
+        if fr >= 10**prec:
+            fr, sec = 0, sec + 1
+    elif frac >= 0.5:
+        sec += 1
+    if sec == 60:
+        sec, mnt = 0, mnt + 1
+        if mnt == 60:
+            mnt, h = 0, h + 1
+    # no range clamp: the reference accepts arbitrary packed hours
+    # ('2020112211' stores as 202011:22:11, dtype/time.test)
+    base = f"{sign}{h:02d}:{mnt:02d}:{sec:02d}"
+    if prec > 0:
+        # the reference prints TIME(n) fractions padded to 9 digits
+        # ('11:22:33.444000000', dtype/time.test)
+        return base + "." + f"{fr:0{prec}d}" + "0" * (9 - prec)
+    return base
+
+
 def _sub_outside_literals(pattern: str, repl: str, s: str) -> str:
     """re.sub that skips single/double-quoted string literals."""
     parts, last = [], 0
@@ -225,7 +294,7 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
     enums: "dict[str, list[str]]" = {}
     sets: "dict[str, list[str]]" = {}
     bitwidth: "dict[str, int]" = {}
-    times: "set[str]" = set()
+    times: "dict[str, int]" = {}
     fulltexts: "list[tuple[str, tuple, str]]" = []
     pkeys: "list[tuple[str, ...]]" = []   # primary key first, then uniques
     ukeys: "list[tuple[str, ...]]" = []
@@ -302,10 +371,12 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
             # MySQL BINARY(n) is fixed-length, zero-padded on store
             # (VARBINARY is not); remember n so INSERT casts can pad.
             pads[col] = int(pm.group(1))
-        if re.match(r"time(?:\(\d+\))?\s*$", rest, re.IGNORECASE):
+        tmm = re.match(r"time(?:\((\d+)\))?\s*$", rest, re.IGNORECASE)
+        if tmm:
             # MySQL TIME stores as a duration string here; numeric casts
-            # need the packed [H]HMMSS form (dtype/TimeToInt.sql)
-            times.add(col)
+            # need the packed [H]HMMSS form (dtype/TimeToInt.sql); TIME(n)
+            # keeps n fractional digits in the canonical display
+            times[col] = int(tmm.group(1) or 0)
         if re.match(r"year(?:\(\d+\))?\s*$", rest, re.IGNORECASE):
             # YEAR stores with MySQL 2-digit expansion (70-99 → 19xx,
             # 1-69 → 20xx; string '0' → 2000, numeric 0 → 0000)
@@ -483,6 +554,19 @@ class BvtSession:
                         F.when(v.isNull(), F.lit(None).cast("string"))
                         .otherwise(expr)
                         .alias(c)
+                    )
+                    continue
+                if c in meta.get("times", {}):
+                    # TIME stores normalize to the reference's canonical
+                    # display (fixture-scale python UDF; replay-only path)
+                    from pyspark.sql.types import StringType as _St
+
+                    tprec = meta["times"][c]
+                    ntime = F.udf(
+                        lambda v, _p=tprec: _norm_time_str(v, _p), _St()
+                    )
+                    sel.append(
+                        ntime(F.col(provided[c]).cast("string")).alias(c)
                     )
                     continue
                 if c in setcols:
@@ -1092,6 +1176,7 @@ class BvtSession:
             or meta.get("enums")
             or meta.get("sets")
             or meta.get("bits")
+            or meta.get("times")
             or any(ty.startswith("decimal(") for _, ty in self.schemas[name])
         ):
             # Spark-side value coercion (AUTO_INCREMENT fill, YEAR 2-digit
@@ -1749,9 +1834,10 @@ class BvtSession:
         for c in sorted(time_cols):
             if c not in low:
                 continue
-            # TIME in arithmetic evaluates as its packed [H]HMMSS number
-            # (dtype/TimeToInt.sql time01: col1 + col2 = 122060); the
-            # stored duration string strips to digits, sign preserved
+            # TIME in numeric context evaluates as its packed [H]HMMSS
+            # number (dtype/TimeToInt.sql time01: col1 + col2 = 122060;
+            # time.test `where t > 100000`); the stored duration string
+            # strips to digits, sign preserved
             packed = f"CAST(CAST(replace({c}, ':', '') AS DECIMAL(24,6)) AS BIGINT)"
             cw = rf"(?<![\w.\x60]){re.escape(c)}\b"
             masked = re.sub(
@@ -1761,6 +1847,14 @@ class BvtSession:
             masked = re.sub(
                 rf"(?<=[%*/+-])(\s*){cw}(?!\s*\()",
                 lambda m: m.group(1) + packed, masked, flags=re.IGNORECASE,
+            )
+            masked = re.sub(
+                rf"{cw}(?=\s*(?:=|<>|!=|<=|>=|<|>)\s*[+-]?\d)",
+                packed, masked, flags=re.IGNORECASE,
+            )
+            masked = re.sub(
+                rf"{cw}(?=\s+between\s+[+-]?\d)", packed, masked,
+                flags=re.IGNORECASE,
             )
         for c in set_cols:
             # SET in numeric context evaluates to its bitmap: member i
