@@ -569,10 +569,41 @@ class BvtSession:
                         ntime(F.col(provided[c]).cast("string")).alias(c)
                     )
                     continue
+                if c in setcols and not src_types.get(provided[c], "").startswith(
+                    ("string", "void")
+                ):
+                    # numeric store into SET: the value is the member
+                    # BITMAP (dtype/set.sql: 3 -> 'red,green'); out-of-range
+                    # bits error (strict) / clear (IGNORE)
+                    members = setcols[c]
+                    v = F.col(provided[c]).cast("bigint")
+                    norm = F.concat_ws(
+                        ",",
+                        *[
+                            F.when(v.bitwiseAND(1 << i) != 0, F.lit(mv))
+                            for i, mv in enumerate(members)
+                        ],
+                    )
+                    over = v >= (1 << len(members))
+                    bad_val = (
+                        norm
+                        if ignore
+                        else F.raise_error(F.lit("invalid set value")).cast("string")
+                    )
+                    sel.append(
+                        F.when(v.isNull(), F.lit(None).cast("string"))
+                        .when(over, bad_val)
+                        .otherwise(norm)
+                        .alias(c)
+                    )
+                    continue
                 if c in setcols:
                     # SET store: normalize to declaration order, dedup;
                     # unknown elements error (strict) or are dropped
-                    # (IGNORE). Empty string is the valid empty set.
+                    # (IGNORE). Empty string is the valid empty set. An
+                    # all-digit value is the member BITMAP even when a
+                    # mixed VALUES batch coerced it to string
+                    # (dtype/set.sql: (3, 3) -> 'red,green').
                     members = setcols[c]
                     v = F.col(provided[c]).cast("string")
                     elems = F.split(v, ",")
@@ -581,6 +612,14 @@ class BvtSession:
                         *[
                             F.when(F.array_contains(elems, mv), F.lit(mv))
                             for mv in members
+                        ],
+                    )
+                    num = F.col(provided[c]).cast("bigint")
+                    bitnorm = F.concat_ws(
+                        ",",
+                        *[
+                            F.when(num.bitwiseAND(1 << i) != 0, F.lit(mv))
+                            for i, mv in enumerate(members)
                         ],
                     )
                     has_bad = F.exists(
@@ -595,6 +634,10 @@ class BvtSession:
                     sel.append(
                         F.when(v.isNull(), F.lit(None).cast("string"))
                         .when(v == "", F.lit(""))
+                        .when(
+                            v.rlike("^[0-9]+$") & (num < (1 << len(members))),
+                            bitnorm,
+                        )
                         .when(has_bad, bad_val)
                         .otherwise(norm)
                         .alias(c)
@@ -1420,6 +1463,37 @@ class BvtSession:
                     )
                 elif c in rounds:
                     new = f"round(CAST({new} AS DOUBLE), {rounds[c]})"
+                elif c in meta.get("sets", {}):
+                    # SET normalization on UPDATE: declaration order +
+                    # numeric bitmap values (dtype/set.sql updates)
+                    members = meta["sets"][c]
+                    sv = f"CAST({new} AS STRING)"
+                    arr = f"split({sv}, ',')"
+                    parts = ", ".join(
+                        f"CASE WHEN array_contains({arr}, '{mv}') THEN '{mv}' END"
+                        for mv in members
+                    )
+                    bits = ", ".join(
+                        f"CASE WHEN (CAST({new} AS BIGINT) & {1 << i}) != 0 "
+                        f"THEN '{mv}' END"
+                        for i, mv in enumerate(members)
+                    )
+                    new = (
+                        f"(CASE WHEN ({new}) IS NULL THEN NULL "
+                        f"WHEN {sv} = '' THEN '' "
+                        f"WHEN {sv} rlike '^[0-9]+$' THEN concat_ws(',', {bits}) "
+                        f"ELSE concat_ws(',', {parts}) END)"
+                    )
+                elif c in meta.get("enums", {}):
+                    # ENUM numeric assignment resolves by 1-based index
+                    members = meta["enums"][c]
+                    arr = ", ".join("'" + mv.replace("'", "''") + "'" for mv in members)
+                    new = (
+                        f"(CASE WHEN ({new}) IS NULL THEN NULL "
+                        f"WHEN CAST({new} AS STRING) rlike '^[0-9]+$' "
+                        f"THEN element_at(array({arr}), CAST({new} AS INT)) "
+                        f"ELSE CAST({new} AS STRING) END)"
+                    )
                 elif c in meta.get("years", set()):
                     # YEAR 2-digit expansion on UPDATE too (year.sql:
                     # `update t_year set y = '75'` stores 1975)
