@@ -558,7 +558,7 @@ _FN_COMPOSE_RE = re.compile(
 BVT_REPLAY_MODE = [False]
 
 _FN_GUARD_RE = re.compile(
-    r"\b(acos|asin|bit_and|bit_or|bit_xor|approx_percentile)\s*\(",
+    r"\b(acos|asin|bit_and|bit_or|bit_xor|approx_percentile|left|right)\s*\(",
     re.IGNORECASE,
 )
 
@@ -596,6 +596,15 @@ def _guard_fn(name: str, args: "list[str]") -> "str | None":
         # is exact at fixture sizes, while Spark's approx_percentile loses
         # precision on decimal(38,0) inputs (func_aggr_approx_percentile)
         return f"percentile(CAST({args[0]} AS DOUBLE), {args[1]})"
+    if name in ("left", "right") and len(args) == 2:
+        # MySQL ROUNDS a fractional length (left('qwerty', 1.5) = 'qw');
+        # Spark truncates. Skip when the length is already an int literal.
+        if re.fullmatch(r"\s*\d+\s*", args[1]):
+            return None
+        n = (
+            f"CAST(ROUND(try_cast(({args[1]}) AS DECIMAL(38,9)), 0) AS INT)"
+        )
+        return f"{name}({args[0]}, {n})"
     return None
 
 
