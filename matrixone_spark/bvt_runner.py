@@ -181,9 +181,10 @@ def _norm_time_str(s: "str | None", prec: int = 0) -> "str | None":
     # no range clamp: the reference accepts arbitrary packed hours
     # ('2020112211' stores as 202011:22:11, dtype/time.test)
     base = f"{sign}{h:02d}:{mnt:02d}:{sec:02d}"
-    if prec > 0:
-        # the reference prints TIME(n) fractions padded to 9 digits
-        # ('11:22:33.444000000', dtype/time.test)
+    if prec > 0 and fr:
+        # the reference prints TIME(n) fractions padded to 9 digits when
+        # NONZERO ('11:22:33.444000000') and omits zero fractions
+        # ('00:00:01', dtype/time.test)
         return base + "." + f"{fr:0{prec}d}" + "0" * (9 - prec)
     return base
 
@@ -1929,6 +1930,26 @@ class BvtSession:
             masked = re.sub(
                 rf"{cw}(?=\s+between\s+[+-]?\d)", packed, masked,
                 flags=re.IGNORECASE,
+            )
+
+            def _tlit(m: "re.Match") -> str:
+                # time col vs STRING literal: MySQL parses the literal as
+                # TIME ('23' = 00:00:23) and compares by value
+                # (dtype/time_1.sql `where t2 > "23"`)
+                n = int(m.group("sp"))
+                body = spans[n]
+                if body[:1] not in ("'", '"'):
+                    return m.group(0)
+                norm = _norm_time_str(body[1:-1])
+                if norm is None:
+                    return m.group(0)
+                val = int(("-" if norm.startswith("-") else "") +
+                          re.sub(r"[^0-9]", "", norm.split(".")[0]))
+                return f"{packed} {m.group('op')} {val}"
+
+            masked = re.sub(
+                rf"{cw}\s*(?P<op>=|<>|!=|<=|>=|<|>)\s*\x01(?P<sp>\d+)\x01",
+                _tlit, masked, flags=re.IGNORECASE,
             )
         for c in set_cols:
             # SET in numeric context evaluates to its bitmap: member i

@@ -329,6 +329,7 @@ def _cast_rewrite(masked: str, spans: "list[str] | None" = None) -> str:
                 return None
             return (
                 f"COALESCE(try_cast(({x}) AS DATE), "
+                f"try_to_date(CAST(({x}) AS STRING), 'y-M-d'), "
                 f"try_to_date(CAST(({x}) AS STRING), 'y.M.d'), "
                 f"try_to_date(CAST(({x}) AS STRING), 'y/M/d'), "
                 f"try_to_date(CAST(({x}) AS STRING), 'yyyyMMdd'))"
