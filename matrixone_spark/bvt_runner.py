@@ -1850,7 +1850,7 @@ class BvtSession:
         has_tcast = bool(re.search(r"(?i)\bcast\s*\(", stmt)) and bool(
             time_cols or date_cols
         )
-        has_time_arith = bool(time_cols) and bool(re.search(r"[%*/+-]", stmt))
+        has_time_arith = bool(time_cols) and bool(re.search(r"[%*/+-<>=]|\bbetween\b", stmt, re.IGNORECASE))
         if (
             not float_cols and not date_cols and not enum_cols
             and not set_cols and not has_like and not has_tcast
@@ -2041,6 +2041,28 @@ class BvtSession:
             masked = re.sub(
                 rf"\b({alt})\b\s+in\s*\(([^()]+)\)",
                 din, masked, flags=re.IGNORECASE,
+            )
+
+            def dar(m: "re.Match") -> str:
+                # DATE in arithmetic with a number evaluates packed
+                # (max(big)-1 = 20020100, dtype/date.test) — MySQL converts
+                # the date to YYYYMMDD before numeric ops
+                c = m.group(1)
+                return (
+                    f"(year({c})*10000 + month({c})*100 + day({c}))"
+                    + m.group(2)
+                )
+
+            masked = re.sub(
+                rf"\b({alt})\b(\s*[%*/+-]\s*\d)", dar, masked,
+                flags=re.IGNORECASE,
+            )
+            masked = re.sub(
+                rf"(\b(?:min|max)\s*\(\s*)({alt})(\s*\))(\s*[%*/+-]\s*\d)",
+                lambda m: f"(year({m.group(1)}{m.group(2)}{m.group(3)})*10000"
+                          f" + month({m.group(1)}{m.group(2)}{m.group(3)})*100"
+                          f" + day({m.group(1)}{m.group(2)}{m.group(3)}))" + m.group(4),
+                masked, flags=re.IGNORECASE,
             )
         return unmask_literals(masked, spans)
 
