@@ -120,10 +120,12 @@ _SQL_LITERAL_RE = re.compile(r"'(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.)*\"")
 
 
 def _norm_time_str(s: "str | None", prec: int = 0) -> "str | None":
-    """Normalize MySQL TIME text to the reference's canonical display
-    ('1:59' → '00:01:59' — the reference right-aligns colon groups as
-    [H:]M:S, dtype/TimeToInt.sql; bare digits pack from the right,
-    '1159' → '00:11:59'). Range clamps at ±838:59:59; invalid → None."""
+    """Normalize MySQL TIME text to the reference's canonical display.
+    Two colon groups are HOUR:MINUTE ('12:00' → '12:00:00' — the
+    reference's ParseTime case 2, pkg/container/types/time.go:208, and
+    mysql_compat_cast_convert_matrix.result's '34:05' → '34:05:00');
+    bare digits pack from the right ('1159' → '00:11:59').
+    Invalid → None."""
     if s is None:
         return None
     t = str(s).strip()
@@ -151,7 +153,7 @@ def _norm_time_str(s: "str | None", prec: int = 0) -> "str | None":
         if ":" in t:
             parts = t.split(":")
             if len(parts) == 2:
-                h, mnt, sec = 0, int(parts[0]), int(parts[1])
+                h, mnt, sec = int(parts[0]), int(parts[1]), 0
             elif len(parts) == 3:
                 h, mnt, sec = int(parts[0]), int(parts[1]), int(parts[2])
             else:
@@ -226,7 +228,9 @@ def _scan_to_close(s: str, open_idx: int) -> int:
 def _name_token(raw: str, spans: "list[str]") -> str:
     """Resolve a (possibly literal-masked, backticked, db-qualified) table
     name token to its bare name."""
-    return unmask_literals(raw, spans).strip("`").split(".")[-1].strip("`")
+    # MatrixOne stores table identifiers lowercase (case-insensitive
+    # lookup — the tpch suite CREATEs NATION and INSERTs into nation)
+    return unmask_literals(raw, spans).strip("`").split(".")[-1].strip("`").lower()
 
 
 def _norm_type(raw: str) -> str:
@@ -265,7 +269,7 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
     )
     if not m:
         raise SkipStatement("not a parseable CREATE TABLE")
-    name = unmask_literals(m.group(1), spans).strip("`").split(".")[-1]
+    name = unmask_literals(m.group(1), spans).strip("`").split(".")[-1].lower()
     depth, i, start = 1, m.end(), m.end()
     while i < len(masked) and depth:
         if masked[i] == "(":
@@ -906,7 +910,7 @@ class BvtSession:
                 masked, re.IGNORECASE,
             )
             if am:
-                tbl, name = am.group(1).split(".")[-1], am.group(2)
+                tbl, name = am.group(1).split(".")[-1].lower(), am.group(2)
                 cols = tuple(
                     c.strip().strip("`").lower() for c in am.group(3).split(",")
                 )
@@ -932,7 +936,7 @@ class BvtSession:
                 masked, re.IGNORECASE,
             )
             if fm:
-                name, tbl = fm.group(1), fm.group(2).split(".")[-1]
+                name, tbl = fm.group(1), fm.group(2).split(".")[-1].lower()
                 cols = tuple(
                     c.strip().strip("`").lower() for c in fm.group(3).split(",")
                 )
@@ -968,7 +972,7 @@ class BvtSession:
                 re.IGNORECASE | re.DOTALL,
             )
             if vm:
-                name = vm.group(1)
+                name = vm.group(1).lower()
                 sql = translate(unmask_literals(vm.group(2), spans))
                 df = self.spark.sql(sql)  # validate eagerly
                 self.views[name] = sql
@@ -983,7 +987,7 @@ class BvtSession:
                 masked, re.IGNORECASE,
             )
             if dim:
-                tbl = dim.group(2).split(".")[-1]
+                tbl = dim.group(2).split(".")[-1].lower()
                 if self.ft_indexes.get(tbl, {}).pop(dim.group(1), None) is not None:
                     return "ddl", None
                 raise SkipStatement("DROP INDEX of unknown index")
@@ -997,7 +1001,7 @@ class BvtSession:
             if not m:
                 raise SkipStatement("unsupported DROP kind")
             for raw in unmask_literals(m.group(1), spans).split(","):
-                name = raw.strip().strip("`").split(".")[-1]
+                name = raw.strip().strip("`").split(".")[-1].lower()
                 if name in self.tables:
                     self.spark.catalog.dropTempView(name)
                     self.tables.pop(name, None)
@@ -1192,7 +1196,7 @@ class BvtSession:
                     cur = cur.join(new.select(*k).distinct(), list(k), "left_anti")
                 rebuilt = True
             elif odku is not None:
-                cur, new = self._apply_odku(name, cur, new, keys[0], odku, spans)
+                cur, new = self._apply_odku(name, cur, new, keys, odku, spans)
                 rebuilt = True
             else:
                 # INSERT IGNORE skips rows whose key already exists (and
@@ -1337,11 +1341,15 @@ class BvtSession:
         self.last_table = tgt[0]
         return "dml", None
 
-    def _apply_odku(self, name, cur, new, key, odku_masked, spans):
-        """INSERT ... ON DUPLICATE KEY UPDATE: key-conflicting new rows
-        update the existing row via the assignment list (`VALUES(col)`
-        refers to the incoming row), non-conflicting rows append —
-        dtype/year.sql t_year_dup. Returns (updated_cur, to_append)."""
+    def _apply_odku(self, name, cur, new, keys, odku_masked, spans):
+        """INSERT ... ON DUPLICATE KEY UPDATE: new rows conflicting with
+        ANY unique key update the existing row via the assignment list
+        (`VALUES(col)` refers to the incoming row), non-conflicting rows
+        append — dtype/year.sql t_year_dup. Matches are detected via a
+        sentinel flag on the new side (not a key-column NULL test), and
+        joins use plain equality: MySQL UNIQUE indexes never conflict on
+        NULL values, so a NULL-keyed incoming row always appends.
+        Returns (updated_cur, to_append)."""
         assigns: "dict[str, str]" = {}
         for part in _split_top_level(odku_masked.strip().rstrip(";")):
             am = re.match(r"\s*[`]?(\w+)[`]?\s*=\s*(.*)$", part, re.DOTALL)
@@ -1349,35 +1357,47 @@ class BvtSession:
                 raise SkipStatement("unparseable ON DUPLICATE KEY UPDATE")
             assigns[am.group(1).lower()] = unmask_literals(am.group(2).strip(), spans)
         schema_cols = [c for c, _ in self.schemas[name]]
-        new = new.dropDuplicates(list(key))
-        joined = cur.alias("__c").join(
-            new.alias("__n"),
-            on=[F.col(f"__c.{k}").eqNullSafe(F.col(f"__n.{k}")) for k in key],
-            how="left",
-        )
-        matched = F.col(f"__n.{key[0]}").isNotNull()
-        sel = []
-        for col, t in self.schemas[name]:
-            a = assigns.get(col.lower())
-            if a is None:
-                sel.append(F.col(f"__c.{col}").alias(col))
-                continue
-            sqltxt = translate(a)
-            sqltxt = re.sub(
-                r"(?i)\bvalues\s*\(\s*[`]?(\w+)[`]?\s*\)", r"__n.\1", sqltxt
-            )
-            for sc in sorted(schema_cols, key=len, reverse=True):
+
+        def _sel_updated(joined, matched):
+            sel = []
+            for col, t in self.schemas[name]:
+                a = assigns.get(col.lower())
+                if a is None:
+                    sel.append(F.col(f"__c.{col}").alias(col))
+                    continue
+                sqltxt = translate(a)
                 sqltxt = re.sub(
-                    rf"(?<![\w.\x60]){re.escape(sc)}\b", f"__c.{sc}", sqltxt,
-                    flags=re.IGNORECASE,
+                    r"(?i)\bvalues\s*\(\s*[`]?(\w+)[`]?\s*\)", r"__n.\1", sqltxt
                 )
-            expr = F.when(matched, F.expr(sqltxt).cast(t)).otherwise(
-                F.col(f"__c.{col}")
+                for sc in sorted(schema_cols, key=len, reverse=True):
+                    sqltxt = re.sub(
+                        rf"(?<![\w.\x60]){re.escape(sc)}\b", f"__c.{sc}", sqltxt,
+                        flags=re.IGNORECASE,
+                    )
+                expr = F.when(matched, F.expr(sqltxt).cast(t)).otherwise(
+                    F.col(f"__c.{col}")
+                )
+                sel.append(expr.alias(col))
+            return joined.select(*sel)
+
+        updated = cur
+        remaining = new
+        for key in keys:
+            remaining = remaining.dropDuplicates(list(key))
+            n = remaining.withColumn("__odku_hit", F.lit(1)).alias("__n")
+            joined = updated.alias("__c").join(
+                n,
+                on=[F.col(f"__c.{k}") == F.col(f"__n.{k}") for k in key],
+                how="left",
             )
-            sel.append(expr.alias(col))
-        updated = joined.select(*sel)
-        appended = new.join(cur.select(*key).distinct(), list(key), "left_anti")
-        return updated, appended
+            updated = _sel_updated(joined, F.col("__n.__odku_hit").isNotNull())
+            # new rows consumed by this key's update don't append and don't
+            # participate in later keys (conflicts resolve against the
+            # pre-statement table state, like MySQL's per-row index order)
+            remaining = remaining.join(
+                cur.select(*key).distinct(), list(key), "left_anti"
+            )
+        return updated, remaining
 
     @staticmethod
     def _render_literal(v) -> str:
@@ -2115,10 +2135,11 @@ class BvtSession:
                 else:
                     return m.group(0)
             ty = m.group("ty").lower()
-            if kind == "time" and x.lower().startswith("time"):
-                # time(ts_col) extracts the clock part first
-                tfn = re.match(r"(?i)time\s*\(\s*([\w.\x60]+)\s*\)", x)
-                inner = tfn.group(1)
+            if kind == "time" and fn is not None and fn.group(1).lower() == "time":
+                # time(ts_col) extracts the clock part first; gate on the
+                # wrapper-function match, not a name-prefix test, so a bare
+                # column named time1 takes the packed-value path below
+                inner = fn.group(2)
                 p = (
                     f"(hour({inner})*10000 + minute({inner})*100 "
                     f"+ CAST(second({inner}) AS BIGINT))"
@@ -2502,7 +2523,15 @@ class RefResults:
 
     def __init__(self, text: str):
         self.lines = [ln.rstrip("\n") for ln in text.splitlines()]
-        self.norm = ["".join(ln.split()).lower() for ln in self.lines]
+        # statement echoes may carry an interleaved trailing comment after
+        # the terminator (`SELECT ... AS sunday;    # Sunday = 1`,
+        # func_datetime_dayofweek.result) — strip it so claims match the
+        # comment-stripped script text; quote-bearing tails are kept (a
+        # string literal could legitimately contain `;#`)
+        self.norm = [
+            re.sub(r";\s*#[^'\"]*$", ";", "".join(ln.split()).lower())
+            for ln in self.lines
+        ]
         self.cursor = 0
 
     @staticmethod
@@ -2583,10 +2612,13 @@ class RefResults:
             return ("error", line)
         block: "list[str]" = []
         k = j
-        while k < n and not (
-            self._STMT_START_RE.match(self.lines[k])
-            and not _is_data_row(self.lines[k])
-        ):
+        while k < n:
+            # a statement echo ending in `;   # comment` is a block
+            # terminator, not a data row — strip the trailing comment
+            # before the separator test (func_datetime_dayofweek.result)
+            bl = re.sub(r";\s*#[^'\"]*$", ";", self.lines[k])
+            if self._STMT_START_RE.match(bl) and not _is_data_row(bl):
+                break
             block.append(self.lines[k])
             k += 1
         if not block:
@@ -2799,8 +2831,14 @@ class CoExecutor:
         text: str,
         details: "list | None" = None,
         ref: "RefResults | None" = None,
+        grade_all_ref: bool = False,
     ) -> "dict[str, int]":
         """Co-execute a script; returns counters.
+
+        ``grade_all_ref=True`` additionally grades EVERY compared SELECT
+        against the reference's .result rows (not only Spark-vs-DuckDB
+        mismatches) — used for golden-file suites like benchmark/tpch where
+        the reference's own expected rows are the primary gate.
 
         State changes apply both-or-neither: each non-query statement runs
         inside a DuckDB transaction with a Spark-side state snapshot; if one
@@ -2827,7 +2865,7 @@ class CoExecutor:
 
         BVT_REPLAY_MODE[0] = True
         try:
-            return self._run_script_inner(text, details, ref)
+            return self._run_script_inner(text, details, ref, grade_all_ref)
         finally:
             self.spark.conf.set(_prec_conf, _prec_old)
             BVT_REPLAY_MODE[0] = False
@@ -2837,6 +2875,7 @@ class CoExecutor:
         text: str,
         details: "list | None" = None,
         ref: "RefResults | None" = None,
+        grade_all_ref: bool = False,
     ) -> "dict[str, int]":
         from matrixone_spark.oracle import canonical_rows
 
@@ -3017,6 +3056,39 @@ class CoExecutor:
                 s_rows, _ = canonical_rows(_pos(spark_df))
                 o_rows, _ = canonical_rows(_pos(duck_df))
                 stats["compared"] += 1
+                if grade_all_ref and ref is not None:
+                    # golden-suite mode: the reference rows gate every
+                    # SELECT, including ones both replay engines agree on
+                    claimed = ref.claim(orig)
+                    spark_ref_ok = False
+                    if claimed is not None and claimed[0] == "rows":
+                        if _ref_match(spark_df, claimed[1]):
+                            stats["ref_pass"] += 1
+                            spark_ref_ok = True
+                        elif _ref_match(spark_df, claimed[1], fmt=True):
+                            stats["ref_fail_fmt"] += 1
+                        else:
+                            stats["ref_fail"] += 1
+                            if details is not None:
+                                details.append(
+                                    (orig,
+                                     [tuple(map(str, r)) for r in
+                                      spark_df.head(5).itertuples(
+                                          index=False, name=None)],
+                                     [("ref",) + tuple(r)
+                                      for r in claimed[1][:5]])
+                                )
+                    elif claimed is not None and claimed[0] == "error":
+                        stats["ref_error"] += 1
+                    if (
+                        s_rows != o_rows
+                        and not _rows_close(s_rows, o_rows)
+                        and not spark_ref_ok  # duck was the divergent engine
+                    ):
+                        stats["mismatch"] += 1
+                        if details is not None:
+                            details.append((orig, s_rows[:5], o_rows[:5]))
+                    continue
                 if s_rows != o_rows and _rows_close(s_rows, o_rows):
                     # float-representation divergence only: DuckDB keeps
                     # FLOAT columns float32 through arithmetic while Spark
