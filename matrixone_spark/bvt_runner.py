@@ -2066,8 +2066,18 @@ class BvtSession:
             def dar(m: "re.Match") -> str:
                 # DATE in arithmetic with a number evaluates packed
                 # (max(big)-1 = 20020100, dtype/date.test) — MySQL converts
-                # the date to YYYYMMDD before numeric ops
+                # the date to YYYYMMDD before numeric ops; DATETIME packs
+                # all 14 digits and computes in DECIMAL (col1 *
+                # 798461455511 = 1.59e25, dtype/TimeToInt.sql datetime01 —
+                # a BIGINT pack would overflow)
                 c = m.group(1)
+                if colt.get(c.lower()) == "timestamp":
+                    return (
+                        f"(CAST(year({c}) AS DECIMAL(38,6))*10000000000"
+                        f" + month({c})*100000000 + day({c})*1000000"
+                        f" + hour({c})*10000 + minute({c})*100 + second({c}))"
+                        + m.group(2)
+                    )
                 return (
                     f"(year({c})*10000 + month({c})*100 + day({c}))"
                     + m.group(2)
@@ -2575,6 +2585,11 @@ class RefResults:
 
     def _parse_block(self, j: int):
         n = len(self.lines)
+        # multi-line echoes end with a standalone ';' line (benchmark/tpch
+        # q*.result) — the claim matcher stops before consuming it; skip it
+        # so the plain-format header is not graded as a data row
+        while j < n and self.lines[j].strip() == ";":
+            j += 1
         if j >= n:
             return ("rows", [])
         line = self.lines[j].strip()
@@ -2699,6 +2714,11 @@ def _ref_match(spark_pdf, ref_rows, fmt: bool = False) -> bool:
     def cell_eq(a: str, b: str, col: int) -> bool:
         if a == b:
             return True
+        # the .result plain format cannot represent leading/trailing cell
+        # whitespace (cells split on tab/4-space runs and are stripped) —
+        # compare stripped (tpch q15 s_address ' N kD4on9OM…')
+        if a.strip() == b.strip():
+            return True
         la, lb = a.lower(), b.lower()
         if la == lb:
             return True
@@ -2756,6 +2776,16 @@ def _ref_match(spark_pdf, ref_rows, fmt: bool = False) -> bool:
         # fmt: 1e-5 covers the reference's TRUNCATED (not rounded)
         # 6-significant-digit prints (up to ~1e-5 relative; r4 advisor)
         tol = 1e-5 if fmt else 1e-6
+        if fmt:
+            # a golden printed at a COARSER result scale (the tpch suite's
+            # avg(decimal(15,2)) renders scale 2: '25.35' for 25.354533 —
+            # an older avg result-type; func_avg_numeric_contract shows
+            # the current engine prints scale s+6) — value-equal when the
+            # finer value ROUNDS exactly to the golden at its printed
+            # fractional width
+            bm = _re.fullmatch(r"-?\d+\.(\d+)", b)
+            if bm and round(fa, len(bm.group(1))) == fb:
+                return True
         if fmt and abs(fa) < 5e-7 and abs(fb) < 5e-7:
             # the reference prints 6 fractional digits: 6.8e-20 renders as
             # 0.000000 — value-equal under the print format
@@ -2794,7 +2824,18 @@ def _cell_close(a, b, tol: float = 1e-6) -> bool:
                 fa, fb = float(va), float(vb)
             except (TypeError, ValueError):
                 return False
-            return abs(fa - fb) <= tol * max(abs(fa), abs(fb), 1e-30)
+            if abs(fa - fb) <= tol * max(abs(fa), abs(fb), 1e-30):
+                return True
+            # fixed-scale decimal vs double: Spark's avg(decimal(15,2)) is
+            # the true mean ROUNDED at scale 6 (0.042895) while DuckDB
+            # keeps the double (0.04289473…) — equal when the double
+            # rounds exactly to the decimal at its printed scale (>=4
+            # fractional digits so the rule stays tight); tpch q1 avg_disc
+            for x, y in ((va, vb), (vb, va)):
+                m = re.fullmatch(r"-?\d+\.(\d{4,})", str(x))
+                if m and round(float(y), len(m.group(1))) == float(x):
+                    return True
+            return False
         if ka == kb == "l":
             return len(va) == len(vb) and all(_cell_close(x, y, tol) for x, y in zip(va, vb))
     return False

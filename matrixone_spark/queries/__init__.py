@@ -85,19 +85,19 @@ def register(name: str, oracle: "str | None", tags: tuple = (), doc: str = ""):
 # refreshes the oldest r01-only greens (plan-fragility check).
 _SENTINELS: "tuple[str, ...]" = ()
 
-# The 50 rows the r06 driver window must convert, in risk order: this
-# round's NEW query (fulltext_cjk_dict), then every query whose module
-# changed this round or late in r5 AFTER its last driver check (VERDICT r5
-# item #6 staleness list: operators/fulltext.py changed r5+r6 -> the
-# natural/boolean/cjk set; functions/json_fns.py changed r5+r6 -> the JSON
-# batteries; s2cell.py r5 -> geo_s2_battery; mysql_dialect.py translate
-# changed r6 -> the scalar/battery canaries), then tpch regression
-# canaries and a refresh of the oldest greens. Overflow past 50 harmlessly
-# waits for r07.
+# The 50 rows the r07 driver window must convert, in risk order:
+# (1) every query whose module changed THIS round — operators/fulltext.py
+# (dict-mode phrase expansion, gojieba-golden vocabulary) and
+# functions/cjk_dict.py gate the whole fulltext set; mysql_dialect
+# translate() changed (MONTHNAME/DAYNAME full names, typed-literal guard,
+# approx_percentile gating) so the scalar/battery canaries re-pin;
+# (2) the never-re-pinned r01-only greens (VERDICT r6 item #9 list:
+# tpch_q4/q7/q8/q10/q11/q13/q14/q16/q18/q20, join_*, setop_union_*, the
+# agg_* and window_* r01 rows). Overflow past 50 harmlessly waits for r08.
 _HEAD: "tuple[str, ...]" = (
-    # -- new this round --
+    # -- fulltext.py + cjk_dict.py changed r7 --
     "fulltext_cjk_dict",
-    # -- fulltext module changed r5+r6 (dict-mode branch, multi-MATCH) --
+    "fulltext_cjk",
     "fulltext_natural_bm25",
     "fulltext_natural_tfidf",
     "fulltext_boolean",
@@ -105,53 +105,52 @@ _HEAD: "tuple[str, ...]" = (
     "fulltext_boolean_wildcard",
     "fulltext_boolean_weights",
     "fulltext_boolean_group",
-    "fulltext_cjk",
-    # -- json_fns.py changed r5+r6 (path grammar; error propagation) --
-    "json_extract_battery",
-    "json_type_quote_battery",
-    "json2_battery",
-    "json_search_battery",
-    "json_construct_nested",
-    "json_mutators",
-    "json_unnest_array",
-    "json_objectagg_sorted",
-    # -- s2cell.py rewritten r5; geo SQL surface extended r5 --
-    "geo_s2_battery",
-    "geo_s2_bucket_join",
-    "geo_s2_join_bench",
-    # -- translate() changed r6 (bit literals, BINARY casts): canaries --
-    "func_mysql3_battery",
-    "bvt_operator_battery",
+    # -- translate() changed r7: scalar/battery canaries --
     "func_cast_battery",
+    "func_mysql3_battery",
     "operator_battery",
+    "bvt_operator_battery",
     "mysql_compat_battery",
-    # -- tpch regression canaries + oldest-green refresh --
-    "tpch_q1",
-    "tpch_q5",
-    "tpch_q12",
-    "tpch_q21",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q6",
-    "tpch_q9",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q22",
-    "join_mark_null_aware",
-    "join_single_scalar",
-    "join_nonequi_range",
-    "setop_intersect_all",
-    "setop_except_all",
+    "agg_approx_percentile",
+    "agg_median_percentile",
+    # -- never-re-pinned r01-only greens: tpch --
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q16",
+    "tpch_q18",
+    "tpch_q20",
+    # -- r01-only joins/setops --
+    "join_anti",
+    "join_cross",
+    "join_full_outer",
+    "join_left_outer",
+    "join_right_outer",
+    "join_semi",
+    "join_exists_or_exists",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    # -- r01-only agg rows --
+    "agg_basic",
+    "agg_bit_ops",
+    "agg_conditional",
+    "agg_distinct_multi",
+    "agg_group_concat",
+    "agg_minmax_by",
+    "agg_null_group_keys",
+    "agg_variance_exact",
+    # -- r01-only window rows --
+    "window_lag_lead",
+    "window_range_frame",
+    "window_value_funcs",
     "window_ranks",
     "window_rows_frame",
     "window_topn_per_group",
-    "grouping_sets_cube",
-    "recursive_cte_hierarchy",
-    "cte_reuse",
-    "limit_offset",
-    "sample_deterministic",
-    "scalar_subquery_uncorrelated",
 )
 
 # Module order for everything else (module name without package prefix).

@@ -154,3 +154,62 @@ def test_dict_vs_trigram_recall(spark):
         # same docs must come back
         got_t = {r["doc_id"] for r in tri.match_nl(q, algo="tfidf").collect()}
         assert got_t == want, (q, got_t)
+
+
+def test_query_time_hmm_pairs():
+    """The reference builds its fulltext index WITHOUT HMM and queries
+    WITH it (pkg/monlp/tokenizer/jieba.go:70-75). Query-side unknown
+    single runes therefore group into 2-rune new-words that can never
+    match the index's single-rune postings — gojieba.result pins the
+    visible effect: '版一、二冊' matches NOTHING even though doc 4's body
+    contains the literal text."""
+    from matrixone_spark.functions.cjk_dict import cut_mixed_dict
+
+    # index-time (no pairing): unknown runes stay single
+    assert cut_mixed_dict("版一、二冊") == ["版", "一", "二", "冊"]
+    # query-time: pairs; dict words still win inside the run
+    assert cut_mixed_dict("版一、二冊", hmm_pairs=True) == ["版一", "二冊"]
+    assert cut_mixed_dict("遠東兒童中文", hmm_pairs=True) == [
+        "遠東", "兒童", "中文",
+    ]
+    # odd-length unknown tail stays single; dict words break pairing runs
+    assert cut_mixed_dict("魔法中文魔", hmm_pairs=True) == ["魔法" , "中文", "魔"] or \
+        cut_mixed_dict("魔法中文魔", hmm_pairs=True) == ["魔法", "中文", "魔"]
+
+
+def test_gojieba_golden_vocabulary():
+    """Words the gojieba BVT goldens pin as dictionary units
+    (test/distributed/cases/fulltext/gojieba.sql): the srcph phrase tests
+    need 我/来到/北京/清华大学, and the Traditional-Chinese corpus needs
+    遠東, 教學/指引, 彩圖 as words."""
+    from matrixone_spark.functions.cjk_dict import cut_mixed_dict
+
+    assert cut_mixed_dict("我来到北京清华大学") == [
+        "我", "来到", "北京", "清华大学",
+    ]
+    assert cut_mixed_dict("教學指引") == ["教學", "指引"]
+    assert cut_mixed_dict("彩圖") == ["彩圖"]
+
+
+def test_full_wordlist_through_spark(spark, tmp_path):
+    """End-to-end: a jieba-format frequency wordlist (the public dict.txt
+    format, one 'word freq [tag]' line each) loaded via load_userdict()
+    drives the Arrow-batched tokenizer UDF — the 100 TB deployment path
+    where a full public dictionary replaces the built-in list."""
+    from pyspark.sql import Row
+
+    from matrixone_spark.functions.cjk_dict import load_userdict, make_tokenizer
+
+    lines = ["云计算 5000 n", "北京 10000 ns", "大学 8000 n",
+             "清华大学 3000 nt", "自然语言 900", "处理 7000 v"]
+    p = tmp_path / "dict.txt"
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    words = load_userdict(str(p))
+    assert words["云计算"] == 5000 and len(words) == 6
+    toks, toks_pos = make_tokenizer(words)
+    df = spark.createDataFrame(
+        [Row(t="云计算与自然语言处理"), Row(t="清华大学在北京")]
+    ).select(toks("t").alias("w"), toks_pos("t").alias("wp"))
+    got = [r["w"] for r in df.collect()]
+    assert got[0] == ["云计算", "与", "自然语言", "处理"]
+    assert got[1] == ["清华大学", "在", "北京"]
