@@ -27,6 +27,7 @@ mysql_dialect + Spark SQL itself.
 
 from __future__ import annotations
 
+import os
 import re
 import threading as _threading
 
@@ -967,13 +968,19 @@ class BvtSession:
                 self.last_table = name
                 return "ddl", None
             vm = re.match(
-                r"\s*create\s+(?:or\s+replace\s+)?view\s+[`]?(\w+)[`]?\s*(?:\([^)]*\))?\s+as\s+(.*)$",
+                r"\s*create\s+(?P<orr>or\s+replace\s+)?view\s+[`]?(?P<vn>\w+)[`]?\s*(?:\([^)]*\))?\s+as\s+(?P<body>.*)$",
                 masked,
                 re.IGNORECASE | re.DOTALL,
             )
             if vm:
-                name = vm.group(1).lower()
-                sql = translate(unmask_literals(vm.group(2), spans))
+                name = vm.group("vn").lower()
+                if name in self.views and not vm.group("orr"):
+                    # MySQL: plain CREATE VIEW of an existing view errors
+                    # ('Table v1 already exists'); only OR REPLACE
+                    # overwrites — view/replace_view.test keeps the
+                    # ORIGINAL definition after the failed re-create
+                    raise RuntimeError(f"view {name} already exists")
+                sql = translate(unmask_literals(vm.group("body"), spans))
                 df = self.spark.sql(sql)  # validate eagerly
                 self.views[name] = sql
                 self._register(name, df, materialize=False)
@@ -2030,10 +2037,15 @@ class BvtSession:
                         us = int(frac[:6].ljust(6, "0"))
                         sc = 10 ** (6 - prec)
                         us = round(us / sc) * sc
-                        d = _dtm.datetime.strptime(base, "%Y-%m-%d %H:%M:%S")
-                        if us >= 1000000:
-                            d += _dtm.timedelta(seconds=1)
-                            us -= 1000000
+                        try:
+                            d = _dtm.datetime.strptime(base, "%Y-%m-%d %H:%M:%S")
+                            if us >= 1000000:
+                                d += _dtm.timedelta(seconds=1)
+                                us -= 1000000
+                        except (ValueError, OverflowError):
+                            # '9999-12-31 23:59:59.9999999' has no next
+                            # second — leave the literal untouched
+                            continue
                         spans[n] = f"'{d:%Y-%m-%d %H:%M:%S}.{us:06d}'"
                 return m.group(0)
 
@@ -2722,6 +2734,14 @@ def _ref_match(spark_pdf, ref_rows, fmt: bool = False) -> bool:
         la, lb = a.lower(), b.lower()
         if la == lb:
             return True
+        # geometry rendering: our values carry the EWKT SRID prefix
+        # ('SRID=4326;POINT(7 8)') while the reference prints plain WKT,
+        # and empty collections print as 'MULTIPOINT()' there vs the
+        # standard 'MULTIPOINT EMPTY' here — rendering-only (func_geometry)
+        if a.startswith("SRID=") and ";" in a and a.split(";", 1)[1] == b:
+            return True
+        if a.endswith(" EMPTY") and b == a[:-6] + "()":
+            return True
         # the reference stores JSON as binary JSON and renders it with
         # canonical (sorted) keys, and prints vectors as '[a, b, c]' with
         # float32/float64 display digits; compare JSON cells structurally
@@ -2856,8 +2876,11 @@ def _rows_close(s_rows, o_rows, tol: float = 1e-6) -> bool:
 
 
 class CoExecutor:
-    # per-statement wall clock cap for EACH engine (runaway guard)
-    STMT_TIMEOUT_S = 60
+    # per-statement wall clock cap for EACH engine (runaway guard);
+    # override via BVT_STMT_TIMEOUT when replay workers share the box —
+    # under N-way Spark contention legitimate statements exceed 60s and
+    # time-outs grade as engine failures, poisoning the report
+    STMT_TIMEOUT_S = int(os.environ.get("BVT_STMT_TIMEOUT", "60"))
     """Run a BVT script on Spark AND DuckDB; compare every SELECT both ran."""
 
     def __init__(self, spark: SparkSession):

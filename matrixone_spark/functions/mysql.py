@@ -162,8 +162,24 @@ _MYSQL_FMT = {
 }
 
 
-def mysql_format_to_java(fmt: str) -> str:
-    """Translate a MySQL date_format/str_to_date pattern to Spark's."""
+# parsing-mode overrides: MySQL's %d/%m/%H… accept 1-2 digit fields
+# ('May 1, 2013' parses under %d), while Java's 2-letter patterns demand
+# exactly two digits; %r parses with an OPTIONAL meridian ('11:13:56' is
+# valid %r input, 12 reads as 00 — func_str_to_date.sql)
+_MYSQL_FMT_PARSE = {
+    "%d": "d", "%e": "d", "%m": "M", "%c": "M", "%H": "H", "%k": "H",
+    "%h": "h", "%I": "h", "%i": "m", "%s": "s", "%S": "s",
+    "%r": "h:mm:ss[ a]", "%j": "D",
+}
+
+
+def mysql_format_to_java(fmt: str, parsing: bool = False) -> str:
+    """Translate a MySQL date_format/str_to_date pattern to Spark's.
+    ``parsing=True`` uses the lenient field widths (STR_TO_DATE);
+    the default padded widths are for DATE_FORMAT output."""
+    table = dict(_MYSQL_FMT)
+    if parsing:
+        table.update(_MYSQL_FMT_PARSE)
     out, i = [], 0
     while i < len(fmt):
         if fmt[i] == "%" and i + 1 < len(fmt):
@@ -171,12 +187,18 @@ def mysql_format_to_java(fmt: str) -> str:
             # unknown %-tokens are literal characters in MySQL; quote alpha
             # fallbacks so Spark's pattern engine doesn't read them as
             # pattern letters (e.g. '%x' must emit 'x', not week-based-year)
-            out.append(_MYSQL_FMT.get(tok, f"'{tok[1]}'" if tok[1].isalpha() else tok[1]))
+            out.append(table.get(tok, f"'{tok[1]}'" if tok[1].isalpha() else tok[1]))
             i += 2
         else:
             ch = fmt[i]
-            # quote literal letters so SimpleDateFormat doesn't eat them
-            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            if parsing and ch == ",":
+                # MySQL's parser tolerates whitespace after literal
+                # separators ('May 1, 2013' under '%b %d,%Y') — emit an
+                # optional-space section
+                out.append(",[ ]")
+            else:
+                # quote literal letters so SimpleDateFormat doesn't eat them
+                out.append(f"'{ch}'" if ch.isalpha() else ch)
             i += 1
     return "".join(out)
 
@@ -218,9 +240,18 @@ def date_format_mysql(x, fmt: str) -> Column:
     return F.date_format(_c(x), mysql_format_to_java(fmt))
 
 
+# MySQL %-tokens that consume DATE vs TIME fields — STR_TO_DATE's result
+# type follows the format's content (func_str_to_date.go: date-only
+# format → DATE, time-only → TIME, both → DATETIME)
+STR_TO_DATE_DATE_TOKS = ("%Y", "%y", "%m", "%c", "%d", "%e", "%b", "%M",
+                         "%a", "%W", "%j")
+STR_TO_DATE_TIME_TOKS = ("%H", "%k", "%h", "%I", "%i", "%s", "%S", "%f",
+                         "%T", "%r", "%p")
+
+
 def str_to_date(x, fmt: str) -> Column:
     """STR_TO_DATE(s, fmt). Reference: func_str_to_date.go."""
-    return F.to_timestamp(_c(x), mysql_format_to_java(fmt))
+    return F.to_timestamp(_c(x), mysql_format_to_java(fmt, parsing=True))
 
 
 # Days between year 0 ('0000-01-01') and epoch, per MySQL's proleptic calendar

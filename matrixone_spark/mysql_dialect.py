@@ -559,7 +559,8 @@ _FN_COMPOSE_RE = re.compile(
 BVT_REPLAY_MODE = [False]
 
 _FN_GUARD_RE = re.compile(
-    r"\b(acos|asin|bit_and|bit_or|bit_xor|approx_percentile|left|right)\s*\(",
+    r"\b(acos|asin|bit_and|bit_or|bit_xor|approx_percentile|left|right"
+    r"|locate|lpad|rpad|last_day|unix_timestamp|from_unixtime)\s*\(",
     re.IGNORECASE,
 )
 
@@ -568,6 +569,67 @@ def _guard_fn(name: str, args: "list[str]") -> "str | None":
     """Single-pass rewrites whose output re-mentions the function name —
     running these through the compose fixpoint would never converge."""
     name = name.lower()
+    if name == "locate" and len(args) in (2, 3):
+        # MySQL LOCATE: any NULL argument → NULL (Spark yields 0 for a
+        # NULL pos); empty needle returns pos when 1 <= pos <= len+1
+        # (LOCATE('', 'cm', 3) = 3 — func_locate.sql)
+        a, b = args[0], args[1]
+        if len(args) == 2:
+            return (
+                f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL "
+                f"ELSE locate({a}, {b}) END)"
+            )
+        c = args[2]
+        return (
+            f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL OR ({c}) IS NULL "
+            f"THEN NULL WHEN length({a}) = 0 THEN "
+            f"(CASE WHEN ({c}) BETWEEN 1 AND length({b}) + 1 "
+            f"THEN CAST(({c}) AS INT) ELSE 0 END) "
+            f"ELSE locate({a}, {b}, CAST(({c}) AS INT)) END)"
+        )
+    if name in ("lpad", "rpad") and len(args) == 3:
+        # MySQL: negative or >max_allowed_packet pad length → NULL
+        # (rpad('hello', -4294967295, '1') = null — func_string_lpad_rpad)
+        n = args[1]
+        return (
+            f"(CASE WHEN ({n}) IS NULL OR ({n}) < 0 OR ({n}) > 67108864 "
+            f"THEN NULL ELSE {name}({args[0]}, CAST(({n}) AS INT), "
+            f"{args[2]}) END)"
+        )
+    if name == "last_day" and len(args) == 1:
+        # MySQL validates the WHOLE datetime text: an invalid clock part
+        # ('2024-02-01 24:01:01', '...23:01:61') nulls the result even
+        # though the date prefix parses - and Spark's string->timestamp
+        # cast TOLERATES such clocks, so validate the h/m/s fields
+        # numerically (func_last_day.sql); date-typed args pass through
+        a = args[0]
+        def _clk(g):
+            return (
+                "CAST(regexp_extract(CAST((" + a + ") AS STRING), "
+                "'[0-9]-[0-9]{1,2}[ T]([0-9]{1,3}):([0-9]{1,2}):([0-9]{1,2})', "
+                + str(g) + ") AS INT)"
+            )
+        has = (
+            "regexp_extract(CAST((" + a + ") AS STRING), "
+            "'[0-9]-[0-9]{1,2}[ T]([0-9]{1,3}):([0-9]{1,2}):([0-9]{1,2})', 0) <> ''"
+        )
+        return (
+            "(CASE WHEN " + has + " AND (" + _clk(1) + " > 23 OR "
+            + _clk(2) + " > 59 OR " + _clk(3) + " > 59) THEN NULL "
+            "ELSE last_day(" + a + ") END)"
+        )
+    if name == "unix_timestamp" and len(args) == 1:
+        # MySQL/the reference return NULL for pre-epoch datetimes
+        # (unix_timestamp('1968-01-20…') = null, func_datetime_unixtime)
+        u = f"unix_timestamp({args[0]})"
+        return f"(CASE WHEN {u} < 0 THEN NULL ELSE {u} END)"
+    if name == "from_unixtime" and len(args) in (1, 2):
+        # MySQL FROM_UNIXTIME(negative) is NULL (func_datetime_unixtime)
+        base = f"from_unixtime({', '.join(args)})"
+        return (
+            f"(CASE WHEN try_cast(({args[0]}) AS DOUBLE) < 0 "
+            f"THEN NULL ELSE {base} END)"
+        )
     if name in ("acos", "asin") and len(args) == 1:
         # MySQL acos/asin outside [-1,1] return NULL; Spark returns NaN,
         # and Spark orders/compares NaN = NaN (func_math.sql acos filter)
@@ -681,10 +743,19 @@ def _compose_fn(name: str, args: "list[str]") -> "str | None":
         )
         return f"concat_ws(',', {parts})"  # concat_ws skips the NULL (unset) slots
     if name == "random_bytes" and len(args) == 1:
-        # true-random bytes via uuid() entropy, capped at sha2's 32 bytes
+        # true-random bytes via uuid() entropy; MySQL's RANDOM_BYTES spans
+        # 1..1024 bytes (LENGTH(RANDOM_BYTES(1024)) = 1024 —
+        # func_string_compress.test), so chain 32 independent sha2(uuid())
+        # blocks and slice; out-of-range length → NULL
+        blocks = ", ".join(
+            f"sha2(concat(CAST(uuid() AS STRING), '{i}'), 256)"
+            for i in range(32)
+        )
+        n = f"CAST(({args[0]}) AS INT)"
         return (
-            f"unhex(substring(sha2(CAST(uuid() AS STRING) , 256), 1, "
-            f"CAST(least(greatest(CAST({args[0]} AS INT), 1), 32) AS INT) * 2))"
+            f"(CASE WHEN {n} BETWEEN 1 AND 1024 THEN "
+            f"unhex(substring(concat({blocks}), 1, {n} * 2)) "
+            f"ELSE NULL END)"
         )
     if name == "validate_password_strength" and len(args) == 1:
         s = args[0]
@@ -2265,11 +2336,26 @@ def translate(sql: str) -> str:
     n_src_spans = len(spans)  # spans appended by rewrites are already Spark-ready
 
     def fmt_repl(m: "re.Match") -> str:
+        from matrixone_spark.functions.mysql import (
+            STR_TO_DATE_DATE_TOKS,
+            STR_TO_DATE_TIME_TOKS,
+        )
+
         fn, arg = m.group(1).lower(), m.group(2)
-        fmt = mysql_format_to_java(_literal_text(spans, int(m.group(3))))
+        myfmt = _literal_text(spans, int(m.group(3)))
+        fmt = mysql_format_to_java(myfmt, parsing=(fn == "str_to_date"))
         spans.append(f"'{fmt}'")
         ph = _PH.format(len(spans) - 1)
         if fn == "str_to_date":
+            # result type follows the format (func_str_to_date.go):
+            # date-only tokens → DATE, time-only → TIME (clock display),
+            # mixed → DATETIME
+            has_d = any(t in myfmt for t in STR_TO_DATE_DATE_TOKS)
+            has_t = any(t in myfmt for t in STR_TO_DATE_TIME_TOKS)
+            if has_d and not has_t:
+                return f"to_date({arg}, {ph})"
+            if has_t and not has_d:
+                return f"date_format(to_timestamp({arg}, {ph}), 'HH:mm:ss')"
             return f"to_timestamp({arg}, {ph})"
         return f"date_format({arg}, {ph})"
 

@@ -12,9 +12,11 @@ def test_translate_patterns():
         translate("SELECT DATE_FORMAT(o_orderdate, '%Y-%m') FROM orders")
         == "SELECT date_format(o_orderdate, 'yyyy-MM') FROM orders"
     )
+    # date-only format → DATE result (func_str_to_date.go), parsed with
+    # MySQL's lenient 1-2 digit field widths
     assert (
         translate("SELECT STR_TO_DATE(s, '%d/%m/%Y') FROM t")
-        == "SELECT to_timestamp(s, 'dd/MM/yyyy') FROM t"
+        == "SELECT to_date(s, 'd/M/yyyy') FROM t"
     )
     # MySQL group_concat: insertion order (no array_sort), NULL for an
     # all-NULL/empty group
