@@ -1213,7 +1213,12 @@ class BvtSession:
                     new = new.dropDuplicates(list(k))
                     new = new.join(cur.select(*k).distinct(), list(k), "left_anti")
                 rebuilt = True
-        final = cur.unionAll(new)
+        # a name-list left_anti join REORDERS columns (Spark puts join keys
+        # first) — union positionally after re-selecting the schema order,
+        # else REPLACE/IGNORE on a non-leading unique key misbinds values
+        # (dml/replace/replace.test t_null_uk)
+        _cols = [c for c, _ in self.schemas[name]]
+        final = cur.select(*_cols).unionAll(new.select(*_cols))
         if rebuilt:
             # keyed REPLACE / ON DUPLICATE KEY / IGNORE mutate existing rows
             # or drop inserts — DuckDB (whose mirrored DDL carries no keys)
@@ -2586,7 +2591,7 @@ class RefResults:
         r"\s*(select|insert|create|drop|update|delete|use|set|show|with"
         r"|values|prepare|execute|deallocate|desc|explain|truncate|alter"
         r"|load|start|begin|commit|rollback|call|grant|revoke|kill|analyze"
-        r"|restore)\b",
+        r"|restore|replace)\b",
         re.IGNORECASE,
     )
     _ERROR_LINE_RE = re.compile(

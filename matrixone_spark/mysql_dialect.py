@@ -624,11 +624,14 @@ def _guard_fn(name: str, args: "list[str]") -> "str | None":
         u = f"unix_timestamp({args[0]})"
         return f"(CASE WHEN {u} < 0 THEN NULL ELSE {u} END)"
     if name == "from_unixtime" and len(args) in (1, 2):
-        # MySQL FROM_UNIXTIME(negative) is NULL (func_datetime_unixtime)
-        base = f"from_unixtime({', '.join(args)})"
+        # MySQL FROM_UNIXTIME: negative or beyond 32536771199 ('3001-01-18
+        # 23:59:59') is NULL, and fractional seconds ROUND to the nearest
+        # second (2147483647.9999999 → …03:14:08) — func_datetime_unixtime
+        r = f"ROUND(try_cast(({args[0]}) AS DECIMAL(27,7)), 0)"
+        rest = (", " + args[1]) if len(args) == 2 else ""
         return (
-            f"(CASE WHEN try_cast(({args[0]}) AS DOUBLE) < 0 "
-            f"THEN NULL ELSE {base} END)"
+            f"(CASE WHEN {r} IS NULL OR {r} < 0 OR {r} > 32536771199 "
+            f"THEN NULL ELSE from_unixtime(CAST({r} AS BIGINT){rest}) END)"
         )
     if name in ("acos", "asin") and len(args) == 1:
         # MySQL acos/asin outside [-1,1] return NULL; Spark returns NaN,
@@ -758,13 +761,34 @@ def _compose_fn(name: str, args: "list[str]") -> "str | None":
             f"ELSE NULL END)"
         )
     if name == "validate_password_strength" and len(args) == 1:
-        s = args[0]
+        # exact port of the reference's scoring (func_unary.go
+        # validatePasswordStrength): length tier (16/12/8 → 30/20/10)
+        # + char-type tier (4/3/2/1 types → 50/30/15/5) + combo bonuses,
+        # capped at 100 and bucketed to 0/25/50/75/100. Go len() counts
+        # BYTES → octet_length.
+        p = args[0]
+        ln = f"octet_length({p})"
+        t = (
+            f"(CAST(({p}) RLIKE '[A-Z]' AS INT) + "
+            f"CAST(({p}) RLIKE '[a-z]' AS INT) + "
+            f"CAST(({p}) RLIKE '[0-9]' AS INT) + "
+            f"CAST(({p}) RLIKE '[^A-Za-z0-9]' AS INT))"
+        )
+        raw = (
+            f"(LEAST(100, "
+            f"(CASE WHEN {ln} >= 16 THEN 30 WHEN {ln} >= 12 THEN 20 "
+            f"WHEN {ln} >= 8 THEN 10 ELSE 0 END) + "
+            f"(CASE WHEN {t} >= 4 THEN 50 WHEN {t} = 3 THEN 30 "
+            f"WHEN {t} = 2 THEN 15 WHEN {t} = 1 THEN 5 ELSE 0 END) + "
+            f"(CASE WHEN {ln} >= 8 AND {t} >= 3 THEN 10 ELSE 0 END) + "
+            f"(CASE WHEN {ln} >= 12 AND {t} >= 4 THEN 10 ELSE 0 END)))"
+        )
         return (
-            f"(CASE WHEN {s} IS NULL THEN CAST(NULL AS INT) "
-            f"WHEN char_length({s}) < 4 THEN 0 "
-            f"WHEN char_length({s}) < 8 THEN 25 "
-            f"WHEN NOT ({s} RLIKE '[0-9]') OR NOT (lower({s}) <> {s} AND upper({s}) <> {s}) THEN 50 "
-            f"WHEN NOT ({s} RLIKE '[^a-zA-Z0-9]') THEN 75 ELSE 100 END)"
+            f"(CASE WHEN ({p}) IS NULL THEN CAST(NULL AS INT) "
+            f"WHEN {ln} = 0 THEN 0 "
+            f"WHEN {raw} < 12 THEN 0 WHEN {raw} < 37 THEN 25 "
+            f"WHEN {raw} < 62 THEN 50 WHEN {raw} < 87 THEN 75 "
+            f"ELSE 100 END)"
         )
     if name == "if" and len(args) == 3:
         # MySQL IF evaluates the condition numerically (any nonzero value is
@@ -2432,6 +2456,22 @@ def translate(sql: str) -> str:
         masked = rewrite_in_mixed_numeric(masked, spans)
     masked = _truncate_rewrite(masked)
     masked = _convert_tz_rewrite(masked)
+    # PostgreSQL-style '::' casts to integer types take MySQL cast
+    # semantics (3.7::bigint ROUNDS to 4 — pg_cast/cast.sql); rewritten
+    # to CAST(... AS SIGNED/UNSIGNED) BEFORE _cast_rewrite so the full
+    # round-and-clamp path applies. Non-integer '::' targets keep
+    # Spark's native operator.
+    if "::" in masked:
+        masked = re.sub(
+            r"(?P<x>\([^()]*\)|[\w.\x01]+)\s*::\s*"
+            r"(?P<t>bigint|smallint|tinyint|int(?:eger)?|signed|unsigned)\b",
+            lambda m: "cast({} as {})".format(
+                m.group("x"),
+                "unsigned" if m.group("t").lower() == "unsigned" else "signed",
+            ),
+            masked,
+            flags=re.IGNORECASE,
+        )
     masked = _cast_rewrite(masked, spans)
     # BINARY(x) function form = CAST(x AS BINARY) over the TEXT rendering
     # (dtype/binary.test: binary(12345) is '12345'). Runs AFTER the cast

@@ -969,8 +969,10 @@ _MYSQL3_CASES: "list[tuple[str, str, str]]" = [
     ("ins2", "insert('Quadratic', -1, 4, 'What')", "'Quadratic'"),
     ("ins3", "insert('Quadratic', 3, 100, 'What')", "'QuWhat'"),
     ("vps1", "CAST(validate_password_strength('abc') AS BIGINT)", "CAST(0 AS BIGINT)"),
-    ("vps2", "CAST(validate_password_strength('abcdefgh') AS BIGINT)", "CAST(50 AS BIGINT)"),
-    ("vps3", "CAST(validate_password_strength('Abcdefg8!') AS BIGINT)", "CAST(100 AS BIGINT)"),
+    # reference scoring (func_unary.go validatePasswordStrength): 8 chars
+    # one type -> 15 -> bucket 25; 9 chars all four types -> 70 -> 75
+    ("vps2", "CAST(validate_password_strength('abcdefgh') AS BIGINT)", "CAST(25 AS BIGINT)"),
+    ("vps3", "CAST(validate_password_strength('Abcdefg8!') AS BIGINT)", "CAST(75 AS BIGINT)"),
     ("lcu1", "lcase('AbC')", "'abc'"),
     ("ucu1", "ucase('AbC')", "'ABC'"),
 ]
