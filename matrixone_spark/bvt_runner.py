@@ -2241,6 +2241,26 @@ class BvtSession:
                 row = self.spark.sql("select " + translate(expr)).collect()
                 self.uservars[name] = row[0][0] if row else None
             return None
+        tzm = re.match(
+            r"\s*set\s+(?:global\s+|session\s+)?time_zone\s*=\s*\x01(\d+)\x01\s*$",
+            masked, re.IGNORECASE,
+        )
+        if tzm:
+            # session time zone drives unix_timestamp/from_unixtime and
+            # timestamp rendering (func_datetime_unixtime.test's +01:00
+            # block). Spark honors it via spark.sql.session.timeZone;
+            # consumed before either engine (DuckDB's epoch functions are
+            # not exercised cross-engine — those statements grade vs the
+            # reference directly). Restored by CoExecutor.run_script.
+            tz = spans[int(tzm.group(1))].strip("'\"")
+            if re.fullmatch(r"[+-]\d{1,2}:\d{2}", tz):
+                java_tz = "GMT" + tz
+            elif tz.upper() in ("SYSTEM", "UTC"):
+                java_tz = "UTC"
+            else:
+                java_tz = tz  # IANA name passes through
+            self.spark.conf.set("spark.sql.session.timeZone", java_tz)
+            return None
         if head == "prepare":
             m = re.match(r"\s*prepare\s+[`]?(\w+)[`]?\s+from\s+(.*)$", masked,
                          re.IGNORECASE | re.DOTALL)
@@ -2930,6 +2950,8 @@ class CoExecutor:
         _prec_conf = "spark.sql.decimalOperations.allowPrecisionLoss"
         _prec_old = self.spark.conf.get(_prec_conf, "true")
         self.spark.conf.set(_prec_conf, "false")
+        _tz_conf = "spark.sql.session.timeZone"
+        _tz_old = self.spark.conf.get(_tz_conf, "UTC")
         from matrixone_spark.mysql_dialect import BVT_REPLAY_MODE
 
         BVT_REPLAY_MODE[0] = True
@@ -2937,6 +2959,7 @@ class CoExecutor:
             return self._run_script_inner(text, details, ref, grade_all_ref)
         finally:
             self.spark.conf.set(_prec_conf, _prec_old)
+            self.spark.conf.set(_tz_conf, _tz_old)
             BVT_REPLAY_MODE[0] = False
 
     def _run_script_inner(
