@@ -492,7 +492,9 @@ def dimension(g) -> int:
     if t in ("POLYGON", "MULTIPOLYGON"):
         return 2
     dims = [dimension(s) for s in (d or [])]
-    return max(dims) if dims else 0
+    # the reference reports -1 for EMPTY geometries (st_dimension of
+    # 'GEOMETRYCOLLECTION()' / 'MULTIPOINT()' — func_geometry.test)
+    return max(dims) if dims else -1
 
 
 # ---------------------------------------------------------------------------
@@ -1050,11 +1052,52 @@ def _is_line_interior(g, p) -> bool:
     return False
 
 
+def _pt_on(ga, p) -> bool:
+    """p lies anywhere on ga's CLOSURE, across heterogeneous members
+    (GEOMETRYCOLLECTION(POINT …, LINESTRING …) covers a point equal to its
+    point member — func_geometry.test collection rows)."""
+    for t, d in _flatten(ga):
+        if d is None:
+            continue
+        if t == "POINT":
+            if math.dist(p, d) <= _EPS:
+                return True
+        elif t == "LINESTRING":
+            if any(_on_segment(p[0], p[1], a, b) for a, b in zip(d, d[1:])):
+                return True
+        else:  # POLYGON: d is the ring list
+            if _pt_loc(list(d), p[0], p[1]) != 0:
+                return True
+    return False
+
+
+def _pt_in_interior(ga, p) -> bool:
+    """p lies in ga's INTERIOR (a point member's interior is itself; a
+    linestring's excludes its endpoints; a polygon's excludes its rings)."""
+    for t, d in _flatten(ga):
+        if d is None:
+            continue
+        if t == "POINT":
+            if math.dist(p, d) <= _EPS:
+                return True
+        elif t == "LINESTRING":
+            if d and _on_any_segment_interior(p, d):
+                return True
+        else:
+            if _pt_loc(list(d), p[0], p[1]) == 1:
+                return True
+    return False
+
+
 def covers(ga, gb) -> bool:
     """No point of gb lies in the exterior of ga."""
     if is_empty(ga) or is_empty(gb):
         return False
     da, db = dimension(ga), dimension(gb)
+    if db == 0:
+        # member-wise: handles mixed GEOMETRYCOLLECTION sides uniformly
+        pts = _points_of(gb)
+        return bool(pts) and all(_pt_on(ga, p) for p in pts)
     a_rings = _areal_rings(ga)
     if da == 2:
         for p in _points_of(gb):
@@ -1096,6 +1139,13 @@ def coveredby(ga, gb) -> bool:
 
 
 def contains(ga, gb) -> bool:
+    if not is_empty(gb) and dimension(gb) == 0:
+        # the reference's boost-geometry semantics: EVERY point of gb must
+        # lie in ga's INTERIOR (a multipoint with one point on ga's
+        # boundary is NOT contained — func_geometry.test
+        # contains_multiline_boundary); GEOS/DE-9IM would accept it
+        pts = _points_of(gb)
+        return bool(pts) and all(_pt_in_interior(ga, p) for p in pts)
     return covers(ga, gb) and _interiors_intersect(ga, gb)
 
 
@@ -1124,6 +1174,12 @@ def crosses(ga, gb) -> bool:
     lo, hi = (ga, gb) if da < db else (gb, ga)
     if not _interiors_intersect(lo, hi):
         return False
+    if dimension(lo) == 0 and dimension(hi) == 1:
+        # the reference (boost geometry) grades a point INTERIOR to a
+        # LINESTRING as crossing it (st_crosses(POINT, LINESTRING) = 1 —
+        # func_geometry.test), unlike DE-9IM's a∩b≠a rule; point-vs-AREA
+        # keeps the containment rule (crosses(POINT, POLYGON) = 0 there)
+        return True
     return not covers(hi, lo)
 
 
