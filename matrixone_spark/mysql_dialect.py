@@ -547,7 +547,7 @@ _FN_RENAME_RE = re.compile(
 # builder receives the top-level-split argument list and returns Spark SQL.
 _FN_COMPOSE_RE = re.compile(
     r"\b(field|oct|ord|conv|export_set|make_set|random_bytes"
-    r"|validate_password_strength|insert|in_range|if|dayname|monthname"
+    r"|validate_password_strength|insert|in_range|if|dayname|monthname|bitmap_bit_position|bitmap_bucket_number"
     r"|h3_h3index_parent|h3_h3index|json_length|json_extract|json_unquote)\s*\(",
     re.IGNORECASE,
 )
@@ -678,6 +678,15 @@ def _guard_fn(name: str, args: "list[str]") -> "str | None":
 
 def _compose_fn(name: str, args: "list[str]") -> "str | None":
     name = name.lower()
+    if name == "bitmap_bit_position" and len(args) == 1:
+        # the reference's bitmap_bit_position is v & 0x7fff
+        # (func_unary.go:9246); Spark's NATIVE builtin of the same name is
+        # 1-based ((v-1) & 0x7fff) — shadow it (func_bitmap.sql)
+        return f"(CAST(({args[0]}) AS BIGINT) & 32767)"
+    if name == "bitmap_bucket_number" and len(args) == 1:
+        # reference: v >> 15 (func_unary.go:9253); Spark's builtin is
+        # 1-based here too
+        return f"shiftright(CAST(({args[0]}) AS BIGINT), 15)"
     if name == "monthname" and len(args) == 1:
         # MySQL MONTHNAME returns the FULL month name ('February');
         # Spark's builtin abbreviates ('Feb') — func_datetime_monthname.test
