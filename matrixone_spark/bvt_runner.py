@@ -120,36 +120,64 @@ _MATCH_AGAINST_RE = re.compile(
 _SQL_LITERAL_RE = re.compile(r"'(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.)*\"")
 
 
-def _norm_time_str(s: "str | None", prec: int = 0) -> "str | None":
+# sentinel for TIME text the reference REJECTS ('invalid time value …'):
+# the insert path raises on it (strict mode) while '' quietly stores NULL
+_TIME_INVALID = "\x00invalid-time"
+
+# int64-microseconds hour ceiling (pkg/container/types/time.go:31
+# MaxHourInTime); packed digit inputs are capped at 14 digits
+# (MaxInputIntTime = 25620477875959, time.go:32)
+_TIME_MAX_HOUR = 2562047787
+
+
+def _norm_time_str(
+    s: "str | None", prec: int = 0, pad9: bool = True
+) -> "str | None":
     """Normalize MySQL TIME text to the reference's canonical display.
-    Two colon groups are HOUR:MINUTE ('12:00' → '12:00:00' — the
-    reference's ParseTime case 2, pkg/container/types/time.go:208, and
-    mysql_compat_cast_convert_matrix.result's '34:05' → '34:05:00');
-    bare digits pack from the right ('1159' → '00:11:59').
-    Invalid → None."""
+
+    Golden-vintage semantics (pinned by dtype/time.result + time_1.result):
+    - two colon groups are HOUR:MINUTE ('12:00' → '12:00:00', ParseTime
+      case 2, pkg/container/types/time.go:208); bare digits pack from the
+      right ('1159' → '00:11:59'); a day prefix adds day*24 hours
+      ('02 10:11:12' → '58:11:12', time.go ParseTime day branch).
+    - the sign attaches to the HOUR field: display drops it when hour==0
+      ('-1122' prints '00:11:22') but the VALUE stays negative ('-10'
+      matches `t < 0`, time.result) — storage keeps a '-00:' prefix that
+      _ref_match grades display-equal to the positive print.
+    - negative hours print Go-%02d style ('-1:12:23', not '-01:12:23').
+    - hour range 0..2562047787 and minute/second ≤ 59; out-of-range or
+      unparseable input returns the _TIME_INVALID sentinel (the reference
+      errors 'invalid time value', time_1.result), while '' stores NULL
+      (time.result row 1).
+    """
     if s is None:
         return None
     t = str(s).strip()
     if not t:
         return None
     # datetime text contributes its clock part ('2012-12-12 12:00:20' →
-    # '12:00:20', dtype/time.test)
+    # '12:00:20', dtype/time.test); date-only text is midnight
     dm = re.match(
         r"^\d{4}-\d{1,2}-\d{1,2}[ T](\d{1,2}):(\d{1,2}):(\d{1,2}(?:\.\d+)?)$", t
     )
     if dm:
         t = f"{dm.group(1)}:{dm.group(2)}:{dm.group(3)}"
-    sign = ""
+    elif re.match(r"^\d{4}-\d{1,2}-\d{1,2}$", t):
+        return "00:00:00"
+    neg = False
     if t[0] in "+-":
-        sign = "-" if t[0] == "-" else ""
+        neg = t[0] == "-"
         t = t[1:]
-    frac = 0.0
+    day = 0
+    dsp = re.match(r"^(\d+)\s+(\d.*)$", t)
+    if dsp and ":" in dsp.group(2):
+        day = int(dsp.group(1))
+        t = dsp.group(2)
+    frac = ""
     if "." in t:
-        t, f = t.split(".", 1)
-        try:
-            frac = float("0." + f) if f else 0.0
-        except ValueError:
-            return None
+        t, frac = t.split(".", 1)
+        if frac and not frac.isdigit():
+            return _TIME_INVALID
     try:
         if ":" in t:
             parts = t.split(":")
@@ -158,36 +186,56 @@ def _norm_time_str(s: "str | None", prec: int = 0) -> "str | None":
             elif len(parts) == 3:
                 h, mnt, sec = int(parts[0]), int(parts[1]), int(parts[2])
             else:
-                return None
+                return _TIME_INVALID
         else:
-            if not t.isdigit():
-                return None
+            if not t.isdigit() or len(t) > 14:
+                return _TIME_INVALID
             v = int(t)
             sec = v % 100
             mnt = (v // 100) % 100
             h = v // 10000
         if mnt > 59 or sec > 59:
-            return None
+            return _TIME_INVALID
     except ValueError:
-        return None
+        return _TIME_INVALID
+    h += day * 24
+    if h > _TIME_MAX_HOUR:
+        return _TIME_INVALID
+    # fractional digits round HALF-UP at the column scale on the DIGIT
+    # STRING (time.go getMsec: '.4445' at scale 3 → 445, '.1235' → 124)
+    # — float arithmetic misrounds ties ('.1235'*1000 = 123.4999…)
     fr = 0
     if prec > 0:
-        fr = round(frac * 10**prec)
+        if len(frac) <= prec:
+            fr = int(frac.ljust(prec, "0")) if frac else 0
+        else:
+            fr = int(frac[:prec] or "0")
+            if frac[prec] >= "5":
+                fr += 1
         if fr >= 10**prec:
             fr, sec = 0, sec + 1
-    elif frac >= 0.5:
+    elif frac and frac[0] >= "5":
         sec += 1
     if sec == 60:
         sec, mnt = 0, mnt + 1
         if mnt == 60:
             mnt, h = 0, h + 1
-    # no range clamp: the reference accepts arbitrary packed hours
-    # ('2020112211' stores as 202011:22:11, dtype/time.test)
-    base = f"{sign}{h:02d}:{mnt:02d}:{sec:02d}"
+            if h > _TIME_MAX_HOUR:
+                return _TIME_INVALID
+    if neg and not (h or mnt or sec or fr):
+        neg = False  # negative zero normalizes positive
+    hs = f"{h:02d}" if not neg else (f"{-h:02d}" if h else "-00")
+    base = f"{hs}:{mnt:02d}:{sec:02d}"
+    if prec > 0 and not pad9:
+        # scalar CAST display (newer vintage, time.go String2 scale≤6):
+        # exactly prec fraction digits, zero fraction included
+        # (mysql_compat_time_string_compare: cast(… as time(6)) =
+        # '03:04:05.123456', not '.123456000')
+        return base + "." + f"{fr:0{prec}d}"
     if prec > 0 and fr:
-        # the reference prints TIME(n) fractions padded to 9 digits when
-        # NONZERO ('11:22:33.444000000') and omits zero fractions
-        # ('00:00:01', dtype/time.test)
+        # STORED column display (dtype/time.result vintage): fractions
+        # padded to 9 digits when NONZERO ('11:22:33.444000000'), zero
+        # fractions omitted ('00:00:01')
         return base + "." + f"{fr:0{prec}d}" + "0" * (9 - prec)
     return base
 
@@ -416,6 +464,14 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
                 intrange[col] = (-(1 << (bits - 1)), (1 << (bits - 1)) - 1)
     if not cols:
         raise SkipStatement("CREATE TABLE with no parseable columns")
+    for col, p in times.items():
+        # TIME defaults store normalized like inserted values
+        # (time_1.sql `t4 time default '110034'` fills as '11:00:34')
+        d = defaults.get(col)
+        if d is not None:
+            norm = _norm_time_str(d.strip().strip("'\""), p)
+            if norm and norm != _TIME_INVALID:
+                defaults[col] = "'" + norm + "'"
     return name, cols, defaults, {
         "binpads": pads, "autoinc": autoinc, "years": years, "rounds": rounds,
         "tsprec": tsprec, "intrange": intrange, "enums": enums, "sets": sets,
@@ -429,6 +485,18 @@ class BvtSession:
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
+        # replay-wide TIME normalizer (CAST(x AS TIME(n)) rewrites and
+        # UPDATE store coercion call it by name)
+        from pyspark.sql.types import StringType as _St
+
+        spark.udf.register(
+            "mo_bvt_time_norm",
+            lambda v, p: _norm_time_str(v, int(p)), _St(),
+        )
+        spark.udf.register(
+            "mo_bvt_time_cast",
+            lambda v, p: _norm_time_str(v, int(p), pad9=False), _St(),
+        )
         self.tables: "dict[str, DataFrame]" = {}
         self.schemas: "dict[str, list[tuple[str, str]]]" = {}
         self.defaults: "dict[str, dict[str, str]]" = {}
@@ -496,6 +564,10 @@ class BvtSession:
         columns (column-list INSERT) become NULL."""
         schema = self.schemas[name]
         target = {c: t for c, t in schema}
+        # literal VALUES rows name their columns after the literal text
+        # ('0.001'), which F.col/F.expr would read as struct access —
+        # re-alias to safe positional names first
+        df = df.toDF(*[f"__src_{i}" for i in range(len(df.columns))])
         if cols is None:
             if len(df.columns) != len(schema):
                 raise SkipStatement(
@@ -571,8 +643,18 @@ class BvtSession:
                     ntime = F.udf(
                         lambda v, _p=tprec: _norm_time_str(v, _p), _St()
                     )
+                    nt = ntime(F.col(provided[c]).cast("string"))
+                    bad_t = (
+                        F.lit(None).cast("string")
+                        if ignore
+                        else F.raise_error(
+                            F.lit("invalid time value")
+                        ).cast("string")
+                    )
                     sel.append(
-                        ntime(F.col(provided[c]).cast("string")).alias(c)
+                        F.when(nt == _TIME_INVALID, bad_t)
+                        .otherwise(nt)
+                        .alias(c)
                     )
                     continue
                 if c in setcols and not src_types.get(provided[c], "").startswith(
@@ -691,6 +773,23 @@ class BvtSession:
                                 for p in pats
                             ],
                         )
+                        if t == "timestamp":
+                            # compact 14-digit datetime WITH fraction
+                            # ('20221212112233.5555', dtype/time.test) —
+                            # no fixed-width Java pattern fits a variable
+                            # fraction; regroup to the dashed form first
+                            cre = (
+                                "^([0-9]{4})([0-9]{2})([0-9]{2})"
+                                "([0-9]{2})([0-9]{2})([0-9]{2})[.]([0-9]+)$"
+                            )
+                            expr = F.coalesce(
+                                expr,
+                                F.expr(
+                                    f"try_to_timestamp(regexp_replace("
+                                    f"{provided[c]}, '{cre}', "
+                                    f"'$1-$2-$3 $4:$5:$6.$7'))"
+                                ).cast(t),
+                            )
                 if t.startswith("array<"):
                     sel.append(expr.alias(c))
                     continue
@@ -985,6 +1084,29 @@ class BvtSession:
                 self.views[name] = sql
                 self._register(name, df, materialize=False)
                 return "ddl", None
+            xm = re.match(
+                r"\s*create\s+external\s+table\s+(?:if\s+not\s+exists\s+)?"
+                r"(.+?)\s+infile\s*\{(.*?)\}\s*(?P<rest>.*)$",
+                stmt, re.IGNORECASE | re.DOTALL,
+            )
+            if xm:
+                # CREATE EXTERNAL TABLE … INFILE{"filepath"='…'} — the
+                # reference's external-table surface (dtype/time_1.sql
+                # time_ex_01); modeled as create + eager CSV load
+                name, cols, defaults, meta = parse_create_table(
+                    "create table " + xm.group(1)
+                )
+                fp = re.search(r"filepath[\"']?\s*=\s*'([^']*)'", xm.group(2))
+                if not fp:
+                    raise SkipStatement("external table without filepath")
+                self.schemas[name] = cols
+                self.defaults[name] = defaults
+                self.colmeta[name] = meta
+                self._register(name, self._empty(name))
+                sep, quote, skip = self._csv_opts(xm.group("rest"))
+                return self._load_csv_into(
+                    name, fp.group(1), sep, quote, skip, create_duck=True
+                )
             raise SkipStatement("unsupported CREATE kind")
         if head == "drop":
             if re.match(r"\s*drop\s+(?:database|schema)\b", masked, re.IGNORECASE):
@@ -1079,7 +1201,83 @@ class BvtSession:
             self._register(name, df)
             self.last_table = name
             return "dml", None
+        if head == "load":
+            lm = re.match(
+                r"\s*load\s+data\s+(?:local\s+)?infile\s+['\"]([^'\"]+)['\"]"
+                r"\s+into\s+table\s+[`]?([\w.]+)[`]?(?P<rest>.*)$",
+                stmt, re.IGNORECASE | re.DOTALL,
+            )
+            if lm is None:
+                raise SkipStatement("unsupported LOAD DATA shape")
+            name = lm.group(2).split(".")[-1].lower()
+            if name not in self.schemas:
+                raise SkipStatement("LOAD DATA into unknown table")
+            sep, quote, skip = self._csv_opts(lm.group("rest"))
+            return self._load_csv_into(name, lm.group(1), sep, quote, skip)
         raise SkipStatement(f"unsupported statement head {head!r}")
+
+    @staticmethod
+    def _csv_opts(rest: str) -> "tuple[str, str, int]":
+        """fields terminated by / enclosed by / ignore N lines options."""
+        sep, quote, skip = ",", '"', 0
+        m = re.search(r"terminated\s+by\s+['\"](.*?)['\"]", rest,
+                      re.IGNORECASE)
+        if m:
+            sep = m.group(1).replace("\\t", "\t") or ","
+        m = re.search(r"enclosed\s+by\s+['\"](\\?.)['\"]", rest,
+                      re.IGNORECASE)
+        if m:
+            quote = m.group(1).lstrip("\\")
+        m = re.search(r"ignore\s+(\d+)\s+lines", rest, re.IGNORECASE)
+        if m:
+            skip = int(m.group(1))
+        return sep, quote, skip
+
+    def _load_csv_into(
+        self, name: str, path: str, sep: str = ",", quote: str = '"',
+        skip: int = 0, create_duck: bool = False,
+    ):
+        """LOAD DATA INFILE analogue: read the reference's CSV fixture and
+        append through the same store-coercion path INSERT uses (TIME/ENUM
+        normalization, int clamping). DuckDB replays the coerced rows as a
+        literal INSERT (plus the CREATE for external tables) so both
+        engines stay identical."""
+        import csv as _csv
+
+        path = path.replace(
+            "$resources", "/root/reference/test/distributed/resources"
+        )
+        if not os.path.exists(path):
+            raise SkipStatement(f"load file missing: {path}")
+        with open(path, newline="", errors="replace") as fh:
+            rows = list(_csv.reader(fh, delimiter=sep, quotechar=quote or '"'))
+        rows = rows[skip:]
+        ncols = len(self.schemas[name])
+        clean = []
+        for r in rows:
+            if not r:
+                continue
+            r = list(r[:ncols]) + [None] * (ncols - len(r))
+            clean.append(tuple(None if v == "\\N" else v for v in r))
+        src = self.spark.createDataFrame(
+            clean, ", ".join(f"c{i} string" for i in range(ncols))
+        )
+        new = self._cast_to_schema(name, src)
+        _cols = [c for c, _ in self.schemas[name]]
+        final = self.tables[name].select(*_cols).unionAll(new.select(*_cols))
+        lit = self._literal_insert_sql(name, new)
+        if create_duck and lit is not None:
+            duck_t = {"string": "VARCHAR", "binary": "BLOB",
+                      "timestamp_ntz": "TIMESTAMP"}
+            cols_sql = ", ".join(
+                f"{c} {duck_t.get(t.split('(')[0].lower(), t)}"
+                for c, t in self.schemas[name]
+            )
+            lit = f"CREATE TABLE {name} ({cols_sql}); {lit}"
+        self.last_duck_override = lit
+        self._register(name, final)
+        self.last_table = name
+        return "dml", None
 
     def _insert(self, stmt, masked, spans, replace: bool = False):
         # MySQL `INSERT INTO t SET a = 1, b = 'x'` — rewrite to the
@@ -1527,6 +1725,22 @@ class BvtSession:
                         f"THEN element_at(array({arr}), CAST({new} AS INT)) "
                         f"ELSE CAST({new} AS STRING) END)"
                     )
+                elif c in meta.get("times", {}):
+                    # TIME normalization on UPDATE too (time_1.sql:
+                    # `update time_03 set t4="220:00:00"`); invalid text
+                    # raises like the reference's 'invalid time value'
+                    from pyspark.sql.types import StringType as _St
+
+                    tprec = meta["times"][c]
+                    self.spark.udf.register(
+                        "mo_bvt_time_norm",
+                        lambda v, p: _norm_time_str(v, int(p)), _St(),
+                    )
+                    nt = f"mo_bvt_time_norm(CAST({new} AS STRING), {tprec})"
+                    new = (
+                        f"(CASE WHEN substring({nt}, 1, 1) = char(0) THEN "
+                        f"raise_error('invalid time value') ELSE {nt} END)"
+                    )
                 elif c in meta.get("years", set()):
                     # YEAR 2-digit expansion on UPDATE too (year.sql:
                     # `update t_year set y = '75'` stores 1975)
@@ -1542,7 +1756,15 @@ class BvtSession:
                 )
             else:
                 sel.append(c)
-        self._register(name, self.spark.sql(f"SELECT {', '.join(sel)} FROM {name}"))
+        updated = self.spark.sql(f"SELECT {', '.join(sel)} FROM {name}")
+        if any(c in meta.get("times", {}) for c in assigns):
+            # TIME store coercion has no DuckDB equivalent in the raw
+            # UPDATE text — rebuild the duck table from the coerced rows
+            lit = self._literal_insert_sql(name, updated)
+            self.last_duck_override = (
+                f"DELETE FROM {name}; {lit}" if lit is not None else None
+            )
+        self._register(name, updated)
         self.last_table = name
         return "dml", None
 
@@ -1874,11 +2096,10 @@ class BvtSession:
         enum_cols = [c for c in enums if c in low]
         set_cols = [c for c in sets if c in low]
         has_like = re.search(r"(?i)\blike\b", stmt) is not None
-        time_cols = {
-            c.lower()
-            for name in tabs
-            for c in self.colmeta.get(name, {}).get("times", ())
-        }
+        time_cols: "dict[str, int]" = {}  # lower name → TIME(n) scale
+        for name in tabs:
+            for c, p in self.colmeta.get(name, {}).get("times", {}).items():
+                time_cols[c.lower()] = max(time_cols.get(c.lower(), 0), p)
         has_tcast = bool(re.search(r"(?i)\bcast\s*\(", stmt)) and bool(
             time_cols or date_cols
         )
@@ -1944,8 +2165,16 @@ class BvtSession:
             # TIME in numeric context evaluates as its packed [H]HMMSS
             # number (dtype/TimeToInt.sql time01: col1 + col2 = 122060;
             # time.test `where t > 100000`); the stored duration string
-            # strips to digits, sign preserved
-            packed = f"CAST(CAST(replace({c}, ':', '') AS DECIMAL(24,6)) AS BIGINT)"
+            # strips to digits, sign preserved. TIME(n) keeps its n-digit
+            # fraction (time.test `t + 1` on time(3) → 1.001)
+            tprec = time_cols[c]
+            if tprec > 0:
+                packed = f"CAST(replace({c}, ':', '') AS DECIMAL(24,{tprec}))"
+            else:
+                packed = (
+                    f"CAST(CAST(replace({c}, ':', '') AS DECIMAL(24,6)) "
+                    f"AS BIGINT)"
+                )
             cw = rf"(?<![\w.\x60]){re.escape(c)}\b"
             masked = re.sub(
                 rf"{cw}(?=\s*[%*/+-]\s*[\w\x01(])", packed, masked,
@@ -1964,24 +2193,92 @@ class BvtSession:
                 flags=re.IGNORECASE,
             )
 
+            def _tspan_val(n: int, _p: int = tprec) -> "str | None":
+                # packed [H]HMMSS[.f] value of a TIME string span at the
+                # column's scale, None when the span is not a parseable
+                # TIME literal (fraction kept: time(6) col = '030405.1234…'
+                # compares by value, mysql_compat_time_string_compare)
+                body = spans[n]
+                if body[:1] not in ("'", '"'):
+                    return None
+                norm = _norm_time_str(body[1:-1], _p)
+                if norm is None or norm == _TIME_INVALID:
+                    return None
+                sign = "-" if norm.startswith("-") else ""
+                base, _, fr = norm.partition(".")
+                digits = re.sub(r"[^0-9]", "", base)
+                if _p > 0:
+                    return f"{sign}{int(digits)}.{fr or '0'}"
+                return f"{sign}{int(digits)}"
+
             def _tlit(m: "re.Match") -> str:
                 # time col vs STRING literal: MySQL parses the literal as
                 # TIME ('23' = 00:00:23) and compares by value
-                # (dtype/time_1.sql `where t2 > "23"`)
-                n = int(m.group("sp"))
-                body = spans[n]
-                if body[:1] not in ("'", '"'):
+                # (dtype/time_1.sql `where t2 > "23"`); a non-empty
+                # UNPARSEABLE literal errors like the reference
+                # ('invalid time value not-a-time',
+                # mysql_compat_time_string_compare)
+                sp = int(m.group("sp"))
+                val = _tspan_val(sp)
+                if val is None:
+                    body = spans[sp]
+                    if body[:1] in ("'", '"') and body[1:-1].strip():
+                        lit = body[1:-1].replace("'", "''")
+                        return (f"(raise_error('invalid time value {lit}') "
+                                f"{m.group('op')} {packed})")
                     return m.group(0)
-                norm = _norm_time_str(body[1:-1])
-                if norm is None:
-                    return m.group(0)
-                val = int(("-" if norm.startswith("-") else "") +
-                          re.sub(r"[^0-9]", "", norm.split(".")[0]))
                 return f"{packed} {m.group('op')} {val}"
 
             masked = re.sub(
                 rf"{cw}\s*(?P<op>=|<>|!=|<=|>=|<|>)\s*\x01(?P<sp>\d+)\x01",
                 _tlit, masked, flags=re.IGNORECASE,
+            )
+
+            def _tlit_rev(m: "re.Match") -> str:
+                # literal OP time-col ('? < t' after PREPARE expansion,
+                # mysql_compat_time_string_compare)
+                val = _tspan_val(int(m.group("sp")))
+                if val is None:
+                    return m.group(0)
+                return f"{val} {m.group('op')} {packed}"
+
+            masked = re.sub(
+                rf"\x01(?P<sp>\d+)\x01\s*(?P<op>=|<>|!=|<=|>=|<|>)\s*{cw}",
+                _tlit_rev, masked, flags=re.IGNORECASE,
+            )
+
+            def _tbetween(m: "re.Match") -> str:
+                # BETWEEN 'lit' AND 'lit' on a TIME column compares by
+                # value (time_1.sql `t2 between "23" and "24:59:09.9…"`)
+                lo = _tspan_val(int(m.group("lo")))
+                hi = _tspan_val(int(m.group("hi")))
+                if lo is None or hi is None:
+                    return m.group(0)
+                return (f"{packed} {m.group('neg') or ''}"
+                        f"between {lo} and {hi}")
+
+            masked = re.sub(
+                rf"{cw}\s+(?P<neg>not\s+)?between\s+\x01(?P<lo>\d+)\x01"
+                rf"\s+and\s+\x01(?P<hi>\d+)\x01",
+                _tbetween, masked, flags=re.IGNORECASE,
+            )
+
+            def _tin(m: "re.Match") -> str:
+                # IN ('lit', …) on a TIME column compares each member by
+                # value (time_1.sql `t2 in("838:59:59.00","4")`)
+                vals = []
+                for sp in re.findall(r"\x01(\d+)\x01", m.group("lst")):
+                    v = _tspan_val(int(sp))
+                    if v is None:
+                        return m.group(0)
+                    vals.append(str(v))
+                return (f"{packed} {m.group('neg') or ''}"
+                        f"in ({', '.join(vals)})")
+
+            masked = re.sub(
+                rf"{cw}\s+(?P<neg>not\s+)?in\s*"
+                rf"\((?P<lst>\s*\x01\d+\x01\s*(?:,\s*\x01\d+\x01\s*)*)\)",
+                _tin, masked, flags=re.IGNORECASE,
             )
         for c in set_cols:
             # SET in numeric context evaluates to its bitmap: member i
@@ -2362,6 +2659,11 @@ _DUCK_ELEMENT_SUBS = [
     (re.compile(
         r"(?<=\w)\s+(?:point|linestring|polygon|multipoint|multilinestring"
         r"|multipolygon)(?:\s+srid\s+\d+)?\b(?!\s*\()", re.IGNORECASE), " VARCHAR"),
+    # MySQL TIME exceeds DuckDB's 24h clock type ('24:59:10', '838:59:59')
+    # — values travel as the canonical duration VARCHAR on both engines
+    (re.compile(r"(?<=\w)\s+time(?:\s*\(\s*\d+\s*\))?(?!\s*[\w(])",
+                re.IGNORECASE),
+     " VARCHAR"),
     # inline secondary indexes: ", index name(cols)" / ", key name(cols)" / fulltext
     (re.compile(r",\s*(?:unique\s+)?(?:fulltext\s+)?(?:index|key)\s+`?\w*`?\s*\([^)]*\)", re.IGNORECASE), ""),
     # table-level primary key / unique constraints
@@ -2759,6 +3061,11 @@ def _ref_match(spark_pdf, ref_rows, fmt: bool = False) -> bool:
         la, lb = a.lower(), b.lower()
         if la == lb:
             return True
+        # TIME storage keeps the sign of hour-0 negatives ('-00:11:22')
+        # for value comparisons; the reference's display drops it
+        # (dtype/time.result: '-1122' prints '00:11:22')
+        if a.startswith("-00:") and a[1:] == b:
+            return True
         # geometry rendering: our values carry the EWKT SRID prefix
         # ('SRID=4326;POINT(7 8)') while the reference prints plain WKT,
         # and empty collections print as 'MULTIPOINT()' there vs the
@@ -2973,8 +3280,9 @@ class CoExecutor:
 
         stats = {"compared": 0, "mismatch": 0, "ref_pass": 0,
                  "ref_fail_fmt": 0, "ref_fail": 0, "ref_error": 0,
-                 "diverged": 0, "spark_only": 0, "duck_only": 0,
-                 "both_failed": 0, "executed": 0, "skipped": 0}
+                 "ref_miss": 0, "diverged": 0, "spark_only": 0,
+                 "duck_only": 0, "both_failed": 0, "executed": 0,
+                 "skipped": 0}
         # tables whose Spark state DuckDB could not follow (a DML using
         # engine UDFs DuckDB can't parse, e.g. s2_cellid inside INSERT):
         # their statements skip the cross-engine compare and grade against
@@ -3046,7 +3354,9 @@ class CoExecutor:
                     if kind_ == "select" and df is not None:
                         return True, df.toPandas()
                     return True, None
-                except Exception:
+                except Exception as e:
+                    if os.environ.get("BVT_DUMP_DUCK_ONLY"):
+                        self._last_spark_err = e
                     return False, None
                 finally:
                     timer.cancel()
@@ -3172,6 +3482,12 @@ class CoExecutor:
                                 )
                     elif claimed is not None and claimed[0] == "error":
                         stats["ref_error"] += 1
+                    else:
+                        # claim-matching failed: the .result file has no
+                        # claimable block for this echo — count it so
+                        # golden-gate coverage holes are visible, instead
+                        # of silently reading as full coverage
+                        stats["ref_miss"] = stats.get("ref_miss", 0) + 1
                     if (
                         s_rows != o_rows
                         and not _rows_close(s_rows, o_rows)
@@ -3234,6 +3550,11 @@ class CoExecutor:
                     stats["spark_only"] += 1
             elif duck_ok:
                 stats["duck_only"] += 1
+                if os.environ.get("BVT_DUMP_DUCK_ONLY"):
+                    print("  DUCK_ONLY:", " ".join(orig.split())[:200],
+                          "\n    spark_err:",
+                          str(getattr(self, "_last_spark_err", "")
+                              )[:300].replace("\n", " "))
             else:
                 stats["both_failed"] += 1
         return stats

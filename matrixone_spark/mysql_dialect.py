@@ -219,6 +219,7 @@ _CAST_AS_RE = re.compile(
     r"^(?P<expr>.*)\s+as\s+(?P<type>datetime(?:\s*\(\s*\d\s*\))?|signed(?:\s+integer)?"
     r"|unsigned(?:\s+integer)?|n?char(?:\s*\(\s*\d+\s*\))?"
     r"|(?:var)?binary(?:\s*\(\s*\d+\s*\))?|geometry|double|float|date"
+    r"|time(?:\s*\(\s*\d\s*\))?"
     r"|(?:decimal|dec|numeric|fixed)\s*(?:\(\s*\d+\s*(?:,\s*\d+)?\s*\))?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -311,6 +312,21 @@ def _cast_rewrite(masked: str, spans: "list[str] | None" = None) -> str:
                     f" / {sc} + 0.5) * {sc} AS BIGINT))"
                 )
             return f"CAST({x} AS TIMESTAMP)"
+        if ty.split("(")[0] == "time":
+            if not BVT_REPLAY_MODE[0]:
+                return None  # leave the cast text alone outside replay
+            # CAST(x AS TIME(n)) — the engine's TIME is a duration string
+            # here (range beyond 24h); normalize through the replay's
+            # parser (dtype/time_precision_comprehensive.sql CAST rounds
+            # at the target scale); unparseable input errors like the
+            # reference's 'invalid time value'
+            tn = re.search(r"\(\s*(\d)\s*\)", m.group("type"))
+            p = int(tn.group(1)) if tn else 0
+            nt = f"mo_bvt_time_cast(CAST(({x}) AS STRING), {p})"
+            return (
+                f"(CASE WHEN substring({nt}, 1, 1) = char(0) THEN "
+                f"raise_error('invalid time value') ELSE {nt} END)"
+            )
         if ty == "geometry":
             # MySQL CAST(x AS GEOMETRY) parses WKT (geo/geo_io.sql); the
             # engine's geometry value is our EWKT string convention
@@ -565,7 +581,9 @@ _FN_GUARD_RE = re.compile(
 )
 
 
-def _guard_fn(name: str, args: "list[str]") -> "str | None":
+def _guard_fn(
+    name: str, args: "list[str]", spans: "list[str] | None" = None
+) -> "str | None":
     """Single-pass rewrites whose output re-mentions the function name —
     running these through the compose fixpoint would never converge."""
     name = name.lower()
@@ -628,7 +646,20 @@ def _guard_fn(name: str, args: "list[str]") -> "str | None":
         # 23:59:59') is NULL, and fractional seconds ROUND to the nearest
         # second (2147483647.9999999 → …03:14:08) — func_datetime_unixtime
         r = f"ROUND(try_cast(({args[0]}) AS DECIMAL(27,7)), 0)"
-        rest = (", " + args[1]) if len(args) == 2 else ""
+        rest = ""
+        if len(args) == 2:
+            # the 2-arg form's format is a MySQL %-pattern
+            # (func_datetime_unixtime FROM_UNIXTIME(ts, '%Y-%m-%d')) —
+            # translate a literal format to Spark's Java-style pattern;
+            # non-literal (column) formats pass through unchanged
+            fmt_arg = args[1].strip()
+            ph = re.fullmatch(r"\x01(\d+)\x01", fmt_arg)
+            if ph is not None and spans is not None:
+                myfmt = _literal_text(spans, int(ph.group(1)))
+                if "%" in myfmt:
+                    spans.append("'" + mysql_format_to_java(myfmt) + "'")
+                    fmt_arg = _PH.format(len(spans) - 1)
+            rest = ", " + fmt_arg
         return (
             f"(CASE WHEN {r} IS NULL OR {r} < 0 OR {r} > 32536771199 "
             f"THEN NULL ELSE from_unixtime(CAST({r} AS BIGINT){rest}) END)"
@@ -828,7 +859,7 @@ def _compose_fn(name: str, args: "list[str]") -> "str | None":
     return None
 
 
-def rewrite_mysql_fns(masked: str) -> str:
+def rewrite_mysql_fns(masked: str, spans: "list[str] | None" = None) -> str:
     masked = _FN_RENAME_RE.sub(
         lambda m: _FN_RENAME[m.group(1).lower()] + "(", masked
     )
@@ -844,7 +875,10 @@ def rewrite_mysql_fns(masked: str) -> str:
     if _FN_GUARD_RE.search(masked):
         # ONE pass only: these outputs re-mention their own name
         masked = _rewrite_calls(
-            masked, _FN_GUARD_RE, None, per_name_builder=_guard_fn
+            masked,
+            _FN_GUARD_RE,
+            None,
+            per_name_builder=lambda n, a: _guard_fn(n, a, spans),
         )
     return masked
 
@@ -2435,7 +2469,7 @@ def translate(sql: str) -> str:
         or _FN_COMPOSE_RE.search(masked)
         or _FN_GUARD_RE.search(masked)
     ):
-        masked = rewrite_mysql_fns(masked)
+        masked = rewrite_mysql_fns(masked, spans)
     if _HAVING_RE.search(masked):
         masked = rewrite_having_without_group(masked)
     if _VALUES_ROW_RE.search(masked):
@@ -2470,17 +2504,31 @@ def translate(sql: str) -> str:
     # to CAST(... AS SIGNED/UNSIGNED) BEFORE _cast_rewrite so the full
     # round-and-clamp path applies. Non-integer '::' targets keep
     # Spark's native operator.
-    if "::" in masked:
+    while "::" in masked:
+        prev_cc = masked
         masked = re.sub(
-            r"(?P<x>\([^()]*\)|[\w.\x01]+)\s*::\s*"
-            r"(?P<t>bigint|smallint|tinyint|int(?:eger)?|signed|unsigned)\b",
+            r"(?P<x>(?!(?:select|from|where|when|then|else|and|or|not|in"
+            r"|on|join|values|union|all|any|some|exists|between|like|is"
+            r"|case|end|as|by|having|limit|offset|distinct|interval)\()"
+            r"[\w.\x01]+\([^()]*\)|\([^()]*\)|[\w.\x01]+)\s*::\s*"
+            r"(?P<t>bigint|smallint|tinyint|int(?:eger)?|signed|unsigned"
+            r"|varchar|text|datetime)\b(?!\s*\()",
             lambda m: "cast({} as {})".format(
                 m.group("x"),
-                "unsigned" if m.group("t").lower() == "unsigned" else "signed",
+                {
+                    "unsigned": "unsigned",
+                    # length-less VARCHAR/TEXT are MySQL string casts; Spark's
+                    # native '::varchar' demands a length (pg_cast/cast.sql:12)
+                    "varchar": "string", "text": "string",
+                    # '::datetime' — MySQL alias Spark's parser lacks
+                    "datetime": "timestamp_ntz",
+                }.get(m.group("t").lower(), "signed"),
             ),
             masked,
             flags=re.IGNORECASE,
         )
+        if masked == prev_cc:  # residual '::' uses native Spark targets
+            break
     masked = _cast_rewrite(masked, spans)
     # BINARY(x) function form = CAST(x AS BINARY) over the TEXT rendering
     # (dtype/binary.test: binary(12345) is '12345'). Runs AFTER the cast
