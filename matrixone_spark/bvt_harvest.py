@@ -49,6 +49,16 @@ def _strip_comments(text: str) -> str:
         s = line.strip()
         if s.startswith("#") or s.startswith("--"):
             continue
+        # trailing `-- comment` after a statement on the same line
+        # (dtype/bit.sql `…values (6, 'ab');  -- error, data too long`):
+        # MySQL comments need whitespace (or EOL) after `--`; require
+        # whitespace/';' BEFORE it too so `5--3` arithmetic survives.
+        # Quote-masked so literals containing '--' are untouched.
+        masked = _QUOTE_RE.sub(lambda m: "\x02" * len(m.group(0)), line)
+        for mm in re.finditer(r"--(?:\s|$)", masked):
+            if mm.start() == 0 or masked[mm.start() - 1] in " \t;":
+                line = line[: mm.start()].rstrip()
+                break
         out.append(line)
     return "\n".join(out)
 

@@ -349,6 +349,7 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
     sets: "dict[str, list[str]]" = {}
     bitwidth: "dict[str, int]" = {}
     times: "dict[str, int]" = {}
+    varbins: "set[str]" = set()
     fulltexts: "list[tuple[str, tuple, str]]" = []
     pkeys: "list[tuple[str, ...]]" = []   # primary key first, then uniques
     ukeys: "list[tuple[str, ...]]" = []
@@ -425,6 +426,10 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
             # MySQL BINARY(n) is fixed-length, zero-padded on store
             # (VARBINARY is not); remember n so INSERT casts can pad.
             pads[col] = int(pm.group(1))
+        if re.match(r"varbinary\s*\((\d+)\)\s*$", rest, re.IGNORECASE):
+            # VARBINARY stores the TEXT rendering of non-byte sources
+            # (cte01: numeric 38921432 stores '38921432') without padding
+            varbins.add(col)
         tmm = re.match(r"time(?:\((\d+)\))?\s*$", rest, re.IGNORECASE)
         if tmm:
             # MySQL TIME stores as a duration string here; numeric casts
@@ -476,7 +481,7 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
         "binpads": pads, "autoinc": autoinc, "years": years, "rounds": rounds,
         "tsprec": tsprec, "intrange": intrange, "enums": enums, "sets": sets,
         "bits": bitwidth, "fulltexts": fulltexts, "times": times,
-        "keys": pkeys + ukeys,
+        "varbins": varbins, "keys": pkeys + ukeys,
     }
 
 
@@ -529,7 +534,7 @@ class BvtSession:
 
     # BVT fixtures are tens of rows; anything bigger than this is a runaway
     # (e.g. an INSERT..SELECT off generate_series) and stays lazy.
-    _MATERIALIZE_CAP = 20_000
+    _MATERIALIZE_CAP = int(os.environ.get("BVT_MATERIALIZE_CAP", "20000"))
 
     def _register(self, name: str, df: DataFrame, materialize: bool = True) -> None:
         if materialize:
@@ -828,9 +833,24 @@ class BvtSession:
                     )
                 if c in bitcols:
                     # BIT(n): over-wide store clamps to n set bits under
-                    # IGNORE, errors under strict mode
+                    # IGNORE, errors under strict mode (dtype/bit.sql
+                    # 'data too long'). String/byte sources read as their
+                    # big-endian BYTES ('a' → 97); numerics round half
+                    # away from zero (7.5 → 8)
                     mxb = (1 << bitcols[c]) - 1
-                    b = F.col(provided[c]).cast("long")
+                    stb = src_types.get(provided[c], "")
+                    if stb.startswith(("string", "binary")):
+                        b = F.expr(
+                            f"conv(hex(CAST({provided[c]} AS BINARY)), 16, 10)"
+                        ).cast("long")
+                    elif stb.startswith("boolean"):
+                        b = F.col(provided[c]).cast("int").cast("long")
+                    else:
+                        b = (
+                            F.col(provided[c])
+                            .cast("decimal(38,0)")
+                            .cast("long")
+                        )
                     bad_bit = (
                         F.lit(mxb).cast("long")
                         if ignore
@@ -922,13 +942,40 @@ class BvtSession:
                     F.when(expr.isNull(), F.lit(1)).otherwise(F.lit(0))
                 ).over(_W.orderBy(F.monotonically_increasing_id())) + F.lit(cur)
                 expr = F.coalesce(expr, seq.cast(t))
-            if c in pads:
-                # BINARY(n) zero-pads stored values to n bytes
-                expr = F.when(
-                    expr.isNull(), F.lit(None).cast("binary")
+            if c in pads or c in meta.get("varbins", ()):
+                # BINARY(n) store semantics pinned by dtype/binary.test:
+                # the TEXT rendering converts to bytes (BIGINT -9 stores
+                # '-9', boolean true stores '1' — cast01/cast02), values
+                # SHORTER than n zero-pad, and values LONGER than n store
+                # UNTRUNCATED (binary(2) keeps all 3 bytes of '时',
+                # binary(255) keeps a 321-char insert). Byte sources
+                # pass through byte-exact. VARBINARY takes the same text
+                # rendering with NO padding (cte01 numeric → '38921432').
+                n = pads.get(c, 0)
+                st = src_types.get(provided.get(c, ""), "")
+                if c in provided and st.startswith("boolean"):
+                    s = F.when(
+                        F.col(provided[c]).cast("boolean"), F.lit("1")
+                    ).otherwise(F.lit("0"))
+                    b = s.cast("binary")
+                elif c in provided and st.startswith("binary"):
+                    b = F.col(provided[c])
+                    s = b.cast("string")
+                else:
+                    s = (
+                        F.col(provided[c]).cast("string")
+                        if c in provided
+                        else expr.cast("string")
+                    )
+                    b = s.cast("binary")
+                padded = F.when(
+                    F.octet_length(b) >= n, b
                 ).otherwise(
-                    F.call_function("rpad", expr, F.lit(pads[c]), F.lit(bytes([0])))
+                    F.call_function("rpad", b, F.lit(n), F.lit(bytes([0])))
                 )
+                expr = F.when(
+                    s.isNull(), F.lit(None).cast("binary")
+                ).otherwise(padded)
             sel.append(expr.alias(c))
         return df.select(*sel)
 
@@ -1369,6 +1416,39 @@ class BvtSession:
                     ]
                     rows_out.append("(" + ", ".join(fixed) + ")")
                 values_masked = ", ".join(rows_out)
+            binset = {
+                c.lower() for c in self.colmeta.get(name, {}).get("binpads", ())
+            } | {
+                c.lower() for c in self.colmeta.get(name, {}).get("varbins", ())
+            }
+            if binset and re.search(r"(?i)\b0x[0-9a-f]+\b", values_masked):
+                # MySQL 0x literals are BYTE strings in (var)binary
+                # positions (binary_hex_padding: 0x4142 stores 'AB', odd
+                # digits left-pad: 0x1 → X'01'); numeric positions keep
+                # the integer reading translate() applies
+                target_cols = cols or [c for c, _ in self.schemas[name]]
+                rows_fix = []
+                for row in _split_top_level(values_masked):
+                    row = row.strip()
+                    if row.startswith("(") and row.endswith(")"):
+                        items = _split_top_level(row[1:-1])
+                        if len(items) == len(target_cols):
+                            items = [
+                                re.sub(
+                                    r"(?i)^\s*0x([0-9a-f]+)\s*$",
+                                    lambda mm: "X'" + (
+                                        "0" + mm.group(1)
+                                        if len(mm.group(1)) % 2
+                                        else mm.group(1)
+                                    ) + "'",
+                                    it,
+                                )
+                                if tc.lower() in binset else it
+                                for it, tc in zip(items, target_cols)
+                            ]
+                            row = "(" + ", ".join(items) + ")"
+                    rows_fix.append(row)
+                values_masked = ", ".join(rows_fix)
             values_text = unmask_literals(values_masked, spans).strip()
             try:
                 src = self.spark.sql(translate(f"SELECT * FROM VALUES {values_text}"))
@@ -1435,6 +1515,8 @@ class BvtSession:
             or meta.get("sets")
             or meta.get("bits")
             or meta.get("times")
+            or meta.get("binpads")
+            or meta.get("varbins")
             or any(ty.startswith("decimal(") for _, ty in self.schemas[name])
         ):
             # Spark-side value coercion (AUTO_INCREMENT fill, YEAR 2-digit
@@ -2357,6 +2439,21 @@ class BvtSession:
                 dspan, masked, flags=re.IGNORECASE,
             )
 
+            class _RevG:
+                # present a literal-first match to dspan as if the column
+                # were group(1) ('20200101' = id, dtype/date.test)
+                def __init__(self, whole: str, col: str):
+                    self._w, self._c = whole, col
+
+                def group(self, i: int = 0) -> str:
+                    return self._c if i == 1 else self._w
+
+            masked = re.sub(
+                rf"\x01\d+\x01\s*{ops}\s*({alt})\b",
+                lambda m: dspan(_RevG(m.group(0), m.group(1))),
+                masked, flags=re.IGNORECASE,
+            )
+
             def din(m: "re.Match") -> str:
                 # `ts_col IN ('2022-01-02', …)`: Spark resolves the common
                 # type of timestamp-vs-string to STRING, so the rendered
@@ -2664,6 +2761,11 @@ _DUCK_ELEMENT_SUBS = [
     (re.compile(r"(?<=\w)\s+time(?:\s*\(\s*\d+\s*\))?(?!\s*[\w(])",
                 re.IGNORECASE),
      " VARCHAR"),
+    # MySQL BIT(n) is an up-to-64-bit integer here; DuckDB's BIT is a
+    # bitstring type with different literals — store as BIGINT
+    (re.compile(r"(?<=\w)\s+bit\s*\(\s*\d+\s*\)(?!\s*[\w(])",
+                re.IGNORECASE),
+     " BIGINT"),
     # inline secondary indexes: ", index name(cols)" / ", key name(cols)" / fulltext
     (re.compile(r",\s*(?:unique\s+)?(?:fulltext\s+)?(?:index|key)\s+`?\w*`?\s*\([^)]*\)", re.IGNORECASE), ""),
     # table-level primary key / unique constraints
@@ -2910,7 +3012,7 @@ class RefResults:
         return None
 
     _STMT_START_RE = re.compile(
-        r"\s*(select|insert|create|drop|update|delete|use|set|show|with"
+        r"\s*\(*\s*(select|insert|create|drop|update|delete|use|set|show|with"
         r"|values|prepare|execute|deallocate|desc|explain|truncate|alter"
         r"|load|start|begin|commit|rollback|call|grant|revoke|kill|analyze"
         r"|restore|replace)\b",
@@ -3288,15 +3390,48 @@ class CoExecutor:
         # their statements skip the cross-engine compare and grade against
         # the reference .result instead. A successful DROP clears the taint.
         tainted: "set[str]" = set()
+        # tables whose REPLAY state fell BEHIND the reference's: a DML both
+        # replay engines rejected while the .result shows the reference
+        # executed it. Later statements touching them cannot be graded
+        # fairly on either engine — they count as skipped, not ref_fail.
+        # A successful DROP or TRUNCATE resynchronizes (all three empty).
+        state_tainted: "set[str]" = set()
 
-        def _touches_taint(sql_text: str) -> bool:
-            if not tainted or ref is None:
+        def _names_touch(names0: "set[str]", sql_text: str) -> bool:
+            if not names0:
                 return False
-            names = set(tainted)
+            names = set(names0)
             for vname, vsql in self.sess.views.items():
                 if any(re.search(rf"\b{t}\b", vsql, re.IGNORECASE) for t in names):
                     names.add(vname)
             return any(re.search(rf"\b{t}\b", sql_text, re.IGNORECASE) for t in names)
+
+        def _touches_taint(sql_text: str) -> bool:
+            if ref is None:
+                return False
+            return _names_touch(tainted, sql_text)
+
+        def _dml_targets(sql_text: str) -> "set[str]":
+            """Table names a DML/DDL statement mutates (best effort)."""
+            out: "set[str]" = set()
+            m = re.match(
+                r"\s*(?:insert\s+(?:ignore\s+)?into|replace\s+(?:into\s+)?"
+                r"|delete\s+from|create\s+(?:external\s+)?table\s+"
+                r"(?:if\s+not\s+exists\s+)?|truncate\s+(?:table\s+)?"
+                r"|alter\s+table)\s+[`]?([\w.]+)",
+                sql_text, re.IGNORECASE,
+            )
+            if m:
+                out.add(m.group(1).split(".")[-1].lower())
+            um = re.match(r"\s*update\s+(.+?)\s+set\s", sql_text,
+                          re.IGNORECASE | re.DOTALL)
+            if um:
+                for part in um.group(1).split(","):
+                    t = part.strip().split()[0] if part.strip() else ""
+                    t = t.strip("`").split(".")[-1].lower()
+                    if re.fullmatch(r"\w+", t):
+                        out.add(t)
+            return out
         for stmt in split_statements(_strip_comments(text)):
             # session-state layer: SET @var / PREPARE / EXECUTE / DEALLOCATE
             # are consumed or expanded to plain SQL before either engine runs.
@@ -3355,13 +3490,19 @@ class CoExecutor:
                         return True, df.toPandas()
                     return True, None
                 except Exception as e:
-                    if os.environ.get("BVT_DUMP_DUCK_ONLY"):
-                        self._last_spark_err = e
+                    self._last_spark_err = e
                     return False, None
                 finally:
                     timer.cancel()
                     sc.setJobGroup(f"bvt-idle-{id(self)}", "idle")
 
+            if is_query and _names_touch(state_tainted, stmt):
+                # replay state is known-behind for a touched table: grading
+                # this read against the reference would be a false ref_fail
+                if ref is not None:
+                    ref.claim(orig)  # keep the .result cursor aligned
+                stats["skipped"] += 1
+                continue
             if is_query:
                 duck_ok, duck_df, duck_err = _run_duck(stmt)
                 spark_ok, spark_df = _run_spark()
@@ -3403,6 +3544,12 @@ class CoExecutor:
                     stats["executed"] += 1
                     for t in getattr(self.sess, "last_dropped", ()):  # re-sync
                         tainted.discard(t)
+                        state_tainted.discard(t)
+                    if re.match(r"\s*truncate\b", stmt, re.IGNORECASE):
+                        # all three engines now hold the empty table
+                        state_tainted.discard(
+                            getattr(self.sess, "last_table", None)
+                        )
                 elif (
                     spark_ok
                     and not duck_ok
@@ -3435,12 +3582,31 @@ class CoExecutor:
                         self.con.execute("ROLLBACK")
                     except Exception:
                         pass
+                    if ref_rows:
+                        # the reference executed what the replay rolled
+                        # back — state is behind, reads can't be graded
+                        state_tainted.update(_dml_targets(stmt))
                     stats["diverged"] += 1
+                    if os.environ.get("BVT_DUMP_DIVERGED"):
+                        print("  DIVERGED:", " ".join(stmt.split())[:160],
+                              "\n    spark_ok:", spark_ok, "duck_err:",
+                              str(duck_err)[:200].replace("\n", " "),
+                              "\n    spark_err:",
+                              str(getattr(self, "_last_spark_err", "")
+                                  )[:200].replace("\n", " "))
                 else:
                     try:
                         self.con.execute("ROLLBACK")
                     except Exception:
                         pass
+                    if ref is not None:
+                        # both replay engines rejected this DML — if the
+                        # reference EXECUTED it (its .result records no
+                        # error), replay state is now behind: taint the
+                        # target tables so later reads grade skipped
+                        cl2 = ref.claim(orig)
+                        if cl2 is not None and cl2[0] == "rows":
+                            state_tainted.update(_dml_targets(stmt))
                     stats["skipped"] += 1
                 continue
             if spark_ok and duck_ok and spark_df is not None:

@@ -219,7 +219,7 @@ _CAST_AS_RE = re.compile(
     r"^(?P<expr>.*)\s+as\s+(?P<type>datetime(?:\s*\(\s*\d\s*\))?|signed(?:\s+integer)?"
     r"|unsigned(?:\s+integer)?|n?char(?:\s*\(\s*\d+\s*\))?"
     r"|(?:var)?binary(?:\s*\(\s*\d+\s*\))?|geometry|double|float|date"
-    r"|time(?:\s*\(\s*\d\s*\))?"
+    r"|time(?:\s*\(\s*\d\s*\))?|bit(?:\s*\(\s*\d+\s*\))?"
     r"|(?:decimal|dec|numeric|fixed)\s*(?:\(\s*\d+\s*(?:,\s*\d+)?\s*\))?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -312,6 +312,16 @@ def _cast_rewrite(masked: str, spans: "list[str] | None" = None) -> str:
                     f" / {sc} + 0.5) * {sc} AS BIGINT))"
                 )
             return f"CAST({x} AS TIMESTAMP)"
+        if ty.split("(")[0] == "bit":
+            if not BVT_REPLAY_MODE[0]:
+                return None
+            # CAST(x AS BIT(n)) — numeric value of the BIT type
+            # (dtype/bit.sql: cast('a' as bit(10)) = 97): numerics round
+            # half away from zero, strings read as big-endian bytes
+            return (
+                f"coalesce(CAST(try_cast(({x}) AS DECIMAL(38,0)) AS BIGINT), "
+                f"CAST(conv(hex(CAST(({x}) AS BINARY)), 16, 10) AS BIGINT))"
+            )
         if ty.split("(")[0] == "time":
             if not BVT_REPLAY_MODE[0]:
                 return None  # leave the cast text alone outside replay
@@ -368,6 +378,10 @@ def _cast_rewrite(masked: str, spans: "list[str] | None" = None) -> str:
             ):
                 return None
             bn = re.search(r"\(\s*(\d+)\s*\)", m.group("type"))
+            if re.fullmatch(r"\s*(?:true|false)\s*", x, re.IGNORECASE):
+                # booleans render '1'/'0' in the text-to-bytes conversion
+                # (dtype/binary.test: cast(true as binary(10)) = '1\0…')
+                x = f"CAST(({x}) AS INT)"
             base = f"CAST(CAST(({x}) AS STRING) AS BINARY)"
             if not bn:
                 return base
@@ -1829,13 +1843,35 @@ def rewrite_hex_literals(masked: str) -> str:
     integer value (DECIMAL(38,0) beyond int64), matching DuckDB's reading of
     the same literal so co-execution stays aligned."""
 
+    def like_repl(m: "re.Match") -> str:
+        # in a LIKE pattern 0x is MySQL's BYTE-string reading
+        # (dtype/binary.test: col2 like 0x3131…) — decode when it is
+        # printable text; otherwise keep the integer reading below
+        h = m.group(2)
+        try:
+            s = bytes.fromhex("0" + h if len(h) % 2 else h).decode("utf-8")
+        except (UnicodeDecodeError, ValueError):
+            return m.group(0)
+        if not s.isprintable() or "'" in s or "\x01" in s:
+            return m.group(0)
+        return f"{m.group(1)}'{s}'"
+
+    masked = re.sub(
+        r"(?i)(\blike\s+)0x([0-9a-fA-F]+)\b", like_repl, masked
+    )
+
     def repl(m: "re.Match") -> str:
         v = int(m.group(1), 16)
         if v <= 0x7FFFFFFFFFFFFFFF:
             return str(v)
         return f"CAST('{v}' AS DECIMAL(38,0))"
 
-    return _HEX_LIT_RE.sub(repl, masked)
+    masked = _HEX_LIT_RE.sub(repl, masked)
+    # MySQL 0b11 binary-integer literal (dtype/bit.sql) — Spark has none
+    masked = re.sub(
+        r"\b0b([01]+)\b", lambda m: str(int(m.group(1), 2)), masked
+    )
+    return masked
 
 
 _RANK_OVER_RE = re.compile(
@@ -2335,12 +2371,13 @@ def rewrite_repeat_clamp(masked: str, engine: str = "spark") -> str:
     def build(name, args):
         name = name.lower()
         if name == "median" and len(args) == 1:
-            # the reference's median is the DISCRETE lower-middle element
-            # (func_aggr_median.test: median of [1.1, 2.2] is 1.1), not the
-            # interpolated value Spark's/DuckDB's median() returns
-            if engine == "duck":
-                return f"quantile_disc({args[0]}, 0.5)"
-            return f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {args[0]})"
+            # the reference's median INTERPOLATES the middle pair
+            # (func_aggr_median.result: [1,2] → 1.5, [1.1,2.2] → 1.65;
+            # dtype/bit.result: 3.5) — both engines' native median()
+            # already does; keep the call (earlier discrete mapping was a
+            # mistranscription both engines agreed on, so the co-execution
+            # gate could not catch it)
+            return None
         if name == "split_part" and len(args) == 3:
             s, d, n = args
             sc = f"CAST(({s}) AS {str_t})"
@@ -2557,7 +2594,7 @@ def translate(sql: str) -> str:
         masked = rewrite_generate_series(masked, "explode(sequence({}))")
     if _OVER_RE.search(masked):
         masked = rewrite_rank_no_order(masked)
-    if "0x" in masked or "0X" in masked:
+    if "0x" in masked or "0X" in masked or re.search(r"\b0b[01]+\b", masked):
         masked = rewrite_hex_literals(masked)
     # MySQL numeric-prefix string coercion for LITERAL comparisons:
     # `1 = '1rest'` compares 1 = 1 (true), `'abc' = 0` compares 0 = 0 —
