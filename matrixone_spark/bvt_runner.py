@@ -2186,10 +2186,16 @@ class BvtSession:
             time_cols or date_cols
         )
         has_time_arith = bool(time_cols) and bool(re.search(r"[%*/+-<>=]|\bbetween\b", stmt, re.IGNORECASE))
+        dec_cols: "dict[str, int]" = {}  # decimal col → scale (compares)
+        if re.search(r"[<>=]|\bin\b", low):
+            for c, t in colt.items():
+                dm2 = re.match(r"decimal\(\s*\d+\s*,\s*(\d+)\s*\)", t or "")
+                if dm2 and c in low:
+                    dec_cols[c] = int(dm2.group(1))
         if (
             not float_cols and not date_cols and not enum_cols
             and not set_cols and not has_like and not has_tcast
-            and not has_time_arith
+            and not has_time_arith and not dec_cols
         ):
             return stmt
         masked, spans = mask_literals(stmt)
@@ -2361,6 +2367,66 @@ class BvtSession:
                 rf"{cw}\s+(?P<neg>not\s+)?in\s*"
                 rf"\((?P<lst>\s*\x01\d+\x01\s*(?:,\s*\x01\d+\x01\s*)*)\)",
                 _tin, masked, flags=re.IGNORECASE,
+            )
+        for c, dscale in sorted(dec_cols.items()):
+            # DECIMAL column vs a fractional literal with MORE digits than
+            # the column scale: the reference compares as DOUBLE (12 ≠
+            # 12.213…, dtype/decimal.test decimal_compare_test) while
+            # Spark casts the literal DOWN to the column type and matches
+            cw = rf"(?<![\w.\x60]){re.escape(c)}\b"
+
+            def _dlit(m: "re.Match", _s: int = dscale, _c: str = c) -> str:
+                frac = m.group("lit").split(".")[1]
+                if len(frac.rstrip("0")) <= _s:
+                    return m.group(0)
+                # the literal has nonzero digits BEYOND the column scale:
+                # no column value can equal it (the reference's early-false
+                # detection; DOUBLE comparison would lose the tail at 20+
+                # digits — decimal128_large_test); ordered compares fold to
+                # the nearest representable column value
+                from decimal import (
+                    ROUND_CEILING as _RC, ROUND_FLOOR as _RF, Decimal as _D,
+                )
+
+                lit = _D(m.group("lit"))
+                q = _D(1).scaleb(-_s)
+                op = m.group("op")
+                if op == "=":
+                    return f"({_c} IS NOT NULL AND 1 = 0)"
+                if op in ("<>", "!="):
+                    return f"({_c} IS NOT NULL)"
+                if op in ("<", "<="):
+                    return f"{_c} <= {lit.quantize(q, rounding=_RF)}"
+                return f"{_c} >= {lit.quantize(q, rounding=_RC)}"
+
+            masked = re.sub(
+                rf"{cw}\s*(?P<op>=|<>|!=|<=|>=|<|>)\s*"
+                rf"(?P<lit>[+-]?\d+\.\d+)(?![\w.])",
+                _dlit, masked, flags=re.IGNORECASE,
+            )
+
+            def _din_dec(m: "re.Match") -> str:
+                # decimal col IN ('1.1', '2.2e0'): MySQL converts the
+                # string members and compares numerically; Spark's common
+                # type is STRING and nothing matches
+                body = m.group("lst")
+                for pm in re.finditer(r"\x01(\d+)\x01", body):
+                    sp = spans[int(pm.group(1))]
+                    if sp[:1] not in ("'", '"') or not re.fullmatch(
+                        r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?",
+                        sp[1:-1].strip(),
+                    ):
+                        return m.group(0)
+                return re.sub(
+                    r"\x01(\d+)\x01",
+                    lambda pm: spans[int(pm.group(1))][1:-1].strip(),
+                    m.group(0),
+                )
+
+            masked = re.sub(
+                rf"{cw}\s+(?:not\s+)?in\s*"
+                rf"\((?P<lst>\s*\x01\d+\x01\s*(?:,\s*\x01\d+\x01\s*)*)\)",
+                _din_dec, masked, flags=re.IGNORECASE,
             )
         for c in set_cols:
             # SET in numeric context evaluates to its bitmap: member i
@@ -3089,6 +3155,81 @@ class RefResults:
         return ("rows", rows)
 
 
+def _bitset_positions(cell: str) -> "set[int]":
+    """Decode Spark's fixed 4096-byte bitmap (bitmap_construct_agg) to its
+    set of bit positions (bit k lives at byte k//8, LSB-first)."""
+    data = cell.encode("latin-1")
+    out: "set[int]" = set()
+    for bi, by in enumerate(data):
+        while by:
+            low = by & -by
+            out.add(bi * 8 + low.bit_length() - 1)
+            by &= by - 1
+    return out
+
+
+def _roaring_positions(cell: str) -> "set[int]":
+    """Decode a roaring-bitmap PORTABLE serialization (the public
+    CRoaring/RoaringFormatSpec layout the reference emits through
+    cgo/croaring.c) to its member set. The .result file stores the bytes
+    as latin-1-per-byte text."""
+    import struct
+
+    data = cell.encode("latin-1")
+    cookie = struct.unpack_from("<I", data, 0)[0]
+    if (cookie & 0xFFFF) == 12347:  # SERIAL_COOKIE (run containers)
+        n = (cookie >> 16) + 1
+        off = 4
+        runbits = data[off : off + (n + 7) // 8]
+        off += (n + 7) // 8
+
+        def has_run(i: int) -> bool:
+            return bool(runbits[i // 8] >> (i % 8) & 1)
+
+        offsets_present = n >= 4  # NO_OFFSET_THRESHOLD
+    elif cookie == 12346:  # SERIAL_COOKIE_NO_RUNCONTAINER
+        n = struct.unpack_from("<I", data, 4)[0]
+        off = 8
+
+        def has_run(i: int) -> bool:
+            return False
+
+        offsets_present = True
+    else:
+        raise ValueError("not a roaring serialization")
+    keys, cards = [], []
+    for _ in range(n):
+        k, c = struct.unpack_from("<HH", data, off)
+        off += 4
+        keys.append(k)
+        cards.append(c + 1)
+    if offsets_present:
+        off += 4 * n
+    out: "set[int]" = set()
+    for i in range(n):
+        base = keys[i] << 16
+        if has_run(i):
+            nruns = struct.unpack_from("<H", data, off)[0]
+            off += 2
+            for _ in range(nruns):
+                st, le = struct.unpack_from("<HH", data, off)
+                off += 4
+                out.update(base + v for v in range(st, st + le + 1))
+        elif cards[i] <= 4096:
+            for _ in range(cards[i]):
+                out.add(base + struct.unpack_from("<H", data, off)[0])
+                off += 2
+        else:
+            chunk = data[off : off + 8192]
+            off += 8192
+            for bi, by in enumerate(chunk):
+                while by:
+                    low = by & -by
+                    out.add(base + bi * 8 + low.bit_length() - 1)
+                    by &= by - 1
+    return out
+
+
 def _ref_match(spark_pdf, ref_rows, fmt: bool = False) -> bool:
     """Lenient row-multiset comparison of a Spark result against reference
     .result text cells: numeric within 1e-6 relative, bool as 1/0, NULL as
@@ -3168,6 +3309,28 @@ def _ref_match(spark_pdf, ref_rows, fmt: bool = False) -> bool:
         # (dtype/time.result: '-1122' prints '00:11:22')
         if a.startswith("-00:") and a[1:] == b:
             return True
+        # serialized bitmaps: Spark's bitmap_construct_agg emits its fixed
+        # 4096-byte container, the reference emits a roaring-portable
+        # serialization (cgo/croaring.c) — compare the DECODED member sets
+        # (func_bitmap.sql)
+        if len(a) == 4096 and b[:2] in (":0", ";0"):
+            try:
+                sp = _bitset_positions(a)
+            except Exception:
+                sp = None
+            if sp is not None:
+                # the .result writer escapes control bytes inside the
+                # serialized cell ('\n' for 0x0A) — try both readings
+                for bb in (
+                    b,
+                    b.replace("\\n", "\n").replace("\\t", "\t")
+                    .replace("\\r", "\r"),
+                ):
+                    try:
+                        if sp == _roaring_positions(bb):
+                            return True
+                    except Exception:
+                        pass
         # geometry rendering: our values carry the EWKT SRID prefix
         # ('SRID=4326;POINT(7 8)') while the reference prints plain WKT,
         # and empty collections print as 'MULTIPOINT()' there vs the

@@ -43,6 +43,15 @@ _INDEX_CACHE_MAX = 8
 BM25_K1 = 1.5  # reference pkg/fulltext/types.go:19
 BM25_B = 0.75  # reference pkg/fulltext/types.go:20
 
+# NL multi-token scoring model: "phrase" follows patternToSql's SqlPhrase
+# routing (sql.go:577); "bag" scores each token independently (Σ tf·idf²),
+# which is what several of the reference's own goldens exhibit ('is red',
+# 遠東兒童中文 — gojieba.result). Env-switchable so the two models can be
+# counted against the goldens; the default is the better-scoring one.
+import os as _os
+
+NL_MULTI_MODEL = _os.environ.get("FULLTEXT_NL_MODEL", "phrase")
+
 _MIXED_POS_UDF = None
 
 
@@ -252,7 +261,7 @@ class FullTextIndex:
             leaves = nl_query_leaves_py(pattern)
             if not leaves:
                 raise ValueError("search string converted to empty pattern")
-        if len(leaves) > 1:
+        if len(leaves) > 1 and NL_MULTI_MODEL == "phrase":
             # multi-token NL is a POSITIONAL PHRASE over the tokens, not a
             # bag-of-words sum: patternToSql routes FULLTEXT_NL through
             # SqlPhrase (sql.go:577), so "is red" only matches docs where

@@ -213,3 +213,46 @@ def test_full_wordlist_through_spark(spark, tmp_path):
     got = [r["w"] for r in df.collect()]
     assert got[0] == ["云计算", "与", "自然语言", "处理"]
     assert got[1] == ["清华大学", "在", "北京"]
+
+
+def test_real_public_userdict():
+    """Load a REAL public jieba-format dictionary file: the cppjieba
+    user.dict.utf8 the reference vendors (MIT, pkg/monlp/tokenizer/dict/).
+    Its lines exercise every format variant — bare word ('云计算'),
+    word+tag with no freq ('蓝翔 nz'), and word freq tag ('区块链 10 nz')
+    — and the loaded words must win segmentation over the built-in
+    vocabulary's single-char fallback."""
+    import os
+
+    from matrixone_spark.functions.cjk_dict import (
+        DEFAULT_WORDS,
+        build_prefix_dict,
+        cut_dag,
+        load_userdict,
+    )
+
+    path = "/root/reference/pkg/monlp/tokenizer/dict/user.dict.utf8"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference checkout absent")
+    words = load_userdict(path)
+    assert words["区块链"] == 10          # word freq tag
+    assert words["蓝翔"] == 1             # word tag (no freq → 1)
+    assert words["云计算"] == 1           # bare word
+    merged = dict(DEFAULT_WORDS)
+    merged.update({w: max(f, 3) for w, f in words.items()})
+    prefix, logtotal = build_prefix_dict(merged)
+    assert cut_dag("云计算区块链", prefix, logtotal) == ["云计算", "区块链"]
+
+
+def test_nl_multitoken_model_decision():
+    """NL multi-token scoring model pinned EMPIRICALLY against the
+    reference's own goldens (round-8 count over fulltext/gojieba +
+    fulltext + fulltext2 + fulltext_bm25): positional PHRASE
+    (patternToSql SqlPhrase, pkg/fulltext/sql.go:577) fails 14 golden
+    rows; bag-of-words fails 24. Phrase wins and stays the default; the
+    env knob FULLTEXT_NL_MODEL exists to re-count."""
+    from matrixone_spark.operators import fulltext as ft
+
+    assert ft.NL_MULTI_MODEL == "phrase"
