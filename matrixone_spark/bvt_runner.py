@@ -350,6 +350,7 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
     bitwidth: "dict[str, int]" = {}
     times: "dict[str, int]" = {}
     varbins: "set[str]" = set()
+    geos: "dict[str, int]" = {}  # geometry col → coord width (32/64 bits)
     fulltexts: "list[tuple[str, tuple, str]]" = []
     pkeys: "list[tuple[str, ...]]" = []   # primary key first, then uniques
     ukeys: "list[tuple[str, ...]]" = []
@@ -426,6 +427,11 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
             # MySQL BINARY(n) is fixed-length, zero-padded on store
             # (VARBINARY is not); remember n so INSERT casts can pad.
             pads[col] = int(pm.group(1))
+        gm2 = re.match(r"(geometry32|geometry|geography)\b", rest, re.IGNORECASE)
+        if gm2:
+            # CAST(geo AS VARBINARY) emits raw WKB at the column's coord
+            # width (geo_geometry32: float32 point = 13 bytes)
+            geos[col] = 32 if gm2.group(1).lower() == "geometry32" else 64
         if re.match(r"varbinary\s*\((\d+)\)\s*$", rest, re.IGNORECASE):
             # VARBINARY stores the TEXT rendering of non-byte sources
             # (cte01: numeric 38921432 stores '38921432') without padding
@@ -481,7 +487,7 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
         "binpads": pads, "autoinc": autoinc, "years": years, "rounds": rounds,
         "tsprec": tsprec, "intrange": intrange, "enums": enums, "sets": sets,
         "bits": bitwidth, "fulltexts": fulltexts, "times": times,
-        "varbins": varbins, "keys": pkeys + ukeys,
+        "varbins": varbins, "geos": geos, "keys": pkeys + ukeys,
     }
 
 
@@ -502,6 +508,21 @@ class BvtSession:
             "mo_bvt_time_cast",
             lambda v, p: _norm_time_str(v, int(p), pad9=False), _St(),
         )
+        from pyspark.sql.types import BinaryType as _Bt
+
+        def _geo_wkb(v, bits):
+            # CAST(geometry AS VARBINARY) = raw WKB; geometry32 packs
+            # float32 coords (geo_geometry32.sql: point = 13 bytes)
+            if v is None:
+                return None
+            from matrixone_spark.functions import geomlib
+
+            _, wkt = geomlib.split_srid(str(v))
+            return geomlib.to_wkb(
+                geomlib.parse_wkt(wkt), f32=(int(bits) == 32)
+            )
+
+        spark.udf.register("mo_bvt_geo_wkb", _geo_wkb, _Bt())
         self.tables: "dict[str, DataFrame]" = {}
         self.schemas: "dict[str, list[tuple[str, str]]]" = {}
         self.defaults: "dict[str, dict[str, str]]" = {}
@@ -2192,10 +2213,17 @@ class BvtSession:
                 dm2 = re.match(r"decimal\(\s*\d+\s*,\s*(\d+)\s*\)", t or "")
                 if dm2 and c in low:
                     dec_cols[c] = int(dm2.group(1))
+        geocols: "dict[str, int]" = {}  # geometry col → coord bits
+        has_geo_wkb = "varbinary" in low and "cast" in low
+        if has_geo_wkb:
+            for name in tabs:
+                for c, b in self.colmeta.get(name, {}).get("geos", {}).items():
+                    geocols[c.lower()] = b
+            has_geo_wkb = bool(geocols) or "st_" in low
         if (
             not float_cols and not date_cols and not enum_cols
             and not set_cols and not has_like and not has_tcast
-            and not has_time_arith and not dec_cols
+            and not has_time_arith and not dec_cols and not has_geo_wkb
         ):
             return stmt
         masked, spans = mask_literals(stmt)
@@ -2367,6 +2395,27 @@ class BvtSession:
                 rf"{cw}\s+(?P<neg>not\s+)?in\s*"
                 rf"\((?P<lst>\s*\x01\d+\x01\s*(?:,\s*\x01\d+\x01\s*)*)\)",
                 _tin, masked, flags=re.IGNORECASE,
+            )
+        if has_geo_wkb:
+            # CAST(geometry AS VARBINARY) renders raw WKB at the source's
+            # coordinate width (geo_geometry32 float32 = 13-byte point;
+            # geo_review_fixes standard = 21)
+            def _gwkb(m: "re.Match") -> str:
+                opnd = m.group(1).strip()
+                ol = opnd.lower()
+                if not (ol.startswith("st_") or ol in geocols):
+                    return m.group(0)
+                bits = geocols.get(ol, 0)
+                if not bits:
+                    hits = [b for c2, b in geocols.items()
+                            if re.search(rf"\b{re.escape(c2)}\b", ol)]
+                    bits = hits[0] if hits else 64
+                return f"mo_bvt_geo_wkb({opnd}, {bits})"
+
+            masked = re.sub(
+                r"(?i)cast\s*\(\s*((?:st_\w+\s*\((?:[^()]|\([^()]*\))*\)"
+                r"|[\w`]+))\s+as\s+varbinary\s*\)",
+                _gwkb, masked,
             )
         for c, dscale in sorted(dec_cols.items()):
             # DECIMAL column vs a fractional literal with MORE digits than

@@ -118,11 +118,16 @@ def _parse_ptseq(sc: _Scanner):
     sc.expect("(")
     pts = []
     while True:
-        # MULTIPOINT allows nested parens per point: ((1 1),(2 2))
+        # MULTIPOINT allows nested parens per point: ((1 1),(2 2)) — and
+        # EMPTY members (our render of st_collect with an empty point)
         if sc.peek() == "(":
             sc.expect("(")
             pts.append(_parse_point_body(sc))
             sc.expect(")")
+        elif sc.peek().upper() == "E":
+            if sc.word() != "EMPTY":
+                raise ValueError("invalid geometry payload")
+            pts.append(None)
         else:
             pts.append(_parse_point_body(sc))
         if sc.peek() == ",":
@@ -224,7 +229,12 @@ def fmt_num(x: float) -> str:
 
 
 def _pts_text(pts) -> str:
-    return ",".join(f"{fmt_num(x)} {fmt_num(y)}" for x, y in pts)
+    # a None member is an EMPTY point inside a MULTIPOINT
+    # (st_collect(POINT EMPTY, …), geo_review_fixes.sql)
+    return ",".join(
+        "EMPTY" if p is None else f"{fmt_num(p[0])} {fmt_num(p[1])}"
+        for p in pts
+    )
 
 
 def render_wkt(g) -> str:
@@ -248,37 +258,41 @@ def render_wkt(g) -> str:
 # WKB codec (OGC, little-endian; nested headers for multi/collection parts)
 # ---------------------------------------------------------------------------
 
-def to_wkb(g) -> bytes:
+def to_wkb(g, f32: bool = False) -> bytes:
+    """OGC WKB; ``f32=True`` packs float32 coordinates — the reference's
+    GEOMETRY32 storage (pkg/container/types geometry32), whose raw point
+    is 13 bytes (1 endian + 4 type + 2×4 coords) vs standard 21."""
     t, d = g
+    pt = "<ff" if f32 else "<dd"
     out = [struct.pack("<BI", 1, _WKB_CODE[t])]
     if t == "POINT":
         x, y = d if d is not None else (math.nan, math.nan)
-        out.append(struct.pack("<dd", x, y))
+        out.append(struct.pack(pt, x, y))
     elif t in ("LINESTRING", "MULTIPOINT"):
         pts = d or []
         out.append(struct.pack("<I", len(pts)))
         if t == "MULTIPOINT":
-            out.extend(to_wkb(("POINT", p)) for p in pts)
+            out.extend(to_wkb(("POINT", p), f32) for p in pts)
         else:
-            out.extend(struct.pack("<dd", *p) for p in pts)
+            out.extend(struct.pack(pt, *p) for p in pts)
     elif t == "POLYGON":
         rings = d or []
         out.append(struct.pack("<I", len(rings)))
         for r in rings:
             out.append(struct.pack("<I", len(r)))
-            out.extend(struct.pack("<dd", *p) for p in r)
+            out.extend(struct.pack(pt, *p) for p in r)
     elif t == "MULTILINESTRING":
         parts = d or []
         out.append(struct.pack("<I", len(parts)))
-        out.extend(to_wkb(("LINESTRING", ln)) for ln in parts)
+        out.extend(to_wkb(("LINESTRING", ln), f32) for ln in parts)
     elif t == "MULTIPOLYGON":
         parts = d or []
         out.append(struct.pack("<I", len(parts)))
-        out.extend(to_wkb(("POLYGON", poly)) for poly in parts)
+        out.extend(to_wkb(("POLYGON", poly), f32) for poly in parts)
     else:
         parts = d or []
         out.append(struct.pack("<I", len(parts)))
-        out.extend(to_wkb(s) for s in parts)
+        out.extend(to_wkb(s, f32) for s in parts)
     return b"".join(out)
 
 
@@ -348,7 +362,9 @@ def _gj_coords(g, maxdec):
     if t == "POINT":
         return [n(d[0]), n(d[1])] if d else []
     if t in ("LINESTRING", "MULTIPOINT"):
-        return [[n(x), n(y)] for x, y in (d or [])]
+        # an EMPTY member point renders [] (geo_review_fixes.result:
+        # st_collect(POINT EMPTY, POINT(1 1)) → [[],[1,1]])
+        return [[] if p is None else [n(p[0]), n(p[1])] for p in (d or [])]
     if t in ("POLYGON", "MULTILINESTRING"):
         return [[[n(x), n(y)] for x, y in part] for part in (d or [])]
     return [[[[n(x), n(y)] for x, y in r] for r in poly] for poly in (d or [])]

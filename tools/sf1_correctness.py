@@ -34,6 +34,35 @@ SAMPLE = [
 ]
 
 
+def _close_frames(a, b, rel: float = 1e-9) -> bool:
+    """Order/name-insensitive frame equality with relative float
+    tolerance (non-floats exact)."""
+    if len(a) != len(b) or len(a.columns) != len(b.columns):
+        return False
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return sorted(
+            (
+                tuple(
+                    float(f"{v:.9g}") if isinstance(v, float) else v
+                    for v in row
+                )
+                for row in df.itertuples(index=False, name=None)
+            ),
+            key=repr,
+        )
+
+    for ra, rb in zip(canon(a), canon(b)):
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float) and isinstance(vb, float):
+                if abs(va - vb) > rel * max(abs(va), abs(vb), 1.0):
+                    return False
+            elif va != vb:
+                return False
+    return True
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mospark_sf1"
     import importlib
@@ -62,9 +91,16 @@ def main() -> None:
         }
         if name in osql:
             try:
-                probs = compare_frames(got, run_oracle(osql[name], sf_dir))
+                want = run_oracle(osql[name], sf_dir)
+                probs = compare_frames(got, want)
                 rec["status"] = "match" if not probs else "MISMATCH"
-                if probs:
+                if probs and _close_frames(got, want):
+                    # sf1 magnitudes expose 1-ulp double→decimal rounding
+                    # drift in per-row products (sum_charge: …94159 vs
+                    # …941593) — value-identical to 1e-9 relative; the
+                    # driver's own sf0.01 gate stays bit-exact
+                    rec["status"] = "match_float_tol"
+                elif probs:
                     rec["problems"] = [str(p)[:200] for p in probs[:3]]
             except Exception as e:
                 rec["status"] = "oracle_error"
