@@ -60,13 +60,13 @@ def test_parse_create_table_defaults():
     assert meta == {"binpads": {}, "autoinc": set(), "years": set(), "rounds": {}, "tsprec": {},
         "intrange": {"b": (-2147483648, 2147483647), "d": (0, 18446744073709551615)},
         "enums": {}, "sets": {}, "bits": {}, "fulltexts": [], "times": {},
-        "varbins": set(), "keys": [("a",)]}
+        "varbins": set(), "geos": {}, "keys": [("a",)]}
     _, _, _, meta2 = parse_create_table(
         "create table t2 (id int primary key auto_increment, b binary(4), "
         "v varbinary(4))"
     )
     assert meta2 == {"binpads": {"b": 4}, "autoinc": {"id"}, "years": set(), "rounds": {}, "tsprec": {},
-        "intrange": {"id": (-2147483648, 2147483647)}, "enums": {}, "sets": {}, "bits": {}, "fulltexts": [], "times": {}, "varbins": {"v"}, "keys": [("id",)]}
+        "intrange": {"id": (-2147483648, 2147483647)}, "enums": {}, "sets": {}, "bits": {}, "fulltexts": [], "times": {}, "varbins": {"v"}, "geos": {}, "keys": [("id",)]}
     assert name == "t"
     assert cols == [
         ("a", "float"),
