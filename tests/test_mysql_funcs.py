@@ -155,3 +155,66 @@ def test_uuid_roundtrip(spark):
     u = "6ccd780c-baba-1026-9564-5b8c656024db"
     r = one_row(spark, {"rt": m.bin_to_uuid(m.uuid_to_bin(F.lit(u)))})
     assert r.rt == u
+
+
+def test_mysql_format_token_table_both_modes(spark):
+    """Table-driven check of EVERY %-token in _MYSQL_FMT across BOTH modes
+    (formatting via DATE_FORMAT output, parsing via the STR_TO_DATE width
+    overrides), end-to-end through Spark so the emitted Java patterns are
+    proven valid, not just mapped. Reference: generalTime.go format table;
+    func_str_to_date.go lenient parse widths."""
+    from matrixone_spark.functions.mysql import (
+        _MYSQL_FMT,
+        _MYSQL_FMT_PARSE,
+        mysql_format_to_java,
+    )
+
+    ts = "2023-02-05 09:07:04.123456"
+    # expected DATE_FORMAT output per token for the fixed timestamp
+    fmt_expect = {
+        "%Y": "2023", "%y": "23", "%m": "02", "%c": "2", "%d": "05",
+        "%e": "5", "%H": "09", "%k": "9", "%h": "09", "%I": "09",
+        "%i": "07", "%s": "04", "%S": "04", "%f": "123456",
+        "%b": "Feb", "%M": "February", "%a": "Sun", "%W": "Sunday",
+        "%j": "036", "%T": "09:07:04", "%r": "09:07:04 AM", "%p": "AM",
+        "%%": "%",
+    }
+    assert set(fmt_expect) == set(_MYSQL_FMT), "token table drifted"
+    sql = ", ".join(
+        f"date_format(timestamp'{ts}', '{mysql_format_to_java(tok)}') "
+        f"as c{i}"
+        for i, tok in enumerate(fmt_expect)
+    )
+    row = spark.sql(f"select {sql}").collect()[0]
+    for i, (tok, want) in enumerate(fmt_expect.items()):
+        assert row[i] == want, (tok, row[i], want)
+
+    # parsing mode: every override token accepts 1-digit (unpadded) input
+    parse_cases = {
+        "%d": ("5", "dd05"), "%e": ("5", "dd05"), "%m": ("2", "mm02"),
+        "%c": ("2", "mm02"), "%H": ("9", "hh09"), "%k": ("9", "hh09"),
+        "%h": ("9", "hh09"), "%I": ("9", "hh09"), "%i": ("7", "mi07"),
+        "%s": ("4", "ss04"), "%S": ("4", "ss04"), "%j": ("36", "dy036"),
+        "%r": ("9:07:04", "clk09:07:04"),
+    }
+    assert set(parse_cases) == set(_MYSQL_FMT_PARSE), "parse table drifted"
+    # each override parses an UNPADDED field Java's 2-letter form rejects;
+    # prove through to_timestamp with a full date context
+    checks = {
+        "%d": ("2023-2-5", "%Y-%c-%d", "2023-02-05"),
+        "%e": ("2023-2-5", "%Y-%c-%e", "2023-02-05"),
+        "%m": ("2023-2-5", "%Y-%m-%e", "2023-02-05"),
+        "%c": ("2023-2-5", "%Y-%c-%e", "2023-02-05"),
+        "%H": ("2023-2-5 9", "%Y-%c-%e %H", "2023-02-05 09"),
+        "%k": ("2023-2-5 9", "%Y-%c-%e %k", "2023-02-05 09"),
+        "%i": ("2023-2-5 9:7", "%Y-%c-%e %H:%i", "2023-02-05 09:07"),
+        "%s": ("2023-2-5 9:7:4", "%Y-%c-%e %H:%i:%s", "2023-02-05 09:07:04"),
+        "%S": ("2023-2-5 9:7:4", "%Y-%c-%e %H:%i:%S", "2023-02-05 09:07:04"),
+        "%r": ("2023-2-5 9:07:04", "%Y-%c-%e %r", "2023-02-05 09:07:04"),
+    }
+    for tok, (text, myfmt, prefix) in checks.items():
+        pat = mysql_format_to_java(myfmt, parsing=True)
+        got = spark.sql(
+            f"select cast(to_timestamp('{text}', '{pat}') as string) as v"
+        ).collect()[0]["v"]
+        assert got is not None and got.startswith(prefix), (tok, pat, got)
