@@ -1310,15 +1310,45 @@ class BvtSession:
         normalization, int clamping). DuckDB replays the coerced rows as a
         literal INSERT (plus the CREATE for external tables) so both
         engines stay identical."""
-        import csv as _csv
-
         path = path.replace(
             "$resources", "/root/reference/test/distributed/resources"
         )
         if not os.path.exists(path):
             raise SkipStatement(f"load file missing: {path}")
-        with open(path, newline="", errors="replace") as fh:
-            rows = list(_csv.reader(fh, delimiter=sep, quotechar=quote or '"'))
+
+        def _mysql_split(line: str) -> "list[str]":
+            # MySQL field scan, not csv-module quoting: an enclosed field
+            # runs to the quote followed by the separator or EOL, with
+            # inner quotes UNESCAPED (json/data_2.csv:
+            # "{"a":1,"b":[…]}",1 — the csv module truncates at the
+            # first inner quote)
+            fields, i, n = [], 0, len(line)
+            while True:
+                if quote and i < n and line[i] == quote:
+                    j = i + 1
+                    while j < n and not (
+                        line[j] == quote
+                        and (j + 1 == n
+                             or line[j + 1 : j + 1 + len(sep)] == sep)
+                    ):
+                        j += 1
+                    fields.append(line[i + 1 : j])
+                    i = j + 1
+                else:
+                    j = line.find(sep, i)
+                    j = n if j == -1 else j
+                    fields.append(line[i:j])
+                    i = j
+                if i >= n:
+                    return fields
+                i += len(sep)
+
+        with open(path, errors="replace") as fh:
+            rows = [
+                _mysql_split(ln.rstrip("\r\n"))
+                for ln in fh
+                if ln.strip("\r\n") != ""
+            ]
         rows = rows[skip:]
         ncols = len(self.schemas[name])
         clean = []
@@ -2203,8 +2233,16 @@ class BvtSession:
         for name in tabs:
             for c, p in self.colmeta.get(name, {}).get("times", {}).items():
                 time_cols[c.lower()] = max(time_cols.get(c.lower(), 0), p)
-        has_tcast = bool(re.search(r"(?i)\bcast\s*\(", stmt)) and bool(
-            time_cols or date_cols
+        has_tcast = bool(re.search(r"(?i)\bcast\s*\(", stmt)) and (
+            bool(time_cols or date_cols)
+            # nested literal form: CAST(CAST('…' AS DATETIME(6)) AS
+            # DECIMAL(20,6)) needs no table at all
+            # (dtype/mysql_compat_temporal_numeric_cast.test)
+            or bool(re.search(
+                r"(?i)cast\s*\(\s*cast\s*\([^()]*\bas\s+"
+                r"(?:date|datetime|timestamp|time)\b",
+                stmt,
+            ))
         )
         has_time_arith = bool(time_cols) and bool(re.search(r"[%*/+-<>=]|\bbetween\b", stmt, re.IGNORECASE))
         dec_cols: "dict[str, int]" = {}  # decimal col → scale (compares)
@@ -2623,7 +2661,10 @@ class BvtSession:
         return unmask_literals(masked, spans)
 
     _TEMPORAL_CAST_RE = re.compile(
-        r"cast\s*\(\s*(?P<x>(?:date|time)\s*\(\s*[\w.\x60]+\s*\)|[\w.\x60]+)\s+as\s+"
+        r"cast\s*\(\s*(?P<x>"
+        r"cast\s*\(\s*\x01\d+\x01\s+as\s+"
+        r"(?:date|datetime|timestamp|time)(?:\s*\(\s*\d\s*\))?\s*\)"
+        r"|(?:date|time)\s*\(\s*[\w.\x60]+\s*\)|[\w.\x60]+)\s+as\s+"
         r"(?P<ty>signed(?:\s+integer)?|unsigned(?:\s+integer)?|int(?:eger)?|bigint"
         r"|decimal\s*\(\s*\d+\s*(?:,\s*\d+)?\s*\))\s*\)",
         re.IGNORECASE,
@@ -2639,22 +2680,61 @@ class BvtSession:
         engines run. Only bare temporal columns and date(col)/time(col)
         wrappers rewrite; everything else keeps the dialect's cast path."""
 
-        def packed(x: str, kind: str) -> str:
+        def packed(x: str, kind: str, frac: bool = False) -> str:
             if kind == "date":
                 return f"(year({x})*10000 + month({x})*100 + day({x}))"
             if kind == "timestamp":
-                return (
+                p = (
                     f"(CAST(year({x}) AS BIGINT)*10000000000 "
                     f"+ month({x})*100000000 + day({x})*1000000 "
                     f"+ hour({x})*10000 + minute({x})*100 + CAST(second({x}) AS BIGINT))"
                 )
+                if frac:
+                    # decimal targets with scale keep the microseconds
+                    # (mysql_compat_temporal_numeric_cast: datetime(6) →
+                    # decimal(20,6) = …030405.123456)
+                    p = (
+                        f"(CAST({p} AS DECIMAL(38,6)) + "
+                        f"CAST(unix_micros(CAST({x} AS TIMESTAMP)) % 1000000"
+                        f" AS DECIMAL(20,6)) / 1000000)"
+                    )
+                return p
             # TIME duration string 'H:MM:SS[.f]' → strip colons, keep sign
-            return (
-                f"CAST(CAST(replace({x}, ':', '') AS DECIMAL(24,6)) AS BIGINT)"
+            base = (
+                f"CAST(replace(CAST({x} AS STRING), ':', '') "
+                f"AS DECIMAL(24,6))"
             )
+            return base if frac else f"CAST({base} AS BIGINT)"
 
         def repl(m: "re.Match") -> str:
             x = m.group("x")
+            ty = m.group("ty").lower()
+            dm0 = re.match(r"decimal\s*\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\)", ty)
+            frac = bool(dm0 and int(dm0.group(2) or 0) > 0)
+            cn = re.match(
+                r"(?i)cast\s*\(\s*(\x01\d+\x01)\s+as\s+"
+                r"(date|datetime|timestamp|time)(?:\s*\(\s*(\d)\s*\))?\s*\)",
+                x,
+            )
+            if cn:
+                # nested literal cast: CAST(CAST('…' AS DATETIME(6)) AS
+                # DECIMAL(20,6)) — packed digits, fraction at target scale
+                tk = cn.group(2).lower()
+                if tk == "date":
+                    kind = "date"
+                elif tk == "time":
+                    kind = "time"
+                    x = (
+                        f"mo_bvt_time_cast(CAST({cn.group(1)} AS STRING), "
+                        f"{int(cn.group(3) or 0)})"
+                    )
+                else:
+                    kind = "timestamp"
+                p = packed(x, kind, frac)
+                if dm0:
+                    return (f"CAST({p} AS DECIMAL({dm0.group(1)},"
+                            f"{dm0.group(2) or 0}))")
+                return f"CAST({p} AS BIGINT)"
             fn = re.match(r"(?i)(date|time)\s*\(\s*([\w.\x60]+)\s*\)", x)
             if fn:
                 kind = "date" if fn.group(1).lower() == "date" else "time"
@@ -2670,7 +2750,6 @@ class BvtSession:
                     kind = colt[name]
                 else:
                     return m.group(0)
-            ty = m.group("ty").lower()
             if kind == "time" and fn is not None and fn.group(1).lower() == "time":
                 # time(ts_col) extracts the clock part first; gate on the
                 # wrapper-function match, not a name-prefix test, so a bare
@@ -2681,10 +2760,10 @@ class BvtSession:
                     f"+ CAST(second({inner}) AS BIGINT))"
                 )
             else:
-                p = packed(x, kind)
-            dm = re.match(r"decimal\s*\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\)", ty)
-            if dm:
-                return f"CAST({p} AS DECIMAL({dm.group(1)},{dm.group(2) or 0}))"
+                p = packed(x, kind, frac)
+            if dm0:
+                return (f"CAST({p} AS DECIMAL({dm0.group(1)},"
+                        f"{dm0.group(2) or 0}))")
             return f"CAST({p} AS BIGINT)"
 
         return self._TEMPORAL_CAST_RE.sub(repl, masked)

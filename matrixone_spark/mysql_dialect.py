@@ -590,7 +590,8 @@ BVT_REPLAY_MODE = [False]
 
 _FN_GUARD_RE = re.compile(
     r"\b(acos|asin|bit_and|bit_or|bit_xor|approx_percentile|left|right"
-    r"|locate|lpad|rpad|last_day|unix_timestamp|from_unixtime)\s*\(",
+    r"|locate|lpad|rpad|last_day|unix_timestamp|from_unixtime"
+    r"|hour|minute|second)\s*\(",
     re.IGNORECASE,
 )
 
@@ -649,6 +650,24 @@ def _guard_fn(
             "(CASE WHEN " + has + " AND (" + _clk(1) + " > 23 OR "
             + _clk(2) + " > 59 OR " + _clk(3) + " > 59) THEN NULL "
             "ELSE last_day(" + a + ") END)"
+        )
+    if (
+        name in ("hour", "minute", "second")
+        and len(args) == 1
+        and BVT_REPLAY_MODE[0]
+    ):
+        # TIME values are duration strings here and can exceed 24h —
+        # HOUR(CAST('272:59:59' AS TIME)) = 272, negatives report the
+        # magnitude (func_datetime_hour.test); non-duration args keep
+        # Spark's clock functions
+        x = args[0]
+        s = f"CAST(({x}) AS STRING)"
+        grp = {"hour": 1, "minute": 2, "second": 3}[name]
+        return (
+            f"(CASE WHEN {s} rlike '^-?[0-9]+:[0-9]{{2}}:[0-9]{{2}}' THEN "
+            f"CAST(regexp_extract({s}, "
+            f"'^-?([0-9]+):([0-9]+):([0-9]+)', {grp}) AS INT) "
+            f"ELSE {name}({x}) END)"
         )
     if name == "unix_timestamp" and len(args) == 1:
         # MySQL/the reference return NULL for pre-epoch datetimes
