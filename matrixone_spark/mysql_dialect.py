@@ -1856,7 +1856,9 @@ def rewrite_row_comparisons(masked: str) -> str:
 _HEX_LIT_RE = re.compile(r"\b0x([0-9a-fA-F]+)\b")
 
 
-def rewrite_hex_literals(masked: str) -> str:
+def rewrite_hex_literals(
+    masked: str, spans: "list[str] | None" = None
+) -> str:
     """MySQL ``0xFF`` literals (integer in numeric context, the dominant BVT
     use — dtype/decimal.test etc.). Spark has no 0x syntax; rendered as the
     integer value (DECIMAL(38,0) beyond int64), matching DuckDB's reading of
@@ -1873,6 +1875,11 @@ def rewrite_hex_literals(masked: str) -> str:
             return m.group(0)
         if not s.isprintable() or "'" in s or "\x01" in s:
             return m.group(0)
+        if spans is not None:
+            # append as a masked span — later rewrite passes assume no
+            # unmasked quotes remain in the text
+            spans.append(f"'{s}'")
+            return m.group(1) + _PH.format(len(spans) - 1)
         return f"{m.group(1)}'{s}'"
 
     masked = re.sub(
@@ -2614,7 +2621,7 @@ def translate(sql: str) -> str:
     if _OVER_RE.search(masked):
         masked = rewrite_rank_no_order(masked)
     if "0x" in masked or "0X" in masked or re.search(r"\b0b[01]+\b", masked):
-        masked = rewrite_hex_literals(masked)
+        masked = rewrite_hex_literals(masked, spans)
     # MySQL numeric-prefix string coercion for LITERAL comparisons:
     # `1 = '1rest'` compares 1 = 1 (true), `'abc' = 0` compares 0 = 0 —
     # operator/operator.test. Only literal-vs-numeric-literal pairs rewrite

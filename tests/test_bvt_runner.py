@@ -189,3 +189,32 @@ def test_keyed_dml_shapes(spark):
     assert rows == {2020: 200, 2021: 36, 2022: 55, 2023: 4}
     sess.execute("delete t1 from kt t1, mul t2 where t1.y = t2.y")
     assert {r["y"] for r in sess.tables["kt"].collect()} == {2022, 2023}
+
+
+def test_csv_opts_lines_clause_does_not_set_field_sep():
+    """ADVICE r8: a LOAD DATA with only LINES TERMINATED BY '\\n' must keep
+    the default ',' field separator, and FIELDS ESCAPED BY '\\\\'
+    TERMINATED BY ',' still resolves the field separator."""
+    sep, quote, skip = BvtSession._csv_opts(" lines terminated by '\\n'")
+    assert (sep, quote, skip) == (",", '"', 0)
+    sep, _, _ = BvtSession._csv_opts(
+        " fields terminated by '|' lines terminated by '\\n'"
+    )
+    assert sep == "|"
+    sep, _, _ = BvtSession._csv_opts(
+        " FIELDS ESCAPED BY '\\\\' TERMINATED BY ',' LINES TERMINATED BY '\\n'"
+    )
+    assert sep == ","
+    sep, _, _ = BvtSession._csv_opts(" fields terminated by '\\t'")
+    assert sep == "\t"
+
+
+def test_norm_time_str_bare_fraction_and_day_packed():
+    """ADVICE r8: ParseTime parity — '.4445' is an empty clock part
+    (Time(0), fraction dropped, time.go:151); '2 1122' is a day prefix
+    plus packed digits (no colon required in the remainder)."""
+    from matrixone_spark.bvt_runner import _norm_time_str
+
+    assert _norm_time_str(".4445", 3) == "00:00:00"
+    assert _norm_time_str("2 1122", 0) == "48:11:22"
+    assert _norm_time_str("1 2:3:4", 0) == "26:03:04"
