@@ -85,72 +85,73 @@ def register(name: str, oracle: "str | None", tags: tuple = (), doc: str = ""):
 # refreshes the oldest r01-only greens (plan-fragility check).
 _SENTINELS: "tuple[str, ...]" = ()
 
-# The 50 rows the r07 driver window must convert, in risk order:
-# (1) every query whose module changed THIS round — operators/fulltext.py
-# (dict-mode phrase expansion, gojieba-golden vocabulary) and
-# functions/cjk_dict.py gate the whole fulltext set; mysql_dialect
-# translate() changed (MONTHNAME/DAYNAME full names, typed-literal guard,
-# approx_percentile gating) so the scalar/battery canaries re-pin;
-# (2) the never-re-pinned r01-only greens (VERDICT r6 item #9 list:
-# tpch_q4/q7/q8/q10/q11/q13/q14/q16/q18/q20, join_*, setop_union_*, the
-# agg_* and window_* r01 rows). Overflow past 50 harmlessly waits for r08.
+# The 50 rows the r09 driver window must convert (VERDICT r8 ask #4):
+# the never-re-pinned r02/r03 tail, GEO FIRST — geomlib.py changed in both
+# r7 (boost point predicates) and r8 (WKB casts at column coord width) with
+# no driver re-pin since r03.  Then the r02 dedup/vec/knn/multimodal/text
+# families, the lone r01 row, the remaining r02 rows, and three r03 bvt
+# batteries that double as mysql_dialect canaries (translate() changes this
+# round re-pin through them).  Every row in this list was last driver-pinned
+# ≤ r03.  Overflow (r03 stream_*/timewin_*/agg_* rows) waits for r10.
 _HEAD: "tuple[str, ...]" = (
-    # -- fulltext.py + cjk_dict.py changed r7 --
-    "fulltext_cjk_dict",
-    "fulltext_cjk",
-    "fulltext_natural_bm25",
-    "fulltext_natural_tfidf",
-    "fulltext_boolean",
-    "fulltext_boolean_phrase",
-    "fulltext_boolean_wildcard",
-    "fulltext_boolean_weights",
-    "fulltext_boolean_group",
-    # -- translate() changed r7: scalar/battery canaries --
-    "func_cast_battery",
-    "func_mysql3_battery",
-    "operator_battery",
-    "bvt_operator_battery",
-    "mysql_compat_battery",
-    "agg_approx_percentile",
-    "agg_median_percentile",
-    # -- never-re-pinned r01-only greens: tpch --
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q16",
-    "tpch_q18",
-    "tpch_q20",
-    # -- r01-only joins/setops --
-    "join_anti",
-    "join_cross",
-    "join_full_outer",
-    "join_left_outer",
-    "join_right_outer",
-    "join_semi",
-    "join_exists_or_exists",
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    # -- r01-only agg rows --
-    "agg_basic",
-    "agg_bit_ops",
-    "agg_conditional",
-    "agg_distinct_multi",
-    "agg_group_concat",
-    "agg_minmax_by",
-    "agg_null_group_keys",
-    "agg_variance_exact",
-    # -- r01-only window rows --
-    "window_lag_lead",
-    "window_range_frame",
-    "window_value_funcs",
-    "window_ranks",
-    "window_rows_frame",
-    "window_topn_per_group",
+    # -- geo family: never re-pinned past r03; geomlib changed r7+r8 --
+    "geo_binary_full_battery",
+    "geo_io_full_battery",
+    "geo_overlay_battery",
+    "geo_h3_battery",
+    "geo_unary_full_battery",
+    "geo_construct_battery",
+    "geo_point_battery",
+    "geo_polygon_battery",
+    "geo_polygon_predicates",
+    "geo_linestring_metrics",
+    "geo_lineref_battery",
+    "geo_mbr_battery",
+    "geo_validity_battery",
+    "geo_geojson_battery",
+    "geo_geohash",
+    "geo_distance_join",
+    "geo_sphere_distance",
+    # -- r02 dedup family --
+    "dedup_exact_groups",
+    "dedup_exact_keep",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_components",
+    # -- r02 vector / knn / ann --
+    "vec_distances",
+    "vec_norms_battery",
+    "vec_base64_roundtrip",
+    "vec_centroid_by_label",
+    "vec_neardup_pairs",
+    "knn_exact_topk",
+    "knn_join_per_query",
+    "ann_lsh_topk",
+    "ivf_search",
+    # -- r02 multimodal + r03 stragglers --
+    "multimodal_png_decode",
+    "multimodal_audio_energy",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    # -- r02 text analysis --
+    "text_token_stats",
+    "text_lang_guess",
+    "text_quality_filter",
+    "text_fingerprint",
+    # -- oldest row in the ledger (r01) --
+    "scalar_subquery_uncorrelated",
+    # -- remaining r02 rows --
+    "agg_approx_count_distinct",
+    "agg_hll_sketch",
+    "bvt_select_battery",
+    "func_jq_battery",
+    "onnx_run_score",
+    "pipeline_clean_corpus",
+    # -- r03 bvt batteries: double as dialect canaries for this round --
+    "bvt_expression_battery",
+    "bvt_join_battery",
+    "bvt_operator_scripts_battery",
 )
 
 # Module order for everything else (module name without package prefix).
