@@ -359,23 +359,30 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
     varbins: "set[str]" = set()
     geos: "dict[str, int]" = {}  # geometry col → coord width (32/64 bits)
     fulltexts: "list[tuple[str, tuple, str]]" = []
+    # (child cols, parent table, parent cols, on-delete action)
+    fks: "list[tuple[tuple, str, tuple, str]]" = []
     pkeys: "list[tuple[str, ...]]" = []   # primary key first, then uniques
     ukeys: "list[tuple[str, ...]]" = []
     for part in parts:
         part = unmask_literals(part, spans).strip()
         km = re.match(
             r"(?P<pk>primary\s+key|unique(?:\s+(?:key|index))?(?:\s+[`]?\w+[`]?)?)"
-            r"\s*\(([^)]*)\)",
+            r"\s*\(((?:[^()]|\(\s*\d+\s*\))*)\)",
             part, re.IGNORECASE,
         )
         if km:
-            # table-level PRIMARY KEY / UNIQUE [KEY name] (cols) — prefix
-            # lengths `col(10)` fold to the column
-            kcols = tuple(
-                c.strip().strip("`").split("(")[0].strip().lower()
-                for c in km.group(2).split(",")
-            )
-            (pkeys if km.group("pk").lower().startswith("primary") else ukeys).append(kcols)
+            # table-level PRIMARY KEY / UNIQUE [KEY name] (cols) — a prefix
+            # length `col(10)` scopes uniqueness to the CHARACTER PREFIX
+            # (reference build_constraint_util.go; replace.test fk_prefix_p)
+            kcols = []
+            for c in km.group(2).split(","):
+                c = c.strip().strip("`")
+                pm = re.match(r"[`]?(\w+)[`]?\s*\(\s*(\d+)\s*\)", c)
+                if pm:
+                    kcols.append((pm.group(1).lower(), int(pm.group(2))))
+                else:
+                    kcols.append((c.split("(")[0].strip().lower(), None))
+            (pkeys if km.group("pk").lower().startswith("primary") else ukeys).append(tuple(kcols))
             continue
         fm = re.match(
             r"fulltext(?:\s+(?:index|key))?\s*[`]?(\w*)[`]?\s*\(([^)]*)\)"
@@ -391,6 +398,26 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
             fulltexts.append((fm.group(1) or f"ftidx_{len(fulltexts)}", fcols,
                               (fm.group(3) or "").lower()))
             continue
+        fkm = re.match(
+            r"(?:constraint\s+[`]?\w+[`]?\s+)?foreign\s+key\s*(?:[`]?\w+[`]?\s*)?"
+            r"\(([^)]*)\)\s*references\s+[`]?([\w.]+)[`]?\s*\(([^)]*)\)(?P<tail>.*)$",
+            part, re.IGNORECASE | re.DOTALL,
+        )
+        if fkm:
+            # FOREIGN KEY (cols) REFERENCES parent(cols) [ON DELETE action]
+            # — drives the REPLACE/DELETE child maintenance (reference
+            # pkg/sql/plan/build_dml_util.go ON DELETE handling)
+            am = re.search(
+                r"on\s+delete\s+(cascade|set\s+null|restrict|no\s+action)",
+                fkm.group("tail"), re.IGNORECASE,
+            )
+            fks.append((
+                tuple(c.strip().strip("`").lower() for c in fkm.group(1).split(",")),
+                fkm.group(2).split(".")[-1].lower(),
+                tuple(c.strip().strip("`").lower() for c in fkm.group(3).split(",")),
+                re.sub(r"\s+", " ", am.group(1).lower()) if am else "restrict",
+            ))
+            continue
         if re.match(r"(primary|unique|key|index|constraint|foreign|check)\b", part, re.IGNORECASE):
             continue  # table-level constraint
         cm = re.match(r"[`]?(\w+)[`]?\s+(.+)$", part, re.DOTALL)
@@ -400,9 +427,9 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
         if re.search(r"\bauto_increment\b", rest, re.IGNORECASE):
             autoinc.add(col)
         if re.search(r"\bprimary\s+key\b", rest, re.IGNORECASE):
-            pkeys.append((col.lower(),))
+            pkeys.append(((col.lower(), None),))
         elif re.search(r"\bunique\b", rest, re.IGNORECASE):
-            ukeys.append((col.lower(),))
+            ukeys.append(((col.lower(), None),))
         dm = _DEFAULT_RE.search(rest)
         if dm and dm.group(1).lower() != "null":
             defaults[col] = dm.group(1)
@@ -490,11 +517,14 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
             norm = _norm_time_str(d.strip().strip("'\""), p)
             if norm and norm != _TIME_INVALID:
                 defaults[col] = "'" + norm + "'"
+    keys_pfx = pkeys + ukeys
     return name, cols, defaults, {
         "binpads": pads, "autoinc": autoinc, "years": years, "rounds": rounds,
         "tsprec": tsprec, "intrange": intrange, "enums": enums, "sets": sets,
         "bits": bitwidth, "fulltexts": fulltexts, "times": times,
-        "varbins": varbins, "geos": geos, "keys": pkeys + ukeys,
+        "varbins": varbins, "geos": geos,
+        "keys": [tuple(c for c, _p in k) for k in keys_pfx],
+        "keys_pfx": keys_pfx, "fks": fks,
     }
 
 
@@ -1277,6 +1307,38 @@ class BvtSession:
             self.last_table = name
             return "dml", None
         if head == "load":
+            bm = re.match(
+                r"\s*load\s+data\s+(?:local\s+)?infile\s*\{(.*?)\}\s*"
+                r"into\s+table\s+[`]?([\w.]+)[`]?(?P<rest>.*)$",
+                stmt, re.IGNORECASE | re.DOTALL,
+            )
+            if bm:
+                # brace-dict option form: {'filepath'='…','format'='jsonline',
+                # 'jsondata'='object','compression'='gzip'}
+                opts = {
+                    k.lower(): v
+                    for k, v in re.findall(
+                        r"['\"](\w+)['\"]\s*=\s*'([^']*)'", bm.group(1)
+                    )
+                }
+                name = bm.group(2).split(".")[-1].lower()
+                if name not in self.schemas:
+                    raise SkipStatement("LOAD DATA into unknown table")
+                if "filepath" not in opts:
+                    raise SkipStatement("LOAD DATA without filepath")
+                fmt = opts.get("format", "").lower()
+                if fmt == "jsonline" or "jsondata" in opts:
+                    return self._load_jsonline_into(
+                        name, opts["filepath"],
+                        opts.get("jsondata", "object").lower(),
+                        opts.get("compression", ""),
+                    )
+                if fmt in ("", "csv"):
+                    sep, quote, skip = self._csv_opts(bm.group("rest"))
+                    return self._load_csv_into(
+                        name, opts["filepath"], sep, quote, skip
+                    )
+                raise SkipStatement(f"unsupported LOAD DATA format {fmt!r}")
             lm = re.match(
                 r"\s*load\s+data\s+(?:local\s+)?infile\s+['\"]([^'\"]+)['\"]"
                 r"\s+into\s+table\s+[`]?([\w.]+)[`]?(?P<rest>.*)$",
@@ -1374,6 +1436,72 @@ class BvtSession:
                 continue
             r = list(r[:ncols]) + [None] * (ncols - len(r))
             clean.append(tuple(None if v == "\\N" else v for v in r))
+        return self._append_string_rows(name, clean, create_duck=create_duck)
+
+    def _load_jsonline_into(
+        self, name: str, path: str, jsondata: str = "object",
+        compression: str = "",
+    ):
+        """LOAD DATA INFILE {'format'='jsonline','jsondata'='object|array'}:
+        the reference's JSON-lines loader (pkg/sql/plan/function/…/load
+        jsonline path; load_data/load_data_jsonline.test).  Object mode maps
+        keys to column names; array mode is positional.  gzip/bzip2
+        compression by option or by file extension."""
+        import json as _json
+
+        path = path.replace(
+            "$resources", "/root/reference/test/distributed/resources"
+        )
+        if not os.path.exists(path):
+            raise SkipStatement(f"load file missing: {path}")
+        comp = (compression or "").lower()
+        if comp in ("gzip", "gz") or (not comp and path.endswith(".gz")):
+            import gzip
+
+            fh = gzip.open(path, "rt", errors="replace")
+        elif comp in ("bzip2", "bz2") or (not comp and path.endswith(".bz2")):
+            import bz2
+
+            fh = bz2.open(path, "rt", errors="replace")
+        else:
+            fh = open(path, errors="replace")
+        cols = self.schemas[name]
+        colpos = {c.lower(): i for i, (c, _t) in enumerate(cols)}
+
+        def cell(v):
+            if v is None:
+                return None
+            if isinstance(v, bool):
+                return "1" if v else "0"
+            if isinstance(v, (dict, list)):
+                return _json.dumps(v)
+            if isinstance(v, float) and v == int(v):
+                return str(v)
+            return str(v)
+
+        clean = []
+        with fh:
+            for ln in fh:
+                if not ln.strip():
+                    continue
+                obj = _json.loads(ln)
+                row = [None] * len(cols)
+                if jsondata == "array" or isinstance(obj, list):
+                    for i, v in enumerate(obj[: len(cols)]):
+                        row[i] = cell(v)
+                else:
+                    for k, v in obj.items():
+                        i = colpos.get(str(k).lower())
+                        if i is not None:
+                            row[i] = cell(v)
+                clean.append(tuple(row))
+        return self._append_string_rows(name, clean)
+
+    def _append_string_rows(self, name: str, clean: "list[tuple]",
+                            create_duck: bool = False):
+        """Append all-string rows through the INSERT store-coercion path;
+        DuckDB replays the coerced rows as a literal INSERT."""
+        ncols = len(self.schemas[name])
         src = self.spark.createDataFrame(
             clean, ", ".join(f"c{i} string" for i in range(ncols))
         )
@@ -1541,12 +1669,44 @@ class BvtSession:
             k for k in meta.get("keys", ())
             if all(col in {c.lower() for c, _ in self.schemas[name]} for col in k)
         ]
+        keys_pfx = [
+            kp for kp in meta.get("keys_pfx", ())
+            if all(c in {c0.lower() for c0, _ in self.schemas[name]}
+                   for c, _p in kp)
+        ]
         rebuilt = False
+        fk_extra: "list[str]" = []
         if keys and (replace or odku is not None or ignore):
             if replace:
-                # REPLACE INTO = delete key-conflicting rows, then insert
-                for k in keys:
-                    cur = cur.join(new.select(*k).distinct(), list(k), "left_anti")
+                # REPLACE INTO = delete key-conflicting rows, then insert.
+                # VALUES rows apply SEQUENTIALLY: a later row deletes any
+                # earlier batch row sharing a non-null key, so a batch row
+                # survives only when no later row shares any key
+                # (replace.test t_replace_dup_uk); prefix keys compare the
+                # character prefix; deleting a referenced parent row
+                # triggers the child ON DELETE action.
+                # victims are keyed on the FULL batch — a batch row deletes
+                # its key-conflicting existing rows even when a LATER batch
+                # row supersedes it (t_replace_cross_key_keep_last: the
+                # superseded row's delete already happened sequentially)
+                new_full = new
+                new = self._replace_batch_dedup(name, new, keys_pfx)
+                victims = None
+                for kp in keys_pfx:
+                    hit = self._key_join(cur, new_full, kp, "left_semi")
+                    victims = hit if victims is None else victims.unionAll(hit)
+                    cur = self._key_join(cur, new_full, kp, "left_anti")
+                if victims is not None and self._fk_children(name):
+                    victims = victims.dropDuplicates()
+                    # RESTRICT raises BEFORE any registration so a failed
+                    # REPLACE leaves the table untouched (fk_p keeps its
+                    # referenced row); then register the victim-free table
+                    # so a SELF-referencing FK cascades against the already-
+                    # reduced state, and re-read it as cur
+                    self._fk_restrict_check(name, victims)
+                    self._register(name, cur)
+                    fk_extra = self._fk_on_delete(name, victims)
+                    cur = self.tables[name]
                 rebuilt = True
             elif odku is not None:
                 cur, new = self._apply_odku(name, cur, new, keys, odku, spans)
@@ -1568,10 +1728,15 @@ class BvtSession:
         if rebuilt:
             # keyed REPLACE / ON DUPLICATE KEY / IGNORE mutate existing rows
             # or drop inserts — DuckDB (whose mirrored DDL carries no keys)
-            # must REBUILD the table to stay identical
+            # must REBUILD the table to stay identical (plus any children an
+            # ON DELETE action touched)
             lit = self._literal_insert_sql(name, final)
+            # child rebuilds first, the parent's FINAL rebuild last — a
+            # self-referencing FK emits an intermediate parent rebuild in
+            # fk_extra that the final one must overwrite
             self.last_duck_override = (
-                f"DELETE FROM {name}; {lit}" if lit is not None else None
+                "; ".join(fk_extra + [f"DELETE FROM {name}; {lit}"])
+                if lit is not None else None
             )
         elif (
             meta.get("autoinc")
@@ -1807,6 +1972,155 @@ class BvtSession:
         except ValueError:
             return None
         return f"INSERT INTO {name} VALUES {vals}"
+
+    def _key_join(self, left: DataFrame, right: DataFrame, kp, how: str):
+        """Equi-join two frames on a (possibly prefix-length) unique key.
+        Prefix keys compare substring(col,1,p) — MySQL `KEY (col(10))`
+        uniqueness is on the character prefix (reference
+        build_constraint_util.go). NULL key components never conflict
+        (plain equality join drops them)."""
+        names = [f"__k{i}" for i in range(len(kp))]
+
+        def keyed(df):
+            out = df
+            for n, (c, p) in zip(names, kp):
+                e = (
+                    F.expr(f"substring(cast(`{c}` as string), 1, {p})")
+                    if p else F.col(c)
+                )
+                out = out.withColumn(n, e)
+            return out
+
+        probe = keyed(right).select(*names).distinct()
+        return keyed(left).join(probe, names, how).drop(*names)
+
+    def _replace_batch_dedup(self, name: str, new: DataFrame, keys_pfx):
+        """REPLACE applies VALUES rows sequentially: a later row deletes any
+        earlier row (existing or just inserted) sharing a non-null unique
+        key value — so a batch row survives only when NO LATER row shares
+        any key (replace.test t_replace_dup_uk; reference REPLACE lowering
+        in pkg/sql/plan/build_dml_util.go)."""
+        if not keys_pfx:
+            return new
+        try:
+            rows = new.limit(5001).collect()
+        except Exception:
+            return new
+        if len(rows) <= 1 or len(rows) > 5000:
+            return new
+        pos = {c.lower(): i for i, (c, _t) in enumerate(self.schemas[name])}
+
+        def keyval(r, kp):
+            vs = []
+            for c, p in kp:
+                v = r[pos[c.lower()]]
+                if v is None:
+                    return None
+                vs.append(str(v)[:p] if p is not None else v)
+            return tuple(map(repr, vs))
+
+        keep = []
+        for i, r in enumerate(rows):
+            kvs = [keyval(r, kp) for kp in keys_pfx]
+            dead = any(
+                kv is not None and kv == keyval(rows[j], kp)
+                for j in range(i + 1, len(rows))
+                for kp, kv in zip(keys_pfx, kvs)
+            )
+            if not dead:
+                keep.append(r)
+        if len(keep) == len(rows):
+            return new
+        return self.spark.createDataFrame(keep, new.schema)
+
+    def _fk_children(self, parent: str):
+        """(child table, fk tuple) pairs for every live FK referencing
+        ``parent``."""
+        out = []
+        for child, cmeta in self.colmeta.items():
+            if child not in self.tables:
+                continue
+            for fk in cmeta.get("fks", ()):
+                if fk[1] == parent:
+                    out.append((child, fk))
+        return out
+
+    def _fk_restrict_check(self, parent: str, victims: DataFrame) -> None:
+        """Raise (MySQL errno 1451) when deleting ``victims`` from
+        ``parent`` would orphan a RESTRICT/NO ACTION child row. Runs before
+        any state mutation so the failed DML leaves every table intact."""
+        for child, (ccols, _pt, pcols, action) in self._fk_children(parent):
+            if action not in ("restrict", "no action"):
+                continue
+            probe = victims.select(
+                *[F.col(pc).alias(f"__p{i}") for i, pc in enumerate(pcols)]
+            ).distinct()
+            cdf = self.tables[child]
+            for i, cc in enumerate(ccols):
+                cdf = cdf.withColumn(f"__p{i}", F.col(cc))
+            names = [f"__p{i}" for i in range(len(ccols))]
+            if cdf.join(probe, names, "left_semi").limit(1).count() > 0:
+                raise RuntimeError(
+                    "Cannot delete or update a parent row: "
+                    "a foreign key constraint fails"
+                )
+
+    def _fk_on_delete(self, parent: str, victims: DataFrame,
+                      _depth: int = 0) -> "list[str]":
+        """Apply ON DELETE actions to the children of ``parent`` for the
+        victim rows being deleted (REPLACE delete phase): CASCADE removes
+        matching child rows (recursively — a self-referencing FK cascades
+        through descendant generations, bounded by depth), SET NULL nulls
+        the FK columns, RESTRICT/NO ACTION raise before any mutation
+        (MySQL errno 1451). Returns DuckDB rebuild statements for every
+        mutated child."""
+        if _depth > 20:
+            return []
+        kids = self._fk_children(parent)
+        if not kids:
+            return []
+
+        def matched(child, ccols, pcols, how="left_semi"):
+            probe = victims.select(
+                *[F.col(pc).alias(f"__p{i}") for i, pc in enumerate(pcols)]
+            ).distinct()
+            cdf = self.tables[child]
+            for i, cc in enumerate(ccols):
+                cdf = cdf.withColumn(f"__p{i}", F.col(cc))
+            names = [f"__p{i}" for i in range(len(ccols))]
+            return cdf.join(probe, names, how).drop(*names)
+
+        stmts: "list[str]" = []
+        for child, (ccols, _pt, pcols, action) in kids:
+            hit = matched(child, ccols, pcols)
+            if hit.limit(1).count() == 0:
+                continue
+            if action == "cascade":
+                keep = matched(child, ccols, pcols, "left_anti")
+                self._register(child, keep)
+                stmts.extend(self._fk_on_delete(child, hit, _depth + 1))
+            else:  # set null
+                probe = victims.select(
+                    *[F.col(pc).alias(f"__p{i}")
+                      for i, pc in enumerate(pcols)]
+                ).distinct().withColumn("__hit", F.lit(1))
+                cdf = self.tables[child]
+                for i, cc in enumerate(ccols):
+                    cdf = cdf.withColumn(f"__p{i}", F.col(cc))
+                names = [f"__p{i}" for i in range(len(ccols))]
+                j = cdf.join(probe, names, "left")
+                nulled = {c.lower() for c in ccols}
+                updated = j.select(*[
+                    (F.when(F.col("__hit").isNotNull(),
+                            F.lit(None)).otherwise(F.col(c)).alias(c)
+                     if c.lower() in nulled else F.col(c))
+                    for c, _t in self.schemas[child]
+                ])
+                self._register(child, updated)
+            lit = self._literal_insert_sql(child, self.tables[child])
+            if lit is not None:
+                stmts.append(f"DELETE FROM {child}; {lit}")
+        return stmts
 
     def _update(self, stmt, masked, spans):
         m = re.match(
@@ -2978,10 +3292,10 @@ _DUCK_ELEMENT_SUBS = [
                 re.IGNORECASE),
      " BIGINT"),
     # inline secondary indexes: ", index name(cols)" / ", key name(cols)" / fulltext
-    (re.compile(r",\s*(?:unique\s+)?(?:fulltext\s+)?(?:index|key)\s+`?\w*`?\s*\([^)]*\)", re.IGNORECASE), ""),
+    (re.compile(r",\s*(?:unique\s+)?(?:fulltext\s+)?(?:index|key)\s+`?\w*`?\s*\((?:[^()]|\([^()]*\))*\)", re.IGNORECASE), ""),
     # table-level primary key / unique constraints
     (re.compile(r",\s*(?:constraint\s+`?\w+`?\s+)?primary\s+key\s*\([^)]*\)", re.IGNORECASE), ""),
-    (re.compile(r",\s*(?:constraint\s+`?\w+`?\s+)?unique(?:\s+(?:index|key))?\s*`?\w*`?\s*\([^)]*\)", re.IGNORECASE), ""),
+    (re.compile(r",\s*(?:constraint\s+`?\w+`?\s+)?unique(?:\s+(?:index|key))?\s*`?\w*`?\s*\((?:[^()]|\([^()]*\))*\)", re.IGNORECASE), ""),
     # column-level primary key / not null (auto_increment ids are inserted as
     # NULL by BOTH engines here; NOT NULL would reject them on the duck side)
     (re.compile(r"\bprimary\s+key\b", re.IGNORECASE), ""),
@@ -3063,6 +3377,39 @@ def _duck_cast_decimal_sat(masked: str) -> str:
     return masked
 
 
+_DUCK_CAST_SIGNED_RE = re.compile(
+    r"(?is)^\s*(?P<expr>.+?)\s+as\s+"
+    r"(?P<ty>signed(?:\s+integer)?|unsigned(?:\s+integer)?)\s*$"
+)
+
+
+def _duck_cast_signed_round(masked: str) -> str:
+    """MySQL CAST(x AS SIGNED) of a division result rounds half-away: `/`
+    yields DECIMAL in MySQL and the decimal→int store rounds away from zero
+    (reference func_cast.go). DuckDB's `/` yields DOUBLE and its
+    double→bigint cast rounds half-even (cast(1/2 as signed): MySQL 1,
+    DuckDB 0) — route division sources through a DECIMAL round."""
+    from matrixone_spark.mysql_dialect import _CAST_CALL_RE
+
+    def build(args):
+        if len(args) != 1:
+            return None
+        m = _DUCK_CAST_SIGNED_RE.match(args[0])
+        if not m or "/" not in m.group("expr"):
+            return None
+        ty = (
+            "BIGINT"
+            if m.group("ty").lower().startswith("signed")
+            else "DECIMAL(20,0)"
+        )
+        return (
+            f"cast(round(cast(({m.group('expr')}) as decimal(38,9)), 0) "
+            f"as {ty})"
+        )
+
+    return _rewrite_calls(masked, _CAST_CALL_RE, build)
+
+
 def _duckify(stmt: str) -> str:
     from matrixone_spark.mysql_dialect import (
         _DIV_WORD_RE as _re_div,
@@ -3083,6 +3430,7 @@ def _duckify(stmt: str) -> str:
         # Spark side gets from _cast_rewrite; DuckDB otherwise ERRORS on
         # out-of-range decimal casts)
         masked = _duck_cast_decimal_sat(masked)
+        masked = _duck_cast_signed_round(masked)
     # MySQL STD/STDDEV/VARIANCE are population variants; DuckDB's same-named
     # functions are sample variants (mirrors the Spark-side dialect rename)
     masked = _DUCK_POP_AGG_RE.sub(
@@ -3230,8 +3578,9 @@ class RefResults:
         re.IGNORECASE,
     )
     _ERROR_LINE_RE = re.compile(
-        r"(invalid|error|internal|not supported|unknown|can't|cannot"
-        r"|duplicate|no such|out of range|data truncation|division by)",
+        r"(invalid|error|internal|not supported|unsupported|unknown|can't"
+        r"|cannot|duplicate|no such|out of range|data truncation"
+        r"|division by)",
         re.IGNORECASE,
     )
 
@@ -3617,6 +3966,61 @@ def _rows_close(s_rows, o_rows, tol: float = 1e-6) -> bool:
     )
 
 
+_ISSUE_OPEN_RE = re.compile(r"^\s*--\s*@bvt:issue#", re.IGNORECASE)
+_ISSUE_CLOSE_RE = re.compile(r"^\s*--\s*@bvt:issue\s*$", re.IGNORECASE)
+_IGNORE_COLS_RE = re.compile(r"^\s*--\s*@ignore:\s*([\d,\s]+?)\s*$", re.IGNORECASE)
+
+
+def annotated_statements(text: str) -> "list[tuple[str, bool, tuple]]":
+    """Split a BVT script into (stmt, in_issue_block, ignore_cols), honoring
+    mo-tester's execution annotations (matrixorigin/mo-tester README):
+
+      ``-- @bvt:issue#NNNN`` … ``-- @bvt:issue``  — statements inside are a
+        known-broken block mo-tester does NOT execute; the ``.result`` file
+        carries stale recorded output for them.
+      ``-- @ignore:i,j``  — column indexes i,j of the NEXT statement's
+        result are excluded from comparison (volatile cells: timestamps,
+        sizes in ``show table status`` …).
+
+    Other annotations (@session, @sortkey, @pattern, @wait …) pass through
+    as comments; @sortkey is subsumed by the runner's order-insensitive row
+    compare."""
+    out: "list[tuple[str, bool, tuple]]" = []
+    in_issue = False
+    ignore: tuple = ()
+    buf: "list[str]" = []
+
+    def flush():
+        nonlocal ignore
+        if not buf:
+            return
+        seg = "\n".join(buf)
+        buf.clear()
+        for stmt in split_statements(_strip_comments(seg)):
+            out.append((stmt, in_issue, ignore))
+            ignore = ()  # @ignore applies to the next statement only
+
+    for line in text.splitlines():
+        if _ISSUE_OPEN_RE.match(line):
+            flush()
+            in_issue = True
+            continue
+        if _ISSUE_CLOSE_RE.match(line):
+            flush()
+            in_issue = False
+            continue
+        m = _IGNORE_COLS_RE.match(line)
+        if m:
+            flush()
+            ignore = tuple(
+                int(x) for x in m.group(1).replace(" ", "").split(",") if x
+            )
+            continue
+        buf.append(line)
+    flush()
+    return out
+
+
 class CoExecutor:
     # per-statement wall clock cap for EACH engine (runaway guard);
     # override via BVT_STMT_TIMEOUT when replay workers share the box —
@@ -3688,6 +4092,7 @@ class CoExecutor:
     ) -> "dict[str, int]":
         from matrixone_spark.oracle import canonical_rows
 
+        self._txn_snap = None  # open-transaction snapshot (BEGIN…ROLLBACK)
         stats = {"compared": 0, "mismatch": 0, "ref_pass": 0,
                  "ref_fail_fmt": 0, "ref_fail": 0, "ref_error": 0,
                  "ref_miss": 0, "diverged": 0, "spark_only": 0,
@@ -3731,6 +4136,11 @@ class CoExecutor:
             )
             if m:
                 out.add(m.group(1).split(".")[-1].lower())
+            if re.match(r"\s*load\s+data\b", sql_text, re.IGNORECASE):
+                lm2 = re.search(r"\binto\s+table\s+[`]?([\w.]+)", sql_text,
+                                re.IGNORECASE)
+                if lm2:
+                    out.add(lm2.group(1).split(".")[-1].lower())
             um = re.match(r"\s*update\s+(.+?)\s+set\s", sql_text,
                           re.IGNORECASE | re.DOTALL)
             if um:
@@ -3740,7 +4150,17 @@ class CoExecutor:
                     if re.fullmatch(r"\w+", t):
                         out.add(t)
             return out
-        for stmt in split_statements(_strip_comments(text)):
+        for stmt, in_issue, ignore_cols in annotated_statements(text):
+            if in_issue:
+                # mo-tester does not execute @bvt:issue-wrapped statements
+                # (known-broken blocks); the .result carries stale recorded
+                # output for them.  Skip on BOTH engines — replay state then
+                # matches the reference run, which also skipped them — and
+                # advance the claim cursor past the stale echo.
+                if ref is not None:
+                    ref.claim(stmt)
+                stats["skipped"] += 1
+                continue
             # session-state layer: SET @var / PREPARE / EXECUTE / DEALLOCATE
             # are consumed or expanded to plain SQL before either engine runs.
             # The .result file echoes the ORIGINAL text, so reference claims
@@ -3750,6 +4170,17 @@ class CoExecutor:
                 expanded = self.sess.preprocess(stmt)
             except SkipStatement:
                 stats["skipped"] += 1
+                # a DML the replay cannot express at all — if the .result
+                # shows the reference EXECUTED it, replay state is behind:
+                # taint the targets so later reads grade skipped, not as
+                # false ref_fail (same rule as the both-engines-rejected
+                # DML path below)
+                if ref is not None:
+                    targets = _dml_targets(stmt)
+                    if targets:
+                        cl0 = ref.claim(stmt)
+                        if cl0 is not None and cl0[0] == "rows":
+                            state_tainted.update(targets)
                 continue
             except Exception:
                 stats["skipped"] += 1
@@ -3760,6 +4191,46 @@ class CoExecutor:
             stmt = self.sess.coerce_typed_literals(expanded)
             masked, _ = mask_literals(stmt)
             head = masked.strip().lstrip("(").split(None, 1)[0].lower() if masked.strip() else ""
+            if head in ("begin", "start", "commit", "rollback"):
+                # BEGIN/START TRANSACTION snapshots the replay state; a later
+                # ROLLBACK restores Spark and REBUILDS the touched tables on
+                # DuckDB (the per-statement duck commits can't be unwound
+                # natively); COMMIT discards the snapshot
+                # (fulltext_update_consistency.sql: rolled-back index
+                # maintenance must vanish from later MATCH reads).
+                if head in ("begin", "start"):
+                    self._txn_snap = self.sess.snapshot()
+                elif head == "commit":
+                    self._txn_snap = None
+                else:  # rollback
+                    snap0 = getattr(self, "_txn_snap", None)
+                    if snap0 is not None:
+                        old_tables = snap0[0]
+                        cur_tables = dict(self.sess.tables)
+                        self.sess.restore(snap0)
+                        for n in set(cur_tables) | set(old_tables):
+                            if old_tables.get(n) is cur_tables.get(n):
+                                continue
+                            try:
+                                if n in self.sess.tables:
+                                    lit = self.sess._literal_insert_sql(
+                                        n, self.sess.tables[n]
+                                    )
+                                    if lit is None:
+                                        state_tainted.add(n)
+                                        continue
+                                    self.con.execute(
+                                        f"DELETE FROM {n}; {lit}"
+                                    )
+                                else:  # created inside the txn
+                                    self.con.execute(
+                                        f"DROP TABLE IF EXISTS {n}"
+                                    )
+                            except Exception:
+                                state_tainted.add(n)
+                        self._txn_snap = None
+                stats["executed"] += 1
+                continue
             is_query = head in ("select", "with", "values", "table")
             if head == "with" and _with_dml_split(stmt) is not None:
                 is_query = False
@@ -3781,7 +4252,7 @@ class CoExecutor:
                 finally:
                     timer.cancel()
 
-            def _run_spark():
+            def _run_spark(sql_text=None):
                 sc = self.sess.spark.sparkContext
                 group = f"bvt-{id(self)}"
                 # runaway statements (one expression/ script builds a
@@ -3793,7 +4264,7 @@ class CoExecutor:
                 )
                 timer.start()
                 try:
-                    kind_, df = self.sess.execute(stmt)
+                    kind_, df = self.sess.execute(sql_text or stmt)
                     if kind_ == "select" and df is not None:
                         return True, df.toPandas()
                     return True, None
@@ -3903,6 +4374,11 @@ class CoExecutor:
                               str(getattr(self, "_last_spark_err", "")
                                   )[:200].replace("\n", " "))
                 else:
+                    # both engines failed — restore the Spark snapshot too:
+                    # an engine-side raise may have landed AFTER a partial
+                    # registration (e.g. the FK RESTRICT path mid-REPLACE)
+                    if snap is not None:
+                        self.sess.restore(snap)
                     try:
                         self.con.execute("ROLLBACK")
                     except Exception:
@@ -3917,7 +4393,25 @@ class CoExecutor:
                             state_tainted.update(_dml_targets(stmt))
                     stats["skipped"] += 1
                 continue
+            def _drop_ign(df):
+                # -- @ignore:i,j — mo-tester excludes the listed column
+                # indexes from the compare (volatile cells)
+                if not ignore_cols or df is None or not len(df.columns):
+                    return df
+                keep = [i for i in range(df.shape[1]) if i not in ignore_cols]
+                return df.iloc[:, keep]
+
+            def _ign_ref(rows):
+                if not ignore_cols:
+                    return rows
+                return [
+                    [v for i, v in enumerate(r) if i not in ignore_cols]
+                    for r in rows
+                ]
+
+            spark_df = _drop_ign(spark_df)
             if spark_ok and duck_ok and spark_df is not None:
+                duck_df = _drop_ign(duck_df)
                 # computed-column names differ per engine → compare
                 # positionally under identical synthetic names
                 def _pos(df):
@@ -3932,16 +4426,53 @@ class CoExecutor:
                 s_rows, _ = canonical_rows(_pos(spark_df))
                 o_rows, _ = canonical_rows(_pos(duck_df))
                 stats["compared"] += 1
+
+                def _limit_tie_equivalent() -> bool:
+                    """ORDER BY … LIMIT n with the sort key tied at the
+                    boundary: engines legitimately pick different rows.
+                    Strip the LIMIT and re-compare — if both engines agree
+                    on the full ordered source and each limited answer is a
+                    multiset-subset of it with the right cardinality, the
+                    divergence is a tie-pick, not a wrong answer (mo-tester's
+                    own sort-tag DSL concedes the same case:
+                    test/distributed/cases/README.md)."""
+                    mm = re.search(
+                        r"^(.*\border\s+by\b.+?)\blimit\s+\d+\s*;?\s*$",
+                        stmt, re.IGNORECASE | re.DOTALL,
+                    )
+                    if not mm or len(s_rows) != len(o_rows):
+                        return False
+                    base = mm.group(1)
+                    try:
+                        s_ok2, s_df2 = _run_spark(base)
+                        d_ok2, d_df2, _e = _run_duck(base)
+                        if not (s_ok2 and d_ok2) or s_df2 is None or d_df2 is None:
+                            return False
+                        f_s, _u = canonical_rows(_pos(_drop_ign(s_df2)))
+                        f_d, _u = canonical_rows(_pos(_drop_ign(d_df2)))
+                    except Exception:
+                        return False
+                    if f_s != f_d and not _rows_close(f_s, f_d):
+                        return False
+                    from collections import Counter
+
+                    fullc = Counter(map(repr, f_s))
+                    for rows in (s_rows, o_rows):
+                        c = Counter(map(repr, rows))
+                        if any(cnt > fullc.get(k, 0) for k, cnt in c.items()):
+                            return False
+                    return True
+
                 if grade_all_ref and ref is not None:
                     # golden-suite mode: the reference rows gate every
                     # SELECT, including ones both replay engines agree on
                     claimed = ref.claim(orig)
                     spark_ref_ok = False
                     if claimed is not None and claimed[0] == "rows":
-                        if _ref_match(spark_df, claimed[1]):
+                        if _ref_match(spark_df, _ign_ref(claimed[1])):
                             stats["ref_pass"] += 1
                             spark_ref_ok = True
-                        elif _ref_match(spark_df, claimed[1], fmt=True):
+                        elif _ref_match(spark_df, _ign_ref(claimed[1]), fmt=True):
                             stats["ref_fail_fmt"] += 1
                         else:
                             stats["ref_fail"] += 1
@@ -3966,6 +4497,7 @@ class CoExecutor:
                         s_rows != o_rows
                         and not _rows_close(s_rows, o_rows)
                         and not spark_ref_ok  # duck was the divergent engine
+                        and not _limit_tie_equivalent()
                     ):
                         stats["mismatch"] += 1
                         if details is not None:
@@ -3982,7 +4514,7 @@ class CoExecutor:
                     if (
                         claimed is not None
                         and claimed[0] == "rows"
-                        and _ref_match(spark_df, claimed[1])
+                        and _ref_match(spark_df, _ign_ref(claimed[1]))
                     ):
                         stats["ref_pass"] += 1
                     elif claimed is not None and claimed[0] == "error":
@@ -3992,7 +4524,7 @@ class CoExecutor:
                         # engines answered, the reference would error. A
                         # behavioral divergence, not a data mismatch.
                         stats["ref_error"] += 1
-                    else:
+                    elif not _limit_tie_equivalent():
                         stats["mismatch"] += 1
                         if details is not None:
                             details.append((orig, s_rows[:5], o_rows[:5]))
@@ -4005,9 +4537,9 @@ class CoExecutor:
                     # a behavioral divergence, not a data mismatch
                     stats["ref_error"] += 1
                 elif claimed is not None and claimed[0] == "rows":
-                    if _ref_match(spark_df, claimed[1]):
+                    if _ref_match(spark_df, _ign_ref(claimed[1])):
                         stats["ref_pass"] += 1
-                    elif _ref_match(spark_df, claimed[1], fmt=True):
+                    elif _ref_match(spark_df, _ign_ref(claimed[1]), fmt=True):
                         # values agree; only the reference's rendering
                         # (YEAR date display, ~6-sig-digit floats) differs
                         stats["ref_fail_fmt"] += 1

@@ -60,13 +60,15 @@ def test_parse_create_table_defaults():
     assert meta == {"binpads": {}, "autoinc": set(), "years": set(), "rounds": {}, "tsprec": {},
         "intrange": {"b": (-2147483648, 2147483647), "d": (0, 18446744073709551615)},
         "enums": {}, "sets": {}, "bits": {}, "fulltexts": [], "times": {},
-        "varbins": set(), "geos": {}, "keys": [("a",)]}
+        "varbins": set(), "geos": {}, "keys": [("a",)],
+        "keys_pfx": [(("a", None),)], "fks": []}
     _, _, _, meta2 = parse_create_table(
         "create table t2 (id int primary key auto_increment, b binary(4), "
         "v varbinary(4))"
     )
     assert meta2 == {"binpads": {"b": 4}, "autoinc": {"id"}, "years": set(), "rounds": {}, "tsprec": {},
-        "intrange": {"id": (-2147483648, 2147483647)}, "enums": {}, "sets": {}, "bits": {}, "fulltexts": [], "times": {}, "varbins": {"v"}, "geos": {}, "keys": [("id",)]}
+        "intrange": {"id": (-2147483648, 2147483647)}, "enums": {}, "sets": {}, "bits": {}, "fulltexts": [], "times": {}, "varbins": {"v"}, "geos": {}, "keys": [("id",)],
+        "keys_pfx": [(("id", None),)], "fks": []}
     assert name == "t"
     assert cols == [
         ("a", "float"),
@@ -218,3 +220,112 @@ def test_norm_time_str_bare_fraction_and_day_packed():
     assert _norm_time_str(".4445", 3) == "00:00:00"
     assert _norm_time_str("2 1122", 0) == "48:11:22"
     assert _norm_time_str("1 2:3:4", 0) == "26:03:04"
+
+
+def test_annotated_statements_issue_blocks_and_ignore():
+    """mo-tester annotations: @bvt:issue#N…@bvt:issue wraps known-broken
+    statements the tester does NOT execute; @ignore:i,j excludes columns
+    of the next statement's compare."""
+    from matrixone_spark.bvt_runner import annotated_statements
+
+    text = (
+        "select 1;\n"
+        "-- @bvt:issue#123\n"
+        "select 2;\nselect 3;\n"
+        "-- @bvt:issue\n"
+        "-- @ignore:0,2\n"
+        "select 4;\n"
+        "select 5;\n"
+    )
+    out = annotated_statements(text)
+    assert [(s, i, g) for s, i, g in out] == [
+        ("select 1", False, ()),
+        ("select 2", True, ()),
+        ("select 3", True, ()),
+        ("select 4", False, (0, 2)),
+        ("select 5", False, ()),
+    ]
+
+
+def test_parse_create_table_prefix_keys_and_fks():
+    """UNIQUE KEY (col(4)) keeps the prefix length; FOREIGN KEY captures
+    (child cols, parent, parent cols, on-delete action)."""
+    _n, _c, _d, meta = parse_create_table(
+        "create table c (id int primary key, body varchar(64), pid int, "
+        "unique key u (body(4)), "
+        "foreign key(pid) references p(id) on delete cascade)"
+    )
+    assert meta["keys_pfx"] == [(("id", None),), (("body", 4),)]
+    assert meta["keys"] == [("id",), ("body",)]
+    assert meta["fks"] == [(("pid",), "p", ("id",), "cascade")]
+    _n, _c, _d, meta2 = parse_create_table(
+        "create table c2 (id int primary key, pid int, "
+        "foreign key(pid) references p(id))"
+    )
+    assert meta2["fks"] == [(("pid",), "p", ("id",), "restrict")]
+
+
+def test_replace_sequential_batch_and_fk_cascade(spark):
+    """REPLACE applies VALUES rows sequentially (later row supersedes an
+    earlier one sharing a key; a superseded row still deletes existing
+    conflicts), and deleting a referenced parent row cascades / set-nulls /
+    restricts per the child FK (dml/replace/replace.test)."""
+    from matrixone_spark.bvt_runner import BvtSession
+
+    sess = BvtSession(spark)
+    sess.execute("create table tb (id int primary key, u int unique, v int)")
+    sess.execute("insert into tb values (1, 100, 0)")
+    sess.execute("replace into tb values (1, 200, 10), (2, 200, 20)")
+    assert [tuple(r) for r in sess.tables["tb"].collect()] == [(2, 200, 20)]
+
+    sess.execute("create table p (id int primary key, v varchar(10))")
+    sess.execute(
+        "create table ch (id int primary key, pid int, "
+        "foreign key(pid) references p(id) on delete cascade)"
+    )
+    sess.execute("insert into p values (1, 'a'), (2, 'b')")
+    sess.execute("insert into ch values (10, 1), (20, 2)")
+    sess.execute("replace into p values (1, 'a2')")
+    assert {tuple(r) for r in sess.tables["ch"].collect()} == {(20, 2)}
+
+    sess.execute("create table rp (id int primary key, v int)")
+    sess.execute(
+        "create table rc (id int primary key, pid int, "
+        "foreign key(pid) references rp(id) on delete restrict)"
+    )
+    sess.execute("insert into rp values (1, 5)")
+    sess.execute("insert into rc values (10, 1)")
+    try:
+        sess.execute("replace into rp values (1, 6)")
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+
+
+def test_replace_prefix_key_conflict(spark):
+    """A unique PREFIX key conflicts on the character prefix: REPLACE of
+    'abcdyyyy' deletes the existing 'abcdxxxx' row (fk_prefix_p)."""
+    from matrixone_spark.bvt_runner import BvtSession
+
+    sess = BvtSession(spark)
+    sess.execute(
+        "create table pp (id int primary key, body varchar(64), "
+        "unique key u (body(4)))"
+    )
+    sess.execute("insert into pp values (1, 'abcdxxxx')")
+    sess.execute("replace into pp values (2, 'abcdyyyy')")
+    assert [tuple(r) for r in sess.tables["pp"].collect()] == [(2, "abcdyyyy")]
+
+
+def test_duck_cast_signed_round_half_away():
+    """MySQL CAST(x AS SIGNED) on `/` sources rounds half-away; the duck
+    rewrite mirrors it (func_cast.test: cast(1/2 as signed) = 1)."""
+    import duckdb
+
+    from matrixone_spark.bvt_runner import _duckify
+
+    con = duckdb.connect()
+    assert con.execute(_duckify("select cast(1/2 as signed)")).fetchall() == [(1,)]
+    assert con.execute(_duckify("select cast(-1/2 as signed)")).fetchall() == [(-1,)]
+    assert con.execute(_duckify("select cast('5' as signed)")).fetchall() == [(5,)]
