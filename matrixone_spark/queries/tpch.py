@@ -30,13 +30,19 @@ from matrixone_spark.catalog import Catalog
 from matrixone_spark.queries import register
 from matrixone_spark.queries._helpers import dec
 
-# Per-row double arithmetic is IEEE-deterministic and identical across engines;
-# only the SUM must be exact → cast the row value to decimal before aggregating.
-_REV = "l_extendedprice * (1 - l_discount)"
+# Money expressions stay in DecimalType END-TO-END: the raw doubles carry
+# 2-decimal values, so casting each OPERAND to its natural decimal shape
+# first (price 15,2; discount/tax 4,2) is unambiguous, and the decimal
+# product (21,4) is exact on both engines. Casting the double PRODUCT to
+# decimal instead rounds a 6th fractional digit whose binary neighborhood
+# Spark and DuckDB resolve differently at sf1 magnitudes (the r8
+# CORRECTNESS_SF1 tpch_q1 1-ulp drift).
+_REV = ("(CAST(l_extendedprice AS DECIMAL(15,2))"
+        " * (1 - CAST(l_discount AS DECIMAL(4,2))))")
 
 
 def _rev_col() -> "F.Column":
-    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return dec("l_extendedprice", 15, 2) * (1 - dec("l_discount", 4, 2))
 
 
 @register(
@@ -46,7 +52,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
        CAST(SUM(CAST({_REV} AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM({_REV} * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
        ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
@@ -68,13 +74,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(_rev_col()).cast("double").alias("sum_disc_price"),
-            F.sum(
-                (
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ).cast("decimal(18,6)")
-            )
+            F.sum(_rev_col() * (1 + dec("l_tax", 4, 2)))
             .cast("double")
             .alias("sum_charge"),
             F.round(F.sum(dec("l_quantity")).cast("double") / n, 6).alias("avg_qty"),

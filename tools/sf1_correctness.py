@@ -24,8 +24,13 @@ sys.path.insert(0, REPO)
 # headline bench set + the scale-suspect families (dedup, fulltext, geo,
 # knn, text, timewin) — the queries whose 100 TB story the judge grades
 SAMPLE = [
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q10",
-    "tpch_q18", "tpch_q21", "agg_basic", "timewin_tumbling",
+    # all 22 TPC-H shapes (r8 VERDICT ask #5: the full suite at sf1)
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    # scale-suspect families (dedup, fulltext, geo, knn, text, timewin)
+    "agg_basic", "timewin_tumbling",
     "text_token_stats", "pipeline_clean_corpus",
     "dedup_exact_keep", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "fulltext_natural_bm25", "fulltext_natural_tfidf", "fulltext_boolean",
