@@ -3410,6 +3410,31 @@ def _duck_cast_signed_round(masked: str) -> str:
     return _rewrite_calls(masked, _CAST_CALL_RE, build)
 
 
+_DUCK_IF_RE = re.compile(r"\bif\s*\(", re.IGNORECASE)
+
+
+def _duck_if_string_cond(masked: str) -> str:
+    """MySQL IF(cond,…) evaluates a STRING condition numerically
+    ('true' → 0 → false; '1x' → 1 → true); DuckDB casts it to BOOLEAN
+    ('true' → true). Rewrite literal string conditions to the numeric
+    prefix parse (func_if.test if_bool_text_native_error)."""
+    from matrixone_spark.mysql_dialect import _rewrite_calls
+
+    def build(args):
+        if len(args) != 3:
+            return None
+        c = args[0].strip()
+        if not re.fullmatch(r"\x01\d+\x01", c):
+            return None
+        return (
+            f"if(COALESCE(TRY_CAST(regexp_extract({c}, "
+            f"'^[ \\t]*[+-]?[0-9]*\\.?[0-9]+', 0) AS DOUBLE), 0) != 0, "
+            f"{args[1]}, {args[2]})"
+        )
+
+    return _rewrite_calls(masked, _DUCK_IF_RE, build)
+
+
 def _duckify(stmt: str) -> str:
     from matrixone_spark.mysql_dialect import (
         _DIV_WORD_RE as _re_div,
@@ -3431,6 +3456,8 @@ def _duckify(stmt: str) -> str:
         # out-of-range decimal casts)
         masked = _duck_cast_decimal_sat(masked)
         masked = _duck_cast_signed_round(masked)
+    if re.search(r"\bif\s*\(", masked, re.IGNORECASE):
+        masked = _duck_if_string_cond(masked)
     # MySQL STD/STDDEV/VARIANCE are population variants; DuckDB's same-named
     # functions are sample variants (mirrors the Spark-side dialect rename)
     masked = _DUCK_POP_AGG_RE.sub(
@@ -3949,6 +3976,18 @@ def _cell_close(a, b, tol: float = 1e-6) -> bool:
             return False
         if ka == kb == "l":
             return len(va) == len(vb) and all(_cell_close(x, y, tol) for x, y in zip(va, vb))
+        if {ka, kb} == {"i", "f"}:
+            # int-vs-double kind at magnitudes beyond double's exact-integer
+            # range: one engine keeps uint64/int128 typing where the other
+            # promotes to double (func_if i8u branches, ceil over bigint) —
+            # equal when the double IS the rounded representation of the int
+            iv, fv = (va, vb) if ka == "i" else (vb, va)
+            try:
+                iv = int(iv)
+                fv = float(fv)
+            except (TypeError, ValueError):
+                return False
+            return abs(iv) > 2**52 and float(iv) == fv
     return False
 
 

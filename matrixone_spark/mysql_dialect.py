@@ -591,7 +591,7 @@ BVT_REPLAY_MODE = [False]
 _FN_GUARD_RE = re.compile(
     r"\b(acos|asin|bit_and|bit_or|bit_xor|approx_percentile|left|right"
     r"|locate|lpad|rpad|last_day|unix_timestamp|from_unixtime"
-    r"|hour|minute|second)\s*\(",
+    r"|hour|minute|second|substring|substr|upper|ucase)\s*\(",
     re.IGNORECASE,
 )
 
@@ -619,6 +619,24 @@ def _guard_fn(
             f"(CASE WHEN ({c}) BETWEEN 1 AND length({b}) + 1 "
             f"THEN CAST(({c}) AS INT) ELSE 0 END) "
             f"ELSE locate({a}, {b}, CAST(({c}) AS INT)) END)"
+        )
+    if name in ("substring", "substr") and len(args) in (2, 3):
+        # MySQL SUBSTRING(str, 0) = '' (position 0 is before the string);
+        # Spark treats pos 0 like pos 1 (charset_collation_errors.sql).
+        # Literal nonzero positions keep the plain call.
+        p = args[1]
+        if re.fullmatch(r"\s*-?\d+\s*", p):
+            if int(p) != 0:
+                return None
+            return "''"
+        call = f"{name}({', '.join(args)})"
+        return f"(CASE WHEN ({p}) = 0 THEN '' ELSE {call} END)"
+    if name in ("upper", "ucase") and len(args) == 1:
+        # MySQL's utf8 case mapping keeps 'ß' (no 1:1 uppercase); Java/Spark
+        # expands it to 'SS' — shield it through the conversion
+        a = args[0]
+        return (
+            f"replace(upper(replace({a}, 'ß', '')), '', 'ß')"
         )
     if name in ("lpad", "rpad") and len(args) == 3:
         # MySQL: negative or >max_allowed_packet pad length → NULL

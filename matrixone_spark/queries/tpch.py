@@ -51,8 +51,11 @@ def _rev_col() -> "F.Column":
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST({_REV} AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM({_REV} * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       -- the VARCHAR hop: DuckDB's decimal->double cast divides in double
+       -- (1-ulp high at sf1 magnitudes); its string->double is correctly
+       -- rounded, matching Spark's BigDecimal.doubleValue
+       CAST(CAST(SUM(CAST({_REV} AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(SUM({_REV} * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
        ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
