@@ -2589,13 +2589,32 @@ class BvtSession:
                 for c, b in self.colmeta.get(name, {}).get("geos", {}).items():
                     geocols[c.lower()] = b
             has_geo_wkb = bool(geocols) or "st_" in low
+        # ceil/floor over a DOUBLE column: Spark's return type is BIGINT
+        # (clamping past int64), MySQL/the reference keep DOUBLE
+        # (func_math.sql ceil(dl) = 1.8446744073709552E19) — route through
+        # an exact decimal and cast back
+        dbl_cf_cols: "list[str]" = []
+        if re.search(r"(?i)\b(ceil|ceiling|floor)\s*\(", stmt):
+            dbl_cf_cols = [
+                c for c, t in colt.items() if t == "double" and c in low
+            ]
         if (
             not float_cols and not date_cols and not enum_cols
             and not set_cols and not has_like and not has_tcast
             and not has_time_arith and not dec_cols and not has_geo_wkb
+            and not dbl_cf_cols
         ):
             return stmt
         masked, spans = mask_literals(stmt)
+        for c in dbl_cf_cols:
+            masked = re.sub(
+                rf"(?i)\b(ceil|ceiling|floor)\s*\(\s*({re.escape(c)})\s*\)",
+                lambda m: (
+                    f"CAST({m.group(1)}(CAST({m.group(2)} "
+                    f"AS DECIMAL(38,6))) AS DOUBLE)"
+                ),
+                masked,
+            )
         if has_like:
             masked = self._rewrite_like_ci(masked, spans, colt)
         if has_tcast:

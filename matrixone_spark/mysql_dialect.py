@@ -808,13 +808,21 @@ def _compose_fn(name: str, args: "list[str]") -> "str | None":
             f"CAST({args[1]} AS INT), CAST({args[2]} AS INT))"
         )
     if name == "ord" and len(args) == 1:
-        # byte-sequence value of the first (possibly multi-byte) character;
-        # ORD('') is 0 in MySQL (func_string_ord.test), not NULL
+        # byte-sequence value of the first (possibly multi-byte) character,
+        # packed LITTLE-endian like the reference (charset_collation_errors:
+        # ORD('中') = 0xADB8E4 = 11385060, the reversed utf-8 bytes e4 b8 ad
+        # — MySQL proper packs big-endian); ORD('') is 0, not NULL
         x = args[0]
+        h = f"hex(substring({x}, 1, 1))"
+        rev = (
+            f"concat_ws('', transform(sequence("
+            f"CAST(length({h})/2 AS INT) - 1, 0, -1), "
+            f"__i -> substring({h}, __i*2 + 1, 2)))"
+        )
         return (
             f"(CASE WHEN ({x}) IS NULL THEN CAST(NULL AS BIGINT) "
-            f"ELSE COALESCE(CAST(conv(hex(substring({x}, 1, 1)), 16, 10) "
-            f"AS BIGINT), 0) END)"
+            f"WHEN length({x}) = 0 THEN 0 "
+            f"ELSE COALESCE(CAST(conv({rev}, 16, 10) AS BIGINT), 0) END)"
         )
     if name == "dayname" and len(args) == 1:
         # MySQL DAYNAME returns the FULL day name; Spark's dayname() is the
@@ -886,8 +894,17 @@ def _compose_fn(name: str, args: "list[str]") -> "str | None":
         # true — IF(grouping(x), ...) in window/rollup.sql); Spark's if()
         # demands a boolean. NULL condition → else branch, like MySQL.
         c, x, y = args
-        if c.strip().lower().startswith("coalesce(cast("):
+        if c.strip().lower().startswith("coalesce("):
             return None  # already rewritten (fixpoint loop)
+        if re.fullmatch(r"\s*\x01\d+\x01\s*", c):
+            # string-literal condition: MySQL parses the NUMERIC PREFIX
+            # ('true' → 0 → false, 'NaN'/'Inf' → 0, '1x' → 1); Spark's
+            # cast-to-double accepts 'NaN'/'Infinity' wholesale
+            num = (
+                f"COALESCE(TRY_CAST(regexp_extract({c}, "
+                f"'^[ \\\\t]*[+-]?[0-9]*\\\\.?[0-9]+', 0) AS DOUBLE), 0)"
+            )
+            return f"IF(coalesce({num} <> 0, false), {x}, {y})"
         return f"IF(coalesce(CAST(({c}) AS DOUBLE) <> 0, false), {x}, {y})"
     if name == "in_range" and len(args) == 4:
         # reference operator_between.go:501 inRangeFixed: flag selects the
