@@ -361,6 +361,7 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
     fulltexts: "list[tuple[str, tuple, str]]" = []
     # (child cols, parent table, parent cols, on-delete action)
     fks: "list[tuple[tuple, str, tuple, str]]" = []
+    strw: "dict[str, int]" = {}  # char/varchar col → declared width (chars)
     pkeys: "list[tuple[str, ...]]" = []   # primary key first, then uniques
     ukeys: "list[tuple[str, ...]]" = []
     for part in parts:
@@ -436,6 +437,12 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
         rest = _DEFAULT_RE.sub(" ", rest)
         rest = _COL_CONSTRAINT_RE.sub(" ", rest).strip().rstrip(",")
         cols.append((col, _norm_type(rest)))
+        swm = re.match(r"(?:var)?char(?:acter)?\s*\(\s*(\d+)\s*\)\s*$", rest,
+                       re.IGNORECASE)
+        if swm:
+            # declared CHAR/VARCHAR width in characters — drives the
+            # sql_mode-gated store truncation (insert_string_width_sqlmode)
+            strw[col.lower()] = int(swm.group(1))
         em = re.match(r"enum\s*\(\s*(.*)\)\s*$", rest, re.IGNORECASE | re.DOTALL)
         if em:
             # member list in declaration order: MySQL's 1-based enum index
@@ -524,7 +531,7 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
         "bits": bitwidth, "fulltexts": fulltexts, "times": times,
         "varbins": varbins, "geos": geos,
         "keys": [tuple(c for c, _p in k) for k in keys_pfx],
-        "keys_pfx": keys_pfx, "fks": fks,
+        "keys_pfx": keys_pfx, "fks": fks, "strw": strw,
     }
 
 
@@ -589,6 +596,9 @@ class BvtSession:
         # table -> tokenizer mode for its fulltext indexes ('dict' when the
         # DDL says WITH PARSER gojieba; default SimpleTokenizer otherwise)
         self.ft_parser: "dict[str, str]" = {}
+        # session sql_mode (MySQL default is strict); gates CHAR/VARCHAR
+        # over-width stores: strict errors, non-strict truncates
+        self.sql_mode: str = "STRICT_TRANS_TABLES"
 
     # BVT fixtures are tens of rows; anything bigger than this is a runaway
     # (e.g. an INSERT..SELECT off generate_series) and stays lazy.
@@ -654,8 +664,31 @@ class BvtSession:
         setcols = meta.get("sets", {})
         bitcols = meta.get("bits", {})
         src_types = dict(df.dtypes)
+        strw = meta.get("strw", {})
         for c, t in schema:
             if c in provided:
+                if c in strw:
+                    # CHAR/VARCHAR width enforcement, sql_mode-gated
+                    # (insert_string_width_sqlmode.sql): strict errors on
+                    # over-width beyond trailing spaces (1406), trailing-
+                    # space excess truncates silently, non-strict / INSERT
+                    # IGNORE truncates to the declared width
+                    sw = strw[c]
+                    v = F.col(provided[c]).cast("string")
+                    if "STRICT" in self.sql_mode and not ignore:
+                        bad = F.raise_error(
+                            F.lit(f"Data too long for column '{c}'")
+                        ).cast("string")
+                        sel.append(
+                            F.when(v.isNull(), F.lit(None).cast("string"))
+                            .when(F.length(F.rtrim(v)) <= sw,
+                                  F.substring(v, 1, sw))
+                            .otherwise(bad)
+                            .alias(c)
+                        )
+                    else:
+                        sel.append(F.substring(v, 1, sw).alias(c))
+                    continue
                 if c in enums and not src_types.get(provided[c], "").startswith(
                     ("string", "void")
                 ):
@@ -1750,6 +1783,7 @@ class BvtSession:
             or meta.get("times")
             or meta.get("binpads")
             or meta.get("varbins")
+            or meta.get("strw")
             or any(ty.startswith("decimal(") for _, ty in self.schemas[name])
         ):
             # Spark-side value coercion (AUTO_INCREMENT fill, YEAR 2-digit
@@ -1899,6 +1933,21 @@ class BvtSession:
                         rf"(?<![\w.\x60]){re.escape(sc)}\b", f"__c.{sc}", sqltxt,
                         flags=re.IGNORECASE,
                     )
+                sw = self.colmeta.get(name, {}).get("strw", {}).get(col.lower())
+                if sw is not None:
+                    # CHAR/VARCHAR width on the ODKU assignment, sql_mode-
+                    # gated like the INSERT/UPDATE store paths
+                    sv = f"CAST(({sqltxt}) AS STRING)"
+                    if "STRICT" in self.sql_mode:
+                        sqltxt = (
+                            f"(CASE WHEN ({sqltxt}) IS NULL THEN NULL "
+                            f"WHEN length(rtrim({sv})) <= {sw} "
+                            f"THEN substring({sv}, 1, {sw}) "
+                            f"ELSE raise_error('Data too long for column "
+                            f"{col}') END)"
+                        )
+                    else:
+                        sqltxt = f"substring({sv}, 1, {sw})"
                 expr = F.when(matched, F.expr(sqltxt).cast(t)).otherwise(
                     F.col(f"__c.{col}")
                 )
@@ -2158,6 +2207,21 @@ class BvtSession:
                     )
                 elif c in rounds:
                     new = f"round(CAST({new} AS DOUBLE), {rounds[c]})"
+                elif c in meta.get("strw", {}):
+                    # CHAR/VARCHAR width on UPDATE assignment, sql_mode-
+                    # gated like the INSERT store path
+                    sw = meta["strw"][c]
+                    sv = f"CAST({new} AS STRING)"
+                    if "STRICT" in self.sql_mode:
+                        new = (
+                            f"(CASE WHEN ({new}) IS NULL THEN NULL "
+                            f"WHEN length(rtrim({sv})) <= {sw} "
+                            f"THEN substring({sv}, 1, {sw}) "
+                            f"ELSE raise_error('Data too long for column "
+                            f"{c}') END)"
+                        )
+                    else:
+                        new = f"substring({sv}, 1, {sw})"
                 elif c in meta.get("sets", {}):
                     # SET normalization on UPDATE: declaration order +
                     # numeric bitmap values (dtype/set.sql updates)
@@ -3176,8 +3240,22 @@ class BvtSession:
                     raise SkipStatement(f"unsupported SET shape {part!r}")
                 name = m.group(1).lower()
                 expr = self._subst_uservars(unmask_literals(m.group(2), spans))
+                if re.fullmatch(r"\s*@@\s*sql_mode\s*", expr, re.IGNORECASE):
+                    self.uservars[name] = self.sql_mode
+                    continue
                 row = self.spark.sql("select " + translate(expr)).collect()
                 self.uservars[name] = row[0][0] if row else None
+            return None
+        smm = re.match(
+            r"\s*set\s+(?:global\s+|session\s+)?sql_mode\s*=\s*(.+?)\s*$",
+            masked, re.IGNORECASE,
+        )
+        if smm:
+            val = unmask_literals(smm.group(1), spans).strip()
+            vm = re.fullmatch(r"@(\w+)", val)
+            if vm:
+                val = str(self.uservars.get(vm.group(1).lower(), "") or "")
+            self.sql_mode = val.strip("'\"").upper()
             return None
         tzm = re.match(
             r"\s*set\s+(?:global\s+|session\s+)?time_zone\s*=\s*\x01(\d+)\x01\s*$",
