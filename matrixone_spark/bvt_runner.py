@@ -3742,7 +3742,13 @@ class RefResults:
 
         if (
             " " in line
-            and not _is_data_row(line)
+            # an error message may QUOTE the offending value, which can
+            # carry a raw tab ('invalid input: json text "a\t"') — a line
+            # OPENING with error vocabulary is an error despite the
+            # separator test
+            and (not _is_data_row(line) or re.match(
+                r"(?i)(invalid|internal|unsupported|error:|cannot|can't)\b",
+                line))
             and self._ERROR_LINE_RE.search(line)
             # the NEXT statement's echo is not an error message even when
             # it contains error vocabulary (year.result: `insert ignore …
@@ -3921,6 +3927,13 @@ def _ref_match(spark_pdf, ref_rows, fmt: bool = False) -> bool:
             return True
         la, lb = a.lower(), b.lower()
         if la == lb:
+            return True
+        # the .result writer ESCAPES raw control characters in cells (a
+        # real newline prints as the two chars '\n' — func_json_unquote,
+        # fulltext2 datalink rows); unescape the reference side
+        if "\\" in b and a == b.replace("\\n", "\n").replace(
+            "\\t", "\t"
+        ).replace("\\r", "\r").replace("\\0", "\0"):
             return True
         # TIME storage keeps the sign of hour-0 negatives ('-00:11:22')
         # for value comparisons; the reference's display drops it

@@ -798,8 +798,21 @@ def _compose_fn(name: str, args: "list[str]") -> "str | None":
         # returns the unquoted scalar — equivalent for number/cell-id chains
         return f"get_json_object({args[0]}, {args[1]})"
     if name == "json_unquote" and len(args) == 1:
+        # a quoted JSON string DECODES its escapes (\\uXXXX, \\t, \\\\ …) —
+        # func_json_unquote.sql '"\\u554a…"' → 啊…; raw control bytes the
+        # strict JSON parser rejects fall back to quote-stripping (MySQL
+        # tolerates a literal TAB inside the quotes)
         x = args[0]
-        return f"regexp_replace(CAST({x} AS STRING), '^\"(.*)\"$', '$1')"
+        s = f"CAST({x} AS STRING)"
+        strip = f"regexp_replace({s}, '^\"(.*)\"$', '$1')"
+        dec = (
+            "from_json(concat('{\"v\":', " + s + ", '}'), 'v string').v"
+        )
+        return (
+            f"(CASE WHEN {s} rlike '^\".*\"$' "
+            f"THEN COALESCE({dec}, {strip}) "
+            f"ELSE {s} END)"
+        )
     if name == "conv" and len(args) == 3:
         # mo_conv carries MySQL's exact sign/overflow/negative-base semantics
         # (registered in session.get_spark); Spark's builtin conv differs
