@@ -334,7 +334,7 @@ def _cast_rewrite(masked: str, spans: "list[str] | None" = None) -> str:
             p = int(tn.group(1)) if tn else 0
             nt = f"mo_bvt_time_cast(CAST(({x}) AS STRING), {p})"
             return (
-                f"(CASE WHEN substring({nt}, 1, 1) = char(0) THEN "
+                f"(CASE WHEN substring({nt}, 1, 1) = chr(0) THEN "
                 f"raise_error('invalid time value') ELSE {nt} END)"
             )
         if ty == "geometry":
@@ -2505,6 +2505,45 @@ def _pad_geo_args(masked: str) -> str:
     return masked
 
 
+_CHAR_FN_RE = re.compile(r"\bchar\s*\(", re.IGNORECASE)
+
+
+def _char_fn_rewrite(masked: str) -> str:
+    """MySQL CHAR(N, …): each argument's numeric-prefix value contributes
+    its BIG-ENDIAN bytes (256 → 0x0100); negatives wrap at 32 bits
+    (CHAR(-1) → FFFFFFFF); NULL arguments are skipped
+    (func_string_char.test). Runs AFTER _cast_rewrite so `CAST(x AS
+    CHAR(n))` type shapes are already rewritten away."""
+
+    def one(a: str) -> str:
+        # fractional args ROUND half-away (CHAR(65.9) → 66)
+        n = (
+            f"COALESCE(CAST(ROUND(TRY_CAST(regexp_extract("
+            f"CAST(({a}) AS STRING), "
+            f"'^[ \\\\t]*[+-]?[0-9]*\\\\.?[0-9]+', 0) AS DECIMAL(38,9)), 0) "
+            f"AS BIGINT), 0)"
+        )
+        w = f"(CASE WHEN {n} < 0 THEN {n} & 4294967295 ELSE {n} END)"
+        h = f"hex({w})"
+        ev = (
+            f"(CASE WHEN length({h}) % 2 = 1 THEN concat('0', {h}) "
+            f"ELSE {h} END)"
+        )
+        return (
+            f"(CASE WHEN ({a}) IS NULL THEN CAST('' AS BINARY) "
+            f"ELSE unhex({ev}) END)"
+        )
+
+    def build(args):
+        if not args or any(not a.strip() for a in args):
+            return None
+        if re.search(r"(?i)\busing\s", args[-1]):
+            return None  # CHAR(… USING charset) keeps the native path
+        return "concat(" + ", ".join(one(a) for a in args) + ")"
+
+    return _rewrite_calls(masked, _CHAR_FN_RE, build)
+
+
 def translate(sql: str) -> str:
     """Rewrite MySQL-dialect constructs into Spark SQL (literal-safe)."""
     from matrixone_spark.functions.system import DEFAULT_CONTEXT, sql_literals
@@ -2641,6 +2680,8 @@ def translate(sql: str) -> str:
         if masked == prev_cc:  # residual '::' uses native Spark targets
             break
     masked = _cast_rewrite(masked, spans)
+    if _CHAR_FN_RE.search(masked):
+        masked = _char_fn_rewrite(masked)
     # BINARY(x) function form = CAST(x AS BINARY) over the TEXT rendering
     # (dtype/binary.test: binary(12345) is '12345'). Runs AFTER the cast
     # rewrite so `AS BINARY(6)` type suffixes are already consumed.
