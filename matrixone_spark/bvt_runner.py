@@ -1562,7 +1562,7 @@ class BvtSession:
         # either, so the rewritten text doubles as the duck override when
         # the coercion path doesn't produce a literal one.
         sm = re.match(
-            r"\s*insert\s+(?:ignore\s+)?into\s+([`\w.\x01]+)\s+set\s+(.*)$",
+            r"\s*insert\s+(?:ignore\s+)?(?:into\s+)?([`\w.\x01]+)\s+set\s+(.*)$",
             masked,
             re.IGNORECASE | re.DOTALL,
         )
@@ -1585,7 +1585,7 @@ class BvtSession:
                 self.last_duck_override = stmt
             return kind
         m = re.match(
-            r"\s*(?:insert|replace)\s+(?P<ig>ignore\s+)?into\s+(?P<tbl>[`\w.\x01]+)\s*"
+            r"\s*(?:insert|replace)\s+(?P<ig>ignore\s+)?(?:into\s+)?(?P<tbl>[`\w.\x01]+)\s*"
             r"(?P<cl>\((?P<cols>[^)]*)\))?\s*(?P<hd>values|select|with)\b(?P<rest>.*)$",
             masked,
             re.IGNORECASE | re.DOTALL,
@@ -3541,6 +3541,9 @@ def _duckify(stmt: str) -> str:
 
     masked, spans = mask_literals(stmt)
     masked = masked.replace("`", '"')
+    # MySQL allows INSERT without INTO (`insert t1 values …`)
+    masked = re.sub(r"(?i)^(\s*)insert\s+(?!into\b|ignore\b)(?=[`\w\"])",
+                    r"\1insert into ", masked)
     masked = rewrite_limit(masked)
     if "<<" in masked or ">>" in masked or "^" in masked:
         # MySQL unsigned shift/xor semantics (DuckDB's ^ is exponentiation)
@@ -3662,36 +3665,42 @@ class RefResults:
         # func_datetime_dayofweek.result) — strip it so claims match the
         # comment-stripped script text; quote-bearing tails are kept (a
         # string literal could legitimately contain `;#`)
-        self.norm = [
-            re.sub(r";\s*#[^'\"]*$", ";", "".join(ln.split()).lower())
+        self.norm_cs = [
+            re.sub(r";\s*#[^'\"]*$", ";", "".join(ln.split()))
             for ln in self.lines
         ]
+        self.norm = [s.lower() for s in self.norm_cs]
         self.cursor = 0
 
     @staticmethod
     def _normstmt(stmt: str) -> str:
-        return "".join(stmt.split()).lower().rstrip(";")
+        return "".join(stmt.split()).rstrip(";")
 
     def claim(self, stmt: str):
         """Locate the echo of ``stmt`` at/after the cursor and return
         ("rows", [[cell, ...], ...]) | ("error", msg) | None.  Claims advance
-        the cursor so repeated statements resolve in order."""
-        want = self._normstmt(stmt)
-        if not want:
+        the cursor so repeated statements resolve in order.  A CASE-EXACT
+        match is preferred: ci-only matching let a `'%d'` statement claim an
+        earlier `'%D'` echo when intervening statements had not claimed
+        (func_date_format_1.sql)."""
+        want_cs = self._normstmt(stmt)
+        if not want_cs:
             return None
         n = len(self.lines)
-        i = self.cursor
-        while i < n:
-            acc, j = "", i
-            while j < n and len(acc) < len(want):
-                acc += self.norm[j]
-                j += 1
+        for norms, want in ((self.norm_cs, want_cs),
+                            (self.norm, want_cs.lower())):
+            i = self.cursor
+            while i < n:
+                acc, j = "", i
+                while j < n and len(acc) < len(want):
+                    acc += norms[j]
+                    j += 1
+                    if acc.rstrip(";") == want:
+                        break
                 if acc.rstrip(";") == want:
-                    break
-            if acc.rstrip(";") == want:
-                self.cursor = j
-                return self._parse_block(j)
-            i += 1
+                    self.cursor = j
+                    return self._parse_block(j)
+                i += 1
         return None
 
     _STMT_START_RE = re.compile(
@@ -4277,7 +4286,7 @@ class CoExecutor:
             """Table names a DML/DDL statement mutates (best effort)."""
             out: "set[str]" = set()
             m = re.match(
-                r"\s*(?:insert\s+(?:ignore\s+)?into|replace\s+(?:into\s+)?"
+                r"\s*(?:insert\s+(?:ignore\s+)?(?:into\s+)?|replace\s+(?:into\s+)?"
                 r"|delete\s+from|create\s+(?:external\s+)?table\s+"
                 r"(?:if\s+not\s+exists\s+)?|truncate\s+(?:table\s+)?"
                 r"|alter\s+table)\s+[`]?([\w.]+)",

@@ -578,7 +578,8 @@ _FN_RENAME_RE = re.compile(
 _FN_COMPOSE_RE = re.compile(
     r"\b(field|oct|ord|conv|export_set|make_set|random_bytes"
     r"|validate_password_strength|insert|in_range|if|dayname|monthname|bitmap_bit_position|bitmap_bucket_number"
-    r"|h3_h3index_parent|h3_h3index|json_length|json_extract|json_unquote)\s*\(",
+    r"|h3_h3index_parent|h3_h3index|json_length|json_extract|json_unquote"
+    r"|quote)\s*\(",
     re.IGNORECASE,
 )
 
@@ -591,9 +592,23 @@ BVT_REPLAY_MODE = [False]
 _FN_GUARD_RE = re.compile(
     r"\b(acos|asin|bit_and|bit_or|bit_xor|approx_percentile|left|right"
     r"|locate|lpad|rpad|last_day|unix_timestamp|from_unixtime"
-    r"|hour|minute|second|substring|substr|upper|ucase)\s*\(",
+    r"|hour|minute|second|substring|substr|upper|ucase|round)\s*\(",
     re.IGNORECASE,
 )
+
+
+def _guard_args(args: "list[str]", spans) -> "list[str]":
+    """Recursively apply the guard pass INSIDE argument text: the guard
+    scan is outermost-first, so `substring(x, year(from_unixtime(-1)))`
+    would otherwise leave the nested from_unixtime native."""
+    return [
+        _rewrite_calls(
+            a, _FN_GUARD_RE, None,
+            per_name_builder=lambda n, aa: _guard_fn(n, aa, spans),
+        )
+        if _FN_GUARD_RE.search(a) else a
+        for a in args
+    ]
 
 
 def _guard_fn(
@@ -604,37 +619,54 @@ def _guard_fn(
     name = name.lower()
     if name == "locate" and len(args) in (2, 3):
         # MySQL LOCATE: any NULL argument → NULL (Spark yields 0 for a
-        # NULL pos); empty needle returns pos when 1 <= pos <= len+1
-        # (LOCATE('', 'cm', 3) = 3 — func_locate.sql)
+        # NULL pos); CASE-INSENSITIVE under the default ci collation
+        # (locate('db','HHUHDNDB…') = 7); empty needle returns pos when
+        # 1 <= pos <= len+1; an out-of-range pos (negative, or past the
+        # string) returns 0 BEFORE the int cast so huge literals don't
+        # wrap (func_locate.sql ±4294967295)
         a, b = args[0], args[1]
+        la, lb = f"lower({a})", f"lower({b})"
         if len(args) == 2:
             return (
                 f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL "
-                f"ELSE locate({a}, {b}) END)"
+                f"ELSE locate({la}, {lb}) END)"
             )
         c = args[2]
         return (
             f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL OR ({c}) IS NULL "
-            f"THEN NULL WHEN length({a}) = 0 THEN "
-            f"(CASE WHEN ({c}) BETWEEN 1 AND length({b}) + 1 "
-            f"THEN CAST(({c}) AS INT) ELSE 0 END) "
-            f"ELSE locate({a}, {b}, CAST(({c}) AS INT)) END)"
+            f"THEN NULL WHEN ({c}) < 1 OR ({c}) > length({b}) + 1 THEN 0 "
+            f"WHEN length({a}) = 0 THEN CAST(({c}) AS INT) "
+            f"ELSE locate({la}, {lb}, CAST(({c}) AS INT)) END)"
+        )
+    if name == "round" and len(args) == 2:
+        # MySQL ROUND clamps extreme scales instead of wrapping the int
+        # cast: round(1.5, -2^32) = 0, round(1.5, +2^32) = 1.5
+        # (func_math_round.test). Small literal scales keep the native call.
+        gargs = _guard_args(args, spans)
+        x, d = gargs
+        if re.fullmatch(r"\s*-?\d{1,5}\s*", d):
+            return f"{name}({', '.join(gargs)})" if gargs != args else None
+        return (
+            f"(CASE WHEN ({d}) IS NULL THEN NULL "
+            f"ELSE round(({x}), CAST(GREATEST(-30, LEAST(30, "
+            f"TRY_CAST(({d}) AS BIGINT))) AS INT)) END)"
         )
     if name in ("substring", "substr") and len(args) in (2, 3):
         # MySQL SUBSTRING(str, 0) = '' (position 0 is before the string);
         # Spark treats pos 0 like pos 1 (charset_collation_errors.sql).
         # Literal nonzero positions keep the plain call.
-        p = args[1]
+        gargs = _guard_args(args, spans)
+        p = gargs[1]
         if re.fullmatch(r"\s*-?\d+\s*", p):
             if int(p) != 0:
-                return None
+                return f"{name}({', '.join(gargs)})" if gargs != args else None
             return "''"
-        call = f"{name}({', '.join(args)})"
+        call = f"{name}({', '.join(gargs)})"
         return f"(CASE WHEN ({p}) = 0 THEN '' ELSE {call} END)"
     if name in ("upper", "ucase") and len(args) == 1:
         # MySQL's utf8 case mapping keeps 'ß' (no 1:1 uppercase); Java/Spark
         # expands it to 'SS' — shield it through the conversion
-        a = args[0]
+        a = _guard_args(args, spans)[0]
         return (
             f"replace(upper(replace({a}, 'ß', '')), '', 'ß')"
         )
@@ -774,9 +806,38 @@ def _compose_fn(name: str, args: "list[str]") -> "str | None":
         # Spark's builtin abbreviates ('Feb') — func_datetime_monthname.test
         return f"date_format(try_cast(({args[0]}) AS TIMESTAMP), 'MMMM')"
     if name == "field" and len(args) >= 2:
-        # index of args[0] in the remainder, 0 if absent/NULL
-        arr = ", ".join(args[1:])
-        return f"coalesce(array_position(array({arr}), {args[0]}), 0)"
+        # index of args[0] in the remainder, 0 if absent/NULL. MySQL
+        # compares NUMERICALLY when every argument is numeric
+        # (field(1, 1.0, 2, 1) = 1), else as CASE-INSENSITIVE strings
+        # (field('aa','AA',…) = 1) — func_field.sql
+        a0 = args[0]
+        all_num = " AND ".join(
+            f"TRY_CAST({a} AS DOUBLE) IS NOT NULL" for a in args
+        )
+        nums = ", ".join(f"TRY_CAST({a} AS DOUBLE)" for a in args[1:])
+        strs = ", ".join(f"lower(CAST({a} AS STRING))" for a in args[1:])
+        return (
+            f"(CASE WHEN {all_num} THEN "
+            f"coalesce(array_position(array({nums}), "
+            f"TRY_CAST({a0} AS DOUBLE)), 0) "
+            f"ELSE coalesce(array_position(array({strs}), "
+            f"lower(CAST({a0} AS STRING))), 0) END)"
+        )
+    if name == "quote" and len(args) == 1:
+        # reference QUOTE doubles quotes and backslashes ('Don''t',
+        # 'C:\\\\path' — func_string_quote.test), unlike MySQL's
+        # backslash-escape rendering; NULL → the 4-char word NULL
+        x = args[0]
+        s = f"CAST({x} AS STRING)"
+        # chr(39)=' chr(92)=\ — no quoted literals enter the masked text
+        esc = (
+            f"replace(replace({s}, chr(92), concat(chr(92), chr(92))), "
+            f"chr(39), concat(chr(39), chr(39)))"
+        )
+        return (
+            f"(CASE WHEN ({x}) IS NULL THEN concat(chr(78), chr(85), "
+            f"chr(76), chr(76)) ELSE concat(chr(39), {esc}, chr(39)) END)"
+        )
     if name == "oct" and len(args) == 1:
         return f"mo_conv(CAST({args[0]} AS STRING), 10, 8)"
     # SQL-registered cell UDFs have fixed arity (functions/sql_udfs.py);
@@ -2559,6 +2620,22 @@ def translate(sql: str) -> str:
         )
 
         fn, arg = m.group(1).lower(), m.group(2)
+        if fn == "date_format":
+            # MySQL parses PACKED digit strings as dates ('20000205',
+            # '20000205143000', '000205' — func_date_format_1.sql); Spark's
+            # string→timestamp cast rejects them, so re-literal the span
+            am = re.fullmatch(r"\s*\x01(\d+)\x01\s*", arg)
+            if am:
+                sp = int(am.group(1))
+                raw = spans[sp].strip("'\"")
+                if re.fullmatch(r"\d{6}(\d{2})?(\d{6})?", raw):
+                    if len(raw) == 6:
+                        yy = int(raw[:2])
+                        raw = ("20" if yy < 70 else "19") + raw
+                    d = f"{raw[0:4]}-{raw[4:6]}-{raw[6:8]}"
+                    if len(raw) == 14:
+                        d += f" {raw[8:10]}:{raw[10:12]}:{raw[12:14]}"
+                    spans[sp] = f"'{d}'"
         myfmt = _literal_text(spans, int(m.group(3)))
         fmt = mysql_format_to_java(myfmt, parsing=(fn == "str_to_date"))
         spans.append(f"'{fmt}'")
