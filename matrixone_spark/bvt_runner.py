@@ -599,6 +599,11 @@ class BvtSession:
         # session sql_mode (MySQL default is strict); gates CHAR/VARCHAR
         # over-width stores: strict errors, non-strict truncates
         self.sql_mode: str = "STRICT_TRANS_TABLES"
+        # flexible date-string parser for the temporal extraction family
+        # (dialect emits mo_bvt_datestr(...) in replay mode only)
+        from pyspark.sql.types import StringType as _St
+
+        spark.udf.register("mo_bvt_datestr", _mysql_datestr, _St())
 
     # BVT fixtures are tens of rows; anything bigger than this is a runaway
     # (e.g. an INSERT..SELECT off generate_series) and stays lazy.
@@ -4127,6 +4132,68 @@ def _rows_close(s_rows, o_rows, tol: float = 1e-6) -> bool:
 _ISSUE_OPEN_RE = re.compile(r"^\s*--\s*@bvt:issue#", re.IGNORECASE)
 _ISSUE_CLOSE_RE = re.compile(r"^\s*--\s*@bvt:issue\s*$", re.IGNORECASE)
 _IGNORE_COLS_RE = re.compile(r"^\s*--\s*@ignore:\s*([\d,\s]+?)\s*$", re.IGNORECASE)
+
+
+def _mysql_datestr(s: "str | None") -> "str | None":
+    """Normalize a MySQL-flexible date/datetime string to ISO text, or None
+    when the reference's ParseDateCast would reject it. Grammar (reference
+    pkg/container/types/date.go, datetime.go; exercised by
+    func_datetime_varchar_date_validation.test):
+      - date delimiters are ANY punctuation run ('2024/01/15', '2024:01:15')
+      - 1-2 digit years expand (<70 → 20xx, else 19xx): '69:01:01' → 2069
+      - packed digit forms YYYYMMDD[HHMMSS] / YYMMDD[HHMMSS]
+      - the clock is validated strictly (h≤23, m≤59, s≤59); a dangling 'T'
+        or invalid clock rejects the WHOLE value
+      - calendar-validated day-of-month; year 0 is NOT a leap year."""
+    if s is None:
+        return None
+    t = s.strip()
+    if not t:
+        return None
+    m = re.match(r"^([0-9][0-9[:punct:]]*?)(?:[ T](.*))?$".replace(
+        "[:punct:]", re.escape("./:\\-*+,_#@%^&~|")), t)
+    if not m:
+        return None
+    date_part, clock = m.group(1), m.group(2)
+    if clock is not None and not re.search(r"[0-9]", clock):
+        return None  # dangling 'T' / empty clock
+    dtoks = [x for x in re.split(r"[^0-9]+", date_part) if x]
+    if len(dtoks) == 1:
+        p = dtoks[0]
+        if len(p) in (8, 14):
+            dtoks = [p[0:4], p[4:6], p[6:8]]
+            if len(p) == 14 and clock is None:
+                clock = f"{p[8:10]}:{p[10:12]}:{p[12:14]}"
+        elif len(p) in (6, 12):
+            dtoks = [p[0:2], p[2:4], p[4:6]]
+            if len(p) == 12 and clock is None:
+                clock = f"{p[6:8]}:{p[8:10]}:{p[10:12]}"
+        else:
+            return None
+    if len(dtoks) != 3 or any(len(x) > 4 for x in dtoks):
+        return None
+    ys, ms, ds = dtoks
+    y, mo, dd = int(ys), int(ms), int(ds)
+    if len(ys) <= 2:
+        y += 2000 if y < 70 else 1900
+    leap = (y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)) and y != 0
+    mlen = [31, 29 if leap else 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+    if not (1 <= mo <= 12 and 1 <= dd <= mlen[mo - 1] and y <= 9999):
+        return None
+    h = mi = se = 0
+    frac = ""
+    if clock:
+        cm = re.match(r"^(\d+)(?:[^0-9.](\d+)(?:[^0-9.](\d+))?)?(\.\d+)?\s*$",
+                      clock.strip())
+        if not cm:
+            return None
+        h = int(cm.group(1))
+        mi = int(cm.group(2) or 0)
+        se = int(cm.group(3) or 0)
+        frac = cm.group(4) or ""
+        if h > 23 or mi > 59 or se > 59:
+            return None
+    return f"{y:04d}-{mo:02d}-{dd:02d} {h:02d}:{mi:02d}:{se:02d}{frac}"
 
 
 def annotated_statements(text: str) -> "list[tuple[str, bool, tuple]]":

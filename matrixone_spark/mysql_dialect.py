@@ -592,9 +592,24 @@ BVT_REPLAY_MODE = [False]
 _FN_GUARD_RE = re.compile(
     r"\b(acos|asin|bit_and|bit_or|bit_xor|approx_percentile|left|right"
     r"|locate|lpad|rpad|last_day|unix_timestamp|from_unixtime"
-    r"|hour|minute|second|substring|substr|upper|ucase|round)\s*\(",
+    r"|hour|minute|second|substring|substr|upper|ucase|round"
+    r"|dayofmonth|dayofweek|dayofyear|weekday|yearweek|to_days|weekofyear|week|day"
+    r"|month|quarter|year|date)\s*\(",
     re.IGNORECASE,
 )
+
+# temporal extraction functions whose STRING arguments take the reference's
+# flexible ParseDateCast grammar in replay mode (any-punctuation delimiters,
+# 2-digit years, packed digits, strict clock/calendar validation)
+_BVT_DATE_FNS = {
+    "dayofmonth", "day", "weekday", "dayofweek", "dayofyear", "month",
+    "quarter", "year", "yearweek", "to_days", "week", "weekofyear",
+    "date",
+}
+
+
+def _bvt_datearg(a: str) -> str:
+    return f"try_cast(mo_bvt_datestr(CAST({a} AS STRING)) AS TIMESTAMP)"
 
 
 def _guard_args(args: "list[str]", spans) -> "list[str]":
@@ -617,6 +632,16 @@ def _guard_fn(
     """Single-pass rewrites whose output re-mentions the function name —
     running these through the compose fixpoint would never converge."""
     name = name.lower()
+    if name in _BVT_DATE_FNS:
+        if not BVT_REPLAY_MODE[0] or not 1 <= len(args) <= 2:
+            return None
+        # replay mode: the reference parses flexible date strings
+        # ('2024/01/15', '10:11:12' → 2010-11-12, '69:01:01' → 2069…) and
+        # REJECTS invalid clocks/calendars ('…24:00:00', '0000-02-29') —
+        # func_datetime_varchar_date_validation.test
+        gargs = _guard_args(args, spans)
+        rest = ", " + ", ".join(gargs[1:]) if len(gargs) > 1 else ""
+        return f"{name}({_bvt_datearg(gargs[0])}{rest})"
     if name == "locate" and len(args) in (2, 3):
         # MySQL LOCATE: any NULL argument → NULL (Spark yields 0 for a
         # NULL pos); CASE-INSENSITIVE under the default ci collation
@@ -804,7 +829,8 @@ def _compose_fn(name: str, args: "list[str]") -> "str | None":
     if name == "monthname" and len(args) == 1:
         # MySQL MONTHNAME returns the FULL month name ('February');
         # Spark's builtin abbreviates ('Feb') — func_datetime_monthname.test
-        return f"date_format(try_cast(({args[0]}) AS TIMESTAMP), 'MMMM')"
+        arg = _bvt_datearg(args[0]) if BVT_REPLAY_MODE[0] else f"try_cast(({args[0]}) AS TIMESTAMP)"
+        return f"date_format({arg}, 'MMMM')"
     if name == "field" and len(args) >= 2:
         # index of args[0] in the remainder, 0 if absent/NULL. MySQL
         # compares NUMERICALLY when every argument is numeric
@@ -901,15 +927,28 @@ def _compose_fn(name: str, args: "list[str]") -> "str | None":
     if name == "dayname" and len(args) == 1:
         # MySQL DAYNAME returns the FULL day name; Spark's dayname() is the
         # 3-letter abbreviation (func_datetime_dayname.test)
-        return f"date_format(try_cast(({args[0]}) AS TIMESTAMP), 'EEEE')"
+        arg = _bvt_datearg(args[0]) if BVT_REPLAY_MODE[0] else f"try_cast(({args[0]}) AS TIMESTAMP)"
+        return f"date_format({arg}, 'EEEE')"
     if name == "export_set" and 3 <= len(args) <= 5:
+        # reference NULL semantics (func_string_export_set.test): NULL
+        # bits/on/off → NULL; NULL separator → ','; NULL or out-of-range
+        # count → clamped into [1, 64]
         bits, on, off = args[0], args[1], args[2]
         sep = args[3] if len(args) > 3 else "','"
         n = args[4] if len(args) > 4 else "64"
-        return (
-            f"concat_ws({sep}, transform(sequence(0, CAST({n} AS INT) - 1), "
+        n_ = (
+            f"CAST(LEAST(64, GREATEST(1, "
+            f"COALESCE(TRY_CAST({n} AS BIGINT), 64))) AS INT)"
+        )
+        sep_ = f"COALESCE(CAST({sep} AS STRING), ',')"
+        body = (
+            f"concat_ws({sep_}, transform(sequence(0, {n_} - 1), "
             f"__i -> CASE WHEN (shiftright(CAST({bits} AS BIGINT), __i) & 1) = 1 "
             f"THEN {on} ELSE {off} END))"
+        )
+        return (
+            f"(CASE WHEN ({bits}) IS NULL OR ({on}) IS NULL "
+            f"OR ({off}) IS NULL THEN NULL ELSE {body} END)"
         )
     if name == "make_set" and len(args) >= 2:
         parts = ", ".join(
