@@ -3716,8 +3716,8 @@ class RefResults:
         re.IGNORECASE,
     )
     _ERROR_LINE_RE = re.compile(
-        r"(invalid|error|internal|not supported|unsupported|unknown|can't"
-        r"|cannot|duplicate|no such|out of range|data truncation"
+        r"(invalid|illegal|error|internal|not supported|unsupported|unknown"
+        r"|can't|cannot|duplicate|no such|out of range|data truncation"
         r"|division by)",
         re.IGNORECASE,
     )

@@ -594,7 +594,7 @@ _FN_GUARD_RE = re.compile(
     r"|locate|lpad|rpad|last_day|unix_timestamp|from_unixtime"
     r"|hour|minute|second|substring|substr|upper|ucase|round"
     r"|dayofmonth|dayofweek|dayofyear|weekday|yearweek|to_days|weekofyear|week|day"
-    r"|month|quarter|year|date)\s*\(",
+    r"|month|quarter|year|date|sin|cos|tan|cot|atan)\s*\(",
     re.IGNORECASE,
 )
 
@@ -632,6 +632,22 @@ def _guard_fn(
     """Single-pass rewrites whose output re-mentions the function name —
     running these through the compose fixpoint would never converge."""
     name = name.lower()
+    if name in ("sin", "cos", "tan", "cot", "atan") and len(args) == 1 \
+            and BVT_REPLAY_MODE[0]:
+        # MySQL coerces a non-numeric string to 0 inside math functions
+        # (SIN('ABC') = 0 — func_math_trig.test); Spark's cast yields NULL
+        a = _guard_args(args, spans)[0]
+        # direct cast first (exact for numeric columns), numeric-prefix
+        # parse second, 0 last
+        num = (
+            f"COALESCE(TRY_CAST(({a}) AS DOUBLE), "
+            f"TRY_CAST(regexp_extract(CAST(({a}) AS STRING), "
+            f"'^[ \\\\t]*[+-]?[0-9]*\\\\.?[0-9]+([eE][+-]?[0-9]+)?', 0) "
+            f"AS DOUBLE), 0)"
+        )
+        return (
+            f"(CASE WHEN ({a}) IS NULL THEN NULL ELSE {name}({num}) END)"
+        )
     if name in _BVT_DATE_FNS:
         if not BVT_REPLAY_MODE[0] or not 1 <= len(args) <= 2:
             return None
