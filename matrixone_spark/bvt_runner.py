@@ -1703,6 +1703,8 @@ class BvtSession:
         new = self._cast_to_schema(name, src, cols, ignore=ignore)
         meta = self.colmeta.get(name, {})
         cur = self.tables[name]
+        if meta.get("fks") and not replace:
+            new = self._fk_insert_check(name, new, meta["fks"], ignore)
         keys = [
             k for k in meta.get("keys", ())
             if all(col in {c.lower() for c, _ in self.schemas[name]} for col in k)
@@ -1750,12 +1752,12 @@ class BvtSession:
                 cur, new = self._apply_odku(name, cur, new, keys, odku, spans)
                 rebuilt = True
             else:
-                # INSERT IGNORE skips rows whose key already exists (and
-                # within-batch duplicates, first wins) — dtype/year.sql
-                # t_year_uniq
-                for k in keys:
-                    new = new.dropDuplicates(list(k))
-                    new = new.join(cur.select(*k).distinct(), list(k), "left_anti")
+                # INSERT IGNORE applies rows SEQUENTIALLY: a row inserts
+                # unless a non-null unique key matches an existing row or
+                # an already-INSERTED earlier batch row — a skipped row
+                # does not reserve its keys, and NULL keys never conflict
+                # (insert_ignore.sql insert_ignore_multi_key)
+                new = self._ignore_batch_filter(name, cur, new, keys_pfx)
                 rebuilt = True
         # a name-list left_anti join REORDERS columns (Spark puts join keys
         # first) — union positionally after re-selecting the schema order,
@@ -2086,6 +2088,93 @@ class BvtSession:
         if len(keep) == len(rows):
             return new
         return self.spark.createDataFrame(keep, new.schema)
+
+    def _key_vals(self, name: str, row, kp):
+        """Tuple of (prefix-truncated) key values for a collected row, or
+        None when any component is NULL (NULL keys never conflict)."""
+        pos = {c.lower(): i for i, (c, _t) in enumerate(self.schemas[name])}
+        vs = []
+        for c, p in kp:
+            v = row[pos[c.lower()]]
+            if v is None:
+                return None
+            vs.append(str(v)[:p] if p is not None else v)
+        return tuple(map(repr, vs))
+
+    def _ignore_batch_filter(self, name: str, cur: DataFrame,
+                             new: DataFrame, keys_pfx):
+        """Sequential INSERT IGNORE keep-filter (see call site). Falls back
+        to per-key set semantics for oversized batches/tables."""
+        if not keys_pfx:
+            return new
+        try:
+            rows = new.limit(5001).collect()
+            cur_small = cur.limit(100001)
+            cur_rows = cur_small.collect()
+        except Exception:
+            rows = cur_rows = None
+        if rows is None or len(rows) > 5000 or len(cur_rows) > 100000:
+            keys = [tuple(c for c, _p in kp) for kp in keys_pfx]
+            for k in keys:
+                new = new.dropDuplicates(list(k))
+                new = new.join(cur.select(*k).distinct(), list(k), "left_anti")
+            return new
+        taken = []
+        for kp in keys_pfx:
+            taken.append({
+                kv for r in cur_rows
+                if (kv := self._key_vals(name, r, kp)) is not None
+            })
+        keep = []
+        for r in rows:
+            kvs = [self._key_vals(name, r, kp) for kp in keys_pfx]
+            if any(kv is not None and kv in taken[i]
+                   for i, kv in enumerate(kvs)):
+                continue
+            keep.append(r)
+            for i, kv in enumerate(kvs):
+                if kv is not None:
+                    taken[i].add(kv)
+        if len(keep) == len(rows):
+            return new
+        return self.spark.createDataFrame(keep, new.schema) if keep else \
+            new.limit(0)
+
+    def _fk_insert_check(self, name: str, new: DataFrame, fks,
+                         ignore: bool) -> DataFrame:
+        """Referential check on INSERT: rows whose non-null FK columns have
+        no parent row ERROR (MySQL 1452) — or are SKIPPED under INSERT
+        IGNORE (insert_ignore.sql t_ign_fk_child). A self-referencing FK
+        sees the incoming batch as parents too."""
+        cols = [c for c, _t in self.schemas[name]]
+        for ccols, ptab, pcols, _act in fks:
+            if ptab not in self.tables:
+                continue
+            psrc = self.tables[ptab]
+            if ptab == name:
+                psrc = psrc.select(*cols).unionAll(new.select(*cols))
+            parent = psrc.select(
+                *[F.col(pc).alias(f"__p{i}") for i, pc in enumerate(pcols)]
+            ).distinct()
+            nn = None
+            for cc in ccols:
+                e = F.col(cc).isNotNull()
+                nn = e if nn is None else (nn & e)
+            keyed = new.filter(nn)
+            for i, cc in enumerate(ccols):
+                keyed = keyed.withColumn(f"__p{i}", F.col(cc))
+            names_ = [f"__p{i}" for i in range(len(ccols))]
+            if ignore:
+                ok = keyed.join(parent, names_, "left_semi").drop(*names_)
+                new = ok.select(*cols).unionAll(
+                    new.filter(~nn).select(*cols)
+                )
+            elif keyed.join(parent, names_, "left_anti").limit(1).count() > 0:
+                raise RuntimeError(
+                    "Cannot add or update a child row: "
+                    "a foreign key constraint fails"
+                )
+        return new
 
     def _fk_children(self, parent: str):
         """(child table, fk tuple) pairs for every live FK referencing
