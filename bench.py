@@ -58,7 +58,7 @@ def main() -> None:
     spark.sql("SELECT mo_conv('ff', 16, 10)").collect()
     spark.range(1000).mapInArrow(lambda it: it, "id long").count()
 
-    # Each query runs N times (default 3). "queries"/"value" report the min
+    # Each query runs N times (default 5). "queries"/"value" report the min
     # (methodology FIXED since r1 so BENCH_r{N} totals stay comparable):
     # run 1 pays the one-off whole-stage-codegen compile for that plan (a
     # per-process constant, not data work), later runs are the steady-state
@@ -66,29 +66,35 @@ def main() -> None:
     # scheduler noise (±30% run-to-run). "queries_cold"/"value_cold"
     # additionally report the first (codegen-inclusive) run so cross-round
     # comparisons can't be skewed by the min-of-N choice.
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     # Per-query error isolation: a red query costs one row in "errors", never
     # the whole bench file (r2 lesson: one crashed query → rc=1 → no perf
     # signal for the round).
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
+    #
+    # Noise robustness (r9 verdict What's-wrong #1): the rounds are
+    # INTERLEAVED — round-robin over all queries per pass instead of N
+    # back-to-back runs of one query — so a transient box-noise burst
+    # (measured ~25% deep, tens of seconds long on this host) cannot land on
+    # every run of the same query. "queries_runs" carries every raw run so
+    # round-over-round comparison can re-derive min/median without
+    # re-litigating which single number was the noisy one.
+    raw: dict[str, list[float]] = {name: [] for name in names}
     errors: dict[str, str] = {}
-    for name in names:
-        q = registry[name]
-        best = None
-        try:
-            for i in range(runs):
+    for i in range(runs):
+        for name in names:
+            if name in errors:
+                continue
+            try:
                 t0 = time.time()
-                rows = q.fn(spark, sf_dir).collect()
+                rows = registry[name].fn(spark, sf_dir).collect()
                 dt = time.time() - t0
-                if i == 0:
-                    cold[name] = round(dt, 3)
-                best = dt if best is None else min(best, dt)
                 assert rows is not None
-            timings[name] = round(best, 3)
-        except Exception as exc:  # noqa: BLE001 — isolation is the point
-            cold.pop(name, None)
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                raw[name].append(round(dt, 3))
+            except Exception as exc:  # noqa: BLE001 — isolation is the point
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                raw.pop(name, None)
+    timings = {n: min(r) for n, r in raw.items() if r}
+    cold = {n: r[0] for n, r in raw.items() if r}
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -97,6 +103,8 @@ def main() -> None:
         "queries": timings,
         "queries_cold": cold,
         "value_cold": round(sum(cold.values()), 3),
+        "queries_runs": raw,
+        "runs": runs,
         "sf": sf_val,
     }
     if errors:

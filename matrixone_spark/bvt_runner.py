@@ -599,6 +599,9 @@ class BvtSession:
         # session sql_mode (MySQL default is strict); gates CHAR/VARCHAR
         # over-width stores: strict errors, non-strict truncates
         self.sql_mode: str = "STRICT_TRANS_TABLES"
+        # generic system variables the strict gate consults
+        # (set session max_points_in_geometry = N, func_geometry.test)
+        self.sysvars: "dict[str, str]" = {}
         # flexible date-string parser for the temporal extraction family
         # (dialect emits mo_bvt_datestr(...) in replay mode only)
         from pyspark.sql.types import StringType as _St
@@ -1145,6 +1148,16 @@ class BvtSession:
                 masked, re.IGNORECASE,
             ):
                 return "ddl", None
+            svm = re.match(
+                r"\s*set\s+(?:global\s+|session\s+)?"
+                r"(max_points_in_geometry)\s*=\s*(\S+)\s*$",
+                masked, re.IGNORECASE,
+            )
+            if svm:
+                self.sysvars[svm.group(1).lower()] = unmask_literals(
+                    svm.group(2), spans
+                ).strip().strip("'\"")
+                return "ddl", None
             raise SkipStatement("unsupported SET")
         if head == "alter":
             am = re.match(
@@ -1514,7 +1527,9 @@ class BvtSession:
             if isinstance(v, (dict, list)):
                 return _json.dumps(v)
             if isinstance(v, float) and v == int(v):
-                return str(v)
+                # JSON 1.0 → '1' so the string→int store coercion of
+                # integer columns doesn't choke on a trailing '.0'
+                return str(int(v))
             return str(v)
 
         clean = []
@@ -2147,6 +2162,15 @@ class BvtSession:
         IGNORE (insert_ignore.sql t_ign_fk_child). A self-referencing FK
         sees the incoming batch as parents too."""
         cols = [c for c, _t in self.schemas[name]]
+        # under INSERT IGNORE the FK filter rebuilds the batch (satisfied ∪
+        # NULL-FK); tag rows with their batch position first and re-sort
+        # after, so the later sequential first-wins duplicate pass
+        # (_ignore_batch_filter) sees the ORIGINAL row order — MySQL keeps
+        # the first duplicate in statement order, not in FK-partition order
+        ordered = bool(ignore) and any(pt in self.tables for _c, pt, _p, _a in fks)
+        if ordered:
+            new = new.withColumn("__ord", F.monotonically_increasing_id())
+        out_cols = [*cols, "__ord"] if ordered else cols
         for ccols, ptab, pcols, _act in fks:
             if ptab not in self.tables:
                 continue
@@ -2166,14 +2190,16 @@ class BvtSession:
             names_ = [f"__p{i}" for i in range(len(ccols))]
             if ignore:
                 ok = keyed.join(parent, names_, "left_semi").drop(*names_)
-                new = ok.select(*cols).unionAll(
-                    new.filter(~nn).select(*cols)
+                new = ok.select(*out_cols).unionAll(
+                    new.filter(~nn).select(*out_cols)
                 )
             elif keyed.join(parent, names_, "left_anti").limit(1).count() > 0:
                 raise RuntimeError(
                     "Cannot add or update a child row: "
                     "a foreign key constraint fails"
                 )
+        if ordered:
+            new = new.orderBy("__ord").drop("__ord")
         return new
 
     def _fk_children(self, parent: str):
@@ -3341,7 +3367,8 @@ class BvtSession:
                 self.uservars[name] = row[0][0] if row else None
             return None
         smm = re.match(
-            r"\s*set\s+(?:global\s+|session\s+)?sql_mode\s*=\s*(.+?)\s*$",
+            r"\s*set\s+(?:global\s+|session\s+|@@(?:session\.|global\.)?)?"
+            r"sql_mode\s*=\s*(.+?)\s*$",
             masked, re.IGNORECASE,
         )
         if smm:
@@ -4409,9 +4436,9 @@ class CoExecutor:
         self._txn_snap = None  # open-transaction snapshot (BEGIN…ROLLBACK)
         stats = {"compared": 0, "mismatch": 0, "ref_pass": 0,
                  "ref_fail_fmt": 0, "ref_fail": 0, "ref_error": 0,
-                 "ref_miss": 0, "diverged": 0, "spark_only": 0,
-                 "duck_only": 0, "both_failed": 0, "executed": 0,
-                 "skipped": 0}
+                 "ref_errmatch": 0, "ref_miss": 0, "diverged": 0,
+                 "spark_only": 0, "duck_only": 0, "both_failed": 0,
+                 "executed": 0, "skipped": 0}
         # tables whose Spark state DuckDB could not follow (a DML using
         # engine UDFs DuckDB can't parse, e.g. s2_cellid inside INSERT):
         # their statements skip the cross-engine compare and grade against
@@ -4464,6 +4491,11 @@ class CoExecutor:
                     if re.fullmatch(r"\w+", t):
                         out.add(t)
             return out
+        def _dump_ref_error(msg) -> None:
+            if os.environ.get("BVT_DUMP_REF_ERROR"):
+                print("  REF_ERROR:", " ".join(orig.split())[:240],
+                      "\n    ref_msg:", str(msg)[:240].replace("\n", " "))
+
         for stmt, in_issue, ignore_cols in annotated_statements(text):
             if in_issue:
                 # mo-tester does not execute @bvt:issue-wrapped statements
@@ -4596,6 +4628,28 @@ class CoExecutor:
                     ref.claim(orig)  # keep the .result cursor aligned
                 stats["skipped"] += 1
                 continue
+            if is_query and ref is not None:
+                # strict-evaluation gate (error parity): the rejection
+                # decision is computed INDEPENDENTLY of the .result; the
+                # .result only grades it.  Gate-fire + reference-error →
+                # matched rejection (ref_errmatch).  Gate-fire + reference
+                # rows → un-consume the claim and fall through to normal
+                # co-execution, so a gate false-positive can never hide a
+                # real mismatch.
+                from matrixone_spark.strict_errors import strict_reject
+
+                rej = strict_reject(expanded, self.sess)
+                if rej is not None:
+                    cur0 = ref.cursor
+                    cl_g = ref.claim(orig)
+                    if cl_g is not None and cl_g[0] == "error":
+                        stats["ref_errmatch"] += 1
+                        if os.environ.get("BVT_DUMP_ERRMATCH"):
+                            print("  ERRMATCH:",
+                                  " ".join(orig.split())[:200],
+                                  "\n    gate:", rej[:200])
+                        continue
+                    ref.cursor = cur0
             if is_query:
                 duck_ok, duck_df, duck_err = _run_duck(stmt)
                 spark_ok, spark_df = _run_spark()
@@ -4744,12 +4798,18 @@ class CoExecutor:
                 def _limit_tie_equivalent() -> bool:
                     """ORDER BY … LIMIT n with the sort key tied at the
                     boundary: engines legitimately pick different rows.
-                    Strip the LIMIT and re-compare — if both engines agree
-                    on the full ordered source and each limited answer is a
-                    multiset-subset of it with the right cardinality, the
-                    divergence is a tie-pick, not a wrong answer (mo-tester's
-                    own sort-tag DSL concedes the same case:
-                    test/distributed/cases/README.md)."""
+                    Strip the LIMIT, require both engines to agree on the
+                    full ordered source, then validate each limited answer
+                    is a TRUE top-n up to sort-key ties: it must equal the
+                    ordered n-prefix except for substitutions among rows
+                    whose extracted sort key equals the boundary row's key
+                    (mo-tester's own sort-tag DSL concedes the same case:
+                    test/distributed/cases/README.md). When the ORDER BY
+                    keys cannot be resolved to output columns (expression
+                    keys not in the projection) the substituted rows must
+                    at least straddle the boundary position contiguously in
+                    the ordered full result — an arbitrary-n or bottom-n
+                    answer fails both tests."""
                     mm = re.search(
                         r"^(.*\border\s+by\b.+?)\blimit\s+\d+\s*;?\s*$",
                         stmt, re.IGNORECASE | re.DOTALL,
@@ -4770,12 +4830,86 @@ class CoExecutor:
                         return False
                     from collections import Counter
 
-                    fullc = Counter(map(repr, f_s))
-                    for rows in (s_rows, o_rows):
+                    from matrixone_spark.oracle import _norm_value
+
+                    # ordered full result, duck execution order (the trusted
+                    # ordered engine), same positional canonical cells as
+                    # s_rows/o_rows (post ignore-col drop, c### rename)
+                    d_full = _drop_ign(d_df2)
+                    ford = [
+                        tuple(_norm_value(v) for v in row)
+                        for row in d_full.itertuples(index=False, name=None)
+                    ]
+                    n = len(s_rows)
+                    if n > len(ford):
+                        return False
+                    prefix = Counter(map(repr, ford[:n]))
+                    fullc = Counter(map(repr, ford))
+                    # resolve ORDER BY items to output column indexes:
+                    # bare/qualified identifiers matched ci against the
+                    # UN-dropped statement output, positional ints 1-based;
+                    # indexes then shifted past dropped @ignore columns
+                    key_idx: "list[int] | None" = []
+                    out_cols = [str(c) for c in d_df2.columns]
+                    kept = [i for i in range(len(out_cols))
+                            if i not in (ignore_cols or ())]
+                    ob_txt = re.search(
+                        r"\border\s+by\b(.+)$", base,
+                        re.IGNORECASE | re.DOTALL,
+                    ).group(1)
+                    lowmap = {c.lower(): i for i, c in enumerate(out_cols)}
+                    for item in _split_top_level(ob_txt):
+                        it = re.sub(
+                            r"(?i)\s+(asc|desc)\s*$", "",
+                            re.sub(r"(?i)\s+nulls\s+(first|last)\s*$", "",
+                                   item.strip()),
+                        ).strip().strip("`")
+                        if re.fullmatch(r"\d+", it):
+                            j = int(it) - 1
+                        else:
+                            j = lowmap.get(it.split(".")[-1].strip("`").lower(), -1)
+                        if j < 0 or j >= len(out_cols) or j not in kept:
+                            key_idx = None
+                            break
+                        key_idx.append(kept.index(j))
+
+                    def _valid_topn(rows) -> bool:
                         c = Counter(map(repr, rows))
                         if any(cnt > fullc.get(k, 0) for k, cnt in c.items()):
-                            return False
-                    return True
+                            return False  # not even a subset of the source
+                        extra = c - prefix        # picked from beyond prefix
+                        missing = prefix - c      # prefix rows not picked
+                        if not extra and not missing:
+                            return True           # exact ordered prefix
+                        if key_idx is not None:
+                            bkey = tuple(ford[n - 1][j] for j in key_idx)
+                            rep2row = {repr(r): r for r in ford}
+                            for k in (*extra, *missing):
+                                r = rep2row.get(k)
+                                if r is None or tuple(
+                                    r[j] for j in key_idx
+                                ) != bkey:
+                                    return False
+                            return True
+                        # keys unresolvable: necessary condition — every
+                        # substituted row must sit in ONE contiguous block
+                        # of the ordered full result that contains the
+                        # boundary (tied rows are adjacent in a correctly
+                        # ordered output; bottom-n / arbitrary-n picks span
+                        # far from the boundary and fail this)
+                        pos = {}
+                        for i, r in enumerate(ford):
+                            pos.setdefault(repr(r), []).append(i)
+                        lo, hi = n - 1, n
+                        for k in missing:
+                            lo = min(lo, min(pos[k]))
+                        for k in extra:
+                            if k not in pos:
+                                return False
+                            hi = max(hi, max(pos[k]))
+                        return (hi - lo) <= max(2 * len(list(extra.elements())) + 2, 8)
+
+                    return _valid_topn(s_rows) and _valid_topn(o_rows)
 
                 if grade_all_ref and ref is not None:
                     # golden-suite mode: the reference rows gate every
@@ -4801,6 +4935,7 @@ class CoExecutor:
                                 )
                     elif claimed is not None and claimed[0] == "error":
                         stats["ref_error"] += 1
+                        _dump_ref_error(claimed[1])
                     else:
                         # claim-matching failed: the .result file has no
                         # claimable block for this echo — count it so
@@ -4838,6 +4973,7 @@ class CoExecutor:
                         # engines answered, the reference would error. A
                         # behavioral divergence, not a data mismatch.
                         stats["ref_error"] += 1
+                        _dump_ref_error(claimed[1])
                     elif not _limit_tie_equivalent():
                         stats["mismatch"] += 1
                         if details is not None:
@@ -4850,6 +4986,7 @@ class CoExecutor:
                     # the reference REJECTS this statement; Spark answered —
                     # a behavioral divergence, not a data mismatch
                     stats["ref_error"] += 1
+                    _dump_ref_error(claimed[1])
                 elif claimed is not None and claimed[0] == "rows":
                     if _ref_match(spark_df, _ign_ref(claimed[1])):
                         stats["ref_pass"] += 1

@@ -853,11 +853,20 @@ def _compose_fn(name: str, args: "list[str]") -> "str | None":
         # (field(1, 1.0, 2, 1) = 1), else as CASE-INSENSITIVE strings
         # (field('aa','AA',…) = 1) — func_field.sql
         a0 = args[0]
+        strs = ", ".join(f"lower(CAST({a} AS STRING))" for a in args[1:])
+        if all(re.fullmatch(r"\s*\x01\d+\x01\s*", a) for a in args):
+            # every argument is a quoted string literal: MySQL decides the
+            # compare mode from argument TYPES, so FIELD('1','01') is an
+            # all-string compare (returns 0) even though both values parse
+            # numerically — skip the runtime-value heuristic below
+            return (
+                f"coalesce(array_position(array({strs}), "
+                f"lower(CAST({a0} AS STRING))), 0)"
+            )
         all_num = " AND ".join(
             f"TRY_CAST({a} AS DOUBLE) IS NOT NULL" for a in args
         )
         nums = ", ".join(f"TRY_CAST({a} AS DOUBLE)" for a in args[1:])
-        strs = ", ".join(f"lower(CAST({a} AS STRING))" for a in args[1:])
         return (
             f"(CASE WHEN {all_num} THEN "
             f"coalesce(array_position(array({nums}), "

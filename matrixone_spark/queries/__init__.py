@@ -85,73 +85,71 @@ def register(name: str, oracle: "str | None", tags: tuple = (), doc: str = ""):
 # refreshes the oldest r01-only greens (plan-fragility check).
 _SENTINELS: "tuple[str, ...]" = ()
 
-# The 50 rows the r09 driver window must convert (VERDICT r8 ask #4):
-# the never-re-pinned r02/r03 tail, GEO FIRST — geomlib.py changed in both
-# r7 (boost point predicates) and r8 (WKB casts at column coord width) with
-# no driver re-pin since r03.  Then the r02 dedup/vec/knn/multimodal/text
-# families, the lone r01 row, the remaining r02 rows, and three r03 bvt
-# batteries that double as mysql_dialect canaries (translate() changes this
-# round re-pin through them).  Every row in this list was last driver-pinned
-# ≤ r03.  Overflow (r03 stream_*/timewin_*/agg_* rows) waits for r10.
+# The 50 rows of the r10 driver window (r9 VERDICT ask #4): the r03/r04
+# tail — every hash-gated row last driver-pinned at r03 or r04 (the func_*
+# batteries double as mysql_dialect canaries for this round's strict-error
+# work; the timewin/tvf/system families and the remaining streaming rows
+# age out of the 5-round danger zone).  The 6 no-oracle rows of that tail
+# (driver only checks rows>0 for them — least re-pin signal) plus 5
+# lowest-risk hash rows overflow to r11: sample_fraction,
+# stream_sliding_activity, approx_percentile_tdigest, ivfpq_search,
+# multimodal_features, multimodal_metadata_stats, sample_per_group,
+# sessionize_events, stream_dedup_exactly_once, stream_session_windows,
+# tvf_random_deterministic — take them FIRST in the r11 window together
+# with grouping_sets_rollup (r05) and the r06 block.
 _HEAD: "tuple[str, ...]" = (
-    # -- geo family: never re-pinned past r03; geomlib changed r7+r8 --
-    "geo_binary_full_battery",
-    "geo_io_full_battery",
-    "geo_overlay_battery",
-    "geo_h3_battery",
-    "geo_unary_full_battery",
-    "geo_construct_battery",
-    "geo_point_battery",
-    "geo_polygon_battery",
-    "geo_polygon_predicates",
-    "geo_linestring_metrics",
-    "geo_lineref_battery",
-    "geo_mbr_battery",
-    "geo_validity_battery",
-    "geo_geojson_battery",
-    "geo_geohash",
-    "geo_distance_join",
-    "geo_sphere_distance",
-    # -- r02 dedup family --
-    "dedup_exact_groups",
-    "dedup_exact_keep",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_components",
-    # -- r02 vector / knn / ann --
-    "vec_distances",
-    "vec_norms_battery",
-    "vec_base64_roundtrip",
-    "vec_centroid_by_label",
-    "vec_neardup_pairs",
-    "knn_exact_topk",
-    "knn_join_per_query",
-    "ann_lsh_topk",
-    "ivf_search",
-    # -- r02 multimodal + r03 stragglers --
-    "multimodal_png_decode",
-    "multimodal_audio_energy",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    # -- r02 text analysis --
-    "text_token_stats",
-    "text_lang_guess",
-    "text_quality_filter",
-    "text_fingerprint",
-    # -- oldest row in the ledger (r01) --
-    "scalar_subquery_uncorrelated",
-    # -- remaining r02 rows --
-    "agg_approx_count_distinct",
-    "agg_hll_sketch",
-    "bvt_select_battery",
-    "func_jq_battery",
-    "onnx_run_score",
-    "pipeline_clean_corpus",
-    # -- r03 bvt batteries: double as dialect canaries for this round --
-    "bvt_expression_battery",
-    "bvt_join_battery",
-    "bvt_operator_scripts_battery",
+    # -- r03 hash-gated tail --
+    "agg_collect_json",
+    "agg_corr_exact",
+    "agg_stddev_exact",
+    "apply_sql_surface",
+    "bitmap_distinct_rollup",
+    "exists_or_correlated",
+    "grouping_sets_explicit",
+    "having_filter",
+    "ilike_filter",
+    "nested_subquery_two_levels",
+    "null_ordering",
+    "stream_stateful_user_stats",
+    "stream_static_join",
+    "timewin_sql_surface",
+    # -- r04 hash-gated tail --
+    "bvt_distinct_battery",
+    "bvt_subquery_battery",
+    "bvt_union_battery",
+    "collation_ci_battery",
+    "func_compress_battery",
+    "func_conditional_battery",
+    "func_crypto_battery",
+    "func_date_battery",
+    "func_encode_battery",
+    "func_inet6_battery",
+    "func_math2_battery",
+    "func_math_battery",
+    "func_misc_battery",
+    "func_mysql2_battery",
+    "func_regexp2_battery",
+    "func_regexp_battery",
+    "func_serial_pack",
+    "func_string_battery",
+    "func_time_battery",
+    "func_uint64_decimal",
+    "stream_stream_join",
+    "stream_tumbling_counts",
+    "system_clock_battery",
+    "system_meta_battery",
+    "timewin_fill_linear",
+    "timewin_fill_prev",
+    "timewin_fill_value",
+    "timewin_per_user_hourly",
+    "timewin_sliding",
+    "timewin_tumbling",
+    "tvf_generate_series",
+    "tvf_generate_series_step",
+    "tvf_generate_series_ts",
+    "tvf_lateral_series",
+    "tvf_outer_apply",
+    "tvf_unnest_ordinality",
 )
 
 # Module order for everything else (module name without package prefix).

@@ -1,0 +1,846 @@
+"""Reference strict-evaluation gate for the BVT replay (error parity).
+
+The reference engine REJECTS a class of statements that MySQL-compatible
+engines (and the replay's Spark/DuckDB pair) answer leniently — strict
+string→int casts, int64-range function parameters, bitwise aggregates over
+float/temporal arguments, geometry preconditions, ONLY_FULL_GROUP_BY-style
+HAVING scoping.  Each rule below re-implements the reference's own
+rejection predicate (file:line cited per rule — semantics re-derived, no
+code copied) so the replay can refuse the statement the same way the
+reference does.
+
+Grading contract (bvt_runner._run_script_inner): ``strict_reject`` is
+evaluated INDEPENDENTLY of the script's ``.result`` file.  When it fires
+AND the .result records an error for the statement, the runner counts a
+``ref_errmatch`` (matched rejection — behavioral parity).  When it fires
+but the reference answered rows, the runner falls back to normal
+co-execution and grading, so a gate false-positive can never manufacture a
+pass, suppress a mismatch, or desync replay state.
+"""
+
+from __future__ import annotations
+
+import re
+
+from matrixone_spark.mysql_dialect import (
+    _split_top_level,
+    mask_literals,
+    unmask_literals,
+)
+
+_PH_RE = re.compile("\x01(\\d+)\x01")
+
+_INT64_MAX = (1 << 63) - 1
+_INT64_MIN = -(1 << 63)
+
+
+def _lit_value(token: str, spans: "list[str]") -> "str | None":
+    """Masked placeholder → decoded string literal value (quotes stripped,
+    doubled quotes and simple backslash escapes folded); None if the token
+    is not a lone placeholder."""
+    m = re.fullmatch(r"\s*\x01(\d+)\x01\s*", token)
+    if not m:
+        return None
+    raw = spans[int(m.group(1))]
+    if len(raw) >= 2 and raw[0] in "'\"" and raw[-1] == raw[0]:
+        q, body = raw[0], raw[1:-1]
+        body = body.replace(q + q, q)
+        body = re.sub(r"\\(.)", r"\1", body)
+        return body
+    return None
+
+
+# ---------------------------------------------------------------------------
+# string → integer cast grammar (reference func_cast.go:6184
+# splitCastNumericSign / parseCastNumericToken, :6488 explicitIntegerCastInput,
+# :6424 parseSignedExplicitCastString).  Explicit CAST saturates on range —
+# the ONLY errors are malformed tokens.
+# ---------------------------------------------------------------------------
+
+def _leading_int_prefix(s: str) -> str:
+    """Port of leadingDecimalIntegerPrefix (func_cast.go:6466): optional
+    sign + ASCII digit run; a bare '.<digit>' start reads as sign+'0'."""
+    t = s.strip()
+    if not t:
+        return ""
+    i = 1 if t[0] in "+-" else 0
+    j = i
+    while j < len(t) and t[j].isdigit():
+        j += 1
+    if j == i:
+        if j + 1 < len(t) and t[j] == "." and t[j + 1].isdigit():
+            return t[:i] + "0"
+        return ""
+    return t[:j]
+
+
+def _cast_token_error(s: str) -> bool:
+    """parseCastNumericToken failure (func_cast.go:6220): empty body,
+    double sign, inner whitespace, or an invalid/empty prefixed-base body."""
+    t = s.strip()
+    body = t[1:] if t[:1] in "+-" else t
+    if not body or body[0] in "+-":
+        return True
+    if any(ch.isspace() for ch in body):
+        return True
+    if len(body) >= 2 and body[0] == "0" and body[1] in "bBoOxX":
+        digits, base = body[2:], {"b": 2, "o": 8, "x": 16}[body[1].lower()]
+        if not digits:
+            return True
+        try:
+            int(digits, base)
+        except ValueError:
+            return True
+    return False
+
+
+def _explicit_int_cast_error(s: str) -> bool:
+    """True when the reference's explicit str→int cast rejects ``s``."""
+    t = s.strip()
+    body = t[1:] if t[:1] in "+-" else t
+    if len(body) >= 2 and body[0] == "0" and body[1] in "bBoOxX":
+        return _cast_token_error(t)
+    return _cast_token_error(_leading_int_prefix(t))
+
+
+def _has_numeric_prefix(s: str) -> bool:
+    """Any leading numeric interpretation at all (digits, .d, 0b/0o/0x)."""
+    t = s.strip()
+    body = t[1:] if t[:1] in "+-" else t
+    if len(body) >= 2 and body[0] == "0" and body[1] in "bBoOxX":
+        return not _cast_token_error(t)
+    return _leading_int_prefix(t) != ""
+
+
+_CAST_STR_INT_RE = re.compile(
+    r"cast\s*\(\s*(\x01\d+\x01)\s+as\s+"
+    r"(signed(?:\s+integer)?|unsigned(?:\s+integer)?)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _r_cast_str_int(masked: str, spans, sess) -> "str | None":
+    for m in _CAST_STR_INT_RE.finditer(masked):
+        lit = _lit_value(m.group(1), spans)
+        if lit is None:
+            continue
+        if _explicit_int_cast_error(lit):
+            kind = "uint64" if m.group(2).lower().startswith("uns") else "int"
+            return f"invalid argument cast to {kind}, bad value {lit.strip()}"
+    return None
+
+
+_CAST_STR_DEC_RE = re.compile(
+    r"cast\s*\(\s*(\x01\d+\x01)\s+as\s+(?:decimal|numeric)\b",
+    re.IGNORECASE,
+)
+
+
+def _r_cast_str_decimal(masked: str, spans, sess) -> "str | None":
+    # reference strToDecimal128: a literal with NO numeric prefix at all
+    # cannot convert ("invalid input: a beyond the range, can't be
+    # converted to Decimal128(38,0)."); '' and digit-prefixed forms store
+    # leniently (func_cast.result: cast('9999999.99' as decimal(6,2))
+    # saturates, no error)
+    for m in _CAST_STR_DEC_RE.finditer(masked):
+        lit = _lit_value(m.group(1), spans)
+        if lit is None or not lit.strip():
+            continue
+        if not _has_numeric_prefix(lit):
+            return (
+                f"invalid input: {lit.strip()} beyond the range, "
+                "can't be converted to Decimal128(38,0)."
+            )
+    return None
+
+
+_CAST_DBL_INT_RE = re.compile(
+    r"cast\s*\(\s*cast\s*\(\s*(\x01\d+\x01)\s+as\s+(?:double|float)"
+    r"(?:\s+precision)?\s*\)\s+as\s+(signed|unsigned)(?:\s+integer)?\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _r_double_to_int_range(masked: str, spans, sess) -> "str | None":
+    # float64 → int64/uint64 conversion errors on out-of-range values
+    # (unlike the saturating explicit STRING cast): "data out of range"
+    for m in _CAST_DBL_INT_RE.finditer(masked):
+        lit = _lit_value(m.group(1), spans)
+        if lit is None:
+            continue
+        try:
+            v = float(lit.strip())
+        except ValueError:
+            continue
+        unsigned = m.group(2).lower() == "unsigned"
+        if unsigned:
+            bad = v >= 2.0 ** 64 or v <= -(2.0 ** 63)
+            kind = "uint64"
+        else:
+            bad = v >= 2.0 ** 63 or v < -(2.0 ** 63)
+            kind = "int64"
+        if bad:
+            return (
+                "Data truncation: data out of range: "
+                f"data type {kind}, value '{lit.strip()}'"
+            )
+    return None
+
+
+_CAST_HEX_INT_RE = re.compile(
+    r"cast\s*\(\s*0x([0-9a-f]+)\s+as\s+signed(?:\s+integer)?\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _r_hex_to_signed_range(masked: str, spans, sess) -> "str | None":
+    # hex literals are unsigned 64-bit values; > int64 max cannot land in
+    # SIGNED ("data out of range: data type int")
+    for m in _CAST_HEX_INT_RE.finditer(masked):
+        if int(m.group(1), 16) > _INT64_MAX:
+            return "Data truncation: data out of range: data type int"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# int64 function parameters (reference builds these on strict int64 casts of
+# the argument vector; out-of-range literals and non-numeric strings error)
+# ---------------------------------------------------------------------------
+
+# function → int-typed argument positions (0-based)
+_INT_PARAM_FNS = {
+    "substring": (1, 2),
+    "substr": (1, 2),
+    "mid": (1, 2),
+    "lpad": (1,),
+    "rpad": (1,),
+    "left": (1,),
+    "right": (1,),
+    "repeat": (1,),
+    "space": (0,),
+}
+
+_FN_CALL_RE = re.compile(r"\b([a-z_][a-z0-9_]*)\s*\(", re.IGNORECASE)
+
+
+def _call_args(masked: str, open_paren: int) -> "list[str] | None":
+    depth, i = 1, open_paren + 1
+    while i < len(masked) and depth:
+        if masked[i] == "(":
+            depth += 1
+        elif masked[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        return None
+    return _split_top_level(masked[open_paren + 1 : i - 1])
+
+
+def _r_int64_params(masked: str, spans, sess) -> "str | None":
+    for m in _FN_CALL_RE.finditer(masked):
+        fname = m.group(1).lower()
+        positions = _INT_PARAM_FNS.get(fname)
+        if positions is None:
+            continue
+        args = _call_args(masked, m.end() - 1)
+        if args is None:
+            continue
+        for p in positions:
+            if p >= len(args):
+                continue
+            a = args[p].strip()
+            im = re.fullmatch(r"[+-]?\d+", a)
+            if im:
+                v = int(a)
+                if v > _INT64_MAX or v < _INT64_MIN:
+                    return (
+                        "Data truncation: data out of range: "
+                        f"data type int64, value '{a}'"
+                    )
+                continue
+            lit = _lit_value(a, spans)
+            if lit is not None and _explicit_int_cast_error(lit):
+                return f"invalid argument cast to int, bad value {lit.strip()}"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# bitwise aggregates reject non-integer argument types at plan time
+# (reference agg bit_and/bit_or/bit_xor register integer/bit inputs only:
+# "invalid argument aggregate function bit_and, bad value [FLOAT]")
+# ---------------------------------------------------------------------------
+
+_FLOAT_FNS = (
+    "sin|cos|tan|cot|asin|acos|atan|exp|ln|log|log2|log10|sqrt|power|pow|"
+    "degrees|radians|rand|truncate"
+)
+_FLOAT_FN_RE = re.compile(rf"\b(?:{_FLOAT_FNS})\s*\(", re.IGNORECASE)
+_CAST_FLOAT_RE = re.compile(
+    r"\bcast\s*\([^()]*\s+as\s+(float|double|real)\b", re.IGNORECASE
+)
+_FRAC_LIT_RE = re.compile(r"(?<![\w.])\d+\.\d+|(?<![\w.])\.\d+|\d+e[+-]?\d+",
+                          re.IGNORECASE)
+_BITAGG_RE = re.compile(r"\b(bit_and|bit_or|bit_xor)\s*\(", re.IGNORECASE)
+
+_BAD_BITAGG_COLTYPES = {
+    "float": "FLOAT",
+    "double": "DOUBLE",
+    "timestamp": "DATETIME",
+    "date": "DATE",
+}
+
+
+def _from_tables(masked: str, sess) -> "list[str]":
+    names = []
+    for tm in re.finditer(r"\b(?:from|join)\s+[`]?([\w.]+)", masked,
+                          re.IGNORECASE):
+        t = tm.group(1).split(".")[-1].lower()
+        if t in getattr(sess, "schemas", {}):
+            names.append(t)
+    return names
+
+
+def _col_type(ident: str, masked: str, sess) -> "str | None":
+    col = ident.split(".")[-1].strip("`").lower()
+    for t in _from_tables(masked, sess):
+        for c, ty in sess.schemas.get(t, ()):
+            if c.lower() == col:
+                return ty.lower()
+    return None
+
+
+def _r_bitwise_agg(masked: str, spans, sess) -> "str | None":
+    for m in _BITAGG_RE.finditer(masked):
+        fname = m.group(1).lower()
+        args = _call_args(masked, m.end() - 1)
+        if not args:
+            continue
+        arg = args[0]
+        bad = None
+        if _CAST_FLOAT_RE.search(arg):
+            bad = _CAST_FLOAT_RE.search(arg).group(1).upper()
+            bad = "DOUBLE" if bad == "REAL" else bad
+        elif _FLOAT_FN_RE.search(arg) or "/" in arg or _FRAC_LIT_RE.search(arg):
+            bad = "DOUBLE"
+        else:
+            for ident in re.findall(r"[a-zA-Z_][\w.]*", arg):
+                if ident.lower() in ("and", "or", "not", "null", "case",
+                                     "when", "then", "else", "end"):
+                    continue
+                ty = _col_type(ident, masked, sess)
+                if ty is None:
+                    continue
+                base = ty.split("(")[0]
+                if base in _BAD_BITAGG_COLTYPES:
+                    bad = _BAD_BITAGG_COLTYPES[base]
+                    break
+        if bad:
+            return (
+                f"invalid argument aggregate function {fname}, "
+                f"bad value [{bad}]"
+            )
+    return None
+
+
+# ---------------------------------------------------------------------------
+# TIMESTAMP/DATETIME → FLOAT/DOUBLE cast is not a supported operator pair
+# ("invalid argument operator cast, bad value [TIMESTAMP FLOAT]")
+# ---------------------------------------------------------------------------
+
+_CAST_TS_FLOAT_RE = re.compile(
+    r"cast\s*\(\s*(timestamp|datetime)\s*\x01\d+\x01\s+as\s+"
+    r"(float|double)(?:\s+precision)?\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _r_ts_to_float(masked: str, spans, sess) -> "str | None":
+    m = _CAST_TS_FLOAT_RE.search(masked)
+    if m:
+        src = "TIMESTAMP" if m.group(1).lower() == "timestamp" else "DATETIME"
+        return f"invalid argument operator cast, bad value [{src} FLOAT]"
+    # column-typed source
+    for cm in re.finditer(
+        r"cast\s*\(\s*([a-zA-Z_][\w.]*)\s+as\s+(?:float|double)"
+        r"(?:\s+precision)?\s*\)",
+        masked, re.IGNORECASE,
+    ):
+        ty = _col_type(cm.group(1), masked, sess)
+        if ty is not None and ty.split("(")[0] == "timestamp":
+            return "invalid argument operator cast, bad value [TIMESTAMP FLOAT]"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# arithmetic with a non-numeric string literal: the implicit str→int cast
+# is strict ("select 10+'a'" → invalid argument cast to int, bad value a)
+# ---------------------------------------------------------------------------
+
+_ARITH_STR_RE = re.compile(
+    r"(\x01\d+\x01)\s*[+\-*%]|[+\-*%]\s*(\x01\d+\x01)"
+)
+
+
+def _r_arith_nonnum_str(masked: str, spans, sess) -> "str | None":
+    for m in _ARITH_STR_RE.finditer(masked):
+        tok = m.group(1) or m.group(2)
+        lit = _lit_value(tok, spans)
+        if lit is None or not lit.strip():
+            continue
+        if not _has_numeric_prefix(lit):
+            return f"invalid argument cast to int, bad value {lit.strip()}"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# HAVING without GROUP BY referencing a non-aggregated column: the
+# reference enforces ONLY_FULL_GROUP_BY-style scoping at plan time
+# ("column \"t.a\" must appear in the GROUP BY clause or be used in an
+# aggregate function"), where MySQL's extension allows it.
+# ---------------------------------------------------------------------------
+
+_AGG_FN_RE = re.compile(
+    r"\b(?:count|sum|avg|min|max|group_concat|bit_and|bit_or|bit_xor|"
+    r"stddev(?:_pop|_samp)?|std|var(?:iance|_pop|_samp)?|any_value|"
+    r"json_arrayagg|json_objectagg|median)\s*\(",
+    re.IGNORECASE,
+)
+_KW = {
+    "and", "or", "not", "null", "true", "false", "in", "is", "like",
+    "between", "exists", "select", "from", "where", "case", "when", "then",
+    "else", "end", "interval", "day", "month", "year", "any", "all", "some",
+    "union", "order", "by", "limit", "asc", "desc", "distinct",
+}
+
+
+def _r_having_nongrouped(masked: str, spans, sess) -> "str | None":
+    low = masked.lower()
+    for hm in re.finditer(r"\bhaving\b", low):
+        # scope: scan BACKWARD to the opening of the current (sub)query —
+        # the nearest 'select' at the same paren depth — checking for an
+        # intervening same-depth 'group by'
+        depth = 0
+        i = hm.start() - 1
+        has_group_by = False
+        found_select = False
+        while i >= 0:
+            ch = low[i]
+            if ch == ")":
+                depth += 1
+            elif ch == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            if depth == 0:
+                if low.startswith("group", i) and re.match(
+                    r"group\s+by\b", low[i:]
+                ):
+                    has_group_by = True
+                    break
+                if low.startswith("select", i) and re.match(
+                    r"select\b", low[i:]
+                ) and (i == 0 or not (low[i - 1].isalnum() or low[i - 1] == "_")):
+                    found_select = True
+                    break
+            i -= 1
+        if has_group_by or not found_select:
+            continue
+        # HAVING expression: up to the next same-depth clause keyword
+        j, depth2 = hm.end(), 0
+        while j < len(low):
+            ch = low[j]
+            if ch == "(":
+                depth2 += 1
+            elif ch == ")":
+                if depth2 == 0:
+                    break
+                depth2 -= 1
+            elif depth2 == 0 and re.match(
+                r"\b(union|order\s+by|limit|into)\b", low[j:]
+            ):
+                break
+            j += 1
+        expr = masked[hm.end():j]
+        bare = _AGG_FN_RE.sub("\x02(", expr)
+        # drop the aggregate-call bodies entirely
+        bare = re.sub(r"\x02\([^()]*\)", " ", bare)
+        for ident in re.findall(r"[a-zA-Z_][\w.]*", bare):
+            if ident.lower() in _KW or _PH_RE.fullmatch(ident):
+                continue
+            # an identifier followed by '(' is a function name, skip
+            pos = bare.find(ident)
+            tail = bare[pos + len(ident):].lstrip()
+            if tail.startswith("("):
+                continue
+            return (
+                f'SQL syntax error: column "{ident}" must appear in the '
+                "GROUP BY clause or be used in an aggregate function"
+            )
+    return None
+
+
+# ---------------------------------------------------------------------------
+# IS [NOT] TRUE/FALSE over a string column: the reference casts the cell to
+# bool strictly ("invalid input: 'JACK' is not a valid bool expression")
+# ---------------------------------------------------------------------------
+
+_IS_BOOL_RE = re.compile(
+    r"\b([a-zA-Z_][\w.]*)\s+is\s+(?:not\s+)?(?:true|false)\b", re.IGNORECASE
+)
+
+
+def _r_is_bool_on_string(masked: str, spans, sess) -> "str | None":
+    for m in _IS_BOOL_RE.finditer(masked):
+        ty = _col_type(m.group(1), masked, sess)
+        if ty is not None and ty.split("(")[0] in ("string", "binary"):
+            return "invalid input: value is not a valid bool expression"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# date-extraction functions over a literal the reference's ParseDateCast
+# rejects ("invalid argument parsedate, bad value 10000-12-21") — the
+# grammar port lives in bvt_runner._mysql_datestr (date.go / datetime.go)
+# ---------------------------------------------------------------------------
+
+_PARSEDATE_FNS = (
+    "year|month|day|dayofmonth|dayofyear|dayofweek|weekday|week|weekofyear|"
+    "quarter|monthname|dayname|to_days|last_day"
+)
+_PARSEDATE_RE = re.compile(rf"\b(?:{_PARSEDATE_FNS})\s*\(", re.IGNORECASE)
+
+
+def _r_parsedate_literal(masked: str, spans, sess) -> "str | None":
+    from matrixone_spark.bvt_runner import _mysql_datestr
+
+    for m in _PARSEDATE_RE.finditer(masked):
+        args = _call_args(masked, m.end() - 1)
+        if not args or len(args) != 1:
+            continue
+        a = args[0].strip()
+        lit = _lit_value(a, spans)
+        if lit is None:
+            if re.fullmatch(r"[+-]?\d+(?:\.\d+)?", a):
+                lit = a  # bare numeric literal goes through the same parse
+            else:
+                continue
+        if _mysql_datestr(lit) is None:
+            return f"invalid argument parsedate, bad value {lit.strip()}"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# geometry preconditions (reference func_unary.go: payload validation
+# :1088-1995, type gates ST_Area :1601, ST_Length :1618, linestring-only
+# accessors :3650, polygon-only accessors :2898, supported-type switches
+# ST_IsSimple :3031, ST_Envelope :3092, ST_Centroid :3138, ST_Boundary
+# :3165, ST_PointOnSurface :3216, ST_IsValid :3456, index ranges :2887 and
+# :3639, GC nesting depth :1989, max_points_in_geometry :1787, binary-op
+# SRID agreement)
+# ---------------------------------------------------------------------------
+
+_NUM_RE = re.compile(r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?$")
+
+
+class _BadWKT(Exception):
+    pass
+
+
+def _split_items(content: str) -> "list[str]":
+    items, d, s = [], 0, 0
+    for i, ch in enumerate(content):
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+            if d < 0:
+                raise _BadWKT()
+        elif ch == "," and d == 0:
+            items.append(content[s:i])
+            s = i + 1
+    if d != 0:
+        raise _BadWKT()
+    items.append(content[s:])
+    if any(not it.strip() for it in items):
+        raise _BadWKT()  # trailing/empty item: 'GEOMETRYCOLLECTION(POINT(1 1),)'
+    return [it.strip() for it in items]
+
+
+def _coord_pair(text: str) -> None:
+    parts = text.split()
+    if len(parts) != 2:
+        raise _BadWKT()
+    for p in parts:
+        if not _NUM_RE.match(p):
+            raise _BadWKT()  # NaN / Inf / malformed number
+
+
+def _wkt_info(wkt: str, depth: int = 0) -> "tuple[str, int]":
+    """(type_name, total_point_count); raises _BadWKT on invalid payload,
+    ValueError('depth') when GEOMETRYCOLLECTION nesting exceeds 64."""
+    t = wkt.strip()
+    m = re.match(r"([A-Za-z]+)\s*\(", t)
+    if not m:
+        raise _BadWKT()
+    typ = m.group(1).upper()
+    if not t.endswith(")"):
+        raise _BadWKT()
+    content = t[m.end(): -1].strip()
+    # balanced-paren check over the whole body
+    if typ == "GEOMETRYCOLLECTION":
+        if depth + 1 > 64:
+            raise ValueError("depth")
+        if not content:
+            return typ, 0
+        total = 0
+        for item in _split_items(content):
+            _ity, n = _wkt_info(item, depth + 1)
+            total += n
+        return typ, total
+    if typ == "POINT":
+        _coord_pair(content)
+        return typ, 1
+    if typ == "LINESTRING":
+        pts = _split_items(content)
+        for p in pts:
+            _coord_pair(p)
+        return typ, len(pts)
+    if typ == "POLYGON" or typ == "MULTILINESTRING":
+        total = 0
+        for ring in _split_items(content):
+            ring = ring.strip()
+            if not (ring.startswith("(") and ring.endswith(")")):
+                raise _BadWKT()
+            pts = _split_items(ring[1:-1])
+            for p in pts:
+                _coord_pair(p)
+            total += len(pts)
+        return typ, total
+    if typ == "MULTIPOINT":
+        total = 0
+        for item in _split_items(content):
+            item = item.strip()
+            if item.startswith("(") and item.endswith(")"):
+                item = item[1:-1]
+            _coord_pair(item)
+            total += 1
+        return typ, total
+    if typ == "MULTIPOLYGON":
+        total = 0
+        for poly in _split_items(content):
+            poly = poly.strip()
+            if not (poly.startswith("(") and poly.endswith(")")):
+                raise _BadWKT()
+            for ring in _split_items(poly[1:-1]):
+                ring = ring.strip()
+                if not (ring.startswith("(") and ring.endswith(")")):
+                    raise _BadWKT()
+                pts = _split_items(ring[1:-1])
+                for p in pts:
+                    _coord_pair(p)
+                total += len(pts)
+        return typ, total
+    raise _BadWKT()
+
+
+def _const_fold(expr: str, spans) -> "str | None":
+    """Evaluate literal-only concat()/repeat() so WKT built as
+    concat(repeat('GEOMETRYCOLLECTION(',65), …) is visible to the gate."""
+    e = expr.strip()
+    lit = _lit_value(e, spans)
+    if lit is not None:
+        return lit
+    m = re.match(r"(concat|repeat)\s*\(", e, re.IGNORECASE)
+    if not m or not e.endswith(")"):
+        return None
+    args = _split_top_level(e[m.end(): -1])
+    vals = [_const_fold(a, spans) for a in args]
+    if m.group(1).lower() == "concat":
+        if any(v is None for v in vals):
+            return None
+        return "".join(vals)
+    if len(vals) == 2 and vals[0] is not None:
+        try:
+            n = int(args[1].strip())
+        except ValueError:
+            return None
+        return vals[0] * min(n, 10000)
+    return None
+
+
+# unary st_ functions: required base types (None → no type gate, payload
+# validity only); message templates from the observed reference errors
+_GEO_TYPE_GATES = {
+    "st_area": ({"POLYGON", "MULTIPOLYGON"},
+                "invalid input: geometry is not a POLYGON or MULTIPOLYGON"),
+    "st_length": ({"LINESTRING", "MULTILINESTRING"},
+                  "invalid input: geometry is not a LINESTRING or MULTILINESTRING"),
+    "st_startpoint": ({"LINESTRING"}, "invalid input: geometry is not a LINESTRING"),
+    "st_endpoint": ({"LINESTRING"}, "invalid input: geometry is not a LINESTRING"),
+    "st_numpoints": ({"LINESTRING"}, "invalid input: geometry is not a LINESTRING"),
+    "st_isclosed": ({"LINESTRING"}, "invalid input: geometry is not a LINESTRING"),
+    "st_isring": ({"LINESTRING"}, "invalid input: geometry is not a LINESTRING"),
+    "st_pointn": ({"LINESTRING"}, "invalid input: geometry is not a LINESTRING"),
+    "st_exteriorring": ({"POLYGON"}, "invalid input: geometry is not a POLYGON"),
+    "st_numinteriorrings": ({"POLYGON"}, "invalid input: geometry is not a POLYGON"),
+    "st_interiorringn": ({"POLYGON"}, "invalid input: geometry is not a POLYGON"),
+    "st_issimple": ({"POINT", "LINESTRING"},
+                    "invalid input: geometry type is not supported by ST_IsSimple"),
+    "st_isvalid": ({"POINT", "LINESTRING", "POLYGON"},
+                   "invalid input: geometry type is not supported by ST_IsValid"),
+    "st_envelope": ({"POINT", "LINESTRING", "POLYGON"},
+                    "invalid input: geometry type is not supported by ST_Envelope"),
+    "st_centroid": ({"POINT", "LINESTRING", "POLYGON"},
+                    "invalid input: geometry type is not supported by ST_Centroid"),
+    "st_boundary": ({"LINESTRING", "POLYGON"},
+                    "invalid input: geometry type is not supported by ST_Boundary"),
+    "st_pointonsurface": ({"POINT", "LINESTRING", "POLYGON"},
+                          "invalid input: geometry type is not supported by ST_PointOnSurface"),
+}
+
+_GEO_BINARY_FNS = (
+    "st_distance|st_contains|st_within|st_intersects|st_disjoint|st_touches|"
+    "st_crosses|st_overlaps|st_equals|st_covers|st_coveredby"
+)
+_GEO_BIN_RE = re.compile(rf"\b({_GEO_BINARY_FNS})\s*\(", re.IGNORECASE)
+_DIST_OK = {"POINT", "LINESTRING", "POLYGON", "MULTIPOINT",
+            "MULTILINESTRING", "MULTIPOLYGON"}
+
+
+def _geom_literal(arg: str, spans) -> "tuple[str | None, int | None]":
+    """st_geomfromtext('<wkt>'[, srid]) or cast('<wkt>' as geometry) with a
+    literal payload → (wkt_text, srid|None); (None, None) otherwise."""
+    a = arg.strip()
+    m = re.match(r"st_geomfromtext\s*\(", a, re.IGNORECASE)
+    if m and a.endswith(")"):
+        parts = _split_top_level(a[m.end(): -1])
+        if not parts:
+            return None, None
+        wkt = _const_fold(parts[0], spans)
+        srid = None
+        if len(parts) >= 2:
+            try:
+                srid = int(parts[1].strip())
+            except ValueError:
+                srid = None
+        return wkt, srid
+    m = re.match(r"cast\s*\(\s*(\x01\d+\x01)\s+as\s+geometry\s*\)", a,
+                 re.IGNORECASE)
+    if m:
+        return _lit_value(m.group(1), spans), None
+    return None, None
+
+
+def _r_geometry(masked: str, spans, sess) -> "str | None":
+    # payload validity + per-function type gates + index ranges,
+    # on every st_* call with a literal WKT argument
+    for m in re.finditer(r"\b(st_[a-z_0-9]+)\s*\(", masked, re.IGNORECASE):
+        fname = m.group(1).lower()
+        args = _call_args(masked, m.end() - 1)
+        if args is None:
+            continue
+        # SRID agreement for binary predicates
+        if re.fullmatch(_GEO_BINARY_FNS, fname) and len(args) >= 2:
+            (w1, s1), (w2, s2) = (_geom_literal(args[0], spans),
+                                  _geom_literal(args[1], spans))
+            if s1 is not None and s2 is not None and s1 != s2:
+                return (
+                    f"invalid input: Binary geometry function "
+                    f"{fname.upper()} given two geometries of different "
+                    f"srids: {s1} and {s2}, which should have been identical."
+                )
+            if fname == "st_distance":
+                for w in (w1, w2):
+                    if w is None:
+                        continue
+                    try:
+                        typ, _n = _wkt_info(w)
+                    except (ValueError, _BadWKT):
+                        return "invalid input: invalid geometry payload"
+                    if typ not in _DIST_OK:
+                        return (
+                            "invalid input: ST_DISTANCE only supports POINT, "
+                            "LINESTRING, POLYGON, MULTIPOINT, MULTILINESTRING, "
+                            "or MULTIPOLYGON inputs"
+                        )
+        geo_args = []
+        for a in args:
+            w, _s = _geom_literal(a, spans)
+            if w is not None:
+                geo_args.append(w)
+        if fname == "st_geomfromtext" and args:
+            w = _const_fold(args[0], spans)
+            if w is not None:
+                geo_args.append(w)
+        for w in geo_args:
+            try:
+                typ, npts = _wkt_info(w)
+            except ValueError:
+                return "invalid input: geometry collection nesting depth exceeds 64"
+            except _BadWKT:
+                return "invalid input: invalid geometry payload"
+            maxp = getattr(sess, "sysvars", {}).get("max_points_in_geometry")
+            if maxp is not None:
+                try:
+                    lim = int(maxp)
+                except ValueError:
+                    lim = None
+                if lim is not None and npts > lim:
+                    return (
+                        f"invalid input: geometry has {npts} points, which "
+                        f"exceeds max_points_in_geometry={lim}"
+                    )
+            gate = _GEO_TYPE_GATES.get(fname)
+            if gate is not None and typ not in gate[0]:
+                return gate[1]
+            # index-range accessors over literal geometries
+            if fname == "st_pointn" and typ == "LINESTRING" and len(args) >= 2:
+                im = re.fullmatch(r"\s*[+-]?\d+\s*", args[1])
+                if im:
+                    n = int(args[1])
+                    try:
+                        _t, total = _wkt_info(w)
+                    except (_BadWKT, ValueError):
+                        continue
+                    if n < 1 or n > total:
+                        return "invalid input: point index out of range"
+            if (fname == "st_interiorringn" and typ == "POLYGON"
+                    and len(args) >= 2):
+                im = re.fullmatch(r"\s*[+-]?\d+\s*", args[1])
+                if im:
+                    n = int(args[1])
+                    rings = w.count("(") - 1 - 1  # rings minus exterior
+                    if n < 1 or n > rings:
+                        return "invalid input: ring index out of range"
+    return None
+
+
+_RULES = (
+    _r_cast_str_int,
+    _r_cast_str_decimal,
+    _r_double_to_int_range,
+    _r_hex_to_signed_range,
+    _r_int64_params,
+    _r_bitwise_agg,
+    _r_ts_to_float,
+    _r_arith_nonnum_str,
+    _r_having_nongrouped,
+    _r_is_bool_on_string,
+    _r_parsedate_literal,
+    _r_geometry,
+)
+
+
+def strict_reject(stmt: str, sess) -> "str | None":
+    """Reason string when the reference would reject this SELECT under its
+    strict evaluation semantics; None when no rule fires.  Purely static —
+    never consults a .result file."""
+    masked, spans = mask_literals(stmt)
+    for rule in _RULES:
+        try:
+            r = rule(masked, spans, sess)
+        except Exception:  # noqa: BLE001 — a gate bug must never kill replay
+            r = None
+        if r is not None:
+            return r
+    return None
