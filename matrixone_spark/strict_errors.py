@@ -91,7 +91,9 @@ def _cast_token_error(s: str) -> bool:
             int(digits, base)
         except ValueError:
             return True
-    return False
+        return False
+    # base-10 path: strconv.ParseUint rejects any non-digit ('1.1', '1e0')
+    return not body.isdigit()
 
 
 def _explicit_int_cast_error(s: str) -> bool:
@@ -1151,6 +1153,56 @@ def _r_strcol_numeric_cmp(masked: str, spans, sess) -> "str | None":
     return None
 
 
+def _r_intcol_str_cmp(masked: str, spans, sess) -> "str | None":
+    # integer column compared to a STRING literal: the reference parses
+    # the literal with the STRICT full-string int grammar — '1.1' is a
+    # rejection, not a truncation (dtype/tinyint.test "id = '1.1'",
+    # IN ('1.1','2.2'), BETWEEN '1.1' AND '1.9')
+    def _int_col(ident: str) -> bool:
+        ty = _col_type(ident, masked, sess)
+        return ty is not None and ty.split("(")[0] in ("int", "bigint")
+
+    def _bad(tok: str) -> "str | None":
+        lit = _lit_value(tok, spans)
+        if lit is not None and _cast_token_error(lit):
+            return lit.strip()
+        return None
+
+    for m in re.finditer(
+        r"([a-zA-Z_][\w.]*)\s*(?:<=>|=|!=|<>|<=|>=|<|>)\s*(\x01\d+\x01)"
+        r"|(\x01\d+\x01)\s*(?:<=>|=|!=|<>|<=|>=|<|>)\s*([a-zA-Z_][\w.]*)",
+        masked,
+    ):
+        ident, tok = (m.group(1), m.group(2)) if m.group(1) else (
+            m.group(4), m.group(3))
+        if _int_col(ident):
+            b = _bad(tok)
+            if b is not None:
+                return f"invalid argument cast to int, bad value {b}"
+    for m in re.finditer(
+        r"([a-zA-Z_][\w.]*)\s+(?:not\s+)?in\s*\(([^()]*)\)", masked,
+        re.IGNORECASE,
+    ):
+        if not _int_col(m.group(1)):
+            continue
+        for item in _split_top_level(m.group(2)):
+            b = _bad(item.strip())
+            if b is not None:
+                return f"invalid argument cast to int, bad value {b}"
+    for m in re.finditer(
+        r"([a-zA-Z_][\w.]*)\s+(?:not\s+)?between\s+(\x01\d+\x01)\s+and\s+"
+        r"(\x01\d+\x01)",
+        masked, re.IGNORECASE,
+    ):
+        if not _int_col(m.group(1)):
+            continue
+        for tok in (m.group(2), m.group(3)):
+            b = _bad(tok)
+            if b is not None:
+                return f"invalid argument cast to int, bad value {b}"
+    return None
+
+
 _INT_RANGES = {
     "tinyint": (-(1 << 7), (1 << 7) - 1, "int8"),
     "smallint": (-(1 << 15), (1 << 15) - 1, "int16"),
@@ -1297,6 +1349,7 @@ _RULES = (
     _r_space_oct,
     _r_multi_orderby_limit,
     _r_strcol_numeric_cmp,
+    _r_intcol_str_cmp,
     _r_cast_col_int_range,
     _r_generate_series_null,
     _r_int_arith_overflow,

@@ -21,22 +21,16 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# headline bench set + the scale-suspect families (dedup, fulltext, geo,
-# knn, text, timewin) — the queries whose 100 TB story the judge grades
-SAMPLE = [
-    # all 22 TPC-H shapes (r8 VERDICT ask #5: the full suite at sf1)
-    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    # scale-suspect families (dedup, fulltext, geo, knn, text, timewin)
-    "agg_basic", "timewin_tumbling",
-    "text_token_stats", "pipeline_clean_corpus",
-    "dedup_exact_keep", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "fulltext_natural_bm25", "fulltext_natural_tfidf", "fulltext_boolean",
-    "geo_s2_join_bench", "knn_exact_topk", "vec_distances",
-    "window_ranks",
-]
+# r10 (VERDICT r9 ask #7): the WHOLE registry, minus the bvt_* replay
+# batteries (baked fixture SQL — the scale factor is meaningless there).
+# Everything else runs against the sf1 fixtures, hash-gated vs its own
+# DuckDB oracle exactly like the round driver.
+
+
+def _sample() -> "list[str]":
+    from matrixone_spark.queries import load_all
+
+    return [n for n in load_all() if not n.startswith("bvt_")]
 
 
 def _close_frames(a, b, rel: float = 1e-9) -> bool:
@@ -79,8 +73,11 @@ def main() -> None:
     spark = get_spark("sf1-correctness")
     spark.sparkContext.setLogLevel("ERROR")
     qs, osql = mod.queries(), mod.oracle_sql()
+    names = _sample()
+    if len(sys.argv) > 2:  # optional explicit names after sf_dir
+        names = sys.argv[2:]
     out: "dict[str, dict]" = {}
-    for name in SAMPLE:
+    for name in names:
         if name not in qs:
             out[name] = {"status": "missing"}
             continue
