@@ -363,6 +363,7 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
     fks: "list[tuple[tuple, str, tuple, str]]" = []
     strw: "dict[str, int]" = {}  # char/varchar col → declared width (chars)
     gencols: "dict[str, str]" = {}  # generated col → defining expression
+    onupd: "set[str]" = set()  # ON UPDATE CURRENT_TIMESTAMP columns
     pkeys: "list[tuple[str, ...]]" = []   # primary key first, then uniques
     ukeys: "list[tuple[str, ...]]" = []
     for part in parts:
@@ -428,6 +429,9 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
         col, rest = cm.group(1), cm.group(2)
         if re.search(r"\bauto_increment\b", rest, re.IGNORECASE):
             autoinc.add(col)
+        if re.search(r"\bon\s+update\s+current_timestamp\b", rest,
+                     re.IGNORECASE):
+            onupd.add(col.lower())
         if re.search(r"\bprimary\s+key\b", rest, re.IGNORECASE):
             pkeys.append(((col.lower(), None),))
         elif re.search(r"\bunique\b", rest, re.IGNORECASE):
@@ -552,6 +556,7 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
         "varbins": varbins, "geos": geos,
         "keys": [tuple(c for c, _p in k) for k in keys_pfx],
         "keys_pfx": keys_pfx, "fks": fks, "strw": strw, "gencols": gencols,
+        "n_pk": len(pkeys), "onupd": onupd,
     }
 
 
@@ -1044,6 +1049,17 @@ class BvtSession:
                     expr = expr.cast(t)
                 else:
                     expr = (F.expr(dflt) if dflt is not None else F.lit(None)).cast(t)
+                if dflt is not None and c in tsprec and t == "timestamp":
+                    # DEFAULT CURRENT_TIMESTAMP stores at the column's
+                    # declared precision like provided values do —
+                    # TIMESTAMP(0) pins whole seconds, so a later
+                    # `updated_at = @captured` compare holds
+                    # (on_duplicate_key_modern ts_unchanged rows)
+                    sc0 = 10 ** (6 - tsprec[c])
+                    expr = F.expr(
+                        f"timestamp_micros(CAST(FLOOR(unix_micros(CAST({dflt} "
+                        f"AS TIMESTAMP)) / {sc0} + 0.5) * {sc0} AS BIGINT))"
+                    ).cast(t)
             if c in autoinc:
                 # AUTO_INCREMENT: omitted/NULL slots continue from the
                 # current max. Count only the NULL-id rows (a mixed batch
@@ -1211,7 +1227,7 @@ class BvtSession:
                 return "ddl", None
             svm = re.match(
                 r"\s*set\s+(?:global\s+|session\s+)?"
-                r"(max_points_in_geometry)\s*=\s*(\S+)\s*$",
+                r"(max_points_in_geometry|foreign_key_checks)\s*=\s*(\S+)\s*$",
                 masked, re.IGNORECASE,
             )
             if svm:
@@ -2046,24 +2062,151 @@ class BvtSession:
                 sel.append(expr.alias(col))
             return joined.select(*sel)
 
-        updated = cur
-        remaining = new
-        for key in keys:
-            remaining = remaining.dropDuplicates(list(key))
-            n = remaining.withColumn("__odku_hit", F.lit(1)).alias("__n")
-            joined = updated.alias("__c").join(
-                n,
-                on=[F.col(f"__c.{k}") == F.col(f"__n.{k}") for k in key],
-                how="left",
-            )
-            updated = _sel_updated(joined, F.col("__n.__odku_hit").isNotNull())
-            # new rows consumed by this key's update don't append and don't
-            # participate in later keys (conflicts resolve against the
-            # pre-statement table state, like MySQL's per-row index order)
-            remaining = remaining.join(
-                cur.select(*key).distinct(), list(key), "left_anti"
-            )
-        return updated, remaining
+        # the reference REJECTS assignments to key columns (.result:
+        # "unsupported DML: update primary key on duplicate" / "update
+        # unique key on duplicate")
+        n_pk = self.colmeta.get(name, {}).get("n_pk", 0)
+        key_cols0 = set(keys[0]) if keys else set()
+        for c in assigns:
+            if any(c in k for k in keys):
+                kind = "primary" if n_pk and c in key_cols0 else "unique"
+                raise RuntimeError(
+                    f"unsupported DML: update {kind} key on duplicate"
+                )
+
+        cur_rows = cur.collect()
+        new_rows = new.collect()
+        if len(cur_rows) > 5000 or len(new_rows) > 500:
+            # big-table fallback: the original set-based two-sided join
+            # (conflicts against pre-statement state only)
+            updated = cur
+            remaining = new
+            for key in keys:
+                remaining = remaining.dropDuplicates(list(key))
+                n = remaining.withColumn("__odku_hit", F.lit(1)).alias("__n")
+                joined = updated.alias("__c").join(
+                    n,
+                    on=[F.col(f"__c.{k}") == F.col(f"__n.{k}") for k in key],
+                    how="left",
+                )
+                updated = _sel_updated(
+                    joined, F.col("__n.__odku_hit").isNotNull()
+                )
+                remaining = remaining.join(
+                    cur.select(*key).distinct(), list(key), "left_anti"
+                )
+            return updated, remaining
+
+        # SEQUENTIAL semantics (MySQL / reference): each incoming row sees
+        # the state left by the previous one — a row freshly appended by
+        # this very batch is a conflict target for the next row, and two
+        # incoming duplicates of one key apply the assignment TWICE
+        # (on_duplicate_key.result: (1,2),(1,22) over (1,1) with b=b+10
+        # ends at b=21; (2,2,2) then (2,2,3) ends at c=12).
+        schema = self.schemas[name]
+        state: "list[dict]" = [r.asDict() for r in cur_rows]
+
+        def keyval(row: dict, key) -> "tuple | None":
+            vals = tuple(row.get(k) for k in key)
+            return None if any(v is None for v in vals) else vals
+
+        strw_all = self.colmeta.get(name, {}).get("strw", {})
+        for r in new_rows:
+            rd = r.asDict()
+            hit = None
+            for key in keys:
+                kv = keyval(rd, key)
+                if kv is None:
+                    continue
+                for srow in state:
+                    if keyval(srow, key) == kv:
+                        hit = srow
+                        break
+                if hit is not None:
+                    break
+            if hit is None:
+                state.append(rd)
+                continue
+            exprs = []
+            for col, t in schema:
+                a = assigns.get(col.lower())
+                if a is None:
+                    continue
+                sqltxt = translate(a)
+                sqltxt = re.sub(
+                    r"(?i)\bvalues\s*\(\s*[`]?(\w+)[`]?\s*\)",
+                    lambda m: self._sql_literal(rd.get(m.group(1))),
+                    sqltxt,
+                )
+                for sc in sorted(schema_cols, key=len, reverse=True):
+                    sqltxt = re.sub(
+                        rf"(?<![\w.\x60]){re.escape(sc)}\b",
+                        lambda m, _sc=sc: self._sql_literal(hit.get(_sc)),
+                        sqltxt,
+                        flags=re.IGNORECASE,
+                    )
+                sw = strw_all.get(col.lower())
+                if sw is not None:
+                    sv = f"CAST(({sqltxt}) AS STRING)"
+                    if "STRICT" in self.sql_mode:
+                        sqltxt = (
+                            f"(CASE WHEN ({sqltxt}) IS NULL THEN NULL "
+                            f"WHEN length(rtrim({sv})) <= {sw} "
+                            f"THEN substring({sv}, 1, {sw}) "
+                            f"ELSE raise_error('Data too long for column "
+                            f"{col}') END)"
+                        )
+                    else:
+                        sqltxt = f"substring({sv}, 1, {sw})"
+                tp = self.colmeta.get(name, {}).get("tsprec", {}).get(
+                    col.lower()
+                )
+                if tp is not None and t == "timestamp":
+                    sc0 = 10 ** (6 - tp)
+                    sqltxt = (
+                        f"timestamp_micros(CAST(FLOOR(unix_micros(CAST("
+                        f"({sqltxt}) AS TIMESTAMP)) / {sc0} + 0.5) * {sc0} "
+                        f"AS BIGINT))"
+                    )
+                if t.startswith("array<"):
+                    exprs.append(
+                        f"from_json(CAST(({sqltxt}) AS STRING), '{t}') "
+                        f"AS {col}"
+                    )
+                else:
+                    exprs.append(f"CAST(({sqltxt}) AS {t}) AS {col}")
+            if exprs:
+                # one shared statement clock: ON UPDATE columns take the
+                # SAME instant as any current_timestamp() in the
+                # assignments (create_at = update_at after ODKU both set)
+                exprs.append(
+                    "timestamp_micros(CAST(FLOOR(unix_micros("
+                    "current_timestamp()) / 1000000 + 0.5) * 1000000 "
+                    "AS BIGINT)) AS __mo_now"
+                )
+                row2 = (
+                    self.spark.sql("SELECT " + ", ".join(exprs))
+                    .collect()[0]
+                    .asDict()
+                )
+                now_val = row2.pop("__mo_now", None)
+                # MySQL no-ops an ODKU row whose assignments produce the
+                # EXACT current values: the row is not written, so ON
+                # UPDATE CURRENT_TIMESTAMP does not fire
+                # (on_duplicate_key_modern ts_unchanged rows)
+                if any(hit.get(k) != v for k, v in row2.items()):
+                    hit.update(row2)
+                    for oc in self.colmeta.get(name, {}).get("onupd", ()):
+                        if oc not in assigns and now_val is not None:
+                            hit[oc] = now_val
+        data = [tuple(srow.get(c) for c, _t in schema) for srow in state]
+        final = (
+            self.spark.createDataFrame(data, cur.schema)
+            if data else cur.limit(0)
+        )
+        if self.colmeta.get(name, {}).get("gencols"):
+            final = self._apply_gencols(name, final)
+        return final, new.limit(0)
 
     @staticmethod
     def _render_literal(v) -> str:
@@ -2231,6 +2374,8 @@ class BvtSession:
         no parent row ERROR (MySQL 1452) — or are SKIPPED under INSERT
         IGNORE (insert_ignore.sql t_ign_fk_child). A self-referencing FK
         sees the incoming batch as parents too."""
+        if self.sysvars.get("foreign_key_checks", "1").lower() in ("0", "off", "false"):
+            return new  # SET foreign_key_checks=0 disables validation
         cols = [c for c, _t in self.schemas[name]]
         # under INSERT IGNORE the FK filter rebuilds the batch (satisfied ∪
         # NULL-FK); tag rows with their batch position first and re-sort
@@ -2288,6 +2433,8 @@ class BvtSession:
         """Raise (MySQL errno 1451) when deleting ``victims`` from
         ``parent`` would orphan a RESTRICT/NO ACTION child row. Runs before
         any state mutation so the failed DML leaves every table intact."""
+        if self.sysvars.get("foreign_key_checks", "1").lower() in ("0", "off", "false"):
+            return
         for child, (ccols, _pt, pcols, action) in self._fk_children(parent):
             if action not in ("restrict", "no action"):
                 continue
@@ -2986,6 +3133,11 @@ class BvtSession:
             return "X'" + bytes(v).hex() + "'"
         if isinstance(v, (_dt.date, _dt.datetime)):
             return "'" + str(v) + "'"
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            items = v.tolist() if hasattr(v, "tolist") else list(v)
+            return "array(" + ", ".join(
+                BvtSession._sql_literal(x) for x in items
+            ) + ")"
         return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
 
     def _subst_uservars(self, stmt: str) -> str:
