@@ -657,6 +657,8 @@ class BvtSession:
                 pass  # unmaterializable state surfaces on first SELECT
         self.tables[name] = df
         df.createOrReplaceTempView(name)
+        # strict-gate probe cache invalidation (strict_errors._probe)
+        self._state_ver = getattr(self, "_state_ver", 0) + 1
 
     def _empty(self, name: str) -> DataFrame:
         schema = ", ".join(f"{c} {t}" for c, t in self.schemas[name])
@@ -675,11 +677,22 @@ class BvtSession:
         # re-alias to safe positional names first
         df = df.toDF(*[f"__src_{i}" for i in range(len(df.columns))])
         if cols is None:
-            if len(df.columns) != len(schema):
+            gcs = set(meta0.get("gencols", ()) if (
+                meta0 := self.colmeta.get(name, {})
+            ) else ())
+            if gcs and len(df.columns) == len(schema) - len(gcs):
+                # MySQL: VALUES without a column list supplies only the
+                # NON-generated columns (insert_string_width_sqlmode g)
+                pairs = list(zip(
+                    df.columns,
+                    [c for c, _ in schema if c.lower() not in gcs],
+                ))
+            elif len(df.columns) != len(schema):
                 raise SkipStatement(
                     f"INSERT arity {len(df.columns)} != table arity {len(schema)}"
                 )
-            pairs = list(zip(df.columns, [c for c, _ in schema]))
+            else:
+                pairs = list(zip(df.columns, [c for c, _ in schema]))
         else:
             if len(df.columns) != len(cols):
                 raise SkipStatement("INSERT column list arity mismatch")
@@ -1861,7 +1874,7 @@ class BvtSession:
         # (dml/replace/replace.test t_null_uk)
         _cols = [c for c, _ in self.schemas[name]]
         if self.colmeta.get(name, {}).get("gencols"):
-            new = self._apply_gencols(name, new.select(*_cols))
+            new = self._apply_gencols(name, new.select(*_cols), ignore=ignore)
         if getattr(self, "_want_affected", False):
             self.last_affected = new.select(*_cols)
         self._rowcount_pending = new.select(*_cols)
@@ -2508,17 +2521,36 @@ class BvtSession:
                 stmts.append(f"DELETE FROM {child}; {lit}")
         return stmts
 
-    def _apply_gencols(self, name: str, df: DataFrame) -> DataFrame:
+    def _apply_gencols(self, name: str, df: DataFrame,
+                       ignore: bool = False) -> DataFrame:
         """Recompute generated columns (`g int as (v + 1)`) over ``df`` —
         MySQL evaluates the defining expression on every store, so INSERT
-        fills and UPDATE assignments can never set them directly."""
+        fills and UPDATE assignments can never set them directly. A
+        CHAR/VARCHAR generated column enforces its declared width like any
+        store: strict sql_mode rejects over-length values (1406), IGNORE /
+        non-strict truncate (insert_string_width_sqlmode table g)."""
         gc = self.colmeta.get(name, {}).get("gencols")
         if not gc:
             return df
+        strw = self.colmeta.get(name, {}).get("strw", {})
         sel = []
         for c, t in self.schemas[name]:
             if c.lower() in gc:
-                sel.append(f"CAST(({translate(gc[c.lower()])}) AS {t}) AS {c}")
+                ex = f"({translate(gc[c.lower()])})"
+                sw = strw.get(c.lower())
+                if sw is not None:
+                    sv = f"CAST({ex} AS STRING)"
+                    if "STRICT" in self.sql_mode and not ignore:
+                        ex = (
+                            f"(CASE WHEN {ex} IS NULL THEN NULL "
+                            f"WHEN length(rtrim({sv})) <= {sw} "
+                            f"THEN substring({sv}, 1, {sw}) "
+                            f"ELSE raise_error('Data too long for column "
+                            f"{c}') END)"
+                        )
+                    else:
+                        ex = f"substring({sv}, 1, {sw})"
+                sel.append(f"CAST(({ex}) AS {t}) AS {c}")
             else:
                 sel.append(c)
         df.createOrReplaceTempView("__mo_genc")

@@ -1097,11 +1097,23 @@ def _r_multi_orderby_limit(masked: str, spans, sess) -> "str | None":
 # ---------------------------------------------------------------------------
 
 def _probe(sess, sql: str) -> bool:
-    """True when ``sql`` (a LIMIT-1 existence probe) returns a row."""
+    """True when ``sql`` (a LIMIT-1 existence probe) returns a row.
+    Memoized per table-state version (bvt_runner bumps _state_ver on every
+    _register) so repeated reads between DMLs cost one Spark job, not one
+    per statement."""
+    ver = getattr(sess, "_state_ver", None)
+    cache = getattr(sess, "_probe_cache", None)
+    if cache is None or cache.get("__ver") != ver:
+        cache = {"__ver": ver}
+        sess._probe_cache = cache
+    if sql in cache:
+        return cache[sql]
     try:
-        return len(sess.spark.sql(sql).limit(1).collect()) > 0
+        r = len(sess.spark.sql(sql).limit(1).collect()) > 0
     except Exception:  # noqa: BLE001
-        return False
+        r = False
+    cache[sql] = r
+    return r
 
 
 def _r_strcol_numeric_cmp(masked: str, spans, sess) -> "str | None":
