@@ -1432,24 +1432,62 @@ class BvtSession:
             if dm is not None:
                 return self._multi_delete(dm, spans)
             m = re.match(
-                r"\s*delete\s+from\s+([`\w.\x01]+)\s*(?:where\s+(.*))?$",
+                r"\s*delete\s+from\s+([`\w.\x01]+)\s*"
+                r"(?:where\s+(?P<w>.*?))?\s*"
+                r"(?:order\s+by\s+(?P<ob>.*?))?\s*"
+                r"(?:limit\s+(?P<lim>\d+))?\s*$",
                 masked, re.IGNORECASE | re.DOTALL,
             )
             name = _name_token(m.group(1), spans) if m else None
             if name not in self.tables:
                 raise SkipStatement("unsupported DELETE shape")
-            if m.group(2):
-                cond = translate(unmask_literals(m.group(2), spans))
-                df = self.tables[name].filter(f"NOT coalesce(({cond}), false)")
-                self._rowcount_pending = self.tables[name].filter(
-                    f"coalesce(({cond}), false)"
-                )
-            else:
-                # DELETE with no WHERE removes every row
-                df = self._empty(name)
-                self._rowcount_pending = self.tables[name]
-            self._register(name, df)
+            cond = (
+                translate(unmask_literals(m.group("w"), spans))
+                if m.group("w") else None
+            )
+            base = self.tables[name].withColumn(
+                "__del_rid", F.monotonically_increasing_id()
+            )
+            vict = base
+            if cond is not None:
+                vict = base.filter(f"coalesce(({cond}), false)")
+            if m.group("ob"):
+                ob = translate(unmask_literals(m.group("ob"), spans))
+                vict = vict.orderBy(*[
+                    F.expr(part.strip())
+                    for part in _split_top_level(ob) if part.strip()
+                ])
+            if m.group("lim"):
+                # DELETE … LIMIT n: MySQL picks rows in scan order — the
+                # materialized LocalRelation preserves insertion order, so
+                # limit(n) deletes the oldest rows like the reference
+                # (delete.test `delete from t5 limit 1` removes id=1)
+                vict = vict.limit(int(m.group("lim")))
+            victims = vict.drop("__del_rid")
+            fk_extra: "list[str]" = []
+            if self._fk_children(name):
+                # FK maintenance on plain DELETE: RESTRICT raises before
+                # any mutation; CASCADE/SET NULL run through the same
+                # machinery as the REPLACE delete phase (delete.test t5/t6)
+                self._fk_restrict_check(name, victims)
+                fk_extra = self._fk_on_delete(name, victims)
+            remaining = base.join(
+                vict.select("__del_rid"), "__del_rid", "left_anti"
+            ).drop("__del_rid")
+            self._rowcount_pending = victims
+            self._register(name, remaining)
             self.last_table = name
+            if fk_extra or m.group("lim") or m.group("ob"):
+                # DuckDB's mirrored DDL carries no FKs, and a LIMIT pick
+                # is engine-order-dependent — rebuild to the exact state
+                lit = self._literal_insert_sql(name, remaining)
+                parent_sql = (
+                    f"DELETE FROM {name}; {lit}" if lit is not None
+                    else unmask_literals(masked, spans)
+                )
+                self.last_duck_override = "; ".join(
+                    [*fk_extra, parent_sql]
+                )
             return "dml", None
         if head == "load":
             bm = re.match(
