@@ -364,6 +364,7 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
     strw: "dict[str, int]" = {}  # char/varchar col → declared width (chars)
     gencols: "dict[str, str]" = {}  # generated col → defining expression
     onupd: "set[str]" = set()  # ON UPDATE CURRENT_TIMESTAMP columns
+    textcaps: "dict[str, int]" = {}  # tinytext/text byte caps
     pkeys: "list[tuple[str, ...]]" = []   # primary key first, then uniques
     ukeys: "list[tuple[str, ...]]" = []
     for part in parts:
@@ -501,6 +502,12 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
             # VARBINARY stores the TEXT rendering of non-byte sources
             # (cte01: numeric 38921432 stores '38921432') without padding
             varbins.add(col)
+        txm = re.match(r"(tiny)?text\s*$", rest, re.IGNORECASE)
+        if txm:
+            # TEXT-family byte caps (dtype/text.test): TINYTEXT truncates
+            # at 255 bytes, TEXT blanks cells beyond 65535 bytes;
+            # MEDIUMTEXT/LONGTEXT caps are unreachable at fixture sizes
+            textcaps[col] = 255 if txm.group(1) else 65535
         tmm = re.match(r"time(?:\((\d+)\))?\s*$", rest, re.IGNORECASE)
         if tmm:
             # MySQL TIME stores as a duration string here; numeric casts
@@ -556,7 +563,7 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
         "varbins": varbins, "geos": geos,
         "keys": [tuple(c for c, _p in k) for k in keys_pfx],
         "keys_pfx": keys_pfx, "fks": fks, "strw": strw, "gencols": gencols,
-        "n_pk": len(pkeys), "onupd": onupd,
+        "n_pk": len(pkeys), "onupd": onupd, "texts": textcaps,
     }
 
 
@@ -734,6 +741,33 @@ class BvtSession:
                         )
                     else:
                         sel.append(F.substring(v, 1, sw).alias(c))
+                    continue
+                if c in meta.get("texts", {}):
+                    # TEXT-family byte caps (dtype/text.test goldens):
+                    # TINYTEXT truncates at 255 BYTES (a uniform-width
+                    # multibyte run keeps floor(255/width) chars); TEXT
+                    # stores NULL beyond 65535 bytes (the reference keeps
+                    # the row, blanks the cell)
+                    cap = meta["texts"][c]
+                    v = F.col(provided[c]).cast("string")
+                    blen = F.octet_length(v)
+                    if cap <= 255:
+                        sel.append(
+                            F.when(v.isNull() | (blen <= cap), v)
+                            .otherwise(F.expr(
+                                f"substring(CAST({provided[c]} AS STRING), 1, "
+                                f"CAST(floor({cap} / ceil("
+                                f"octet_length(CAST({provided[c]} AS STRING)) / "
+                                f"length(CAST({provided[c]} AS STRING)))) AS INT))"
+                            ))
+                            .alias(c)
+                        )
+                    else:
+                        sel.append(
+                            F.when(blen > cap, F.lit(None).cast("string"))
+                            .otherwise(v)
+                            .alias(c)
+                        )
                     continue
                 if c in enums and not src_types.get(provided[c], "").startswith(
                     ("string", "void")
@@ -2734,7 +2768,9 @@ class BvtSession:
         if name not in self.tables:
             raise SkipStatement("unsupported UPDATE shape")
         assigns = {}
-        for part in m.group(2).split(","):
+        # top-level comma split: an assignment value may itself contain
+        # commas inside calls (`set c = repeat('科技', 1000)`)
+        for part in _split_top_level(m.group(2)):
             am = re.match(r"\s*([`\w\x01]+)\s*=\s*(.+)$", part, re.DOTALL)
             if not am:
                 raise SkipStatement("unparseable SET clause")
@@ -2747,8 +2783,8 @@ class BvtSession:
         rounds = meta.get("rounds", {})
         sel = []
         for c, t in schema:
-            if c in assigns:
-                new = f"({assigns[c]})"
+            if c.lower() in assigns:
+                new = f"({assigns[c.lower()]})"
                 # MySQL store coercion on UPDATE, mirroring the INSERT
                 # path: DATETIME(n)/TIMESTAMP(n) round to n fractional
                 # digits, DOUBLE(M,D)/FLOAT(M,D) round to D decimals

@@ -2730,6 +2730,28 @@ def translate(sql: str) -> str:
 
     masked = _DATE_FORMAT_RE.sub(fmt_repl, masked)
     masked = _GROUP_CONCAT_RE.sub(gc_repl, masked)
+
+    def extract_time_repl(m: "re.Match") -> str:
+        # EXTRACT(HOUR/MINUTE/SECOND FROM '<TIME literal>'): MySQL TIME
+        # hours are an elapsed-duration count with no 0-23 bound
+        # (EXTRACT(HOUR FROM '100000:02:03') = 100000,
+        # func_datetime_extract.test); Spark's timestamp cast NULLs it
+        unit = m.group(1).lower()
+        sp = int(m.group(2))
+        raw = spans[sp].strip("'\"")
+        tm = re.fullmatch(r"(-?)(\d+):(\d{1,2}):(\d{1,2}(?:\.\d+)?)", raw)
+        if not tm or (int(tm.group(2)) < 24 and unit == "hour"
+                      and len(tm.group(2)) <= 2):
+            return m.group(0)
+        val = {"hour": tm.group(2), "minute": tm.group(3),
+               "second": tm.group(4)}[unit]
+        return f"CAST({tm.group(1)}{val} AS BIGINT)"
+
+    masked = re.sub(
+        r"(?i)\bextract\s*\(\s*(hour|minute|second)\s+from\s+"
+        r"\x01(\d+)\x01\s*\)",
+        extract_time_repl, masked,
+    )
     if "json_extract" in masked.lower():
         # full bytejson path grammar (wildcards/**/last/ranges) needs the
         # Python evaluator; plain member paths stay on get_json_object

@@ -62,7 +62,7 @@ def test_parse_create_table_defaults():
         "enums": {}, "sets": {}, "bits": {}, "fulltexts": [], "times": {},
         "varbins": set(), "geos": {}, "keys": [("a",)],
         "keys_pfx": [(("a", None),)], "fks": [], "strw": {"c": 10},
-        "gencols": {}, "n_pk": 1}
+        "gencols": {}, "n_pk": 1, "onupd": set(), "texts": {}}
     _, _, _, meta2 = parse_create_table(
         "create table t2 (id int primary key auto_increment, b binary(4), "
         "v varbinary(4))"
@@ -70,7 +70,7 @@ def test_parse_create_table_defaults():
     assert meta2 == {"binpads": {"b": 4}, "autoinc": {"id"}, "years": set(), "rounds": {}, "tsprec": {},
         "intrange": {"id": (-2147483648, 2147483647)}, "enums": {}, "sets": {}, "bits": {}, "fulltexts": [], "times": {}, "varbins": {"v"}, "geos": {}, "keys": [("id",)],
         "keys_pfx": [(("id", None),)], "fks": [], "strw": {}, "gencols": {},
-        "n_pk": 1}
+        "n_pk": 1, "onupd": set(), "texts": {}}
     assert name == "t"
     assert cols == [
         ("a", "float"),
