@@ -1256,6 +1256,7 @@ class BvtSession:
                 stmt = self._rewrite_match(stmt)
             stmt = self._rewrite_int_sum(stmt)
             stmt = self._rewrite_decimal_avg(stmt)
+            stmt = self._rewrite_unsigned_sub(stmt)
             return "select", self.spark.sql(translate(stmt))
         if head == "set":
             # fulltext session variables the scripts drive; other SETs keep
@@ -3135,6 +3136,34 @@ class BvtSession:
 
         return self._DEC_AVG_RE.sub(repl, stmt)
 
+    def _rewrite_unsigned_sub(self, stmt: str) -> str:
+        """Subtraction of two INT UNSIGNED columns keeps the 32-bit
+        unsigned result type in the reference: a negative difference wraps
+        modulo 2^32 (func_cast.test t1: a-b = -2 reads 4294967294), where
+        the replay's widened BIGINT mapping would print -2."""
+        if "-" not in stmt:
+            return stmt
+        ucols: "set[str]" = set()
+        for _kw, name, _alias in self._FROM_TBL_RE.findall(stmt):
+            for c, rng in self.colmeta.get(name, {}).get(
+                "intrange", {}
+            ).items():
+                if rng == (0, 4294967295):
+                    ucols.add(c.lower())
+        if not ucols:
+            return stmt
+
+        def repl(m: "re.Match") -> str:
+            a, b = m.group(1), m.group(2)
+            if a.lower() in ucols and b.lower() in ucols:
+                return (
+                    f"CAST((CAST({a} AS BIGINT) - {b} + 4294967296) "
+                    f"% 4294967296 AS BIGINT)"
+                )
+            return m.group(0)
+
+        return re.sub(r"(?<![\w.])(\w+)\s*-\s*(\w+)(?![\w.(])", repl, stmt)
+
     def _find_match_table(self, stmt: str, cols: "list[str]") -> str:
         cands = re.findall(r"\b(?:from|join)\s+[`]?(\w+)[`]?", stmt, re.IGNORECASE)
         for t in cands:
@@ -3268,6 +3297,13 @@ class BvtSession:
         it), and DATE/DATETIME columns parse compact 'YYYYMMDD' strings.
         Schema-aware textual pass over this session's unambiguous columns,
         applied before BOTH engines run the statement."""
+        if "_binary" in stmt.lower():
+            # `_binary 'x'` introducer: MySQL charset marker; the payload
+            # is the plain (byte-)string (func_cast.test alarm BLOB rows) —
+            # Spark has no _BINARY typed literal
+            mkd, sps = mask_literals(stmt)
+            mkd = re.sub(r"(?i)\b_binary\s*(\x01\d+\x01)", r"\1", mkd)
+            stmt = unmask_literals(mkd, sps)
         low = stmt.lower()
         # only tables the statement references contribute columns — a same-
         # named column of ANOTHER table must not shadow the type
