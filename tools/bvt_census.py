@@ -57,6 +57,9 @@ BUCKETS = [
     ("vendor-typed DDL (vector/json/enum/set/geometry corner types)", [
         r"^\s*create\s+table\b.*\b(vecf32|vecf64|geometry|geography|enum\s*\(|set\s*\(|json|uuid|blob|longtext)\b",
     ]),
+    ("cross-database qualified references (dbN.tbl — replay is single-db)", [
+        r"\b(?:db|test|mysql|tpch|abc|vecdb|emis|procedure_test)\w*\s*\.\s*\w+",
+    ]),
     ("other CREATE/DROP/TRUNCATE shapes", [
         r"^\s*(create|drop|truncate|alter)\b",
     ]),
