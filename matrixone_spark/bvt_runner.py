@@ -1771,6 +1771,35 @@ class BvtSession:
             if not self.last_duck_override:
                 self.last_duck_override = stmt
             return kind
+        em = re.match(
+            r"\s*(insert)\s+(?:ignore\s+)?(?:into\s+)?([`\w.\x01]+)\s+"
+            r"values\s*(\(\s*\)(?:\s*,\s*\(\s*\))*)\s*;?\s*$",
+            masked, re.IGNORECASE,
+        )
+        if em:
+            # INSERT ... VALUES () — all-defaults row(s) (dml/select/
+            # minus.sql `insert into t1 values ()` stores a NULL row):
+            # rewrite each empty tuple to the declared defaults
+            tname = _name_token(em.group(2), spans)
+            if tname not in self.schemas:
+                raise SkipStatement("INSERT VALUES() into unknown table")
+            gcs = set(self.colmeta.get(tname, {}).get("gencols", ()))
+            cols = [c for c, _t in self.schemas[tname]
+                    if c.lower() not in gcs]
+            dflts = self.defaults.get(tname, {})
+            row_sql = "(" + ", ".join(
+                dflts.get(c, "NULL") for c in cols
+            ) + ")"
+            nrows = em.group(3).count("(")
+            stmt = (
+                f"INSERT INTO {tname} ({', '.join(cols)}) VALUES "
+                + ", ".join([row_sql] * nrows)
+            )
+            masked, spans = mask_literals(stmt)
+            kind = self._insert(stmt, masked, spans)
+            if not self.last_duck_override:
+                self.last_duck_override = stmt
+            return kind
         m = re.match(
             r"\s*(?:insert|replace)\s+(?P<ig>ignore\s+)?(?:into\s+)?(?P<tbl>[`\w.\x01]+)\s*"
             r"(?P<cl>\((?P<cols>[^)]*)\))?\s*(?P<hd>values|select|with)\b(?P<rest>.*)$",
@@ -1836,8 +1865,15 @@ class BvtSession:
                 c.lower() for c in self.colmeta.get(name, {}).get("binpads", ())
             } | {
                 c.lower() for c in self.colmeta.get(name, {}).get("varbins", ())
+            } | {
+                # BLOB columns take the same byte-literal handling
+                c.lower() for c, t in self.schemas.get(name, ())
+                if t == "binary"
             }
-            if binset and re.search(r"(?i)\b0x[0-9a-f]+\b", values_masked):
+            if binset and (
+                re.search(r"(?i)\b0x[0-9a-f]+\b", values_masked)
+                or re.search(r"(?i)(?<![\w])x\x01\d+\x01", values_masked)
+            ):
                 # MySQL 0x literals are BYTE strings in (var)binary
                 # positions (binary_hex_padding: 0x4142 stores 'AB', odd
                 # digits left-pad: 0x1 → X'01'); numeric positions keep
@@ -1849,8 +1885,8 @@ class BvtSession:
                     if row.startswith("(") and row.endswith(")"):
                         items = _split_top_level(row[1:-1])
                         if len(items) == len(target_cols):
-                            items = [
-                                re.sub(
+                            def _bin_item(it: str) -> str:
+                                it2 = re.sub(
                                     r"(?i)^\s*0x([0-9a-f]+)\s*$",
                                     lambda mm: "X'" + (
                                         "0" + mm.group(1)
@@ -1859,7 +1895,34 @@ class BvtSession:
                                     ) + "'",
                                     it,
                                 )
-                                if tc.lower() in binset else it
+                                # a plain string literal in a row set that
+                                # ALSO carries X'..' rows must cast so the
+                                # VALUES union types agree (string_binary_
+                                # comparison: (1,'a'),(3,x'61000000'))
+                                if re.fullmatch(r"\s*\x01\d+\x01\s*", it2):
+                                    it2 = f"CAST({it2.strip()} AS BINARY)"
+                                return it2
+
+                            strset = {
+                                c.lower() for c, t in
+                                self.schemas.get(name, ()) if t == "string"
+                            }
+
+                            def _str_item(it: str) -> str:
+                                # X'..' into a TEXT position decodes to its
+                                # byte string so the VALUES union stays
+                                # STRING-typed
+                                if re.fullmatch(r"(?i)\s*x\x01\d+\x01\s*",
+                                                it) or re.fullmatch(
+                                    r"(?i)\s*0x[0-9a-f]+\s*", it
+                                ):
+                                    return f"CAST({it.strip()} AS STRING)"
+                                return it
+
+                            items = [
+                                _bin_item(it) if tc.lower() in binset
+                                else (_str_item(it) if tc.lower() in strset
+                                      else it)
                                 for it, tc in zip(items, target_cols)
                             ]
                             row = "(" + ", ".join(items) + ")"
@@ -4873,6 +4936,10 @@ def _mysql_datestr(s: "str | None") -> "str | None":
     t = s.strip()
     if not t:
         return None
+    if re.fullmatch(r"\d(?:\.\d+)?[eE]\+?\d+", t):
+        # Spark renders big DOUBLE datetime sources in scientific notation
+        # ('2.01105121545596E13'); fold back to plain digits first
+        t = f"{float(t):f}".rstrip("0").rstrip(".")
     m = re.match(r"^([0-9][0-9[:punct:]]*?)(?:[ T](.*))?$".replace(
         "[:punct:]", re.escape("./:\\-*+,_#@%^&~|")), t)
     if not m:
@@ -4881,6 +4948,15 @@ def _mysql_datestr(s: "str | None") -> "str | None":
     if clock is not None and not re.search(r"[0-9]", clock):
         return None  # dangling 'T' / empty clock
     dtoks = [x for x in re.split(r"[^0-9]+", date_part) if x]
+    if (
+        len(dtoks) == 2
+        and date_part == f"{dtoks[0]}.{dtoks[1]}"
+        and len(dtoks[0]) in (8, 14, 6, 12)
+    ):
+        # packed digits with a FRACTION ('20110512154559.6' — numeric
+        # datetime sources render this way, func_datetime_date.test):
+        # parse the packed part, drop the subsecond fraction
+        dtoks = [dtoks[0]]
     if len(dtoks) == 1:
         p = dtoks[0]
         if len(p) in (8, 14):
