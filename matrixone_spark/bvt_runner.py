@@ -1738,6 +1738,7 @@ class BvtSession:
             )
             lit = f"CREATE TABLE {name} ({cols_sql}); {lit}"
         self.last_duck_override = lit
+        self._rowcount_pending = len(clean)
         self._register(name, final)
         self.last_table = name
         return "dml", None
@@ -2013,7 +2014,16 @@ class BvtSession:
             new = self._apply_gencols(name, new.select(*_cols), ignore=ignore)
         if getattr(self, "_want_affected", False):
             self.last_affected = new.select(*_cols)
-        self._rowcount_pending = new.select(*_cols)
+        # ROW_COUNT(): inserted rows, plus REPLACE's deleted victims
+        # (MySQL counts a replaced row as delete+insert = 2)
+        _pend = new.select(F.lit(1).alias("__rc"))
+        _victims = locals().get("victims")
+        if replace and _victims is not None:
+            _pend = _pend.unionAll(_victims.select(F.lit(1).alias("__rc")))
+        self._rowcount_pending = _pend
+        if odku is not None and getattr(self, "_odku_rowcount", None) is not None:
+            self._rowcount_pending = self._odku_rowcount
+            self._odku_rowcount = None
         final = cur.select(*_cols).unionAll(new.select(*_cols))
         if rebuilt:
             # keyed REPLACE / ON DUPLICATE KEY / IGNORE mutate existing rows
@@ -2121,6 +2131,7 @@ class BvtSession:
                     F.when(hit, F.expr(a).cast(ty)).otherwise(base).alias(c)
                 )
         final = joined.select(*sel)
+        self._rowcount_pending = joined.filter(hit).select(rid)
         self._register(tgt[0], final)
         lit = self._literal_insert_sql(tgt[0], final)
         self.last_duck_override = (
@@ -2149,6 +2160,7 @@ class BvtSession:
             .distinct()
         )
         final = t_df.join(matched, rid, "left_anti").drop(rid)
+        self._rowcount_pending = matched
         self._register(tgt[0], final)
         lit = self._literal_insert_sql(tgt[0], final)
         self.last_duck_override = (
@@ -2254,6 +2266,8 @@ class BvtSession:
         # ends at b=21; (2,2,2) then (2,2,3) ends at c=12).
         schema = self.schemas[name]
         state: "list[dict]" = [r.asDict() for r in cur_rows]
+        n_changed = 0
+        n_inserted = 0
 
         def keyval(row: dict, key) -> "tuple | None":
             vals = tuple(row.get(k) for k in key)
@@ -2275,6 +2289,7 @@ class BvtSession:
                     break
             if hit is None:
                 state.append(rd)
+                n_inserted += 1
                 continue
             exprs = []
             for col, t in schema:
@@ -2344,6 +2359,7 @@ class BvtSession:
                 # UPDATE CURRENT_TIMESTAMP does not fire
                 # (on_duplicate_key_modern ts_unchanged rows)
                 if any(hit.get(k) != v for k, v in row2.items()):
+                    n_changed += 1
                     hit.update(row2)
                     for oc in self.colmeta.get(name, {}).get("onupd", ()):
                         if oc not in assigns and now_val is not None:
@@ -2355,6 +2371,9 @@ class BvtSession:
         )
         if self.colmeta.get(name, {}).get("gencols"):
             final = self._apply_gencols(name, final)
+        # MySQL ROW_COUNT for ODKU: 1 per inserted row, 2 per CHANGED
+        # update, 0 for no-op hits (function/row_count.sql)
+        self._odku_rowcount = n_inserted + 2 * n_changed
         return final, new.limit(0)
 
     @staticmethod
