@@ -58,14 +58,17 @@ def main() -> None:
     spark.sql("SELECT mo_conv('ff', 16, 10)").collect()
     spark.range(1000).mapInArrow(lambda it: it, "id long").count()
 
-    # Each query runs N times (default 5). "queries"/"value" report the min
-    # (methodology FIXED since r1 so BENCH_r{N} totals stay comparable):
-    # run 1 pays the one-off whole-stage-codegen compile for that plan (a
-    # per-process constant, not data work), later runs are the steady-state
-    # execution a cluster actually repeats, and min damps local-mode
-    # scheduler noise (±30% run-to-run). "queries_cold"/"value_cold"
-    # additionally report the first (codegen-inclusive) run so cross-round
-    # comparisons can't be skewed by the min-of-N choice.
+    # Each query runs N times. "queries"/"value" report the min. N was 3
+    # for r1–r9 and is 5 since r10 (box-noise robustness): min-of-5 is
+    # statistically biased slightly BELOW min-of-3, so cross-round totals
+    # straddling r9/r10 carry that small downward skew (r10 advisor) —
+    # "queries_runs" publishes every raw run so any round's headline can
+    # be re-derived as min-of-first-3 (or median) for like-for-like
+    # comparison. Run 1 pays the one-off whole-stage-codegen compile for
+    # that plan (a per-process constant, not data work), later runs are
+    # the steady-state execution a cluster actually repeats, and min damps
+    # local-mode scheduler noise (±30% run-to-run). "queries_cold"/
+    # "value_cold" additionally report the first (codegen-inclusive) run.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     # Per-query error isolation: a red query costs one row in "errors", never
     # the whole bench file (r2 lesson: one crashed query → rc=1 → no perf

@@ -108,6 +108,44 @@ def _with_dml_split(masked: str) -> "int | None":
     return None
 
 
+def _dml_tail_clauses(tail: str) -> "dict[str, str] | None":
+    """Split a masked single-table DML tail 'WHERE … [ORDER BY …] [LIMIT n]'
+    at TOP-LEVEL (paren-depth-0) keyword boundaries.  A regex with
+    non-greedy groups mis-cuts 'WHERE id = (SELECT … ORDER BY id LIMIT 1)'
+    inside the subquery; this scanner only honors depth-0 keywords (same
+    discipline as _returning_split).  Returns {'w':…, 'ob':…, 'lim':…}
+    (keys present only when the clause is) or None when the tail carries
+    text that is not one of these clauses."""
+    marks: "list[tuple[int, str, int]]" = []  # (pos, kind, body_start)
+    depth = 0
+    low = tail.lower()
+    for m in re.finditer(r"[()]|\border\s+by\b|\bwhere\b|\blimit\b", low):
+        t = m.group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            kind = "w" if t == "where" else ("lim" if t == "limit" else "ob")
+            marks.append((m.start(), kind, m.end()))
+    out: "dict[str, str]" = {}
+    order = {"w": 0, "ob": 1, "lim": 2}
+    last = -1
+    if marks and tail[: marks[0][0]].strip():
+        return None  # leading junk before the first clause keyword
+    if not marks and tail.strip():
+        return None
+    for i, (pos, kind, body_start) in enumerate(marks):
+        if order[kind] <= last or kind in out:
+            return None  # clauses out of order / repeated at top level
+        last = order[kind]
+        end = marks[i + 1][0] if i + 1 < len(marks) else len(tail)
+        out[kind] = tail[body_start:end].strip()
+    if "lim" in out and not re.fullmatch(r"\d+", out["lim"]):
+        return None
+    return out
+
+
 class SkipStatement(Exception):
     """Statement shape this runner does not support."""
 
@@ -1173,9 +1211,7 @@ class BvtSession:
         # Pending values stay LAZY (a DataFrame whose count() is the
         # answer) so untouched DMLs never pay an extra Spark action.
         pend = getattr(self, "_rowcount_pending", None)
-        if getattr(self, "_rc_keep", False):
-            self._rc_keep = False  # the row_count() read itself
-        elif pend is not None:
+        if pend is not None:
             self._rowcount = pend
         elif kind == "select":
             self._rowcount = -1
@@ -1241,7 +1277,10 @@ class BvtSession:
                 re.IGNORECASE,
             )
             if rcm:
-                self._rc_keep = True
+                # the read itself is a result-set statement: MySQL resets
+                # ROW_COUNT to -1 after it, so consecutive reads answer
+                # N, -1 (reference row_count.result; r10 advisor) — the
+                # "select" arm of execute() applies that reset
                 n = self._resolve_rowcount()
                 return "select", self.spark.sql(
                     f"select CAST({n} AS BIGINT) as `row_count()`"
@@ -1466,19 +1505,21 @@ class BvtSession:
                     pass
             if dm is not None:
                 return self._multi_delete(dm, spans)
-            m = re.match(
-                r"\s*delete\s+from\s+([`\w.\x01]+)\s*"
-                r"(?:where\s+(?P<w>.*?))?\s*"
-                r"(?:order\s+by\s+(?P<ob>.*?))?\s*"
-                r"(?:limit\s+(?P<lim>\d+))?\s*$",
+            hm = re.match(
+                r"\s*delete\s+from\s+([`\w.\x01]+)\s*(?P<tail>.*?)\s*;?\s*$",
                 masked, re.IGNORECASE | re.DOTALL,
             )
-            name = _name_token(m.group(1), spans) if m else None
+            # clause boundaries found by a paren-depth-0 scan (like
+            # _returning_split): a non-greedy regex split mis-cuts
+            # 'WHERE id = (SELECT … ORDER BY id LIMIT 1)' at the
+            # subquery's own ORDER BY (r10 advisor)
+            m = _dml_tail_clauses(hm.group("tail")) if hm else None
+            name = _name_token(hm.group(1), spans) if m is not None else None
             if name not in self.tables:
                 raise SkipStatement("unsupported DELETE shape")
             cond = (
-                translate(unmask_literals(m.group("w"), spans))
-                if m.group("w") else None
+                translate(unmask_literals(m["w"], spans))
+                if m.get("w") else None
             )
             base = self.tables[name].withColumn(
                 "__del_rid", F.monotonically_increasing_id()
@@ -1486,18 +1527,18 @@ class BvtSession:
             vict = base
             if cond is not None:
                 vict = base.filter(f"coalesce(({cond}), false)")
-            if m.group("ob"):
-                ob = translate(unmask_literals(m.group("ob"), spans))
+            if m.get("ob"):
+                ob = translate(unmask_literals(m["ob"], spans))
                 vict = vict.orderBy(*[
                     F.expr(part.strip())
                     for part in _split_top_level(ob) if part.strip()
                 ])
-            if m.group("lim"):
+            if m.get("lim"):
                 # DELETE … LIMIT n: MySQL picks rows in scan order — the
                 # materialized LocalRelation preserves insertion order, so
                 # limit(n) deletes the oldest rows like the reference
                 # (delete.test `delete from t5 limit 1` removes id=1)
-                vict = vict.limit(int(m.group("lim")))
+                vict = vict.limit(int(m["lim"]))
             victims = vict.drop("__del_rid")
             fk_extra: "list[str]" = []
             if self._fk_children(name):
@@ -1512,7 +1553,7 @@ class BvtSession:
             self._rowcount_pending = victims
             self._register(name, remaining)
             self.last_table = name
-            if fk_extra or m.group("lim") or m.group("ob"):
+            if fk_extra or m.get("lim") or m.get("ob"):
                 # DuckDB's mirrored DDL carries no FKs, and a LIMIT pick
                 # is engine-order-dependent — rebuild to the exact state
                 lit = self._literal_insert_sql(name, remaining)
@@ -5064,6 +5105,42 @@ def annotated_statements(text: str) -> "list[tuple[str, bool, tuple]]":
     return out
 
 
+# failure-category vocabularies for grading a strict-gate fire against the
+# .result's recorded error text: the gate's reason and the reference error
+# must agree on at least one category (or one text must contain the other)
+# before the statement counts as a MATCHED rejection.
+_ERRMATCH_CATS: "tuple[tuple[str, ...], ...]" = (
+    ("out of range", "data truncation", "overflow", "too long", "too large",
+     "data too long"),
+    ("invalid argument", "bad value", "incorrect", "invalid input",
+     "invalid cast", "cast to", "truncated", "invalid string", "conversion"),
+    ("invalid datetime", "invalid date", "invalid time", "zero date",
+     "not a valid", "invalid year"),
+    ("division by zero", "divided by zero", "divide by zero"),
+    ("not supported", "unsupported", "unknown function", "unknown column",
+     "no such"),
+    ("invalid json", "json type", "json text", "json path"),
+    ("invalid geometry", "longitude", "latitude", "srid"),
+)
+
+
+def _errmatch_compatible(gate: str, refmsg: str) -> bool:
+    """True when a strict-gate reason and the reference's recorded error
+    text plausibly describe the SAME failure: one contains the other's
+    head, or both hit a common failure-category vocabulary.  A broad gate
+    heuristic that merely COINCIDES with an unrelated reference error must
+    not count as behavioral parity (r10 advisor) — the caller falls back
+    to normal co-execution instead."""
+    g, r = (gate or "").lower(), (refmsg or "").lower()
+    if not g or not r:
+        return False
+    if g[:60] in r or r[:60] in g:
+        return True
+    gc = {i for i, kws in enumerate(_ERRMATCH_CATS) if any(k in g for k in kws)}
+    rc = {i for i, kws in enumerate(_ERRMATCH_CATS) if any(k in r for k in kws)}
+    return bool(gc & rc)
+
+
 class CoExecutor:
     # per-statement wall clock cap for EACH engine (runaway guard);
     # override via BVT_STMT_TIMEOUT when replay workers share the box —
@@ -5369,7 +5446,10 @@ class CoExecutor:
                 if rej is not None:
                     cur0 = ref.cursor
                     cl_g = ref.claim(orig)
-                    if cl_g is not None and cl_g[0] == "error":
+                    if (
+                        cl_g is not None and cl_g[0] == "error"
+                        and _errmatch_compatible(rej, cl_g[1])
+                    ):
                         stats["ref_errmatch"] += 1
                         if os.environ.get("BVT_DUMP_ERRMATCH"):
                             print("  ERRMATCH:",
@@ -5653,7 +5733,12 @@ class CoExecutor:
                             if k not in pos:
                                 return False
                             hi = max(hi, max(pos[k]))
-                        return (hi - lo) <= max(2 * len(list(extra.elements())) + 2, 8)
+                        # window bounded by the substitution size alone —
+                        # a fixed floor of 8 let a genuinely wrong top-n
+                        # pick near the boundary pass as a tie (r10
+                        # advisor); with k substituted rows a real tie
+                        # group spans at most 2k+2 positions around the cut
+                        return (hi - lo) <= 2 * len(list(extra.elements())) + 2
 
                     return _valid_topn(s_rows) and _valid_topn(o_rows)
 
