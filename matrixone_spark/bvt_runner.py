@@ -51,8 +51,11 @@ _TYPE_MAP = [
     (r"(?:tiny|small|medium)?int(?:eger)?\s+unsigned", "bigint"),
     (r"bigint(?:\(\d+\))?", "bigint"),
     (r"(?:tiny|small|medium)?int(?:eger)?(?:\(\d+\))?", "int"),
-    (r"vecf32\s*\(\s*[1-9]\d*\s*\)", "array<float>"),
-    (r"vecf64\s*\(\s*[1-9]\d*\s*\)", "array<double>"),
+    # vector columns live as their '[x, y]' TEXT rendering in the SQL-text
+    # replay tier — the mo_vec_* surface kernels parse per call and the
+    # .result prints the same text (functions/sql_surface.py; the
+    # DataFrame/KNN tier keeps native arrays)
+    (r"vec(?:f32|f64|f16|bf16|int8|uint8)\s*\(\s*[1-9]\d*\s*\)", "string"),
     (r"decimal(\(\d+(?:,\s*\d+)?\))?", None),  # keep as written (incl. precision)
     (r"numeric(\(\d+(?:,\s*\d+)?\))?", None),
     (r"double(?:\s+precision)?(?:\(\d+,\s*\d+\))?", "double"),
@@ -4194,8 +4197,10 @@ _DUCK_TYPE_SUBS = [
     (re.compile(r"\b(?:mediumint|int|integer)\s+unsigned\b", re.IGNORECASE), "UINTEGER"),
     (re.compile(r"\bbigint\s+unsigned\b", re.IGNORECASE), "UBIGINT"),
     (re.compile(r"\bmediumint\b", re.IGNORECASE), "INTEGER"),
-    (re.compile(r"\bvecf32\s*\(\s*\d+\s*\)", re.IGNORECASE), "FLOAT[]"),
-    (re.compile(r"\bvecf64\s*\(\s*\d+\s*\)", re.IGNORECASE), "DOUBLE[]"),
+    # vector columns mirror the Spark side's TEXT rendering (sql_surface)
+    (re.compile(
+        r"\bvec(?:f32|f64|f16|bf16|int8|uint8)\s*\(\s*\d+\s*\)",
+        re.IGNORECASE), "VARCHAR"),
     # the reference's bare DECIMAL defaults to decimal128(38,0)
     # (mysql_sql.y DisplayWith: 38); DuckDB's defaults to (18,3) — pin the
     # reference default so both engines round identically
@@ -4372,6 +4377,253 @@ def _duck_if_string_cond(masked: str) -> str:
     return _rewrite_calls(masked, _DUCK_IF_RE, build)
 
 
+_DUCK_SURFACE_RE = None  # built lazily from the sql_surface rename tables
+
+
+def _duck_surface_fns(masked: str, spans: "list[str]") -> str:
+    """DuckDB twins of the SQL-text function surface: apply the rename
+    tables from functions/sql_surface.py and the arity/normalization
+    builders mirroring the Spark dialect's composes, so a statement calling
+    a reference function runs on BOTH engines (comparable, not
+    spark_only)."""
+    global _DUCK_SURFACE_RE
+    from matrixone_spark.functions.sql_surface import DUCK_RENAMES, RENAME_BOTH
+    from matrixone_spark.mysql_dialect import (
+        _INTERVAL_ARG_RE, _IV_COMPOSITE, _IV_UNITS, _rewrite_calls,
+    )
+
+    renames = dict(RENAME_BOTH)
+    renames.update(DUCK_RENAMES)
+    renames.pop("week", None)  # arity-dependent, handled by the builder
+    if _DUCK_SURFACE_RE is None:
+        names = sorted(
+            set(renames) | {
+                "week", "yearweek", "format", "utc_time", "curtime",
+                "utc_timestamp", "subvector", "json_extract", "json_object",
+                "json_array", "json_arrayagg", "json_objectagg",
+                "json_contains", "json_contains_path", "json_set",
+                "json_insert", "json_replace", "json_remove",
+                "json_merge_patch", "json_merge_preserve",
+                "date_add", "date_sub", "adddate", "subdate", "convert",
+                "cast", "str_to_date", "to_date",
+            },
+            key=len, reverse=True,
+        )
+        _DUCK_SURFACE_RE = re.compile(
+            r"\b(" + "|".join(names) + r")\s*\(", re.IGNORECASE
+        )
+
+    # DuckDB interval construction: (expr) * INTERVAL 1 UNIT accepts
+    # runtime expressions (INTERVAL (expr) UNIT mis-binds, and to_days()
+    # is shadowed by the MySQL day-number macro this module registers)
+    _DUCK_IV_UNIT = {"secs": "SECOND", "mins": "MINUTE", "hours": "HOUR",
+                     "days": "DAY", "weeks": "WEEK", "months": "MONTH",
+                     "years": "YEAR", "usecs": "MICROSECOND"}
+
+    def _duck_interval(n: str, unit: str) -> "str | None":
+        unit = unit.lower()
+        comp = _IV_COMPOSITE.get(unit)
+        if comp is not None:
+            ph = re.fullmatch(r"\s*\x01(\d+)\x01\s*", n)
+            if ph is None:
+                return None
+            lit = spans[int(ph.group(1))].strip("'\"")
+            parts = [p for p in re.split(r"[^0-9]+", lit.strip()) if p]
+            if not parts or len(parts) > len(comp):
+                return None
+            parts = ["0"] * (len(comp) - len(parts)) + parts
+            return "(" + " + ".join(
+                f"({p}) * INTERVAL 1 {_DUCK_IV_UNIT[s]}"
+                for s, p in zip(comp, parts)
+            ) + ")"
+        if unit not in _IV_UNITS:
+            return None
+        slot, mult = _IV_UNITS[unit]
+        if mult == 1e-6:
+            return (
+                f"(CAST(TRY_CAST(({n}) AS DOUBLE) AS BIGINT) "
+                f"* INTERVAL 1 MICROSECOND)"
+            )
+        nn = f"CAST(TRY_CAST(({n}) AS DOUBLE) AS BIGINT)"
+        if mult != 1:
+            nn = f"({nn} * {int(mult)})"
+        return f"({nn} * INTERVAL 1 {_DUCK_IV_UNIT[slot]})"
+
+    def build(name: str, args: "list[str]") -> "str | None":
+        # NOTE: arity-dependent builders run BEFORE the plain renames —
+        # json_merge_patch(a,b,c) must chain before the mo_ rename pins
+        # the 2-arg kernel arity
+        name = name.lower()
+        if name == "json_merge_patch" and len(args) > 2:
+            out = args[0]
+            for d in args[1:]:
+                out = f"json_merge_patch({out}, {d})"
+            return out
+        if name == "week":
+            if len(args) == 1:
+                return f"mo_week({args[0]})"
+            if len(args) == 2:
+                return f"mo_week2({args[0]}, {args[1]})"
+            return None
+        if name == "yearweek" and len(args) in (1, 2):
+            return f"mo_yearweek({args[0]})"
+        if name == "format" and len(args) in (2, 3):
+            return f"mo_format({args[0]}, {args[1]})"
+        if name in ("utc_time", "curtime", "utc_timestamp") and len(args) == 1 \
+                and args[0].strip():
+            return f"{name}()"
+        if name == "subvector" and len(args) in (2, 3):
+            ln = args[2] if len(args) == 3 else "NULL"
+            return f"mo_vec_subvector({args[0]}, {args[1]}, {ln})"
+        if name == "json_extract" and len(args) >= 2:
+            if args[1].lstrip().lower().startswith("concat_ws("):
+                return None
+            packed = ", ".join(args[1:])
+            sep = "" if len(args) == 2 else "chr(31), "
+            if len(args) == 2:
+                return f"mo_json_extract_multi({args[0]}, {args[1]})"
+            return (
+                f"mo_json_extract_multi({args[0]}, concat_ws({sep}{packed}))"
+            )
+        if name == "json_object":
+            if not args or (len(args) == 1 and not args[0].strip()):
+                return "'{}'"
+            # sentinel name: the raw builtin name would re-match this
+            # scanner forever; swapped back after the fixpoint loop
+            return f"mo_json_norm(CAST(__mo_jobj__({', '.join(args)}) AS VARCHAR))"
+        if name == "json_array":
+            if not args or (len(args) == 1 and not args[0].strip()):
+                return "'[]'"
+            return f"mo_json_norm(CAST(__mo_jarr__({', '.join(args)}) AS VARCHAR))"
+        if name == "json_arrayagg" and len(args) == 1:
+            if args[0].lstrip().lower().startswith("to_json("):
+                return None
+            return (
+                f"mo_json_arr_from(string_agg("
+                f"CAST(to_json({{'v': ({args[0]})}}) AS VARCHAR), chr(30)))"
+            )
+        if name == "json_objectagg" and len(args) == 2:
+            if args[0].lstrip().lower().startswith("to_json("):
+                return None
+            return (
+                f"mo_json_obj_from(string_agg(CAST(to_json("
+                f"{{'k': ({args[0]}), 'v': ({args[1]})}}) AS VARCHAR), chr(30)))"
+            )
+        if name == "json_contains":
+            if len(args) == 2:
+                return f"mo_json_contains({args[0]}, {args[1]})"
+            if len(args) == 3:
+                return (
+                    f"mo_json_contains(mo_json_extract_multi({args[0]}, "
+                    f"{args[2]}), {args[1]})"
+                )
+            return None
+        if name == "json_contains_path" and len(args) > 3:
+            return (
+                f"json_contains_path({args[0]}, {args[1]}, "
+                f"concat_ws(chr(31), {', '.join(args[2:])}))"
+            )
+        if name in ("json_set", "json_insert", "json_replace") and \
+                len(args) >= 3 and len(args) % 2 == 1:
+            # DuckDB python UDFs don't implicitly cast arguments — wrap
+            # every value in CAST(… AS VARCHAR) (the kernel re-types it)
+            if len(args) == 3 and args[2].lstrip().upper().startswith("CAST("):
+                return None  # our own output (fixpoint)
+            out = args[0]
+            for i in range(1, len(args), 2):
+                out = (
+                    f"{name}({out}, {args[i]}, "
+                    f"CAST({args[i + 1]} AS VARCHAR))"
+                )
+            return out
+        if name == "json_remove" and len(args) > 2:
+            out = args[0]
+            for p in args[1:]:
+                out = f"json_remove({out}, {p})"
+            return out
+        if name == "json_merge_preserve" and len(args) > 2:
+            out = args[0]
+            for d in args[1:]:
+                out = f"json_merge_preserve({out}, {d})"
+            return out
+        if name == "cast" and len(args) == 1:
+            vm = re.match(
+                r"(?is)^(.*)\s+as\s+vec(f32|f64|f16|bf16|int8|uint8)"
+                r"\s*\(\s*\d+\s*\)\s*$", args[0],
+            )
+            if vm:
+                bits = "64" if vm.group(2) == "f64" else "32"
+                return (
+                    f"mo_vec_cast(CAST({vm.group(1)} AS VARCHAR), {bits})"
+                )
+            return None
+        if name in ("str_to_date", "to_date") and len(args) == 2:
+            ph = re.fullmatch(r"\s*\x01(\d+)\x01\s*", args[1])
+            if ph is None:
+                return None
+            myfmt = spans[int(ph.group(1))].strip("'\"")
+            if "%" not in myfmt:
+                return None
+            dfmt = myfmt.replace("%i", "%M").replace("%s", "%S")
+            spans.append(f"'{dfmt}'")
+            fp = "\x01{}\x01".format(len(spans) - 1)
+            out = f"try_strptime(CAST({args[0]} AS VARCHAR), {fp})"
+            if not re.search(r"%[HhIiSsTrf]", myfmt):
+                out = f"CAST({out} AS DATE)"
+            return out
+        if name == "convert":
+            if len(args) == 2:
+                return f"CAST({args[0]} AS {args[1]})"
+            if len(args) == 1 and re.search(r"(?i)\busing\s+\w+\s*$", args[0]):
+                inner = re.sub(r"(?i)\busing\s+\w+\s*$", "", args[0])
+                return f"CAST({inner} AS VARCHAR)"
+            return None
+        if name in ("date_add", "date_sub", "adddate", "subdate") \
+                and len(args) == 2:
+            m = _INTERVAL_ARG_RE.match(args[1])
+            if m is None:
+                if name in ("adddate", "subdate"):
+                    iv = f"INTERVAL (CAST(TRY_CAST(({args[1]}) AS DOUBLE) AS BIGINT)) DAY"
+                else:
+                    return None
+            else:
+                iv = _duck_interval(m.group(1).strip(), m.group(2))
+                if iv is None:
+                    return None
+            op = "-" if name in ("date_sub", "subdate") else "+"
+            out = f"(TRY_CAST({args[0]} AS TIMESTAMP) {op} ({iv}))"
+            ph = re.fullmatch(r"\s*\x01(\d+)\x01\s*", args[0])
+            unit_l = "day" if m is None else m.group(2).lower()
+            from matrixone_spark.mysql_dialect import _IV_DAY_LEVEL
+
+            if ph is not None and unit_l in _IV_DAY_LEVEL \
+                    and ":" not in spans[int(ph.group(1))]:
+                out = f"CAST({out} AS DATE)"  # DATE in → DATE out (MySQL)
+            return out
+        if name in renames:
+            return f"{renames[name]}({', '.join(args)})"
+        return None
+
+    masked = re.sub(
+        r"(?i)\bjson_arrayagg\s*\(([^()]*)\)\s*(over\s*\([^()]*\))",
+        lambda m: (
+            "mo_json_arr_from(string_agg(CAST(to_json({'v': ("
+            f"{m.group(1)})}}) AS VARCHAR), chr(30)) {m.group(2)})"
+        ),
+        masked,
+    )
+    prev = None
+    while prev != masked and _DUCK_SURFACE_RE.search(masked):
+        prev = masked
+        masked = _rewrite_calls(
+            masked, _DUCK_SURFACE_RE, None, per_name_builder=build
+        )
+    return (
+        masked.replace("__mo_jobj__(", "json_object(")
+        .replace("__mo_jarr__(", "json_array(")
+    )
+
+
 def _duckify(stmt: str) -> str:
     from matrixone_spark.mysql_dialect import (
         _DIV_WORD_RE as _re_div,
@@ -4418,9 +4670,18 @@ def _duckify(stmt: str) -> str:
 
         masked = rewrite_repeat_clamp(masked, engine="duck")
     if "group_concat" in masked.lower():
-        # DuckDB's group_concat takes the separator as a 2nd argument and
-        # already has MySQL's insertion order / NULL-for-empty semantics
-        masked = _DUCK_GC_SEP_RE.sub(lambda m: f", {m.group(1)})", masked)
+        # string_agg form mirroring the Spark-side builder: DISTINCT sorts,
+        # ORDER BY keys honored, multi-expression per-row concat
+        from matrixone_spark.mysql_dialect import (
+            _GROUP_CONCAT_RE as _gc_re,
+            _group_concat_sql,
+        )
+
+        masked = _rewrite_calls(
+            masked, _gc_re,
+            lambda args: _group_concat_sql(args, engine="duck"),
+        )
+    masked = _duck_surface_fns(masked, spans)
     if "log" in masked.lower():
         # MySQL single-arg LOG() is the NATURAL log; DuckDB's is log10
         # (dtype/decimal.test LOG(ABS(a)) divergence). Two-arg log(b, x)
@@ -5155,6 +5416,12 @@ class CoExecutor:
         self.spark = spark
         self.sess = BvtSession(spark)
         self.con = duckdb.connect()
+        # mirror the SQL-text function surface on the second engine so a
+        # statement calling a reference function stays COMPARABLE instead
+        # of becoming spark_only (functions/sql_surface.py)
+        from matrixone_spark.functions.sql_surface import register_duck
+
+        register_duck(self.con)
 
     def run_script(
         self,

@@ -39,12 +39,104 @@ _PH = "\x01{}\x01"
 _PH_RE = re.compile("\x01(\\d+)\x01")
 
 _DATE_FORMAT_RE = re.compile(
-    r"(date_format|str_to_date)\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*\x01(\d+)\x01\s*\)",
+    r"(date_format|str_to_date|to_date)\s*\(\s*([^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*\x01(\d+)\x01\s*\)",
     re.IGNORECASE,
 )
-_GROUP_CONCAT_RE = re.compile(
-    r"group_concat\s*\(\s*([^()]+?)\s*(?:separator\s+\x01(\d+)\x01)?\s*\)", re.IGNORECASE
-)
+_GROUP_CONCAT_RE = re.compile(r"\bgroup_concat\s*\(", re.IGNORECASE)
+
+
+def _group_concat_sql(args: "list[str]", engine: str = "spark") -> "str | None":
+    """GROUP_CONCAT([DISTINCT] e1[, e2…] [ORDER BY k [DESC]…]
+    [SEPARATOR s]) for either engine.  MySQL semantics: multiple
+    expressions concatenate PER ROW, rows with any NULL part are skipped,
+    DISTINCT-without-ORDER emits sorted (the reference's tree dedup), an
+    empty group is NULL (function_group_concat.sql)."""
+    txt = ", ".join(a.strip() for a in args)
+    mm = re.match(r"(?is)^\s*distinct\b(.*)$", txt)
+    dist = mm is not None
+    if dist:
+        txt = mm.group(1)
+    ob_span = sep_span = None
+    depth = 0
+    for m in re.finditer(r"[()]|\border\s+by\b|\bseparator\b", txt,
+                         re.IGNORECASE):
+        t = m.group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            if t.lower().startswith("order") and ob_span is None:
+                ob_span = (m.start(), m.end())
+            elif t.lower() == "separator" and sep_span is None:
+                sep_span = (m.start(), m.end())
+    end = len(txt)
+    sep_sql = "','"
+    ob = None
+    if sep_span:
+        sep_sql = txt[sep_span[1]:].strip()
+        end = min(end, sep_span[0])
+    if ob_span:
+        ob = txt[ob_span[1]:(sep_span[0] if sep_span else len(txt))].strip()
+        end = min(end, ob_span[0])
+    exprs = [e.strip() for e in _split_top_level(txt[:end]) if e.strip()]
+    if not exprs:
+        return None
+    keys: "list[tuple[str, bool]]" = []
+    if ob:
+        for part in _split_top_level(ob):
+            part = part.strip()
+            if not part:
+                continue
+            desc = bool(re.search(r"(?i)\bdesc\s*$", part))
+            keys.append((re.sub(r"(?i)\s+(asc|desc)\s*$", "", part), desc))
+    if engine == "duck":
+        if len(exprs) == 1:
+            v = f"CAST({exprs[0]} AS VARCHAR)"
+        else:
+            v = "(" + " || ".join(f"CAST({e} AS VARCHAR)" for e in exprs) + ")"
+        order_sql = ""
+        if keys:
+            order_sql = " ORDER BY " + ", ".join(
+                k + (" DESC" if d else "") for k, d in keys
+            )
+        elif dist:
+            order_sql = f" ORDER BY {v}"
+        return (
+            f"string_agg({'DISTINCT ' if dist else ''}{v}, "
+            f"{sep_sql}{order_sql})"
+        )
+    val = (
+        exprs[0] if len(exprs) == 1
+        else "concat(" + ", ".join(f"CAST({e} AS STRING)" for e in exprs) + ")"
+    )
+    if keys:
+        vs = f"CAST({val} AS STRING)"
+        fields = ", ".join(
+            f"{k} AS __k{i}" for i, (k, _d) in enumerate(keys)
+        ) + f", {vs} AS __v"
+        whens = []
+        for i, (_k, d) in enumerate(keys):
+            lt, gt = ("1", "-1") if d else ("-1", "1")
+            whens.append(
+                f"WHEN __l.__k{i} < __r.__k{i} THEN {lt} "
+                f"WHEN __l.__k{i} > __r.__k{i} THEN {gt}"
+            )
+        cmp_ = f"(CASE {' '.join(whens)} ELSE 0 END)"
+        vals = (
+            f"transform(array_sort(collect_list(struct({fields})), "
+            f"(__l, __r) -> {cmp_}), __x -> __x.__v)"
+        )
+        if dist:
+            vals = f"array_distinct({vals})"
+    elif dist:
+        vals = f"array_sort(array_distinct(collect_list(CAST({val} AS STRING))))"
+    else:
+        vals = f"collect_list({val})"
+    return (
+        f"(CASE WHEN count({val}) = 0 THEN NULL"
+        f" ELSE concat_ws({sep_sql}, {vals}) END)"
+    )
 _TRUNCATE_RE = re.compile(r"\btruncate\s*\(", re.IGNORECASE)
 
 # System/meta no-arg calls (VERSION(), DATABASE(), CONNECTION_ID(), ...) are
@@ -218,7 +310,11 @@ _CAST_CALL_RE = re.compile(r"\bcast\s*\(", re.IGNORECASE)
 _CAST_AS_RE = re.compile(
     r"^(?P<expr>.*)\s+as\s+(?P<type>datetime(?:\s*\(\s*\d\s*\))?|signed(?:\s+integer)?"
     r"|unsigned(?:\s+integer)?|n?char(?:\s*\(\s*\d+\s*\))?"
-    r"|(?:var)?binary(?:\s*\(\s*\d+\s*\))?|geometry|double|float|date"
+    r"|(?:var)?binary(?:\s*\(\s*\d+\s*\))?|geometry|double|real"
+    r"|float(?:\s*\(\s*\d+\s*\))?|date"
+    r"|(?:big|small|tiny|medium)?int(?:eger)?(?:\s*\(\s*\d+\s*\))?"
+    r"(?:\s+unsigned)?"
+    r"|vec(?:f32|f64|f16|bf16|int8|uint8)\s*\(\s*\d+\s*\)|json"
     r"|time(?:\s*\(\s*\d\s*\))?|bit(?:\s*\(\s*\d+\s*\))?"
     r"|(?:decimal|dec|numeric|fixed)\s*(?:\(\s*\d+\s*(?:,\s*\d+)?\s*\))?)\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -269,6 +365,30 @@ def _cast_rewrite(masked: str, spans: "list[str] | None" = None) -> str:
         if not m:
             return None
         x, ty = m.group("expr"), m.group("type").lower().split()[0]
+        tyfull = m.group("type").lower()
+        tyb = ty.split("(")[0]
+        # MySQL/MatrixOne alias targets → the canonical semantic paths.
+        # Int family ONLY with a display width or UNSIGNED suffix:
+        # plain `AS INT`/`AS BIGINT` is valid Spark our own emitted
+        # rewrites use — re-routing it would never reach a fixpoint
+        if tyb in ("int", "integer", "bigint", "smallint", "tinyint",
+                   "mediumint"):
+            if "(" not in ty and "unsigned" not in tyfull:
+                return None  # plain Spark-native target (incl. our output)
+            ty = "unsigned" if "unsigned" in tyfull else "signed"
+        elif tyb == "real":
+            ty = "double"
+        elif tyb == "float" and "(" in ty:
+            # FLOAT(p) — MySQL p<=24 is single precision; the engine
+            # computes in double and renders via FLOAT like float columns
+            return f"CAST(try_cast(({x}) AS DOUBLE) AS FLOAT)"
+        elif tyb.startswith("vec"):
+            bits = "64" if tyb == "vecf64" else "32"
+            return f"mo_vec_cast(CAST(({x}) AS STRING), {bits})"
+        elif tyb == "json":
+            if x.lstrip().lower().startswith("mo_json_norm("):
+                return None  # fixpoint guard
+            return f"mo_json_norm(CAST(({x}) AS STRING))"
         if _is_string_span(x) and ty.split("(")[0] in (
             "signed", "unsigned", "decimal", "dec", "numeric", "fixed",
             "double", "float",
@@ -568,6 +688,11 @@ _FN_RENAME = {
     "stddev": "stddev_pop",
     "variance": "var_pop",
 }
+# vector-family SQL names resolve to the mo_vec_* text-rendering kernels
+# registered by functions/sql_surface.py (same table drives _duckify)
+from matrixone_spark.functions.sql_surface import RENAME_BOTH as _SURFACE_RENAMES  # noqa: E402
+
+_FN_RENAME.update(_SURFACE_RENAMES)
 _FN_RENAME_RE = re.compile(
     r"\b(" + "|".join(k for k, v in _FN_RENAME.items() if k != v) + r")\s*\(",
     re.IGNORECASE,
@@ -579,9 +704,127 @@ _FN_COMPOSE_RE = re.compile(
     r"\b(field|oct|ord|conv|export_set|make_set|random_bytes"
     r"|validate_password_strength|insert|in_range|if|dayname|monthname|bitmap_bit_position|bitmap_bucket_number"
     r"|h3_h3index_parent|h3_h3index|json_length|json_extract|json_unquote"
-    r"|quote)\s*\(",
+    r"|quote|convert|yearweek|week|utc_time|curtime|utc_timestamp|format|subvector"
+    r"|json_object|json_arrayagg|json_objectagg|json_array"
+    r"|json_set|json_insert|json_replace|json_remove"
+    r"|json_merge_patch|json_merge_preserve|json_contains_path|json_contains"
+    r"|date_add|date_sub|adddate|subdate)\s*\(",
     re.IGNORECASE,
 )
+
+# INTERVAL <expr> <unit> argument of the DATE_ADD family
+_INTERVAL_ARG_RE = re.compile(r"(?is)^\s*interval\s+(.+?)\s+([a-z_]+)\s*$")
+# simple unit → (make_interval slot, multiplier)
+_IV_UNITS = {
+    "microsecond": ("secs", 1e-6), "second": ("secs", 1),
+    "minute": ("mins", 1), "hour": ("hours", 1), "day": ("days", 1),
+    "week": ("weeks", 1), "month": ("months", 1), "quarter": ("months", 3),
+    "year": ("years", 1),
+}
+# composite units (literal operands only): right-aligned field lists
+_IV_COMPOSITE = {
+    "year_month": ("years", "months"),
+    "day_hour": ("days", "hours"),
+    "day_minute": ("days", "hours", "mins"),
+    "day_second": ("days", "hours", "mins", "secs"),
+    "day_microsecond": ("days", "hours", "mins", "secs", "usecs"),
+    "hour_minute": ("hours", "mins"),
+    "hour_second": ("hours", "mins", "secs"),
+    "hour_microsecond": ("hours", "mins", "secs", "usecs"),
+    "minute_second": ("mins", "secs"),
+    "minute_microsecond": ("mins", "secs", "usecs"),
+    "second_microsecond": ("secs", "usecs"),
+}
+_IV_SLOTS = ("years", "months", "weeks", "days", "hours", "mins")
+
+
+def _make_interval_sql(
+    n: str, unit: str, spans: "list[str] | None"
+) -> "str | None":
+    """Spark ``make_interval(…)`` text for ``INTERVAL <expr> <unit>``.
+    Function form (unlike the INTERVAL literal syntax) accepts runtime
+    expressions — DATE_ADD(d, INTERVAL life_time DAY) works per row."""
+    unit = unit.lower()
+    lit = None
+    ph = _LONE_PH_RE.match(n)
+    if ph is not None and spans is not None and int(ph.group(1)) < len(spans):
+        lit = mysql_decode_literal(spans[int(ph.group(1))])
+    vals: "dict[str, str]" = {}
+    comp = _IV_COMPOSITE.get(unit)
+    if comp is not None:
+        if lit is None:
+            return None
+        parts = [p for p in re.split(r"[^0-9]+", lit.strip()) if p]
+        if not parts or len(parts) > len(comp):
+            return None
+        parts = ["0"] * (len(comp) - len(parts)) + parts
+        for slot, p in zip(comp, parts):
+            vals[slot] = p
+        if "usecs" in vals:
+            us = vals.pop("usecs")
+            vals["secs"] = f"({vals.get('secs', '0')} + {us} / 1000000.0)"
+    elif unit in _IV_UNITS:
+        slot, mult = _IV_UNITS[unit]
+        base = n if lit is None else f"TRY_CAST({n} AS DOUBLE)"
+        vals[slot] = (
+            f"TRY_CAST(({base}) AS DOUBLE)" if mult == 1
+            else f"TRY_CAST(({base}) AS DOUBLE) * {mult}"
+        )
+    else:
+        return None
+    slot_sql = [
+        "0" if vals.get(s, "0") == "0" else f"CAST({vals[s]} AS INT)"
+        for s in _IV_SLOTS
+    ]
+    secs = vals.get("secs", "0")
+    secs_sql = "0" if secs == "0" else f"CAST({secs} AS DECIMAL(18,6))"
+    return f"make_interval({', '.join(slot_sql)}, {secs_sql})"
+
+
+_IV_DAY_LEVEL = {"day", "week", "month", "quarter", "year", "year_month",
+                 "day_hour", "day_minute", "day_second", "day_microsecond"}
+
+
+def _date_arith_sql(
+    name: str, args: "list[str]", spans: "list[str] | None"
+) -> "str | None":
+    """DATE_ADD/DATE_SUB/ADDDATE/SUBDATE with an INTERVAL operand (MySQL
+    semantics; Spark's same-named builtin date_add(date, n) only adds
+    days).  ADDDATE/SUBDATE also take a bare day count."""
+    if len(args) != 2:
+        return None
+    x, a1 = args
+    m = _INTERVAL_ARG_RE.match(a1)
+    if m is None:
+        if name in ("adddate", "subdate"):
+            iv, unit = (
+                f"make_interval(0, 0, 0, "
+                f"CAST(TRY_CAST(({a1}) AS DOUBLE) AS INT), 0, 0, 0)",
+                "day",
+            )
+        else:
+            return None  # date_add(date, n) keeps the Spark builtin
+    else:
+        unit = m.group(2).lower()
+        iv = _make_interval_sql(m.group(1).strip(), unit, spans)
+        if iv is None:
+            return None
+    op = "-" if name in ("date_sub", "subdate") else "+"
+    lit = None
+    ph = _LONE_PH_RE.match(x)
+    if ph is not None and spans is not None and int(ph.group(1)) < len(spans):
+        lit = mysql_decode_literal(spans[int(ph.group(1))])
+        base = (
+            _bvt_datearg(x) if BVT_REPLAY_MODE[0]
+            else f"try_cast({x} AS TIMESTAMP)"
+        )
+    else:
+        base = f"try_cast({x} AS TIMESTAMP)"
+    out = f"({base} {op} {iv})"
+    if lit is not None and ":" not in lit and unit in _IV_DAY_LEVEL:
+        # DATE input + day-level unit → DATE result (MySQL result typing)
+        out = f"CAST({out} AS DATE)"
+    return out
 
 
 # the BVT co-executor sets this while replaying reference scripts: bit
@@ -831,8 +1074,105 @@ def _guard_fn(
     return None
 
 
-def _compose_fn(name: str, args: "list[str]") -> "str | None":
+def _compose_fn(
+    name: str, args: "list[str]", spans: "list[str] | None" = None
+) -> "str | None":
     name = name.lower()
+    if name in ("date_add", "date_sub", "adddate", "subdate"):
+        return _date_arith_sql(name, args, spans)
+    if name == "convert" and len(args) == 2:
+        # MySQL CONVERT(x, type) — the CAST text re-enters _cast_rewrite
+        # downstream for the MySQL target-type semantics
+        return f"CAST({args[0]} AS {args[1]})"
+    if name == "convert" and len(args) == 1 and re.search(
+        r"(?i)\busing\s+\w+\s*$", args[0]
+    ):
+        # CONVERT(x USING charset): the engine is utf8-only — string cast
+        inner = re.sub(r"(?i)\busing\s+\w+\s*$", "", args[0])
+        return f"CAST({inner} AS STRING)"
+    if name == "week" and len(args) == 2:
+        return f"mo_week2({args[0]}, CAST({args[1]} AS INT))"
+    if name == "yearweek" and len(args) == 2:
+        return f"yearweek({args[0]})"  # mode argument: ISO-adjacent family
+    if name in ("utc_time", "curtime", "utc_timestamp") and len(args) == 1:
+        # precision argument dropped: the surface renders second precision
+        # on both replay engines (functions/sql_surface.py)
+        return f"{name}()"
+    if name == "format" and len(args) == 3:
+        return f"format({args[0]}, {args[1]})"  # locale → en_US rendering
+    if name == "subvector" and len(args) in (2, 3):
+        ln = args[2] if len(args) == 3 else "NULL"
+        return f"mo_vec_subvector({args[0]}, {args[1]}, {ln})"
+    if name == "json_object":
+        if not args or (len(args) == 1 and not args[0].strip()):
+            return "'{}'"
+        if len(args) % 2:
+            return None
+        pairs = ", ".join(
+            f"{args[i]}, {args[i + 1]}" for i in range(0, len(args), 2)
+        )
+        return (
+            f"mo_json_norm(to_json(named_struct({pairs}), "
+            f"map('ignoreNullFields', 'false')))"
+        )
+    if name == "json_array":
+        if not args or (len(args) == 1 and not args[0].strip()):
+            return "'[]'"
+        if len(args) == 1 and args[0].lstrip().lower().startswith("to_json("):
+            return None  # our own output (fixpoint)
+        fields = ", ".join(f"{a} AS `_{i}`" for i, a in enumerate(args))
+        return (
+            f"mo_json_vals(to_json(struct({fields}), "
+            f"map('ignoreNullFields', 'false')))"
+        )
+    if name == "json_arrayagg" and len(args) == 1:
+        if args[0].lstrip().lower().startswith("to_json("):
+            return None  # fixpoint guard (our own struct wrapper)
+        return (
+            f"mo_json_arr_from(concat_ws(chr(30), collect_list("
+            f"to_json(struct({args[0]} AS v), "
+            f"map('ignoreNullFields', 'false')))))"
+        )
+    if name == "json_objectagg" and len(args) == 2:
+        if args[0].lstrip().lower().startswith("to_json("):
+            return None
+        return (
+            f"mo_json_obj_from(concat_ws(chr(30), collect_list("
+            f"to_json(struct({args[0]} AS k, {args[1]} AS v), "
+            f"map('ignoreNullFields', 'false')))))"
+        )
+    if name in ("json_set", "json_insert", "json_replace") and \
+            len(args) >= 5 and len(args) % 2 == 1:
+        # (doc, p1, v1, p2, v2, …) → chained 3-arg kernel calls
+        out = args[0]
+        for i in range(1, len(args), 2):
+            out = f"{name}({out}, {args[i]}, {args[i + 1]})"
+        return out
+    if name == "json_remove" and len(args) > 2:
+        out = args[0]
+        for p in args[1:]:
+            out = f"json_remove({out}, {p})"
+        return out
+    if name in ("json_merge_patch", "json_merge_preserve") and len(args) > 2:
+        out = args[0]
+        for d in args[1:]:
+            out = f"{name}({out}, {d})"
+        return out
+    if name == "json_contains":
+        if len(args) == 2:
+            return f"mo_json_contains({args[0]}, {args[1]})"
+        if len(args) == 3:
+            return (
+                f"mo_json_contains(mo_json_extract({args[0]}, {args[2]}), "
+                f"{args[1]})"
+            )
+        return None
+    if name == "json_contains_path" and len(args) > 3:
+        packed = ", ".join(args[2:])
+        return (
+            f"json_contains_path({args[0]}, {args[1]}, "
+            f"concat_ws(chr(31), {packed}))"
+        )
     if name == "bitmap_bit_position" and len(args) == 1:
         # the reference's bitmap_bit_position is v & 0x7fff
         # (func_unary.go:9246); Spark's NATIVE builtin of the same name is
@@ -1065,7 +1405,22 @@ def _compose_fn(name: str, args: "list[str]") -> "str | None":
     return None
 
 
+_JAGG_OVER_RE = re.compile(
+    r"\bjson_arrayagg\s*\(([^()]*)\)\s*(over\s*\([^()]*\))", re.IGNORECASE
+)
+
+
 def rewrite_mysql_fns(masked: str, spans: "list[str] | None" = None) -> str:
+    # windowed JSON_ARRAYAGG first: the OVER clause must ride the inner
+    # collect_list, not the normalizing kernel around it
+    masked = _JAGG_OVER_RE.sub(
+        lambda m: (
+            "mo_json_arr_from(concat_ws(chr(30), collect_list(to_json("
+            f"struct({m.group(1)} AS v), map('ignoreNullFields', 'false'))) "
+            f"{m.group(2)}))"
+        ),
+        masked,
+    )
     masked = _FN_RENAME_RE.sub(
         lambda m: _FN_RENAME[m.group(1).lower()] + "(", masked
     )
@@ -1076,7 +1431,7 @@ def rewrite_mysql_fns(masked: str, spans: "list[str] | None" = None) -> str:
             masked,
             _FN_COMPOSE_RE,
             None,  # builder resolved per-call below
-            per_name_builder=_compose_fn,
+            per_name_builder=lambda n, a: _compose_fn(n, a, spans),
         )
     if _FN_GUARD_RE.search(masked):
         # ONE pass only: these outputs re-mention their own name
@@ -2684,6 +3039,13 @@ def translate(sql: str) -> str:
         )
 
         fn, arg = m.group(1).lower(), m.group(2)
+        if fn == "to_date":
+            # MatrixOne TO_DATE is an alias of STR_TO_DATE
+            # (func_binary.go toDate); only a %-format is MySQL-style —
+            # Java-pattern calls are Spark-native and pass through
+            if "%" not in _literal_text(spans, int(m.group(3))):
+                return m.group(0)
+            fn = "str_to_date"
         if fn == "date_format":
             # MySQL parses PACKED digit strings as dates ('20000205',
             # '20000205143000', '000205' — func_date_format_1.sql); Spark's
@@ -2717,19 +3079,12 @@ def translate(sql: str) -> str:
             return f"to_timestamp({arg}, {ph})"
         return f"date_format({arg}, {ph})"
 
-    def gc_repl(m: "re.Match") -> str:
-        # MySQL group_concat: scan (insertion) order — collect_list, NOT
-        # array_sort (function_group_concat.sql: the reference emits rows
-        # in insertion order); an all-NULL/empty group yields NULL, not ''.
-        arg = m.group(1)
-        sep_ph = _PH.format(int(m.group(2))) if m.group(2) is not None else "','"
-        return (
-            f"(CASE WHEN count({arg}) = 0 THEN NULL"
-            f" ELSE concat_ws({sep_ph}, collect_list({arg})) END)"
-        )
-
     masked = _DATE_FORMAT_RE.sub(fmt_repl, masked)
-    masked = _GROUP_CONCAT_RE.sub(gc_repl, masked)
+    if _GROUP_CONCAT_RE.search(masked):
+        masked = _rewrite_calls(
+            masked, _GROUP_CONCAT_RE,
+            lambda args: _group_concat_sql(args, engine="spark"),
+        )
 
     def extract_time_repl(m: "re.Match") -> str:
         # EXTRACT(HOUR/MINUTE/SECOND FROM '<TIME literal>'): MySQL TIME
@@ -2757,9 +3112,19 @@ def translate(sql: str) -> str:
         # Python evaluator; plain member paths stay on get_json_object
         # (JVM fast path) via _compose_fn below
         def je_build(name, args):
-            if len(args) != 2:
-                return None
-            return f"mo_json_extract({args[0]}, {args[1]})"
+            if len(args) == 2:
+                return f"mo_json_extract({args[0]}, {args[1]})"
+            if len(args) > 2:
+                # multi-path form: all hits collected into one JSON array
+                # (functions/sql_surface.py mo_json_extract_multi)
+                if args[1].lstrip().lower().startswith("concat_ws("):
+                    return None  # our own output (fixpoint)
+                packed = ", ".join(args[1:])
+                return (
+                    f"mo_json_extract_multi({args[0]}, "
+                    f"concat_ws(chr(31), {packed}))"
+                )
+            return None
 
         masked = _rewrite_calls(
             masked, _JSON_EXTRACT_RE, None, per_name_builder=je_build

@@ -93,12 +93,14 @@ def _ensure_sql_udfs(spark: SparkSession) -> None:
     from matrixone_spark.functions.geo_sql import register_geo_sql
     from matrixone_spark.functions.json_fns import _mo_json_extract_udf
     from matrixone_spark.functions.mysql import _conv_udf
+    from matrixone_spark.functions.sql_surface import register_spark
     from matrixone_spark.functions.sql_udfs import register_all
 
     spark.udf.register("mo_conv", _conv_udf)
     spark.udf.register("mo_json_extract", _mo_json_extract_udf)
     register_all(spark)
     register_geo_sql(spark)
+    register_spark(spark)
     try:
         spark.conf.set(tag, "1")
     except Exception:
