@@ -4468,7 +4468,21 @@ def _duck_surface_fns(masked: str, spans: "list[str]") -> str:
         if name == "yearweek" and len(args) in (1, 2):
             return f"mo_yearweek({args[0]})"
         if name == "format" and len(args) in (2, 3):
-            return f"mo_format({args[0]}, {args[1]})"
+            base = f"mo_format({args[0]}, {args[1]})"
+            if len(args) == 3:
+                from matrixone_spark.mysql_dialect import (
+                    format_locale_seps, mysql_decode_literal,
+                )
+
+                ph = re.fullmatch(r"\s*\x01(\d+)\x01\s*", args[2])
+                if ph is not None:
+                    dec, grp = format_locale_seps(
+                        mysql_decode_literal(spans[int(ph.group(1))])
+                    )
+                    if (dec, grp) != (".", ","):
+                        to = (dec + grp).replace("'", "''")
+                        return f"translate({base}, '.,', '{to}')"
+            return base
         if name in ("utc_time", "curtime", "utc_timestamp") and len(args) == 1 \
                 and args[0].strip():
             return f"{name}()"

@@ -144,10 +144,15 @@ SPARK_SQL: "list[str]" = [
     "WHEN a < b THEN -1 WHEN a > b THEN 1 ELSE 0 END",
     # FORMAT(x, d): thousands separators, d fractional digits clamped to
     # [0, 30] (func_binary.go format); the 3-arg locale form drops the
-    # locale in the dialect (en_US rendering)
-    "CREATE OR REPLACE TEMPORARY FUNCTION format(x DOUBLE, d INT) "
-    "RETURNS STRING RETURN format_number(x, "
-    "CAST(LEAST(30, GREATEST(0, COALESCE(d, 0))) AS INT))",
+    # locale in the dialect (en_US rendering).  STRING x converts by its
+    # NUMERIC PREFIX like MySQL ('-.12334.2' → -0.12334 → '-0.12')
+    "CREATE OR REPLACE TEMPORARY FUNCTION format(x STRING, d STRING) "
+    "RETURNS STRING RETURN CASE WHEN x IS NULL THEN NULL ELSE "
+    "format_number(COALESCE(try_cast(x AS DOUBLE), "
+    "try_cast(regexp_extract(x, "
+    "'^[ \\\\t]*[+-]?([0-9]+(\\\\.[0-9]*)?|\\\\.[0-9]+)([eE][+-]?[0-9]+)?', 0) "
+    "AS DOUBLE), 0.0D), "
+    "CAST(LEAST(30, GREATEST(0, COALESCE(try_cast(d AS INT), 0))) AS INT)) END",
     "CREATE OR REPLACE TEMPORARY FUNCTION empty(x STRING) RETURNS BOOLEAN "
     "RETURN CASE WHEN x IS NULL THEN NULL ELSE char_length(x) = 0 END",
     "CREATE OR REPLACE TEMPORARY FUNCTION name_const(n STRING, v STRING) "
@@ -172,12 +177,14 @@ SPARK_SQL: "list[str]" = [
     "RETURN CASE WHEN s IS NULL THEN NULL ELSE s rlike "
     "'^(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
     "(\\\\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}$' END",
+    # braced '{uuid}' and dashless 32-hex forms are accepted like MySQL
     "CREATE OR REPLACE TEMPORARY FUNCTION is_uuid(s STRING) RETURNS BOOLEAN "
-    "RETURN CASE WHEN s IS NULL THEN NULL ELSE s rlike "
-    "'^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
-    "-[0-9a-fA-F]{12}$' END",
+    "RETURN CASE WHEN s IS NULL THEN NULL ELSE "
+    "regexp_replace(s, '[{}-]', '') rlike '^[0-9a-fA-F]{32}$' "
+    "AND (s rlike '^[{]?[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}[}]?$' OR s rlike '^[0-9a-fA-F]{32}$') END",
     "CREATE OR REPLACE TEMPORARY FUNCTION uuid_to_bin(u STRING) "
-    "RETURNS BINARY RETURN unhex(replace(u, '-', ''))",
+    "RETURNS BINARY RETURN unhex(regexp_replace(u, '[{}-]', ''))",
     "CREATE OR REPLACE TEMPORARY FUNCTION bin_to_uuid(b BINARY) "
     "RETURNS STRING RETURN CASE WHEN b IS NULL THEN NULL ELSE concat_ws('-', "
     "substring(lower(hex(b)), 1, 8), substring(lower(hex(b)), 9, 4), "
@@ -278,9 +285,11 @@ DUCK_SQL: "list[str]" = [
     "(\\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}$') END)",
     "CREATE OR REPLACE MACRO is_uuid(s) AS ("
     "CASE WHEN s IS NULL THEN NULL ELSE regexp_matches(s, "
-    "'^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
-    "-[0-9a-fA-F]{12}$') END)",
-    "CREATE OR REPLACE MACRO uuid_to_bin(u) AS (unhex(replace(u, '-', '')))",
+    "'^(\\{[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    "-[0-9a-fA-F]{12}\\}|[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}|[0-9a-fA-F]{32})$') END)",
+    "CREATE OR REPLACE MACRO uuid_to_bin(u) AS "
+    "(unhex(replace(replace(replace(u, '-', ''), '{', ''), '}', '')))",
     "CREATE OR REPLACE MACRO bin_to_uuid(b) AS ("
     "CASE WHEN b IS NULL THEN NULL ELSE "
     "substring(lower(hex(b)), 1, 8) || '-' || "
@@ -569,11 +578,23 @@ def _k_get_format(t, loc):
 def _k_format(x, d):
     """FORMAT(x, d) DuckDB twin (its printf lacks %,f for floats); Python's
     ',.Nf' rounds half-even like Spark's format_number, so the two replay
-    engines render identically."""
+    engines render identically.  String x converts by its numeric prefix
+    like MySQL."""
     if x is None:
         return None
-    nd = max(0, min(30, int(d) if d is not None else 0))
-    return f"{float(x):,.{nd}f}"
+    try:
+        v = float(x)
+    except (TypeError, ValueError):
+        m = re.match(
+            r"\s*[+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)(?:[eE][+-]?[0-9]+)?",
+            str(x),
+        )
+        v = float(m.group(0)) if m and m.group(0).strip() else 0.0
+    try:
+        nd = max(0, min(30, int(float(d)) if d is not None else 0))
+    except (TypeError, ValueError):
+        nd = 0
+    return f"{v:,.{nd}f}"
 
 
 # ---- vector family: values are the reference's '[x, y, z]' text rendering

@@ -712,6 +712,32 @@ _FN_COMPOSE_RE = re.compile(
     re.IGNORECASE,
 )
 
+# FORMAT(x, d, locale) rendering separators — MySQL's locale table
+# (sql/sql_locale.cc DECIMAL_POINT/THOUSAND_SEP; exercised by
+# func_string_format.test): (decimal, grouping); '' grouping = none
+_FORMAT_LOCALES = {
+    "ar_sa": (".", ""), "be_by": (",", "."), "bg_bg": (",", " "),
+    "de_at": (",", ""), "de_ch": (".", "'"), "de_li": (".", "'"),
+    "de_de": (",", "."), "it_ch": (",", "'"), "rm_ch": (",", "'"),
+    "ro_ro": (",", "."), "ru_ru": (",", " "), "uk_ua": (",", " "),
+}
+_FORMAT_LANG_DEFAULT = {
+    "ca": (",", ""), "cs": (",", ""), "da": (",", ""), "el": (",", ""),
+    "es": (",", ""), "eu": (",", ""), "fi": (",", " "), "fr": (",", ""),
+    "gl": (",", ""), "hr": (",", ""), "hu": (",", ""), "it": (",", ""),
+    "mk": (",", ""), "nl": (",", ""), "pl": (",", ""), "pt": (",", ""),
+    "sk": (",", ""), "sl": (",", ""), "sq": (",", ""), "sr": (",", ""),
+    "sv": (",", ""), "tr": (",", ""),
+}
+
+
+def format_locale_seps(loc: str) -> "tuple[str, str]":
+    loc = loc.strip().lower()
+    if loc in _FORMAT_LOCALES:
+        return _FORMAT_LOCALES[loc]
+    return _FORMAT_LANG_DEFAULT.get(loc.split("_")[0], (".", ","))
+
+
 # INTERVAL <expr> <unit> argument of the DATE_ADD family
 _INTERVAL_ARG_RE = re.compile(r"(?is)^\s*interval\s+(.+?)\s+([a-z_]+)\s*$")
 # simple unit → (make_interval slot, multiplier)
@@ -1099,7 +1125,17 @@ def _compose_fn(
         # on both replay engines (functions/sql_surface.py)
         return f"{name}()"
     if name == "format" and len(args) == 3:
-        return f"format({args[0]}, {args[1]})"  # locale → en_US rendering
+        base = f"format({args[0]}, {args[1]})"
+        ph = _LONE_PH_RE.match(args[2])
+        if ph is None or spans is None:
+            return base  # non-literal locale → en_US rendering
+        dec, grp = format_locale_seps(
+            mysql_decode_literal(spans[int(ph.group(1))])
+        )
+        if (dec, grp) == (".", ","):
+            return base
+        to = (dec + grp).replace("'", "''")
+        return f"translate({base}, '.,', '{to}')"
     if name == "subvector" and len(args) in (2, 3):
         ln = args[2] if len(args) == 3 else "NULL"
         return f"mo_vec_subvector({args[0]}, {args[1]}, {ln})"
