@@ -1267,9 +1267,12 @@ class BvtSession:
                 rest = unmask_literals(masked[wi:], spans)
                 hm = _WITH_INSERT_RE.match(rest)
                 if not hm:
-                    # WITH ... UPDATE/DELETE: skipped on Spark; the
-                    # co-executor then rolls back BOTH engines (diverged),
-                    # keeping state identical instead of duck-only drift
+                    # WITH … DELETE/UPDATE (dml/delete/delete.test `with
+                    # t11 as (…) delete t2 from t11 join t2 …`): register
+                    # each CTE as a transient table so the multi-table DML
+                    # machinery can join against it, then re-dispatch
+                    if re.match(r"\s*(delete|update)\b", rest, re.IGNORECASE):
+                        return self._with_dml(with_part, rest)
                     raise SkipStatement("unsupported WITH-DML shape")
                 stmt2 = hm.group(1) + " " + with_part + " " + rest[hm.end():]
                 m2, s2 = mask_literals(stmt2)
@@ -2109,6 +2112,50 @@ class BvtSession:
         self.last_table = name
         return "dml", None
 
+    def _with_dml(self, with_part: str, rest: str) -> "tuple[str, None]":
+        """WITH ctes … DELETE/UPDATE: materialize each CTE as a transient
+        replay table (restored afterwards), then dispatch the DML through
+        the normal multi-table machinery.  MySQL only READS the CTEs —
+        the mutation target must be a real table
+        (dml/delete/delete.test:703, dml/update/update.test)."""
+        body = re.sub(r"(?is)^\s*with\s+(recursive\s+)?", "", with_part)
+        defs: "list[tuple[str, str]]" = []
+        i = 0
+        while i < len(body):
+            nm = re.match(r"\s*[`]?(\w+)[`]?\s*(\([^)]*\))?\s*as\s*\(",
+                          body[i:], re.IGNORECASE)
+            if nm is None:
+                raise SkipStatement("unparseable WITH-DML CTE list")
+            open_idx = i + nm.end() - 1
+            close = _scan_to_close(body, open_idx)
+            defs.append((nm.group(1).lower(), body[open_idx + 1:close]))
+            i = close + 1
+            tail = re.match(r"\s*,", body[i:])
+            if tail is None:
+                break
+            i += tail.end()
+        saved: "dict[str, DataFrame | None]" = {}
+        added: "list[str]" = []
+        try:
+            for nm_, cte_body in defs:
+                df = self.spark.sql(translate(cte_body))
+                saved[nm_] = self.tables.get(nm_)
+                self._register(nm_, df)
+                added.append(nm_)
+            kind, out = self._execute(rest)
+        finally:
+            for nm_ in added:
+                old = saved.get(nm_)
+                if old is None:
+                    self.tables.pop(nm_, None)
+                    try:
+                        self.spark.catalog.dropTempView(nm_)
+                    except Exception:  # noqa: BLE001
+                        pass
+                else:
+                    self._register(nm_, old)
+        return kind, out
+
     def _parse_table_list(self, clause: str, spans) -> "list[tuple[str, str]]":
         """'t1 a, db.t2 AS b' → [(table, alias)] against known tables."""
         out = []
@@ -2125,12 +2172,32 @@ class BvtSession:
             out.append((name, (tm.group(2) or name).lower()))
         return out
 
+    def _parse_from_tables(
+        self, clause: str, spans
+    ) -> "tuple[list[tuple[str, str]], list[str]]":
+        """Multi-table DML FROM clause: comma list and/or
+        `a [INNER] JOIN b ON cond` — returns (tables, join-conditions);
+        the ON conditions fold into the WHERE (inner-join semantics,
+        dml/delete/delete.test WITH-DML shapes)."""
+        conds: "list[str]" = []
+        tabs: "list[tuple[str, str]]" = []
+        for i, seg in enumerate(re.split(
+            r"(?i)\b(?:inner\s+)?join\b", clause
+        )):
+            if i > 0:
+                om = re.search(r"(?is)\bon\b(.*)$", seg)
+                if om:
+                    conds.append(om.group(1).strip())
+                    seg = seg[:om.start()]
+            tabs.extend(self._parse_table_list(seg, spans))
+        return tabs, conds
+
     def _multi_update(self, mm: "re.Match", spans) -> "tuple[str, None]":
         """MySQL multi-table UPDATE: `UPDATE t1, t2 SET t1.c = expr WHERE
         join-cond` — rows of the target with a match get the assignment
         (dtype/year.sql t_year_upd1; dml/update/*). One target table; the
         first matching row wins when the join multiplies."""
-        tables = self._parse_table_list(mm.group(1), spans)
+        tables, jconds = self._parse_from_tables(mm.group(1), spans)
         if len(tables) != 2:
             raise SkipStatement("multi-table UPDATE beyond 2 tables")
         assigns: "dict[str, str]" = {}
@@ -2154,7 +2221,11 @@ class BvtSession:
         if tgt is None:
             raise SkipStatement("multi-table UPDATE target not in table list")
         other = next(t for t in tables if t is not tgt)
-        cond = translate(unmask_literals(mm.group(3), spans))
+        cond = translate(unmask_literals(
+            " AND ".join(
+                [f"({c})" for c in jconds] + [f"({mm.group(3)})"]
+            ), spans,
+        ))
         rid = "__mu_rid"
         t_df = self.tables[tgt[0]].withColumn(rid, F.monotonically_increasing_id())
         o_df = self.tables[other[0]].withColumn("__mu_hit", F.lit(1))
@@ -2189,12 +2260,16 @@ class BvtSession:
         `DELETE FROM t1 USING t1, t2 WHERE cond` — target rows with a
         match are removed (dtype/year.sql t_year_del1)."""
         tgt_name = _name_token(dm.group(1), spans)
-        tables = self._parse_table_list(dm.group(2), spans)
+        tables, jconds = self._parse_from_tables(dm.group(2), spans)
         tgt = next((t for t in tables if t[1] == tgt_name.lower() or t[0] == tgt_name), None)
         if tgt is None or len(tables) != 2:
             raise SkipStatement("unsupported multi-table DELETE shape")
         other = next(t for t in tables if t is not tgt)
-        cond = translate(unmask_literals(dm.group(3), spans))
+        cond = translate(unmask_literals(
+            " AND ".join(
+                [f"({c})" for c in jconds] + [f"({dm.group(3)})"]
+            ), spans,
+        ))
         rid = "__md_rid"
         t_df = self.tables[tgt[0]].withColumn(rid, F.monotonically_increasing_id())
         matched = (

@@ -687,6 +687,8 @@ _FN_RENAME = {
     "std": "stddev_pop",
     "stddev": "stddev_pop",
     "variance": "var_pop",
+    # MySQL base64 names (func_unary.go to_base64/from_base64)
+    "to_base64": "base64",
 }
 # vector-family SQL names resolve to the mo_vec_* text-rendering kernels
 # registered by functions/sql_surface.py (same table drives _duckify)
@@ -704,7 +706,8 @@ _FN_COMPOSE_RE = re.compile(
     r"\b(field|oct|ord|conv|export_set|make_set|random_bytes"
     r"|validate_password_strength|insert|in_range|if|dayname|monthname|bitmap_bit_position|bitmap_bucket_number"
     r"|h3_h3index_parent|h3_h3index|json_length|json_extract|json_unquote"
-    r"|quote|convert|yearweek|week|utc_time|curtime|utc_timestamp|format|subvector"
+    r"|quote|convert|yearweek|week|utc_time|curtime|utc_timestamp|format"
+    r"|from_base64|subvector"
     r"|json_object|json_arrayagg|json_objectagg|json_array"
     r"|json_set|json_insert|json_replace|json_remove"
     r"|json_merge_patch|json_merge_preserve|json_contains_path|json_contains"
@@ -1120,6 +1123,8 @@ def _compose_fn(
         return f"mo_week2({args[0]}, CAST({args[1]} AS INT))"
     if name == "yearweek" and len(args) == 2:
         return f"yearweek({args[0]})"  # mode argument: ISO-adjacent family
+    if name == "from_base64" and len(args) == 1:
+        return f"CAST(unbase64({args[0]}) AS STRING)"
     if name in ("utc_time", "curtime", "utc_timestamp") and len(args) == 1:
         # precision argument dropped: the surface renders second precision
         # on both replay engines (functions/sql_surface.py)
@@ -1443,6 +1448,34 @@ def _compose_fn(
 
 _JAGG_OVER_RE = re.compile(
     r"\bjson_arrayagg\s*\(([^()]*)\)\s*(over\s*\([^()]*\))", re.IGNORECASE
+)
+
+# MySQL JSON column operators: col->'$.p' (extract) / col->>'$.p'
+# (extract + unquote).  RHS restricted to masked literals so the lambda
+# arrows later rewrites emit ((l, r) -> …) can never match.
+_JSON_ARROW_RE = re.compile(
+    r"(\x01\d+\x01|[\w.`]+)\s*->(>?)\s*(\x01\d+\x01)"
+)
+
+
+def rewrite_json_arrows(masked: str) -> str:
+    def repl(m: "re.Match") -> str:
+        inner = f"json_extract({m.group(1)}, {m.group(3)})"
+        return f"json_unquote({inner})" if m.group(2) else inner
+
+    prev = None
+    while prev != masked:
+        prev = masked
+        masked = _JSON_ARROW_RE.sub(repl, masked)
+    return masked
+
+
+# window frames on rank-family functions: MySQL tolerates (and ignores) a
+# ROWS/RANGE frame there; Spark rejects it — strip the frame clause
+_RANKFRAME_RE = re.compile(
+    r"\b(rank|dense_rank|row_number|ntile|percent_rank|cume_dist|lag|lead)"
+    r"(\s*\([^()]*\)\s*over\s*\()([^()]*?)\s+(?:rows|range)\s+[^()]*\)",
+    re.IGNORECASE,
 )
 
 
@@ -3116,6 +3149,27 @@ def translate(sql: str) -> str:
         return f"date_format({arg}, {ph})"
 
     masked = _DATE_FORMAT_RE.sub(fmt_repl, masked)
+    if "->" in masked:
+        masked = rewrite_json_arrows(masked)
+    if _RANKFRAME_RE.search(masked):
+        masked = _RANKFRAME_RE.sub(lambda m: (
+            m.group(1) + m.group(2) + m.group(3) + ")"
+        ), masked)
+    # EXTRACT(MICROSECOND FROM x): no such Spark field — textual fraction
+    if re.search(r"(?i)\bextract\s*\(\s*microsecond\b", masked):
+        def _ex_us(args):
+            if len(args) != 1:
+                return None
+            m2 = re.match(
+                r"(?is)^\s*microsecond\s+from\s+(.*)$", args[0]
+            )
+            if m2 is None:
+                return None
+            return f"microsecond(CAST({m2.group(1).strip()} AS STRING))"
+
+        masked = _rewrite_calls(
+            masked, re.compile(r"\bextract\s*\(", re.IGNORECASE), _ex_us
+        )
     if _GROUP_CONCAT_RE.search(masked):
         masked = _rewrite_calls(
             masked, _GROUP_CONCAT_RE,
