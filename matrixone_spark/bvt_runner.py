@@ -1301,6 +1301,7 @@ class BvtSession:
                 stmt = self._rewrite_match(stmt)
             stmt = self._rewrite_int_sum(stmt)
             stmt = self._rewrite_decimal_avg(stmt)
+            stmt = self._rewrite_decimal_mul(stmt)
             stmt = self._rewrite_unsigned_sub(stmt)
             return "select", self.spark.sql(translate(stmt))
         if head == "set":
@@ -3336,6 +3337,43 @@ class BvtSession:
             )
 
         return self._DEC_AVG_RE.sub(repl, stmt)
+
+    _DEC_MUL_RE = re.compile(
+        r"\b([a-zA-Z_]\w*)\s*\*\s*([a-zA-Z_]\w*)\b"
+    )
+
+    def _rewrite_decimal_mul(self, stmt: str) -> str:
+        """decimal×decimal with s1+s2 beyond the reference's result scale
+        clamp (max(12,s1,s2) — types/decimal.go:1331): Spark types the
+        product at scale s1+s2 and NULLs values that then exceed precision
+        38; route through the exact mo_dec_mul kernel at the reference's
+        scale (dtype/decimal.test decimal18)."""
+        if "*" not in stmt:
+            return stmt
+        coltypes: "dict[str, str]" = {}
+        for _kw, name, _alias in self._FROM_TBL_RE.findall(stmt):
+            for c, ty in self.schemas.get(name, ()):
+                coltypes[c.lower()] = ty.lower()
+
+        def repl(m: "re.Match") -> str:
+            sc = []
+            for ident in (m.group(1), m.group(2)):
+                dm = re.fullmatch(
+                    r"(?:decimal|numeric)\((\d+)(?:,\s*(\d+))?\)",
+                    coltypes.get(ident.lower(), ""),
+                )
+                if not dm:
+                    return m.group(0)
+                sc.append(int(dm.group(2) or 0))
+            scale = min(max(12, sc[0], sc[1]), sc[0] + sc[1])
+            if scale == sc[0] + sc[1] and sc[0] + sc[1] <= 32:
+                return m.group(0)  # Spark's own typing holds the result
+            return (
+                f"mo_dec_mul(CAST({m.group(1)} AS STRING), "
+                f"CAST({m.group(2)} AS STRING), {scale})"
+            )
+
+        return self._DEC_MUL_RE.sub(repl, stmt)
 
     def _rewrite_unsigned_sub(self, stmt: str) -> str:
         """Subtraction of two INT UNSIGNED columns keeps the 32-bit

@@ -146,9 +146,17 @@ SPARK_SQL: "list[str]" = [
     # [0, 30] (func_binary.go format); the 3-arg locale form drops the
     # locale in the dialect (en_US rendering).  STRING x converts by its
     # NUMERIC PREFIX like MySQL ('-.12334.2' → -0.12334 → '-0.12')
+    # exact DECIMAL paths first: format over a 38-digit decimal must keep
+    # every digit (double round-trips print trailing garbage zeros)
     "CREATE OR REPLACE TEMPORARY FUNCTION format(x STRING, d STRING) "
-    "RETURNS STRING RETURN CASE WHEN x IS NULL THEN NULL ELSE "
-    "format_number(COALESCE(try_cast(x AS DOUBLE), "
+    "RETURNS STRING RETURN CASE WHEN x IS NULL THEN NULL "
+    "WHEN try_cast(x AS DECIMAL(38,9)) IS NOT NULL THEN "
+    "format_number(try_cast(x AS DECIMAL(38,9)), "
+    "CAST(LEAST(30, GREATEST(0, COALESCE(try_cast(d AS INT), 0))) AS INT)) "
+    "WHEN try_cast(x AS DECIMAL(38,0)) IS NOT NULL THEN "
+    "format_number(try_cast(x AS DECIMAL(38,0)), "
+    "CAST(LEAST(30, GREATEST(0, COALESCE(try_cast(d AS INT), 0))) AS INT)) "
+    "ELSE format_number(COALESCE(try_cast(x AS DOUBLE), "
     "try_cast(regexp_extract(x, "
     "'^[ \\\\t]*[+-]?([0-9]+(\\\\.[0-9]*)?|\\\\.[0-9]+)([eE][+-]?[0-9]+)?', 0) "
     "AS DOUBLE), 0.0D), "
@@ -582,18 +590,25 @@ def _k_format(x, d):
     like MySQL."""
     if x is None:
         return None
-    try:
-        v = float(x)
-    except (TypeError, ValueError):
-        m = re.match(
-            r"\s*[+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)(?:[eE][+-]?[0-9]+)?",
-            str(x),
-        )
-        v = float(m.group(0)) if m and m.group(0).strip() else 0.0
+    import decimal as _d
+
     try:
         nd = max(0, min(30, int(float(d)) if d is not None else 0))
     except (TypeError, ValueError):
         nd = 0
+    try:
+        with _d.localcontext() as ctx:
+            ctx.prec = 80
+            ctx.rounding = _d.ROUND_HALF_UP  # format_number's decimal mode
+            v = _d.Decimal(str(x))
+            return f"{v:,.{nd}f}"
+    except (_d.InvalidOperation, ValueError):
+        pass
+    m = re.match(
+        r"\s*[+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)(?:[eE][+-]?[0-9]+)?",
+        str(x),
+    )
+    v = float(m.group(0)) if m and m.group(0).strip() else 0.0
     return f"{v:,.{nd}f}"
 
 
@@ -980,6 +995,28 @@ def _k_try_jq(doc, prog):
         return None
 
 
+def _k_dec_mul(a, b, scale):
+    """Decimal128 multiply at the reference's result scale
+    (types/decimal.go:1331 — scale = clamp(max(12, s1, s2) ≤ s1+s2),
+    exact 256-bit product rescaled down, half-away rounding).  Spark's
+    decimal typing under allowPrecisionLoss=false NULLs these
+    (dtype/decimal.test decimal18); the exact Python-decimal path renders
+    the reference's fixed-scale text."""
+    if a is None or b is None or scale is None:
+        return None
+    import decimal as _d
+
+    with _d.localcontext() as ctx:
+        ctx.prec = 100
+        z = _d.Decimal(str(a)) * _d.Decimal(str(b))
+        q = z.quantize(
+            _d.Decimal(1).scaleb(-int(scale)), rounding=_d.ROUND_HALF_UP
+        )
+    if abs(int(q.scaleb(int(scale)))) >= (1 << 127):
+        raise ValueError("Decimal128 Mul overflow")
+    return format(q, "f")
+
+
 def _k_json_norm(s):
     """Re-render a JSON text in the reference's bytejson style
     ('{"a": 1, "b": 2}' — space after ':' and ','); NULL on invalid."""
@@ -1127,6 +1164,7 @@ PYFUNCS: "list[tuple[str, object, list, tuple]]" = [
     ("mo_json_obj_from", _k_json_obj_from, [_T_STR], _T_STR),
     ("mo_json_norm", _k_json_norm, [_T_STR], _T_STR),
     ("mo_json_norm_sorted", _k_json_norm_sorted, [_T_STR], _T_STR),
+    ("mo_dec_mul", _k_dec_mul, [_T_STR, _T_STR, _T_INT], _T_STR),
 ]
 
 # renames the SQL dialect applies for BOTH engines: the registered name is

@@ -1342,6 +1342,81 @@ def _r_int_arith_overflow(masked: str, spans, sess) -> "str | None":
     return None
 
 
+def _r_decimal_arith_overflow(masked: str, spans, sess) -> "str | None":
+    # decimal128 Mul/Div whose unscaled result exceeds the 128-bit range
+    # errors in the reference (arith_decimal_fast.go; dtype/decimal.test
+    # decimal07/08/18/19).  Mul: |x·y|·10^(s1+s2) beyond ~1.70e38
+    # overflows int128.  Div: the numerator is pre-scaled so the result
+    # carries at least 12 fractional digits (divIncreaseScale), so
+    # |x|·10^(s1+12) beyond the range overflows regardless of the divisor.
+    # Data-checked via the memoized state-version probe (like
+    # _r_int_arith_overflow); decisions never consult the .result.
+    mm = re.match(
+        r"\s*select\s+(.+?)\s+from\s+([`\w.]+)(?:\s+where\s+(.+?))?\s*;?\s*$",
+        masked, re.IGNORECASE | re.DOTALL,
+    )
+    if not mm:
+        return None
+    tbl = mm.group(2).split(".")[-1].lower()
+    if tbl not in getattr(sess, "schemas", {}):
+        return None
+    where = mm.group(3) or "true"
+    if _PH_RE.search(where):
+        return None
+
+    def _scale(op: str) -> "tuple[str, int] | None":
+        """('col'|'lit', scale) for an identifier or numeric literal."""
+        if re.fullmatch(r"[+-]?\d+(?:\.\d+)?", op):
+            return ("lit", len(op.split(".")[1]) if "." in op else 0)
+        ty = _col_type(op, masked, sess)
+        if ty is None or not ty.startswith("decimal"):
+            return None
+        dm = re.match(r"decimal\((\d+)\s*(?:,\s*(\d+))?\)", ty)
+        return ("col", int(dm.group(2) or 0) if dm else 0)
+
+    lim = "1.70141e38"  # 2^127 ≈ 1.701e38 (decimal128 magnitude ceiling)
+    for em in re.finditer(
+        r"([a-zA-Z_]\w*|[+-]?\d+(?:\.\d+)?)\s*(\*|/|\bdiv\b)\s*"
+        r"([a-zA-Z_]\w*|[+-]?\d+(?:\.\d+)?)",
+        mm.group(1), re.IGNORECASE,
+    ):
+        l, op, r = em.group(1), em.group(2), em.group(3)
+        ls, rs = _scale(l), _scale(r)
+        if ls is None or rs is None:
+            continue
+        if ls[0] != "col" and rs[0] != "col":
+            continue  # pure literal arithmetic: constant-folds, no probe
+        s1, s2 = ls[1], rs[1]
+        if op == "*":
+            # Mul result scale = clamp(max(12, s1, s2), <= s1+s2)
+            # (decimal.go:1331); overflow when the product at that scale
+            # exceeds 128 bits
+            scale = min(max(12, s1, s2), s1 + s2)
+            cond = (
+                f"abs(CAST({l} AS DOUBLE)) * abs(CAST({r} AS DOUBLE)) "
+                f"* 1e{scale} >= {lim}"
+            )
+            kind = "Mul"
+        else:
+            # Div pre-scales the numerator to scale+s2 fractional digits,
+            # scale = clamp(12 into [s1, s1+6]) (decimal.go:1421)
+            scale = min(max(12, s1), s1 + 6)
+            cond = (
+                f"abs(CAST({l} AS DOUBLE)) * 1e{min(scale + s2, 40)} "
+                f">= {lim}"
+            )
+            kind = "Div"
+        if _probe(
+            sess,
+            f"SELECT 1 FROM {tbl} WHERE ({where}) AND ({cond})",
+        ):
+            return (
+                "Data truncation: data out of range: data type DECIMAL, "
+                f"invalid input: Decimal128 {kind} overflow"
+            )
+    return None
+
+
 _RULES = (
     _r_cast_str_int,
     _r_cast_str_decimal,
@@ -1365,6 +1440,7 @@ _RULES = (
     _r_cast_col_int_range,
     _r_generate_series_null,
     _r_int_arith_overflow,
+    _r_decimal_arith_overflow,
     _r_geometry,
 )
 
