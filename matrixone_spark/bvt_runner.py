@@ -4518,7 +4518,7 @@ def _duck_surface_fns(masked: str, spans: "list[str]") -> str:
                 "json_insert", "json_replace", "json_remove",
                 "json_merge_patch", "json_merge_preserve",
                 "date_add", "date_sub", "adddate", "subdate", "convert",
-                "cast", "str_to_date", "to_date",
+                "cast", "str_to_date", "to_date", "unnest",
             },
             key=len, reverse=True,
         )
@@ -4704,6 +4704,23 @@ def _duck_surface_fns(masked: str, spans: "list[str]") -> str:
             if len(args) == 1 and re.search(r"(?i)\busing\s+\w+\s*$", args[0]):
                 inner = re.sub(r"(?i)\busing\s+\w+\s*$", "", args[0])
                 return f"CAST({inner} AS VARCHAR)"
+            return None
+        if name == "unnest" and 1 <= len(args) <= 3:
+            a0 = args[0].strip()
+            p = args[1] if len(args) > 1 else "'$'"
+            outer = args[2] if len(args) > 2 else "false"
+            if re.fullmatch(r"\x01\d+\x01", a0):
+                return (
+                    f"(SELECT unnest(mo_unnest({a0}, {p}, {outer}, "
+                    f"'UNNEST_DEFAULT'), recursive := true))"
+                )
+            dm2 = re.fullmatch(r'["`]?(\w+)["`]?\s*\.\s*["`]?(\w+)["`]?', a0)
+            if dm2:
+                tbl, col = dm2.group(1), dm2.group(2)
+                return (
+                    f"(SELECT unnest(mo_unnest({col}, {p}, {outer}, "
+                    f"'{tbl}.{col}'), recursive := true) FROM {tbl})"
+                )
             return None
         if name in ("date_add", "date_sub", "adddate", "subdate") \
                 and len(args) == 2:

@@ -1017,6 +1017,75 @@ def _k_dec_mul(a, b, scale):
     return format(q, "f")
 
 
+def _k_unnest(doc, path, outer, colname):
+    """MatrixOne UNNEST table function rows (function/unnest.go;
+    ddl/json_type.result fixes the 7-column schema col/seq/key/path/
+    index/value/this).  Containers matched by ``path`` expand one row per
+    member; scalars expand to nothing (or one null row under OUTER)."""
+    from matrixone_spark.functions.json_fns import (
+        _eval_json_path, _mysql_dumps, _parse_json_path,
+    )
+
+    if doc is None:
+        return None
+    try:
+        node = json.loads(doc)
+    except (ValueError, TypeError):
+        return None
+    p = path or "$"
+    steps = _parse_json_path(p)
+    if steps is None:
+        return None
+
+    # matched (path-text, node) pairs; wildcard paths re-derive each
+    # match's concrete path so the `path` column prints '$.a[1]' style
+    def _paths(node_, steps_, base):
+        if not steps_:
+            return [(base, node_)]
+        head, rest = steps_[0], steps_[1:]
+        out = []
+        if head[0] == "key" and isinstance(node_, dict) and head[1] in node_:
+            out += _paths(node_[head[1]], rest, f"{base}.{head[1]}")
+        elif head[0] == "key_wild" and isinstance(node_, dict):
+            for k, v in node_.items():
+                out += _paths(v, rest, f"{base}.{k}")
+        elif head[0] == "idx" and isinstance(node_, list):
+            from matrixone_spark.functions.json_fns import _resolve_idx
+
+            i = _resolve_idx(head[1], len(node_))
+            if 0 <= i < len(node_):
+                out += _paths(node_[i], rest, f"{base}[{i}]")
+        elif head[0] == "idx_wild" and isinstance(node_, list):
+            for i, v in enumerate(node_):
+                out += _paths(v, rest, f"{base}[{i}]")
+        return out
+
+    rows = []
+    cname = colname or "UNNEST_DEFAULT"
+    for mpath, target in _paths(node, steps, "$"):
+        items = []
+        if isinstance(target, dict):
+            items = [
+                (k, f"{mpath}.{k}", None, v) for k, v in target.items()
+            ]
+        elif isinstance(target, list):
+            items = [
+                (None, f"{mpath}[{i}]", i, v) for i, v in enumerate(target)
+            ]
+        elif outer:
+            rows.append((cname, 0, None, mpath, None, None,
+                         _mysql_dumps(target)))
+            continue
+        this = _mysql_dumps(target)
+        for seq, (k, pth, idx, v) in enumerate(items):
+            rows.append((
+                cname, seq, k, pth,
+                None if idx is None else str(idx),
+                _mysql_dumps(v), this,
+            ))
+    return rows
+
+
 def _k_json_norm(s):
     """Re-render a JSON text in the reference's bytejson style
     ('{"a": 1, "b": 2}' — space after ':' and ','); NULL on invalid."""
@@ -1248,6 +1317,29 @@ def register_spark(spark) -> None:
     for name, fn, argts, ret in PYFUNCS:
         spark.udf.register(name, _wrap(fn, len(argts), _SPARK_T[ret[0]]))
 
+    # UNNEST table function: ARRAY<STRUCT> terminal for inline()
+    from pyspark.sql.types import ArrayType, StructField, StructType
+
+    _UNNEST_T = ArrayType(StructType([
+        StructField("col", StringType()),
+        StructField("seq", IntegerType()),
+        StructField("key", StringType()),
+        StructField("path", StringType()),
+        StructField("index", StringType()),
+        StructField("value", StringType()),
+        StructField("this", StringType()),
+    ]))
+
+    def _unnest_run(d: pd.Series, p: pd.Series, o: pd.Series,
+                    c: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_k_unnest(dd, pp, bool(oo) if oo is not None else False, cc)
+             for dd, pp, oo, cc in zip(d, p, o, c)],
+            dtype=object,
+        )
+
+    spark.udf.register("mo_unnest", pandas_udf(_UNNEST_T)(_unnest_run))
+
 
 def register_duck(con) -> None:
     """Mirror the surface on the co-executor's DuckDB connection: macros
@@ -1274,3 +1366,25 @@ def register_duck(con) -> None:
             )
         except Exception:  # noqa: BLE001 — name collision with a builtin
             pass
+    try:
+        import duckdb as _dd
+
+        def _duck_unnest(d, p, o, c):
+            rows = _k_unnest(d, p, bool(o) if o is not None else False, c)
+            if rows is None:
+                return None
+            keys = ("col", "seq", "key", "path", "index", "value", "this")
+            return [dict(zip(keys, r)) for r in rows]
+
+        con.create_function(
+            "mo_unnest", _duck_unnest,
+            [VARCHAR, VARCHAR, BOOLEAN, VARCHAR],
+            _dd.list_type(_dd.struct_type({
+                "col": "VARCHAR", "seq": "INTEGER", "key": "VARCHAR",
+                "path": "VARCHAR", "index": "VARCHAR", "value": "VARCHAR",
+                "this": "VARCHAR",
+            })),
+            null_handling="special",
+        )
+    except Exception:  # noqa: BLE001 — older duckdb without struct typing
+        pass

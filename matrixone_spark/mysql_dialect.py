@@ -707,7 +707,7 @@ _FN_COMPOSE_RE = re.compile(
     r"|validate_password_strength|insert|in_range|if|dayname|monthname|bitmap_bit_position|bitmap_bucket_number"
     r"|h3_h3index_parent|h3_h3index|json_length|json_extract|json_unquote"
     r"|quote|convert|yearweek|week|utc_time|curtime|utc_timestamp|format"
-    r"|from_base64|subvector"
+    r"|from_base64|subvector|unnest"
     r"|json_object|json_arrayagg|json_objectagg|json_array"
     r"|json_set|json_insert|json_replace|json_remove"
     r"|json_merge_patch|json_merge_preserve|json_contains_path|json_contains"
@@ -1125,6 +1125,27 @@ def _compose_fn(
         return f"yearweek({args[0]})"  # mode argument: ISO-adjacent family
     if name == "from_base64" and len(args) == 1:
         return f"CAST(unbase64({args[0]}) AS STRING)"
+    if name == "unnest" and 1 <= len(args) <= 3:
+        # MatrixOne JSON UNNEST table function (function/unnest.go):
+        # literal-doc and table-column forms — the table form scans the
+        # table in a subquery, reproducing the reference's cartesian
+        # output for `FROM t, unnest(t.j)` (ddl/json_type.result)
+        a0 = args[0].strip()
+        p = args[1] if len(args) > 1 else "'$'"
+        outer = args[2] if len(args) > 2 else "false"
+        if _LONE_PH_RE.match(a0):
+            return (
+                f"(SELECT inline(mo_unnest({a0}, {p}, {outer}, "
+                f"'UNNEST_DEFAULT')))"
+            )
+        dm2 = re.fullmatch(r"[`]?(\w+)[`]?\s*\.\s*[`]?(\w+)[`]?", a0)
+        if dm2:
+            tbl, col = dm2.group(1), dm2.group(2)
+            return (
+                f"(SELECT inline(mo_unnest({col}, {p}, {outer}, "
+                f"'{tbl}.{col}')) FROM {tbl})"
+            )
+        return None
     if name in ("utc_time", "curtime", "utc_timestamp") and len(args) == 1:
         # precision argument dropped: the surface renders second precision
         # on both replay engines (functions/sql_surface.py)
