@@ -4748,6 +4748,10 @@ def _duck_surface_fns(masked: str, spans: "list[str]") -> str:
             return f"{renames[name]}({', '.join(args)})"
         return None
 
+    from matrixone_spark.mysql_dialect import _SAMPLE_RE, rewrite_sample
+
+    if _SAMPLE_RE.search(masked):
+        masked = rewrite_sample(masked)
     masked = re.sub(
         r"(?i)\bjson_arrayagg\s*\(([^()]*)\)\s*(over\s*\([^()]*\))",
         lambda m: (

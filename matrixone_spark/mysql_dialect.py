@@ -1471,6 +1471,114 @@ _JAGG_OVER_RE = re.compile(
     r"\bjson_arrayagg\s*\(([^()]*)\)\s*(over\s*\([^()]*\))", re.IGNORECASE
 )
 
+_SAMPLE_RE = re.compile(r"\bsample\s*\(", re.IGNORECASE)
+_SELECT_KW_RE = re.compile(
+    r"[()]|\bfrom\b|\bwhere\b|\bgroup\s+by\b|\bhaving\b|\border\s+by\b"
+    r"|\blimit\b", re.IGNORECASE,
+)
+
+
+def _select_clauses(masked: str) -> "dict[str, str] | None":
+    """Depth-0 clause split of a plain SELECT: {sel, from, where, group,
+    having, order, limit} (keys present only when the clause is)."""
+    m = re.match(r"\s*select\s+", masked, re.IGNORECASE)
+    if not m:
+        return None
+    marks: "list[tuple[int, str, int]]" = [(0, "sel", m.end())]
+    depth = 0
+    for mm in _SELECT_KW_RE.finditer(masked, m.end()):
+        t = mm.group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            kind = t.lower().split()[0]
+            marks.append((mm.start(), kind, mm.end()))
+    out: "dict[str, str]" = {}
+    for i, (_pos, kind, body_start) in enumerate(marks):
+        end = marks[i + 1][0] if i + 1 < len(marks) else len(masked)
+        if kind in out:
+            return None  # repeated top-level clause: not a plain SELECT
+        out[kind] = masked[body_start:end].strip().rstrip(";")
+    return out
+
+
+def rewrite_sample(masked: str) -> str:
+    """MatrixOne SAMPLE(e1[, e2…], N ROWS | N PERCENT) pseudo-aggregate
+    (function/sample.go; sample/sample.sql): up to N rows per group —
+    plain select items act as the group keys, real aggregates ride along
+    per group.  Lowered to a row_number window (deterministic pick; exact
+    whenever the group holds ≤ N rows, which is how the reference's own
+    tests keep their .results stable).  Engine-neutral SQL (Spark+DuckDB)."""
+    if not _SAMPLE_RE.search(masked):
+        return masked
+    cl = _select_clauses(masked)
+    if cl is None or "sel" not in cl or "from" not in cl:
+        return masked
+    items = [s.strip() for s in _split_top_level(cl["sel"])]
+    keys: "list[str]" = []
+    projs: "list[str]" = []
+    sample_args: "list[str] | None" = None
+    spec: "tuple[str, str] | None" = None
+    if "having" in cl:
+        return masked
+    for it in items:
+        sm = re.match(r"(?is)^sample\s*\((.*)\)\s*$", it)
+        if sm is None and _SAMPLE_RE.search(it):
+            return masked  # SAMPLE nested in an expression: unsupported
+        if sm:
+            if sample_args is not None:
+                return masked  # one SAMPLE per statement in the corpus
+            parts = [p.strip() for p in _split_top_level(sm.group(1))]
+            if not parts:
+                return masked
+            nm = re.match(r"(?i)^(\d+)\s+(rows|percent)$", parts[-1])
+            if not nm:
+                return masked
+            spec = (nm.group(1), nm.group(2).lower())
+            sample_args = parts[:-1]
+            projs.extend(sample_args)
+        elif re.match(
+            r"(?is)^(count|sum|avg|min|max|stddev\w*|var\w*)\s*\(", it
+        ):
+            projs.append("\x00AGG\x00" + it)
+        else:
+            keys.append(it)
+            projs.append(it)
+    if sample_args is None or spec is None:
+        return masked
+    part = f"PARTITION BY {', '.join(keys)} " if keys else ""
+    order_in = sample_args[0] if sample_args else "1"
+    sel_out = []
+    for p in projs:
+        if p.startswith("\x00AGG\x00"):
+            sel_out.append(f"{p[5:]} OVER ({part.strip()})")
+        else:
+            sel_out.append(p)
+    n, unit = spec
+    if unit == "rows":
+        cond = f"__smp_rn <= {n}"
+        cnt = ""
+    elif n == "100":
+        cond = "true"
+        cnt = ""
+    else:
+        cnt = f", count(*) OVER ({part.strip()}) AS __smp_n"
+        cond = f"__smp_rn <= greatest(1, ceil(__smp_n * {n} / 100.0))"
+    where = f" WHERE {cl['where']}" if "where" in cl else ""
+    tail = ""
+    if "order" in cl:
+        tail += f" ORDER BY {cl['order']}"
+    if "limit" in cl:
+        tail += f" LIMIT {cl['limit']}"
+    return (
+        f"SELECT {', '.join(sel_out)} FROM ("
+        f"SELECT *, row_number() OVER ({part}ORDER BY {order_in}) AS __smp_rn"
+        f"{cnt} FROM {cl['from']}{where}) __smp WHERE {cond}{tail}"
+    )
+
+
 # MySQL JSON column operators: col->'$.p' (extract) / col->>'$.p'
 # (extract + unquote).  RHS restricted to masked literals so the lambda
 # arrows later rewrites emit ((l, r) -> …) can never match.
@@ -3170,6 +3278,8 @@ def translate(sql: str) -> str:
         return f"date_format({arg}, {ph})"
 
     masked = _DATE_FORMAT_RE.sub(fmt_repl, masked)
+    if _SAMPLE_RE.search(masked):
+        masked = rewrite_sample(masked)
     if "->" in masked:
         masked = rewrite_json_arrows(masked)
     if _RANKFRAME_RE.search(masked):
