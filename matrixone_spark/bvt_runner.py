@@ -1472,7 +1472,20 @@ class BvtSession:
         if head in ("use",) or re.match(
             r"\s*create\s+(?:database|schema)\b", masked, re.IGNORECASE
         ):
-            # databases are flattened: qualified names drop their db prefix
+            # databases are flattened: qualified names drop their db prefix;
+            # USE re-pins the DATABASE() literal so `select database()`
+            # answers the script's current name on both engines
+            um = re.match(r"\s*use\s+[`]?(\w+)[`]?", masked, re.IGNORECASE)
+            if um:
+                db = um.group(1).lower()
+                try:
+                    self.spark.sql(
+                        "CREATE OR REPLACE TEMPORARY FUNCTION database() "
+                        f"RETURNS STRING RETURN '{db}'"
+                    )
+                    self._current_db = db
+                except Exception:  # noqa: BLE001
+                    pass
             return "ddl", None
         if head == "truncate":
             m = re.match(
@@ -5810,7 +5823,14 @@ class CoExecutor:
                 timer = _threading.Timer(self.STMT_TIMEOUT_S, self.con.interrupt)
                 timer.start()
                 try:
-                    return True, self.con.execute(_duckify(sql_text)).fetchdf(), ""
+                    sql_d = _duckify(sql_text)
+                    db = getattr(self.sess, "_current_db", None)
+                    if db and re.search(r"(?i)\bdatabase\s*\(\s*\)", sql_d):
+                        # mirror the Spark side's USE-pinned DATABASE()
+                        sql_d = re.sub(
+                            r"(?i)\bdatabase\s*\(\s*\)", f"'{db}'", sql_d
+                        )
+                    return True, self.con.execute(sql_d).fetchdf(), ""
                 except Exception as e:
                     return False, None, str(e)
                 finally:
