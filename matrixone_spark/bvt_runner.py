@@ -1297,6 +1297,11 @@ class BvtSession:
             # (dml/select/dual.sql creates one)
             if "dual" not in self.tables and _FROM_DUAL_RE.search(masked):
                 stmt = unmask_literals(_FROM_DUAL_RE.sub(" ", masked), spans)
+            db = getattr(self, "_current_db", None)
+            if db and re.search(r"(?i)\bdatabase\s*\(\s*\)", stmt):
+                # the script's USE pins DATABASE(); folding here beats the
+                # dialect's static system-context literal ('mo')
+                stmt = re.sub(r"(?i)\bdatabase\s*\(\s*\)", f"'{db}'", stmt)
             if _MATCH_AGAINST_RE.search(stmt):
                 stmt = self._rewrite_match(stmt)
             stmt = self._rewrite_int_sum(stmt)
@@ -1477,15 +1482,7 @@ class BvtSession:
             # answers the script's current name on both engines
             um = re.match(r"\s*use\s+[`]?(\w+)[`]?", masked, re.IGNORECASE)
             if um:
-                db = um.group(1).lower()
-                try:
-                    self.spark.sql(
-                        "CREATE OR REPLACE TEMPORARY FUNCTION database() "
-                        f"RETURNS STRING RETURN '{db}'"
-                    )
-                    self._current_db = db
-                except Exception:  # noqa: BLE001
-                    pass
+                self._current_db = um.group(1).lower()
             return "ddl", None
         if head == "truncate":
             m = re.match(
