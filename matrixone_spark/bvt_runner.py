@@ -1503,7 +1503,9 @@ class BvtSession:
                 r"\s*update\s+(.+?)\s+set\s+(.*?)\s+where\s+(.*)$",
                 masked, re.IGNORECASE | re.DOTALL,
             )
-            if mm and "," in mm.group(1):
+            if mm and ("," in mm.group(1) or re.search(
+                r"(?i)\bjoin\b", mm.group(1)
+            )):
                 return self._multi_update(mm, spans)
             return self._update(stmt, masked, spans)
         if head == "delete":

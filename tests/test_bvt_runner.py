@@ -331,3 +331,67 @@ def test_duck_cast_signed_round_half_away():
     assert con.execute(_duckify("select cast(1/2 as signed)")).fetchall() == [(1,)]
     assert con.execute(_duckify("select cast(-1/2 as signed)")).fetchall() == [(-1,)]
     assert con.execute(_duckify("select cast('5' as signed)")).fetchall() == [(5,)]
+
+
+def test_with_dml_cte_delete_and_join_update(spark):
+    """WITH-fed multi-table DELETE (transient CTE tables) and JOIN..ON
+    folding in multi-table UPDATE (dml/delete/delete.test:703 shapes;
+    r10 VERDICT ask #6)."""
+    from matrixone_spark.bvt_runner import BvtSession
+
+    sess = BvtSession(spark)
+    sess.execute("create table w1 (a int, b int)")
+    sess.execute("create table w2 (b int, c int)")
+    sess.execute("insert into w1 values (1, 10), (2, 20), (3, 30)")
+    sess.execute("insert into w2 values (3, 100), (4, 200)")
+    sess.execute(
+        "with t11 as (select * from w1) delete w2 from t11 join w2 "
+        "on t11.a = w2.b where w2.b = 3"
+    )
+    assert [tuple(r) for r in sess.tables["w2"].collect()] == [(4, 200)]
+    assert "t11" not in sess.tables  # transient CTE removed afterwards
+    sess.execute(
+        "update w1 join w2 on w1.a = w2.b - 2 set w1.b = 99 where w2.c > 100"
+    )
+    rows = sorted(tuple(r) for r in sess.tables["w1"].collect())
+    assert rows == [(1, 10), (2, 99), (3, 30)]
+
+
+def test_sample_rows_window_lowering(spark):
+    """SAMPLE(col, N ROWS) per-group (function/sample.go): exact when the
+    group holds <= N rows; real aggregates ride along per group."""
+    from matrixone_spark.bvt_runner import BvtSession
+    from matrixone_spark.mysql_dialect import rewrite_sample
+
+    sess = BvtSession(spark)
+    sess.execute("create table smp (col1 int, col2 int)")
+    sess.execute(
+        "insert into smp values (1,10),(1,11),(2,20),(2,21),(2,22),(3,30)"
+    )
+    _k, df = sess.execute(
+        "select col1, sample(col2, 20 rows) from smp group by col1"
+    )
+    assert sorted(tuple(r) for r in df.collect()) == [
+        (1, 10), (1, 11), (2, 20), (2, 21), (2, 22), (3, 30)
+    ]
+    _k, df = sess.execute("select col1, max(col2), sample(col2, 10 rows) from smp")
+    rows = sorted(tuple(r) for r in df.collect())
+    assert (1, 11, 10) in rows and (2, 22, 22) in rows
+    # untouched when SAMPLE is absent
+    assert rewrite_sample("select a from t") == "select a from t"
+
+
+def test_unnest_json_table_function(spark):
+    """UNNEST(json, path) rows match ddl/json_type.result's 7-column
+    schema and $.* container expansion."""
+    from matrixone_spark.mysql_dialect import translate
+
+    rows = [tuple(r) for r in spark.sql(translate(
+        "select * from unnest(' {\"a\": [1, \"2\", {\"aa\": \"b1\"}]} '"
+        ",\"$.*\") as u"
+    )).collect()]
+    assert rows == [
+        ("UNNEST_DEFAULT", 0, None, "$.a[0]", "0", "1", '[1, "2", {"aa": "b1"}]'),
+        ("UNNEST_DEFAULT", 1, None, "$.a[1]", "1", '"2"', '[1, "2", {"aa": "b1"}]'),
+        ("UNNEST_DEFAULT", 2, None, "$.a[2]", "2", '{"aa": "b1"}', '[1, "2", {"aa": "b1"}]'),
+    ]
