@@ -1307,6 +1307,7 @@ class BvtSession:
             stmt = self._rewrite_int_sum(stmt)
             stmt = self._rewrite_decimal_avg(stmt)
             stmt = self._rewrite_decimal_mul(stmt)
+            stmt = self._rewrite_packed_temporal_cmp(stmt)
             stmt = self._rewrite_unsigned_sub(stmt)
             return "select", self.spark.sql(translate(stmt))
         if head == "set":
@@ -3386,6 +3387,69 @@ class BvtSession:
             )
 
         return self._DEC_MUL_RE.sub(repl, stmt)
+
+    def _rewrite_packed_temporal_cmp(self, stmt: str) -> str:
+        """MySQL parses PACKED digit strings as dates inside temporal
+        comparisons (cast('2024-01-02' as date) = '20240102' is TRUE —
+        operator/mysql_compat_temporal_predicate_matrix.sql); Spark's
+        string→date coercion rejects the compact form.  When the statement
+        compares a temporal CAST, re-literal every lone 8/14-digit span
+        to ISO text."""
+        coltypes: "dict[str, str]" = {}
+        for _kw, name, _alias in self._FROM_TBL_RE.findall(stmt):
+            for c, ty in self.schemas.get(name, ()):
+                coltypes[c.lower()] = ty.lower()
+        temporal = {c for c, ty in coltypes.items()
+                    if ty in ("date", "timestamp")}
+        strcols = {c for c, ty in coltypes.items() if ty == "string"}
+        masked, spans = mask_literals(stmt)
+        cast_cmp = re.search(
+            r"(?i)as\s+(?:date|datetime|timestamp)\s*(?:\(\s*\d\s*\))?\s*\)"
+            r"\s*(?:=|<>|!=|<=|>=|<|>|\s+(?:not\s+)?(?:between|in)\b)",
+            masked,
+        )
+        col_cmp = temporal and re.search(
+            r"(?i)\b(" + "|".join(map(re.escape, temporal)) + r")\s*"
+            r"(?:=|<=>|<>|!=|<=|>=|<|>|\s+(?:not\s+)?between\b)",
+            masked,
+        )
+        if not cast_cmp and not col_cmp:
+            return stmt
+        if col_cmp and strcols:
+            # temporal column vs STRING column: the reference parses the
+            # cell through its flexible date grammar per row
+            def _wrap_pair(m: "re.Match") -> str:
+                l, op, r = m.group(1), m.group(2), m.group(3)
+                ll, rl = l.lower(), r.lower()
+                if ll in temporal and rl in strcols:
+                    r = (f"try_cast(mo_bvt_datestr(CAST({r} AS STRING)) "
+                         f"AS TIMESTAMP)")
+                elif rl in temporal and ll in strcols:
+                    l = (f"try_cast(mo_bvt_datestr(CAST({l} AS STRING)) "
+                         f"AS TIMESTAMP)")
+                else:
+                    return m.group(0)
+                return f"{l} {op} {r}"
+
+            masked = re.sub(
+                r"([a-zA-Z_]\w*)\s*(<=>|<>|!=|<=|>=|=|<|>)\s*([a-zA-Z_]\w*)",
+                _wrap_pair, masked,
+            )
+        changed = True  # col-vs-col wrap above may already have fired
+        for i, sp in enumerate(spans):
+            body = sp[1:-1] if sp[:1] in "'\"" else None
+            if body is None:
+                continue
+            if re.fullmatch(r"\d{8}", body):
+                spans[i] = f"'{body[:4]}-{body[4:6]}-{body[6:8]}'"
+                changed = True
+            elif re.fullmatch(r"\d{14}(\.\d+)?", body):
+                spans[i] = (
+                    f"'{body[:4]}-{body[4:6]}-{body[6:8]} "
+                    f"{body[8:10]}:{body[10:12]}:{body[12:]}'"
+                )
+                changed = True
+        return unmask_literals(masked, spans) if changed else stmt
 
     def _rewrite_unsigned_sub(self, stmt: str) -> str:
         """Subtraction of two INT UNSIGNED columns keeps the 32-bit
