@@ -4767,6 +4767,15 @@ def _duck_surface_fns(masked: str, spans: "list[str]") -> str:
             myfmt = spans[int(ph.group(1))].strip("'\"")
             if "%" not in myfmt:
                 return None
+            myl = myfmt.lower()
+            has_date_tok = any(
+                t in myl for t in ("%y", "%m", "%c", "%d", "%e", "%b")
+            )
+            if has_date_tok and not (
+                "%y" in myl and ("%d" in myl or "%e" in myl)
+            ):
+                # incomplete calendar → NULL (reference semantics)
+                return "CAST(NULL AS TIMESTAMP)"
             dfmt = myfmt.replace("%i", "%M").replace("%s", "%S")
             spans.append(f"'{dfmt}'")
             fp = "\x01{}\x01".format(len(spans) - 1)

@@ -3267,9 +3267,19 @@ def translate(sql: str) -> str:
         if fn == "str_to_date":
             # result type follows the format (func_str_to_date.go):
             # date-only tokens → DATE, time-only → TIME (clock display),
-            # mixed → DATETIME
+            # mixed → DATETIME.  An INCOMPLETE calendar (year or day
+            # token missing) is NULL in the reference
+            # (str_to_date('9','%m') → null — func_str_to_date.result)
             has_d = any(t in myfmt for t in STR_TO_DATE_DATE_TOKS)
             has_t = any(t in myfmt for t in STR_TO_DATE_TIME_TOKS)
+            myl = myfmt.lower()
+            if has_d and not (
+                "%y" in myl and ("%d" in myl or "%e" in myl)
+            ):
+                return (
+                    "CAST(NULL AS DATE)" if not has_t
+                    else "CAST(NULL AS TIMESTAMP)"
+                )
             if has_d and not has_t:
                 return f"to_date({arg}, {ph})"
             if has_t and not has_d:
