@@ -5062,6 +5062,13 @@ class RefResults:
             return ("rows", [])
         line = self.lines[j].strip()
         if line.startswith(self.HEADER):
+            # a header whose echoed column names embed RAW control
+            # characters ('\n' literals — func_field.result) spans
+            # physical lines; join until the [type,len,scale] suffix
+            # closes it
+            while j + 1 < n and not re.search(r"\][^\[\]]*$", line):
+                j += 1
+                line = line + " " + self.lines[j].strip()
             rows = []
             more = line.endswith(self.ROWSEP)
             j += 1

@@ -967,15 +967,42 @@ def _guard_fn(
     if name in ("substring", "substr") and len(args) in (2, 3):
         # MySQL SUBSTRING(str, 0) = '' (position 0 is before the string);
         # Spark treats pos 0 like pos 1 (charset_collation_errors.sql).
-        # Literal nonzero positions keep the plain call.
+        # Non-integer positions/lengths ROUND half-away like the rest of
+        # MySQL's int coercion (mid(str, 0.4, 3) = '' — function_mid.sql);
+        # Spark's implicit cast truncates.  Literal nonzero integer
+        # positions keep the plain call.
         gargs = _guard_args(args, spans)
         p = gargs[1]
-        if re.fullmatch(r"\s*-?\d+\s*", p):
-            if int(p) != 0:
-                return f"{name}({', '.join(gargs)})" if gargs != args else None
+        lit_p = re.fullmatch(r"\s*(-?\d+)\s*", p)
+        if lit_p and int(lit_p.group(1)) > 0:
+            return f"{name}({', '.join(gargs)})" if gargs != args else None
+        if lit_p and int(lit_p.group(1)) == 0:
             return "''"
-        call = f"{name}({', '.join(gargs)})"
-        return f"(CASE WHEN ({p}) = 0 THEN '' ELSE {call} END)"
+        if lit_p:  # negative literal: out-of-range |pos| > length → ''
+            pr = lit_p.group(1)
+        else:
+            pr = f"CAST(ROUND(try_cast(({p}) AS DECIMAL(38,9)), 0) AS INT)"
+        rest = ""
+        if len(gargs) == 3:
+            ln = gargs[2]
+            if re.fullmatch(r"\s*-?\d+\s*", ln):
+                rest = f", {ln}"
+            else:
+                rest = (
+                    f", CAST(ROUND(try_cast(({ln}) AS DECIMAL(38,9)), 0) "
+                    f"AS INT)"
+                )
+        call = f"{name}({gargs[0]}, {pr}{rest})"
+        # MySQL: pos 0 → ''; negative pos past the start → '' (Spark
+        # clamps to the whole string — function_mid.sql mid('ab', -4))
+        # the empty result is spelled substring(s, 1, 0) so the CASE arms
+        # keep the INPUT's type (BINARY columns — func_string_substring)
+        empty = f"{name}({gargs[0]}, 1, 0)"
+        return (
+            f"(CASE WHEN {pr} = 0 THEN {empty} "
+            f"WHEN {pr} < -char_length({gargs[0]}) THEN {empty} "
+            f"ELSE {call} END)"
+        )
     if name in ("upper", "ucase") and len(args) == 1:
         # MySQL's utf8 case mapping keeps 'ß' (no 1:1 uppercase); Java/Spark
         # expands it to 'SS' — shield it through the conversion
