@@ -4594,7 +4594,7 @@ def _duck_surface_fns(masked: str, spans: "list[str]") -> str:
                 "json_insert", "json_replace", "json_remove",
                 "json_merge_patch", "json_merge_preserve",
                 "date_add", "date_sub", "adddate", "subdate", "convert",
-                "cast", "str_to_date", "to_date", "unnest",
+                "cast", "str_to_date", "to_date", "unnest", "from_base64",
             },
             key=len, reverse=True,
         )
@@ -4633,7 +4633,10 @@ def _duck_surface_fns(masked: str, spans: "list[str]") -> str:
                 f"(CAST(TRY_CAST(({n}) AS DOUBLE) AS BIGINT) "
                 f"* INTERVAL 1 MICROSECOND)"
             )
-        nn = f"CAST(TRY_CAST(({n}) AS DOUBLE) AS BIGINT)"
+        if slot == "secs":
+            return f"(TRY_CAST(({n}) AS DOUBLE) * INTERVAL 1 SECOND)"
+        # MySQL ROUNDS fractional counts for integral units (1.5 MIN → 2)
+        nn = f"CAST(round(TRY_CAST(({n}) AS DOUBLE)) AS BIGINT)"
         if mult != 1:
             nn = f"({nn} * {int(mult)})"
         return f"({nn} * INTERVAL 1 {_DUCK_IV_UNIT[slot]})"
@@ -4749,6 +4752,10 @@ def _duck_surface_fns(masked: str, spans: "list[str]") -> str:
             for d in args[1:]:
                 out = f"json_merge_preserve({out}, {d})"
             return out
+        if name == "from_base64" and len(args) == 1:
+            # DuckDB's from_base64 yields a BLOB (renders '0x…'); decode
+            # back to text like MySQL
+            return f"decode(from_base64({args[0]}))"
         if name == "cast" and len(args) == 1:
             vm = re.match(
                 r"(?is)^(.*)\s+as\s+vec(f32|f64|f16|bf16|int8|uint8)"
@@ -4809,10 +4816,22 @@ def _duck_surface_fns(masked: str, spans: "list[str]") -> str:
             return None
         if name in ("date_add", "date_sub", "adddate", "subdate") \
                 and len(args) == 2:
+            from matrixone_spark.mysql_dialect import _packed_datetime_iso
+
+            x0 = args[0]
+            ph0 = re.fullmatch(r"\s*\x01(\d+)\x01\s*", x0)
+            if ph0 is not None:
+                pk = _packed_datetime_iso(spans[int(ph0.group(1))].strip("'\""))
+                if pk is not None:
+                    spans[int(ph0.group(1))] = f"'{pk}'"
+            elif re.fullmatch(r"\s*\d{8}(\d{6})?\s*", x0):
+                pk = _packed_datetime_iso(x0.strip())
+                if pk is not None:
+                    args[0] = f"'{pk}'"
             m = _INTERVAL_ARG_RE.match(args[1])
             if m is None:
                 if name in ("adddate", "subdate"):
-                    iv = f"INTERVAL (CAST(TRY_CAST(({args[1]}) AS DOUBLE) AS BIGINT)) DAY"
+                    iv = f"(CAST(round(TRY_CAST(({args[1]}) AS DOUBLE)) AS BIGINT) * INTERVAL 1 DAY)"
                 else:
                     return None
             else:

@@ -116,9 +116,12 @@ SPARK_SQL: "list[str]" = [
     "lpad(CAST(CAST(m AS INT) AS STRING), 2, '0'), ':', "
     "lpad(CAST(CAST(s AS INT) AS STRING), 2, '0')) END",
     # MICROSECOND reads the textual fraction so MySQL TIME strings beyond
-    # 24 h ('272:59:59.999') work the same as datetimes (func_unary.go)
+    # 24 h ('272:59:59.999') work the same as datetimes (func_unary.go);
+    # a negative TIME's microsecond carries the sign (time_precision_
+    # comprehensive.sql: -12:34:56.123 → -123000)
     "CREATE OR REPLACE TEMPORARY FUNCTION microsecond(x STRING) RETURNS INT "
-    "RETURN CASE WHEN x IS NULL THEN NULL ELSE COALESCE("
+    "RETURN CASE WHEN x IS NULL THEN NULL ELSE "
+    "IF(startswith(x, '-'), -1, 1) * COALESCE("
     "CAST(rpad(regexp_extract(x, '\\\\.([0-9]{1,6})', 1), 6, '0') AS INT), 0) END",
     # current-time family: emitted at SECOND precision on both engines so
     # the co-executed values compare equal; the dialect pads the optional
@@ -255,7 +258,8 @@ DUCK_SQL: "list[str]" = [
     "lpad(CAST(CAST(m AS INT) AS VARCHAR), 2, '0') || ':' || "
     "lpad(CAST(CAST(s AS INT) AS VARCHAR), 2, '0') END)",
     "CREATE OR REPLACE MACRO mo_microsecond(x) AS ("
-    "CASE WHEN x IS NULL THEN NULL ELSE COALESCE("
+    "CASE WHEN x IS NULL THEN NULL ELSE "
+    "(CASE WHEN CAST(x AS VARCHAR) LIKE '-%' THEN -1 ELSE 1 END) * COALESCE("
     "CAST(rpad(regexp_extract(CAST(x AS VARCHAR), '\\.([0-9]{1,6})', 1), "
     "6, '0') AS INT), 0) END)",
     "CREATE OR REPLACE MACRO utc_time() AS "

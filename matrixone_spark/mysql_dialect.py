@@ -118,7 +118,12 @@ def _group_concat_sql(args: "list[str]", engine: str = "spark") -> "str | None":
         whens = []
         for i, (_k, d) in enumerate(keys):
             lt, gt = ("1", "-1") if d else ("-1", "1")
+            # NULL keys sort LAST in BOTH directions (the reference's
+            # group_concat ordering — function_group_concat.sql grp 3)
             whens.append(
+                f"WHEN __l.__k{i} IS NULL AND __r.__k{i} IS NULL THEN 0 "
+                f"WHEN __l.__k{i} IS NULL THEN 1 "
+                f"WHEN __r.__k{i} IS NULL THEN -1 "
                 f"WHEN __l.__k{i} < __r.__k{i} THEN {lt} "
                 f"WHEN __l.__k{i} > __r.__k{i} THEN {gt}"
             )
@@ -794,11 +799,15 @@ def _make_interval_sql(
             vals["secs"] = f"({vals.get('secs', '0')} + {us} / 1000000.0)"
     elif unit in _IV_UNITS:
         slot, mult = _IV_UNITS[unit]
-        base = n if lit is None else f"TRY_CAST({n} AS DOUBLE)"
-        vals[slot] = (
-            f"TRY_CAST(({base}) AS DOUBLE)" if mult == 1
-            else f"TRY_CAST(({base}) AS DOUBLE) * {mult}"
-        )
+        base = f"TRY_CAST(({n}) AS DOUBLE)"
+        if mult != 1:
+            base = f"{base} * {mult}"
+        # MySQL ROUNDS a fractional count for integral units
+        # (INTERVAL 1.5 MINUTE = 2 minutes — expression/temporal_interval);
+        # fractional SECONDS keep their sub-second part
+        if slot != "secs":
+            base = f"ROUND({base})"
+        vals[slot] = base
     else:
         return None
     slot_sql = [
@@ -808,6 +817,19 @@ def _make_interval_sql(
     secs = vals.get("secs", "0")
     secs_sql = "0" if secs == "0" else f"CAST({secs} AS DECIMAL(18,6))"
     return f"make_interval({', '.join(slot_sql)}, {secs_sql})"
+
+
+def _packed_datetime_iso(body: str) -> "str | None":
+    """'20071108' / '20071108181000[.f]' → ISO text; None otherwise."""
+    m = re.fullmatch(r"(\d{4})(\d{2})(\d{2})", body)
+    if m:
+        return f"{m.group(1)}-{m.group(2)}-{m.group(3)}"
+    m = re.fullmatch(r"(\d{4})(\d{2})(\d{2})(\d{2})(\d{2})(\d{2}(?:\.\d+)?)",
+                     body)
+    if m:
+        return (f"{m.group(1)}-{m.group(2)}-{m.group(3)} "
+                f"{m.group(4)}:{m.group(5)}:{m.group(6)}")
+    return None
 
 
 _IV_DAY_LEVEL = {"day", "week", "month", "quarter", "year", "year_month",
@@ -843,10 +865,19 @@ def _date_arith_sql(
     ph = _LONE_PH_RE.match(x)
     if ph is not None and spans is not None and int(ph.group(1)) < len(spans):
         lit = mysql_decode_literal(spans[int(ph.group(1))])
+        pk = _packed_datetime_iso(lit)
+        if pk is not None:
+            spans[int(ph.group(1))] = f"'{pk}'"
+            lit = pk
         base = (
             _bvt_datearg(x) if BVT_REPLAY_MODE[0]
             else f"try_cast({x} AS TIMESTAMP)"
         )
+    elif re.fullmatch(r"\s*\d{8}(\d{6})?\s*", x):
+        # bare NUMERIC packed date (DATE_ADD(20071108, …)): Spark's int→
+        # timestamp cast reads epoch seconds — re-literal to ISO
+        lit = _packed_datetime_iso(x.strip())
+        base = f"try_cast('{lit}' AS TIMESTAMP)"
     else:
         base = f"try_cast({x} AS TIMESTAMP)"
     out = f"({base} {op} {iv})"
