@@ -4754,8 +4754,9 @@ def _duck_surface_fns(masked: str, spans: "list[str]") -> str:
             return out
         if name == "from_base64" and len(args) == 1:
             # DuckDB's from_base64 yields a BLOB (renders '0x…'); decode
-            # back to text like MySQL
-            return f"decode(from_base64({args[0]}))"
+            # back to text like MySQL.  Sentinel name — the raw builtin
+            # would re-match this scanner forever (swapped back below)
+            return f"decode(__mo_fb64__({args[0]}))"
         if name == "cast" and len(args) == 1:
             vm = re.match(
                 r"(?is)^(.*)\s+as\s+vec(f32|f64|f16|bf16|int8|uint8)"
@@ -4873,6 +4874,7 @@ def _duck_surface_fns(masked: str, spans: "list[str]") -> str:
     return (
         masked.replace("__mo_jobj__(", "json_object(")
         .replace("__mo_jarr__(", "json_array(")
+        .replace("__mo_fb64__(", "from_base64(")
     )
 
 
