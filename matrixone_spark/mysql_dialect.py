@@ -1632,7 +1632,8 @@ def rewrite_sample(masked: str) -> str:
         tail += f" LIMIT {cl['limit']}"
     return (
         f"SELECT {', '.join(sel_out)} FROM ("
-        f"SELECT *, row_number() OVER ({part}ORDER BY {order_in}) AS __smp_rn"
+        f"SELECT *, row_number() OVER ({part}ORDER BY {order_in} "
+        f"NULLS LAST) AS __smp_rn"
         f"{cnt} FROM {cl['from']}{where}) __smp WHERE {cond}{tail}"
     )
 

@@ -28,6 +28,9 @@ SPARK_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.cbo.enabled": "true",
+    # reference cte_max_recursion_depth defaults well beyond Spark's 100
+    # (recursive_cte.sql iterates to 200)
+    "spark.sql.cteRecursionLevelLimit": "10000",
     "spark.sql.cbo.joinReorder.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",

@@ -103,7 +103,7 @@ def main() -> None:
     lines = [
         "# BVT_CENSUS — the uncompared denominator, bucketed",
         "",
-        "Captured statement-by-statement during the round-10 full re-replay",
+        "Captured statement-by-statement during the latest full re-replay",
         "(`BVT_CENSUS=… tools/bvt_replay.py`). `skipped` = session-layer",
         "SkipStatement / @bvt:issue blocks / state-taint reads;",
         "`both_failed` = neither Spark-dialect nor DuckDB ran it;",
