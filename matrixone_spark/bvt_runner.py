@@ -398,6 +398,7 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
     bitwidth: "dict[str, int]" = {}
     times: "dict[str, int]" = {}
     varbins: "set[str]" = set()
+    veccols: "dict[str, int]" = {}  # vector col → element bits (32/64)
     geos: "dict[str, int]" = {}  # geometry col → coord width (32/64 bits)
     fulltexts: "list[tuple[str, tuple, str]]" = []
     # (child cols, parent table, parent cols, on-delete action)
@@ -539,6 +540,12 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
             # CAST(geo AS VARBINARY) emits raw WKB at the column's coord
             # width (geo_geometry32: float32 point = 13 bytes)
             geos[col] = 32 if gm2.group(1).lower() == "geometry32" else 64
+        vm2 = re.match(r"vec(f32|f64|f16|bf16|int8|uint8)\s*\(", rest,
+                       re.IGNORECASE)
+        if vm2:
+            # vector columns store their '[x, y]' text rendering; the
+            # arithmetic rewrite needs the element width for display
+            veccols[col] = 64 if vm2.group(1).lower() == "f64" else 32
         if re.match(r"varbinary\s*\((\d+)\)\s*$", rest, re.IGNORECASE):
             # VARBINARY stores the TEXT rendering of non-byte sources
             # (cte01: numeric 38921432 stores '38921432') without padding
@@ -601,7 +608,7 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
         "binpads": pads, "autoinc": autoinc, "years": years, "rounds": rounds,
         "tsprec": tsprec, "intrange": intrange, "enums": enums, "sets": sets,
         "bits": bitwidth, "fulltexts": fulltexts, "times": times,
-        "varbins": varbins, "geos": geos,
+        "varbins": varbins, "geos": geos, "veccols": veccols,
         "keys": [tuple(c for c, _p in k) for k in keys_pfx],
         "keys_pfx": keys_pfx, "fks": fks, "strw": strw, "gencols": gencols,
         "n_pk": len(pkeys), "onupd": onupd, "texts": textcaps,
@@ -1307,6 +1314,7 @@ class BvtSession:
             stmt = self._rewrite_int_sum(stmt)
             stmt = self._rewrite_decimal_avg(stmt)
             stmt = self._rewrite_decimal_mul(stmt)
+            stmt = self._rewrite_vec_arith(stmt)
             stmt = self._rewrite_packed_temporal_cmp(stmt)
             stmt = self._rewrite_unsigned_sub(stmt)
             return "select", self.spark.sql(translate(stmt))
@@ -3387,6 +3395,38 @@ class BvtSession:
             )
 
         return self._DEC_MUL_RE.sub(repl, stmt)
+
+    _VEC_ARITH_RE = re.compile(
+        r"([a-zA-Z_]\w*)\s*([*+/-])\s*([a-zA-Z_]\w*|\d+(?:\.\d+)?)"
+    )
+
+    def _rewrite_vec_arith(self, stmt: str) -> str:
+        """Vector ± * / over the text-rendered vecf columns
+        (vector/vector_type.sql `c2 * 25`, `c1 + c2`): route through the
+        elementwise mo_vec_arith kernel; scalars broadcast."""
+        vcols: "dict[str, int]" = {}
+        for _kw, name, _alias in self._FROM_TBL_RE.findall(stmt):
+            vcols.update(self.colmeta.get(name, {}).get("veccols", {}))
+        if not vcols:
+            return stmt
+
+        def repl(m: "re.Match") -> str:
+            l, op, r = m.group(1), m.group(2), m.group(3)
+            bits = vcols.get(l.lower(), vcols.get(r.lower()))
+            if bits is None or (
+                l.lower() not in vcols and r.lower() not in vcols
+            ):
+                return m.group(0)
+            return (
+                f"mo_vec_arith(CAST({l} AS STRING), CAST({r} AS STRING), "
+                f"'{op}:{bits}')"
+            )
+
+        prev = None
+        while prev != stmt:
+            prev = stmt
+            stmt = self._VEC_ARITH_RE.sub(repl, stmt)
+        return stmt
 
     def _rewrite_packed_temporal_cmp(self, stmt: str) -> str:
         """MySQL parses PACKED digit strings as dates inside temporal

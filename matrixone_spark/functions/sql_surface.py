@@ -740,6 +740,36 @@ def _k_subvector(v, start, length):
     return render_vec(sub)
 
 
+def _k_vec_arith(x, y, opbits):
+    """Elementwise vector arithmetic over the text rendering
+    (vector_type.sql `c2 * 25`, `c1 + c2`): scalar operands broadcast;
+    div-by-zero errors like the reference (func_binary.go vector ops).
+    ``opbits`` packs '<op>:<element-bits>' ('*:32')."""
+    if x is None or y is None or opbits is None:
+        return None
+    op, bits = opbits.split(":")
+    a, b = _vec(x), _vec(y)
+    if a is None and b is None:
+        return None
+    if a is None:
+        a = [float(x)] * len(b)
+    if b is None:
+        b = [float(y)] * len(a)
+    if len(a) != len(b):
+        raise ValueError("vector dimensions are not the same")
+    if op == "+":
+        out = [p + q for p, q in zip(a, b)]
+    elif op == "-":
+        out = [p - q for p, q in zip(a, b)]
+    elif op == "*":
+        out = [p * q for p, q in zip(a, b)]
+    else:
+        if any(q == 0 for q in b):
+            raise ValueError("division by zero")
+        out = [p / q for p, q in zip(a, b)]
+    return render_vec(out, int(bits or 32))
+
+
 def _k_vec_cast(v, bits):
     """CAST(x AS vecf32(n)) — validate + normalize the text rendering."""
     a = _vec(v)
@@ -1215,6 +1245,7 @@ PYFUNCS: "list[tuple[str, object, list, tuple]]" = [
     ("mo_vec_normalize_l2", _k_normalize_l2, [_T_STR], _T_STR),
     ("mo_vec_subvector", _k_subvector, [_T_STR, _T_LONG, _T_LONG], _T_STR),
     ("mo_vec_cast", _k_vec_cast, [_T_STR, _T_INT], _T_STR),
+    ("mo_vec_arith", _k_vec_arith, [_T_STR, _T_STR, _T_STR], _T_STR),
     ("mo_json_extract_multi", _k_json_extract_multi, [_T_STR, _T_STR], _T_STR),
     ("json_type", _k_json_type, [_T_STR], _T_STR),
     ("mo_json_contains", _k_json_contains, [_T_STR, _T_STR], _T_BOOL),
