@@ -60,7 +60,7 @@ def test_parse_create_table_defaults():
     assert meta == {"binpads": {}, "autoinc": set(), "years": set(), "rounds": {}, "tsprec": {},
         "intrange": {"b": (-2147483648, 2147483647), "d": (0, 18446744073709551615)},
         "enums": {}, "sets": {}, "bits": {}, "fulltexts": [], "times": {},
-        "varbins": set(), "geos": {}, "keys": [("a",)],
+        "varbins": set(), "geos": {}, "veccols": {}, "keys": [("a",)],
         "keys_pfx": [(("a", None),)], "fks": [], "strw": {"c": 10},
         "gencols": {}, "n_pk": 1, "onupd": set(), "texts": {}}
     _, _, _, meta2 = parse_create_table(
@@ -68,7 +68,7 @@ def test_parse_create_table_defaults():
         "v varbinary(4))"
     )
     assert meta2 == {"binpads": {"b": 4}, "autoinc": {"id"}, "years": set(), "rounds": {}, "tsprec": {},
-        "intrange": {"id": (-2147483648, 2147483647)}, "enums": {}, "sets": {}, "bits": {}, "fulltexts": [], "times": {}, "varbins": {"v"}, "geos": {}, "keys": [("id",)],
+        "intrange": {"id": (-2147483648, 2147483647)}, "enums": {}, "sets": {}, "bits": {}, "fulltexts": [], "times": {}, "varbins": {"v"}, "geos": {}, "veccols": {}, "keys": [("id",)],
         "keys_pfx": [(("id", None),)], "fks": [], "strw": {}, "gencols": {},
         "n_pk": 1, "onupd": set(), "texts": {}}
     assert name == "t"
