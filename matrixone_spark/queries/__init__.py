@@ -85,71 +85,65 @@ def register(name: str, oracle: "str | None", tags: tuple = (), doc: str = ""):
 # refreshes the oldest r01-only greens (plan-fragility check).
 _SENTINELS: "tuple[str, ...]" = ()
 
-# The 50 rows of the r10 driver window (r9 VERDICT ask #4): the r03/r04
-# tail — every hash-gated row last driver-pinned at r03 or r04 (the func_*
-# batteries double as mysql_dialect canaries for this round's strict-error
-# work; the timewin/tvf/system families and the remaining streaming rows
-# age out of the 5-round danger zone).  The 6 no-oracle rows of that tail
-# (driver only checks rows>0 for them — least re-pin signal) plus 5
-# lowest-risk hash rows overflow to r11: sample_fraction,
-# stream_sliding_activity, approx_percentile_tdigest, ivfpq_search,
-# multimodal_features, multimodal_metadata_stats, sample_per_group,
-# sessionize_events, stream_dedup_exactly_once, stream_session_windows,
-# tvf_random_deterministic — take them FIRST in the r11 window together
-# with grouping_sets_rollup (r05) and the r06 block.
+# The 50 rows of the r12 driver window (r11 VERDICT ask #2 — the rotation
+# the r11 round failed to execute): every row whose last driver pin is
+# ≤r06 (45 rows: 2×r03, 9×r04, 1×r05, 33×r06 — the tpch r06 block, the
+# json family, the geo_s2 rows, and the approx/stream rows-only set),
+# plus 5 overflow slots currently holding the oldest r08 rows from
+# diverse families (swap these for any new round-12 registrations).
 _HEAD: "tuple[str, ...]" = (
-    # -- r03 hash-gated tail --
-    "agg_collect_json",
-    "agg_corr_exact",
-    "agg_stddev_exact",
-    "apply_sql_surface",
-    "bitmap_distinct_rollup",
-    "exists_or_correlated",
-    "grouping_sets_explicit",
-    "having_filter",
-    "ilike_filter",
-    "nested_subquery_two_levels",
-    "null_ordering",
-    "stream_stateful_user_stats",
-    "stream_static_join",
-    "timewin_sql_surface",
-    # -- r04 hash-gated tail --
-    "bvt_distinct_battery",
-    "bvt_subquery_battery",
-    "bvt_union_battery",
-    "collation_ci_battery",
-    "func_compress_battery",
-    "func_conditional_battery",
-    "func_crypto_battery",
-    "func_date_battery",
-    "func_encode_battery",
-    "func_inet6_battery",
-    "func_math2_battery",
-    "func_math_battery",
-    "func_misc_battery",
-    "func_mysql2_battery",
-    "func_regexp2_battery",
-    "func_regexp_battery",
-    "func_serial_pack",
-    "func_string_battery",
-    "func_time_battery",
-    "func_uint64_decimal",
-    "stream_stream_join",
-    "stream_tumbling_counts",
-    "system_clock_battery",
-    "system_meta_battery",
-    "timewin_fill_linear",
-    "timewin_fill_prev",
-    "timewin_fill_value",
-    "timewin_per_user_hourly",
-    "timewin_sliding",
-    "timewin_tumbling",
-    "tvf_generate_series",
-    "tvf_generate_series_step",
-    "tvf_generate_series_ts",
-    "tvf_lateral_series",
-    "tvf_outer_apply",
-    "tvf_unnest_ordinality",
+    # -- r12 rotation: every hash/rows row last driver-pinned <=r06 (45) --
+    "sample_fraction",
+    "stream_sliding_activity",
+    "approx_percentile_tdigest",
+    "ivfpq_search",
+    "multimodal_features",
+    "multimodal_metadata_stats",
+    "sample_per_group",
+    "sessionize_events",
+    "stream_dedup_exactly_once",
+    "stream_session_windows",
+    "tvf_random_deterministic",
+    "grouping_sets_rollup",
+    "cte_reuse",
+    "geo_s2_battery",
+    "geo_s2_bucket_join",
+    "geo_s2_join_bench",
+    "grouping_sets_cube",
+    "join_mark_null_aware",
+    "join_nonequi_range",
+    "join_single_scalar",
+    "json2_battery",
+    "json_construct_nested",
+    "json_extract_battery",
+    "json_mutators",
+    "json_objectagg_sorted",
+    "json_search_battery",
+    "json_type_quote_battery",
+    "json_unnest_array",
+    "limit_offset",
+    "recursive_cte_hierarchy",
+    "sample_deterministic",
+    "setop_except_all",
+    "setop_intersect_all",
+    "tpch_q1",
+    "tpch_q12",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q9",
+    # -- overflow: oldest r08 rows, diverse families --
+    "fulltext_boolean",
+    "window_ranks",
+    "agg_basic",
+    "join_full_outer",
+    "setop_union_all",
 )
 
 # Module order for everything else (module name without package prefix).
