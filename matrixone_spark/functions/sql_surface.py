@@ -68,6 +68,35 @@ _WEEK0_SPARK = (
     "+ IF(dayofweek(trunc(CAST(d AS DATE), 'YEAR')) = 1, 1, 0) END"
 )
 
+
+def _wk0_spark(e: str) -> str:
+    """Mode-0 week number of DATE expression ``e`` (0 before the year's
+    first Sunday) — the parametrized core of _WEEK0_SPARK."""
+    return (
+        f"(FLOOR((dayofyear({e}) - 1 + dayofweek(trunc({e}, 'YEAR')) - 1) / 7)"
+        f" + IF(dayofweek(trunc({e}, 'YEAR')) = 1, 1, 0))"
+    )
+
+
+# YEARWEEK default mode 0 uses WeekYear semantics (date.go
+# calcWeekFromCalendar): Sunday-first weeks 1–53; a date before the year's
+# first Sunday belongs to the LAST week of the previous year
+# (YEARWEEK('1987-01-01') = 198652, not 198701).  Mode 2 is identical;
+# modes 1/3 are ISO.
+_YW0_SPARK = (
+    "CASE WHEN d IS NULL THEN NULL WHEN "
+    + _wk0_spark("CAST(d AS DATE)")
+    + " >= 1 THEN year(CAST(d AS DATE)) * 100 + CAST("
+    + _wk0_spark("CAST(d AS DATE)")
+    + " AS INT) ELSE (year(CAST(d AS DATE)) - 1) * 100 + CAST("
+    + _wk0_spark("make_date(year(CAST(d AS DATE)) - 1, 12, 31)")
+    + " AS INT) END"
+)
+_YW_ISO_SPARK = (
+    "year(date_add(CAST(d AS DATE), 3 - weekday(CAST(d AS DATE)))) * 100 "
+    "+ weekofyear(CAST(d AS DATE))"
+)
+
 SPARK_SQL: "list[str]" = [
     # ---- temporal (func_unary.go / func_binary.go) ----
     f"CREATE OR REPLACE TEMPORARY FUNCTION sec_to_time(x DOUBLE) "
@@ -101,10 +130,13 @@ SPARK_SQL: "list[str]" = [
     "RETURNS INT RETURN CASE "
     "WHEN m IN (1, 3) THEN weekofyear(CAST(d AS DATE)) "
     f"ELSE CAST(({_WEEK0_SPARK}) AS INT) END",
-    "CREATE OR REPLACE TEMPORARY FUNCTION yearweek(d STRING) RETURNS BIGINT "
-    "RETURN CASE WHEN d IS NULL THEN NULL ELSE "
-    "year(date_add(CAST(d AS DATE), 3 - weekday(CAST(d AS DATE)))) * 100 "
-    "+ weekofyear(CAST(d AS DATE)) END",
+    f"CREATE OR REPLACE TEMPORARY FUNCTION yearweek(d STRING) RETURNS BIGINT "
+    f"RETURN {_YW0_SPARK}",
+    # mode-parameterized YEARWEEK: 1/3 → ISO, everything else (incl. the
+    # default 0 and its WeekYear twin 2) → the mode-0 borrow formula
+    f"CREATE OR REPLACE TEMPORARY FUNCTION mo_yearweek2(d STRING, m INT) "
+    f"RETURNS BIGINT RETURN CASE WHEN m IN (1, 3) THEN {_YW_ISO_SPARK} "
+    f"ELSE {_YW0_SPARK} END",
     "CREATE OR REPLACE TEMPORARY FUNCTION makedate(y DOUBLE, n DOUBLE) "
     "RETURNS DATE RETURN CASE WHEN n >= 1 THEN "
     "date_add(make_date(CAST(y AS INT), 1, 1), CAST(n AS INT) - 1) END",
@@ -219,6 +251,29 @@ _WEEK0_DUCK = (
     "THEN 1 ELSE 0 END) END"
 )  # DuckDB dayofweek: Sunday = 0 (MySQL's DAYOFWEEK Sunday = 1)
 
+
+def _wk0_duck(e: str) -> str:
+    """Mode-0 week number of DATE expression ``e`` — DuckDB rendering of
+    _wk0_spark (dayofweek is Sunday=0 here)."""
+    return (
+        f"(FLOOR((dayofyear({e}) - 1 + dayofweek(date_trunc('year', {e}))) / 7)"
+        f" + (CASE WHEN dayofweek(date_trunc('year', {e})) = 0 THEN 1 ELSE 0 END))"
+    )
+
+
+_YW0_DUCK = (
+    "CASE WHEN d IS NULL THEN NULL WHEN "
+    + _wk0_duck("CAST(d AS DATE)")
+    + " >= 1 THEN year(CAST(d AS DATE)) * 100 + CAST("
+    + _wk0_duck("CAST(d AS DATE)")
+    + " AS INT) ELSE (year(CAST(d AS DATE)) - 1) * 100 + CAST("
+    + _wk0_duck("make_date(year(CAST(d AS DATE)) - 1, 12, 31)")
+    + " AS INT) END"
+)
+_YW_ISO_DUCK = (
+    "isoyear(CAST(d AS DATE)) * 100 + weekofyear(CAST(d AS DATE))"
+)
+
 DUCK_SQL: "list[str]" = [
     f"CREATE OR REPLACE MACRO sec_to_time(x) AS ({_SEC_TO_TIME_DUCK})",
     "CREATE OR REPLACE MACRO time_to_sec(x) AS ("
@@ -245,9 +300,9 @@ DUCK_SQL: "list[str]" = [
     f"CREATE OR REPLACE MACRO mo_week2(d, m) AS (CASE "
     f"WHEN m IN (1, 3) THEN weekofyear(CAST(d AS DATE)) "
     f"ELSE CAST(({_WEEK0_DUCK}) AS INT) END)",
-    "CREATE OR REPLACE MACRO mo_yearweek(d) AS ("
-    "CASE WHEN d IS NULL THEN NULL ELSE "
-    "isoyear(CAST(d AS DATE)) * 100 + weekofyear(CAST(d AS DATE)) END)",
+    f"CREATE OR REPLACE MACRO mo_yearweek(d) AS ({_YW0_DUCK})",
+    f"CREATE OR REPLACE MACRO mo_yearweek2(d, m) AS (CASE "
+    f"WHEN m IN (1, 3) THEN {_YW_ISO_DUCK} ELSE {_YW0_DUCK} END)",
     "CREATE OR REPLACE MACRO makedate(y, n) AS (CASE WHEN n >= 1 THEN "
     "make_date(CAST(y AS INT), 1, 1) + CAST(CAST(n AS BIGINT) - 1 AS INT) END)",
     "CREATE OR REPLACE MACRO maketime(h, m, s) AS ("
@@ -638,95 +693,244 @@ def _vec(v) -> "list[float] | None":
         return None
 
 
-def _fmt_f32(x: float) -> str:
-    """float32 shortest-repr rendering like the reference's vecf32 output
-    ('0.6', not the widened double '0.6000000238418579')."""
+def _fmt_go(x, bits: int) -> str:
+    """strconv.FormatFloat(x, 'f', -1, bits) — the reference's vector
+    element rendering (types/array.go ArrayToString): shortest decimal
+    digits that round-trip at the element width, ALWAYS fixed notation
+    (a vecf32 overflow row prints '47893604000000000000000000000000000000',
+    not '4.78936e+37')."""
     import numpy as np
 
-    return str(np.float32(x))
+    v = np.float32(x) if bits == 32 else np.float64(x)
+    if np.isnan(v):
+        return "NaN"
+    if np.isinf(v):
+        return "+Inf" if v > 0 else "-Inf"
+    return np.format_float_positional(v, unique=True, trim="-")
 
 
 def render_vec(vals, bits: int = 32) -> str:
-    if bits == 32:
-        parts = [_fmt_f32(v) for v in vals]
-    else:
-        parts = [repr(float(v)) for v in vals]
-    return "[" + ", ".join(
-        p[:-2] if p.endswith(".0") else p for p in parts
-    ) + "]"
+    return "[" + ", ".join(_fmt_go(v, bits) for v in vals) + "]"
 
 
-def _k_l1_norm(v):
-    a = _vec(v)
-    return None if a is None else float(sum(abs(x) for x in a))
+def _snap(v, bits):
+    """Parse a text vector and snap every element to the declared width —
+    reproduces the reference's stored float32/float64 bits exactly (the
+    shortest-repr text rendering round-trips)."""
+    import numpy as np
 
-
-def _k_l2_norm(v):
-    a = _vec(v)
-    return None if a is None else float(sum(x * x for x in a)) ** 0.5
-
-
-def _k_vector_dims(v):
-    a = _vec(v)
-    return None if a is None else len(a)
-
-
-def _k_summation(v):
-    a = _vec(v)
-    return None if a is None else float(sum(a))
-
-
-def _k_inner_product(x, y):
-    a, b = _vec(x), _vec(y)
-    if a is None or b is None or len(a) != len(b):
-        return None
-    return float(sum(p * q for p, q in zip(a, b)))
-
-
-def _k_l2_distance(x, y):
-    a, b = _vec(x), _vec(y)
-    if a is None or b is None or len(a) != len(b):
-        return None
-    return float(sum((p - q) ** 2 for p, q in zip(a, b))) ** 0.5
-
-
-def _k_l2_distance_sq(x, y):
-    a, b = _vec(x), _vec(y)
-    if a is None or b is None or len(a) != len(b):
-        return None
-    return float(sum((p - q) ** 2 for p, q in zip(a, b)))
-
-
-def _k_cosine_similarity(x, y):
-    a, b = _vec(x), _vec(y)
-    if a is None or b is None or len(a) != len(b):
-        return None
-    na = sum(p * p for p in a) ** 0.5
-    nb = sum(q * q for q in b) ** 0.5
-    if na == 0 or nb == 0:
-        return None
-    return float(sum(p * q for p, q in zip(a, b)) / (na * nb))
-
-
-def _k_cosine_distance(x, y):
-    c = _k_cosine_similarity(x, y)
-    return None if c is None else 1.0 - c
-
-
-def _k_normalize_l2(v):
     a = _vec(v)
     if a is None:
         return None
-    n = sum(x * x for x in a) ** 0.5
-    if n == 0:
-        return render_vec([0.0] * len(a))
-    return render_vec([x / n for x in a])
+    t = np.float32 if int(bits) == 32 else np.float64
+    return [t(x) for x in a]
 
 
-def _k_subvector(v, start, length):
+def _np_t(bits):
+    import numpy as np
+
+    return np.float32 if int(bits) == 32 else np.float64
+
+
+def _dim_check(a, b):
+    if len(a) != len(b):
+        raise ValueError("vector dimensions are not the same")
+
+
+# ---- exact moarray semantics, element-typed ----
+# Accumulations run in the ELEMENT type T (float32 for vecf32) with the
+# reference's exact loop structure (unroll groupings change f32 rounding),
+# then widen to float64 — vectorindex/metric/distance_func.go,
+# vectorize/moarray/external.go.
+
+def _bits2(bits):
+    """Decode the packed per-side widths: 32/64 → both sides; LLRR
+    (3264, 6432) → left/right widths for cross-width calls."""
+    b = int(bits)
+    if b in (32, 64):
+        return b, b
+    return b // 100, b % 100
+
+
+def _kb_inner_product(x, y, bits):
+    """moarray.InnerProduct at the .result vintage: blas32/64 Dot —
+    SEQUENTIAL accumulation in T, NEGATED, widened to float64 (verified
+    bit-exact against vector_func.result: -1.9714267253875732 for the f32
+    row the f64 loop would print as …66506)."""
+    lb, rb = _bits2(bits)
+    a, b = _snap(x, lb), _snap(y, rb)
+    if a is None or b is None:
+        return None
+    _dim_check(a, b)
+    t = _np_t(min(lb, rb))
+    s = t(0.0)
+    for p, q in zip(a, b):
+        s = s + t(p) * t(q)
+    return -float(s)
+
+
+def _kb_l2_distance_sq(x, y, bits):
+    """L2DistanceSq: float64 accumulation of squared diffs over the
+    width-snapped elements, result cast to T (gonum-era moarray)."""
+    lb, rb = _bits2(bits)
+    a, b = _snap(x, lb), _snap(y, rb)
+    if a is None or b is None:
+        return None
+    _dim_check(a, b)
+    s = 0.0
+    for p, q in zip(a, b):
+        d = float(p) - float(q)
+        s += d * d
+    return float(_np_t(min(lb, rb))(s))
+
+
+def _kb_l2_distance(x, y, bits):
+    """moarray.L2Distance: float64 sqrt of the float64 sum of squares,
+    result cast back to T."""
+    lb, rb = _bits2(bits)
+    a, b = _snap(x, lb), _snap(y, rb)
+    if a is None or b is None:
+        return None
+    _dim_check(a, b)
+    s = 0.0
+    for p, q in zip(a, b):
+        d = float(p) - float(q)
+        s += d * d
+    return float(_np_t(min(lb, rb))(s ** 0.5))
+
+
+def _cos_core(x, y, bits):
+    """CosineSimilarity/Distance shared math at the .result vintage
+    (external.go:210 'gonums mat.Dot, mat.Norm' comment): dot and norms
+    accumulated in FLOAT64 over the width-snapped elements; for a float32
+    result type each norm's sqrt is ROUNDED TO FLOAT32 before the float64
+    division (blas32.Nrm2 denominators).  Brute-forced 8/8 exact against
+    vector_func.result including the cross-width rows."""
+    lb, rb = _bits2(bits)
+    a, b = _snap(x, lb), _snap(y, rb)
+    if a is None or b is None:
+        return None
+    _dim_check(a, b)
+    t = _np_t(min(lb, rb))
+    dot = n1 = n2 = 0.0
+    for p, q in zip(a, b):
+        fp, fq = float(p), float(q)
+        dot += fp * fq
+        n1 += fp * fp
+        n2 += fq * fq
+    import numpy as np
+
+    if t is np.float32:
+        denom = float(np.float32(n1 ** 0.5)) * float(np.float32(n2 ** 0.5))
+    else:
+        denom = n1 ** 0.5 * n2 ** 0.5
+    sim = None
+    if denom != 0:
+        sim = dot / denom
+        sim = 1.0 if sim > 1.0 else (-1.0 if sim < -1.0 else sim)
+    return denom, sim, t
+
+
+def _kb_cosine_similarity(x, y, bits):
+    """moarray.CosineSimilarity: result cast to T, widened, then the
+    float32 ±1 snap (external.go:210 downcasting check)."""
+    import numpy as np
+
+    core = _cos_core(x, y, bits)
+    if core is None:
+        return None
+    denom, sim, t = core
+    if denom == 0:
+        raise ValueError("cosine similarity: one of the vector is zero")
+    cos = float(t(sim))
+    f32 = np.float32(cos)
+    if f32 == 1:
+        return 1.0
+    if f32 == -1:
+        return -1.0
+    return cos
+
+
+def _kb_cosine_distance(x, y, bits):
+    """CosineDistance: zero-magnitude → 1.0 (not an error);
+    T(1 − similarity) widened."""
+    core = _cos_core(x, y, bits)
+    if core is None:
+        return None
+    denom, sim, t = core
+    if denom == 0:
+        return 1.0
+    return float(t(1.0 - sim))
+
+
+def _kb_summation(x, bits):
+    """moarray.Summation: float64 accumulation over the T elements."""
+    a = _snap(x, bits)
+    if a is None:
+        return None
+    s = 0.0
+    for v in a:
+        s += float(v)
+    return s
+
+
+def _kb_l1_norm(x, bits):
+    """moarray.L1Norm → blas Asum: |x| accumulated in T."""
+    a = _snap(x, bits)
+    if a is None:
+        return None
+    t = _np_t(bits)
+    s = t(0.0)
+    for v in a:
+        s = s + abs(v)
+    return float(s)
+
+
+def _kb_l2_norm(x, bits):
+    """moarray.L2Norm → blas Nrm2 (gonum scaled algorithm): overflow-safe
+    scale/ssq loop in T, sqrt in float64, scaled back in T."""
+    a = _snap(x, bits)
+    if a is None:
+        return None
+    t = _np_t(bits)
+    scale, ssq = t(0.0), t(1.0)
+    nonzero = False
+    for v in a:
+        if v != 0:
+            nonzero = True
+            ax = abs(v)
+            if scale < ax:
+                r = scale / ax
+                ssq = t(1.0) + ssq * r * r
+                scale = ax
+            else:
+                r = ax / scale
+                ssq = ssq + r * r
+    if not nonzero:
+        return 0.0
+    return float(scale * t(float(ssq) ** 0.5))
+
+
+def _kb_normalize_l2(x, bits):
+    """moarray.NormalizeL2: norm = float64 Σv², elements T(v/norm);
+    zero norm copies the input (external.go:262)."""
+    a = _snap(x, bits)
+    if a is None:
+        return None
+    ss = 0.0
+    for v in a:
+        ss += float(v) * float(v)
+    norm = ss ** 0.5
+    t = _np_t(bits)
+    if norm == 0:
+        return render_vec(a, int(bits))
+    return render_vec([t(float(v) / norm) for v in a], int(bits))
+
+
+def _kb_subvector(v, start, length, bits):
     """SUBVECTOR(vec, start[, len]) — 1-based, negative start counts from
     the end (func_binary.go subvector); len NULL/omitted → to the end."""
-    a = _vec(v)
+    a = _snap(v, bits)
     if a is None or start is None:
         return None
     st = int(start)
@@ -737,26 +941,73 @@ def _k_subvector(v, start, length):
     else:
         return None
     sub = a[i:] if length is None else a[i:i + max(0, int(length))]
-    return render_vec(sub)
+    return render_vec(sub, int(bits))
+
+
+def _k_vec_math(v, op, bits):
+    """Elementwise math over a vector column (func_unary.go AbsArray,
+    func_builtin.go sqrt over arrays): abs keeps T; sqrt always renders
+    float64 (moarray.Sqrt returns []float64) and rejects negatives."""
+    a = _snap(v, int(bits))
+    if a is None or op is None:
+        return None
+    if op == "abs":
+        return render_vec([abs(x) for x in a], int(bits))
+    if op == "sqrt":
+        out = []
+        for x in a:
+            if float(x) < 0:
+                raise ValueError("square root of negative number")
+            out.append(float(x) ** 0.5)
+        return render_vec(out, 64)
+    raise ValueError(f"unsupported vector math op {op}")
 
 
 def _k_vec_arith(x, y, opbits):
     """Elementwise vector arithmetic over the text rendering
-    (vector_type.sql `c2 * 25`, `c1 + c2`): scalar operands broadcast;
-    div-by-zero errors like the reference (func_binary.go vector ops).
-    ``opbits`` packs '<op>:<element-bits>' ('*:32')."""
+    (vector_type.sql `c2 * 25`, `vec + vec`, `2 * vec`).  ``opbits`` packs
+    '<op>:<left-bits>:<right-bits>' (legacy '<op>:<bits>' accepted) — each
+    operand snaps at ITS declared width, computes at the wider.
+
+    vec∘vec: elementwise in T with div-by-zero pre-check
+    (moarray Add/Subtract/Multiply/Divide, external.go:30).
+    vec∘scalar: moarray.ScalarOp (external.go:315) — the reference swaps
+    operands so the VECTOR is always first (arithmetic.go
+    plusFnVectorScalar); +/− add T(scalar), */÷ multiply by T(scale)
+    where ÷ pre-inverts in float64."""
     if x is None or y is None or opbits is None:
         return None
-    op, bits = opbits.split(":")
-    a, b = _vec(x), _vec(y)
+    parts = opbits.split(":")
+    op = parts[0]
+    lb = int(parts[1] or 32)
+    rb = int(parts[2]) if len(parts) > 2 and parts[2] else lb
+    bits = max(lb, rb)
+    t = _np_t(bits)
+    a, b = _snap(x, lb), _snap(y, rb)
     if a is None and b is None:
         return None
-    if a is None:
-        a = [float(x)] * len(b)
-    if b is None:
-        b = [float(y)] * len(a)
-    if len(a) != len(b):
-        raise ValueError("vector dimensions are not the same")
+    if a is None or b is None:
+        # scalar side: ScalarOp semantics, vector always first
+        vec = [t(v) for v in (b if a is None else a)]
+        try:
+            scalar = float(x if a is None else y)
+        except (TypeError, ValueError):
+            return None
+        if op in ("+", "-"):
+            sc = t(scalar)
+            out = [(v + sc) if op == "+" else (v - sc) for v in vec]
+        else:
+            if op == "/":
+                if scalar == 0:
+                    raise ValueError("division by zero")
+                scale = t(1.0 / scalar)
+            else:
+                scale = t(scalar)
+            out = [v * scale for v in vec]
+        return render_vec(out, bits)
+    a = [t(v) for v in a]
+    b = [t(v) for v in b]
+    _dim_check(a, b)
     if op == "+":
         out = [p + q for p, q in zip(a, b)]
     elif op == "-":
@@ -767,15 +1018,64 @@ def _k_vec_arith(x, y, opbits):
         if any(q == 0 for q in b):
             raise ValueError("division by zero")
         out = [p / q for p, q in zip(a, b)]
-    return render_vec(out, int(bits or 32))
+    return render_vec(out, bits)
 
 
 def _k_vec_cast(v, bits):
-    """CAST(x AS vecf32(n)) — validate + normalize the text rendering."""
-    a = _vec(v)
+    """CAST(x AS vecf32(n)) — validate + normalize the text rendering at
+    the target width (moarray.Cast elementwise O(in[i]))."""
+    a = _snap(v, int(bits))
     if a is None:
         return None
     return render_vec(a, int(bits))
+
+
+# legacy 2-arg entry points = 64-bit semantics of the exact kernels
+# (inner_product keeps the reference's NEGATED convention here too)
+
+def _k_l1_norm(v):
+    return _kb_l1_norm(v, 64)
+
+
+def _k_l2_norm(v):
+    return _kb_l2_norm(v, 64)
+
+
+def _k_vector_dims(v):
+    a = _vec(v)
+    return None if a is None else len(a)
+
+
+def _k_summation(v):
+    return _kb_summation(v, 64)
+
+
+def _k_inner_product(x, y):
+    return _kb_inner_product(x, y, 64)
+
+
+def _k_l2_distance(x, y):
+    return _kb_l2_distance(x, y, 64)
+
+
+def _k_l2_distance_sq(x, y):
+    return _kb_l2_distance_sq(x, y, 64)
+
+
+def _k_cosine_similarity(x, y):
+    return _kb_cosine_similarity(x, y, 64)
+
+
+def _k_cosine_distance(x, y):
+    return _kb_cosine_distance(x, y, 64)
+
+
+def _k_normalize_l2(v):
+    return _kb_normalize_l2(v, 32)
+
+
+def _k_subvector(v, start, length):
+    return _kb_subvector(v, start, length, 32)
 
 
 # ---- JSON family: reuse the kernels the DataFrame tier ships ----
@@ -1246,6 +1546,23 @@ PYFUNCS: "list[tuple[str, object, list, tuple]]" = [
     ("mo_vec_subvector", _k_subvector, [_T_STR, _T_LONG, _T_LONG], _T_STR),
     ("mo_vec_cast", _k_vec_cast, [_T_STR, _T_INT], _T_STR),
     ("mo_vec_arith", _k_vec_arith, [_T_STR, _T_STR, _T_STR], _T_STR),
+    # bits-aware exact tier: the replay's colmeta-driven rewrite passes the
+    # declared element width so vecf32 columns get true float32 semantics
+    ("mo_vecb_ip", _kb_inner_product, [_T_STR, _T_STR, _T_INT], _T_DOUBLE),
+    ("mo_vecb_cos_sim", _kb_cosine_similarity,
+     [_T_STR, _T_STR, _T_INT], _T_DOUBLE),
+    ("mo_vecb_cos_dist", _kb_cosine_distance,
+     [_T_STR, _T_STR, _T_INT], _T_DOUBLE),
+    ("mo_vecb_l2d", _kb_l2_distance, [_T_STR, _T_STR, _T_INT], _T_DOUBLE),
+    ("mo_vecb_l2dsq", _kb_l2_distance_sq,
+     [_T_STR, _T_STR, _T_INT], _T_DOUBLE),
+    ("mo_vecb_l1norm", _kb_l1_norm, [_T_STR, _T_INT], _T_DOUBLE),
+    ("mo_vecb_l2norm", _kb_l2_norm, [_T_STR, _T_INT], _T_DOUBLE),
+    ("mo_vecb_sum", _kb_summation, [_T_STR, _T_INT], _T_DOUBLE),
+    ("mo_vecb_norml2", _kb_normalize_l2, [_T_STR, _T_INT], _T_STR),
+    ("mo_vecb_subvec", _kb_subvector,
+     [_T_STR, _T_LONG, _T_LONG, _T_INT], _T_STR),
+    ("mo_vec_math", _k_vec_math, [_T_STR, _T_STR, _T_INT], _T_STR),
     ("mo_json_extract_multi", _k_json_extract_multi, [_T_STR, _T_STR], _T_STR),
     ("json_type", _k_json_type, [_T_STR], _T_STR),
     ("mo_json_contains", _k_json_contains, [_T_STR, _T_STR], _T_BOOL),
@@ -1333,11 +1650,19 @@ def register_spark(spark) -> None:
                 return pd.Series(
                     [fn(_cell(x), _cell(y)) for x, y in zip(a, b)], dtype=object
                 )
-        else:
+        elif arity == 3:
             def run(a: pd.Series, b: pd.Series, c: pd.Series) -> pd.Series:
                 return pd.Series(
                     [fn(_cell(x), _cell(y), _cell(z))
                      for x, y, z in zip(a, b, c)],
+                    dtype=object,
+                )
+        else:
+            def run(a: pd.Series, b: pd.Series, c: pd.Series,
+                    d: pd.Series) -> pd.Series:
+                return pd.Series(
+                    [fn(_cell(x), _cell(y), _cell(z), _cell(w))
+                     for x, y, z, w in zip(a, b, c, d)],
                     dtype=object,
                 )
         return pandas_udf(ret)(run)
@@ -1379,11 +1704,21 @@ def register_spark(spark) -> None:
 def register_duck(con) -> None:
     """Mirror the surface on the co-executor's DuckDB connection: macros
     for the pure-SQL tier, native Python scalars for the kernels."""
+    import sys as _sys
+
     for ddl in DUCK_SQL:
         try:
             con.execute(ddl)
-        except Exception:  # noqa: BLE001 — a macro lost to a builtin name
-            pass           # is reached through its mo_* rename instead
+        except Exception as e:  # noqa: BLE001
+            # a macro lost to a builtin name is reached through its mo_*
+            # rename instead; anything else (macro syntax error, duckdb API
+            # change) would otherwise surface only as an opaque 'unknown
+            # function' during replay — log it once
+            msg = str(e)
+            if not ("already exists" in msg or "built-in" in msg
+                    or "Catalog Error" in msg):
+                print(f"sql_surface: duck DDL failed: {msg[:160]}",
+                      file=_sys.stderr)
     from duckdb.typing import (
         BIGINT, BLOB, BOOLEAN, DOUBLE, INTEGER, VARCHAR,
     )
@@ -1399,8 +1734,12 @@ def register_duck(con) -> None:
                 dname, fn, [_DUCK_T[t[1]] for t in argts], _DUCK_T[ret[1]],
                 null_handling="special",
             )
-        except Exception:  # noqa: BLE001 — name collision with a builtin
-            pass
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            if not ("already exists" in msg or "built-in" in msg
+                    or "Catalog Error" in msg):
+                print(f"sql_surface: duck create_function({dname}) failed: "
+                      f"{msg[:160]}", file=_sys.stderr)
     try:
         import duckdb as _dd
 

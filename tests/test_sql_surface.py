@@ -52,8 +52,10 @@ CASES = [
     ("select subtime('01:00:00', '00:30:00') a", ("00:30:00",)),
     ("select time_format('100:02:03', '%H %i %s') a", ("100 02 03",)),
     ("select get_format('DATE', 'USA') a", ("%m.%d.%Y",)),
+    # inner_product is NEGATED like the reference (metric.InnerProduct
+    # returns -sum, distance_func.go:206)
     ("select l2_distance('[1,2]', '[4,6]') a, inner_product('[1,2,3]', '[1,2,3]') b",
-     ("5.0", "14.0")),
+     ("5.0", "-14.0")),
     ("select subvector('[16,15,0,0,5,46,5,5,4,0]', 6, 5) a",
      ("[46, 5, 5, 4, 0]",)),
     ("select normalize_l2('[3,4]') a", ("[0.6, 0.8]",)),
