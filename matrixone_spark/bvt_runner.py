@@ -330,6 +330,368 @@ def _name_token(raw: str, spans: "list[str]") -> str:
     return unmask_literals(raw, spans).strip("`").split(".")[-1].strip("`").lower()
 
 
+# ---------------------------------------------------------------- vectors
+# Scanner-based lowering of SQL-text vector expressions to the bits-aware
+# kernel tier (functions/sql_surface.py).  Operates on literal-MASKED text;
+# operands may be vec columns, '[…]' literals, numbers, scalar columns, or
+# vec-producing calls (cast to vecfXX, subvector, normalize_l2, nested
+# mo_vec_* results).  Reference: test/distributed/cases/vector/,
+# array/array.sql; pkg/sql/plan/function/arithmetic.go.
+
+_VEC_PRODUCERS = frozenset((
+    "mo_vec_arith", "mo_vec_cast", "mo_vec_math", "mo_vecb_norml2",
+    "mo_vecb_subvec", "mo_vec_subvector", "mo_vec_normalize_l2",
+    "subvector", "normalize_l2",
+))
+
+# scalar-family lowering: name → (bits-aware kernel, vector-arg count)
+_VEC_SCALAR_FNS = {
+    "inner_product": ("mo_vecb_ip", 2),
+    "cosine_similarity": ("mo_vecb_cos_sim", 2),
+    "cosine_distance": ("mo_vecb_cos_dist", 2),
+    "l2_distance": ("mo_vecb_l2d", 2),
+    "l2_distance_sq": ("mo_vecb_l2dsq", 2),
+    "l1_norm": ("mo_vecb_l1norm", 1),
+    "l2_norm": ("mo_vecb_l2norm", 1),
+    "summation": ("mo_vecb_sum", 1),
+    "normalize_l2": ("mo_vecb_norml2", 1),
+}
+
+_PH_TOK_RE = re.compile("\x01(\\d+)\x01")
+_VEC_KEYWORDS = frozenset((
+    "and", "or", "not", "in", "then", "else", "when", "select", "where",
+    "from", "values", "on", "by", "as", "case", "union", "all", "distinct",
+    "interval", "like", "between", "is", "end", "having", "group", "order",
+    "limit", "set",
+))
+
+
+def _vec_paren_close(s: str, open_idx: int) -> int:
+    try:
+        return _scan_to_close(s, open_idx)
+    except SkipStatement:
+        return -1
+
+
+def _is_vec_literal(txt: str, spans: "list[str]") -> bool:
+    m = _PH_TOK_RE.fullmatch(txt.strip())
+    if not m:
+        return False
+    sp = spans[int(m.group(1))]
+    return sp[:1] in "'\"" and sp[1:2] == "["
+
+
+def _vec_bits_of(txt: str, spans, vcols) -> "int | None":
+    """32/64 when the expression text is DEFINITELY a vector, else None."""
+    s = txt.strip()
+    while s.startswith("(") and s.endswith(")") \
+            and _vec_paren_close(s, 0) == len(s) - 1:
+        s = s[1:-1].strip()
+    if s.startswith("-"):
+        inner = _vec_bits_of(s[1:], spans, vcols)
+        if inner:
+            return inner
+    pm = _PH_TOK_RE.fullmatch(s)
+    if pm:
+        sp = spans[int(pm.group(1))]
+        if sp[:1] == "`":  # backticked identifier is masked as a span too
+            return vcols.get(sp.strip("`").lower())
+        return None
+    bare = s.replace("`", "")
+    m = re.fullmatch(r"[A-Za-z_]\w*(?:\.([A-Za-z_]\w*))?", bare)
+    if m:
+        return vcols.get((m.group(1) or bare).lower())
+    cm = re.match(r"([A-Za-z_]\w*)\s*\(", s)
+    if cm:
+        open_i = s.index("(", cm.end(1) - 1)
+        if _vec_paren_close(s, open_i) == len(s) - 1:
+            name = cm.group(1).lower()
+            if name == "cast":
+                tm = re.search(r"(?i)\bas\s+vecf(32|64)\b", s)
+                return int(tm.group(1)) if tm else None
+            if name in _VEC_PRODUCERS:
+                return _vec_marker_bits(s, spans, vcols)
+    return None
+
+
+def _vec_marker_bits(s: str, spans, vcols) -> int:
+    """Width of a vec-producing call: explicit ':lb:rb' opbits marker,
+    vecfXX cast text, trailing bits argument, or a referenced column."""
+    txt = unmask_literals(s, spans).lower()
+    mm = re.search(r"[+\-*/]:(\d+)(?::(\d+))?", txt)
+    if mm:
+        return max(int(g) for g in mm.groups() if g)
+    if re.search(r"vecf64|,\s*64\s*\)\s*$", txt):
+        return 64
+    if re.search(r"vecf32|,\s*32\s*\)\s*$", txt):
+        return 32
+    for ident in re.findall(r"[a-z_]\w*", txt):
+        b = vcols.get(ident)
+        if b:
+            return b
+    return 32
+
+
+def _vec_left_operand(s: str, i: int) -> "tuple[int, str] | None":
+    """Expression operand ending just before index i → (start, text)."""
+    j = i - 1
+    while j >= 0 and s[j] in " \t\n":
+        j -= 1
+    if j < 0:
+        return None
+    c = s[j]
+    if c == "\x01":
+        for mm in _PH_TOK_RE.finditer(s, max(0, j - 14), j + 1):
+            if mm.end() == j + 1:
+                return (mm.start(), s[mm.start():j + 1])
+        return None
+    if c == ")":
+        depth, k = 0, j
+        while k >= 0:
+            if s[k] == ")":
+                depth += 1
+            elif s[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        if k < 0:
+            return None
+        nm = re.search(r"([A-Za-z_][\w]*)\s*$", s[:k])
+        if nm and nm.group(1).lower() not in _VEC_KEYWORDS:
+            return (nm.start(1), s[nm.start(1):j + 1])
+        return (k, s[k:j + 1])
+    if c.isalnum() or c in "_.`":
+        k = j
+        while k >= 0 and (s[k].isalnum() or s[k] in "_.`"):
+            k -= 1
+        start = k + 1
+        txt = s[start:j + 1]
+        if "`" in txt:
+            if re.fullmatch(r"`[A-Za-z_]\w*`(?:\.`?[A-Za-z_]\w*`?)?", txt) \
+                    or re.fullmatch(r"[A-Za-z_]\w*\.`[A-Za-z_]\w*`", txt):
+                return (start, txt)
+            return None
+        if txt[0].isdigit() or txt[0] == ".":
+            if not re.fullmatch(r"\d+(?:\.\d*)?(?:[eE][+-]?\d+)?", txt):
+                return None
+            # unary sign belongs to the number when preceded by an
+            # operator/open-paren/comma (`(-1*vec)`)
+            p = start - 1
+            while p >= 0 and s[p] in " \t\n":
+                p -= 1
+            if p >= 0 and s[p] == "-":
+                q = p - 1
+                while q >= 0 and s[q] in " \t\n":
+                    q -= 1
+                if q < 0 or s[q] in "(,+-*/%<>=":
+                    return (p, s[p:j + 1].replace(" ", ""))
+            return (start, txt)
+        if txt.lower() in _VEC_KEYWORDS \
+                or not re.fullmatch(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?", txt):
+            return None
+        return (start, txt)
+    return None
+
+
+def _vec_right_operand(s: str, i: int) -> "tuple[int, str] | None":
+    """Expression operand starting just after index i → (end, text)."""
+    n = len(s)
+    j = i + 1
+    while j < n and s[j] in " \t\n":
+        j += 1
+    if j >= n:
+        return None
+    sign = ""
+    if s[j] in "+-" and (s[j + 1:j + 2].isdigit() or s[j + 1:j + 2] == "."):
+        sign = s[j]
+        j += 1
+    c = s[j]
+    if c == "\x01":
+        m = _PH_TOK_RE.match(s, j)
+        return (m.end(), s[j:m.end()]) if m and not sign else None
+    if c == "(":
+        k = _vec_paren_close(s, j)
+        return (k + 1, s[j:k + 1]) if k > 0 and not sign else None
+    if c.isdigit() or (c == "." and s[j + 1:j + 2].isdigit()):
+        m = re.match(r"\d*\.?\d+(?:[eE][+-]?\d+)?", s[j:])
+        return (j + m.end(), sign + s[j:j + m.end()]) if m else None
+    if c == "`" and not sign:
+        m = re.match(r"`[A-Za-z_]\w*`(?:\.`?[A-Za-z_]\w*`?)?", s[j:])
+        return (j + m.end(), s[j:j + m.end()]) if m else None
+    if (c.isalpha() or c == "_") and not sign:
+        m = re.match(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?", s[j:])
+        end = j + m.end()
+        if m.group(0).lower() in _VEC_KEYWORDS:
+            return None
+        k = end
+        while k < n and s[k] in " \t":
+            k += 1
+        if k < n and s[k] == "(" and "." not in m.group(0):
+            close = _vec_paren_close(s, k)
+            if close > 0:
+                return (close + 1, s[j:close + 1])
+        return (end, s[j:end])
+    return None
+
+
+def _vec_arith_pass(s: str, spans, vcols) -> str:
+    """Rewrite binary + − * / with a definite-vector operand to
+    mo_vec_arith, higher precedence first; within the +/− pass operands
+    extend over adjacent */ chains so `vec + x * y` binds correctly."""
+    for ops in (("*", "/"), ("+", "-")):
+        guard = 0
+        changed = True
+        while changed and guard < 120:
+            changed = False
+            guard += 1
+            i = -1
+            while True:
+                i += 1
+                if i >= len(s):
+                    break
+                ch = s[i]
+                if ch not in ops:
+                    continue
+                if ch == "-" and (s[i - 1:i] == "-"
+                                  or s[i + 1:i + 2] in (">", "-")):
+                    continue
+                lo = _vec_left_operand(s, i)
+                ro = _vec_right_operand(s, i)
+                if not lo or not ro:
+                    continue
+                lstart, ltxt = lo
+                rend, rtxt = ro
+                if ops == ("+", "-"):
+                    # extend operands across the already-settled */ tier so
+                    # `vec + x * y` binds x*y, and `x * y + vec` keeps x*y
+                    rstart = rend - len(rtxt)
+                    while True:
+                        k = rend
+                        while k < len(s) and s[k] in " \t\n":
+                            k += 1
+                        if k < len(s) and s[k] in "*/":
+                            ro2 = _vec_right_operand(s, k)
+                            if ro2 is None:
+                                break
+                            rend = ro2[0]
+                        else:
+                            break
+                    rtxt = s[rstart:rend]
+                    lend = lstart + len(ltxt)
+                    while True:
+                        k = lstart - 1
+                        while k >= 0 and s[k] in " \t\n":
+                            k -= 1
+                        if k >= 0 and s[k] in "*/":
+                            lo2 = _vec_left_operand(s, k)
+                            if lo2 is None:
+                                break
+                            lstart = lo2[0]
+                        else:
+                            break
+                    ltxt = s[lstart:lend]
+                lb = _vec_bits_of(ltxt, spans, vcols)
+                rb = _vec_bits_of(rtxt, spans, vcols)
+                if lb is None and rb is None:
+                    continue
+                eb_l = lb or rb
+                eb_r = rb or lb
+                repl = (f"mo_vec_arith(CAST({ltxt} AS STRING), "
+                        f"CAST({rtxt} AS STRING), '{ch}:{eb_l}:{eb_r}')")
+                s = s[:lstart] + repl + s[rend:]
+                changed = True
+                break
+    return s
+
+
+def _vec_math_pass(s: str, spans, vcols) -> str:
+    """abs()/sqrt() over a definite-vector argument → mo_vec_math
+    (func_unary.go AbsArray, func_builtin.go array sqrt)."""
+    pos = 0
+    while True:
+        m = re.compile(r"\b(abs|sqrt)\s*\(", re.IGNORECASE).search(s, pos)
+        if not m:
+            return s
+        open_i = m.end() - 1
+        close = _vec_paren_close(s, open_i)
+        if close < 0:
+            return s
+        inner = s[open_i + 1:close].strip()
+        bits = _vec_bits_of(inner, spans, vcols)
+        if bits is None:
+            pos = m.end()
+            continue
+        repl = (f"mo_vec_math(CAST({inner} AS STRING), "
+                f"'{m.group(1).lower()}', {bits})")
+        s = s[:m.start()] + repl + s[close + 1:]
+        pos = m.start() + len(repl)
+
+
+def _vec_name_pass(s: str, spans, vcols) -> str:
+    """Lower the scalar vector-function family to the bits-aware kernels,
+    passing each argument's declared element width (cross-width calls pack
+    LLRR).  Non-definite arguments (literals, NULL) inherit the other
+    side's width, defaulting to 32 — the reference's literal-only calls
+    measure float32 (vector_func.result inner_product/cosine rows)."""
+    from matrixone_spark.mysql_dialect import _split_top_level
+
+    name_re = re.compile(
+        r"\b(inner_product|cosine_similarity|cosine_distance|"
+        r"l2_distance_sq|l2_distance|l1_norm|l2_norm|summation|"
+        r"normalize_l2|subvector)\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = name_re.search(s, pos)
+        if not m:
+            return s
+        name = m.group(1).lower()
+        open_i = m.end() - 1
+        close = _vec_paren_close(s, open_i)
+        if close < 0:
+            return s
+        args = [a.strip() for a in _split_top_level(s[open_i + 1:close])]
+        if name == "subvector":
+            if len(args) not in (2, 3):
+                pos = m.end()
+                continue
+            b = _vec_bits_of(args[0], spans, vcols) or 32
+            ln = args[2] if len(args) == 3 else "NULL"
+            repl = (f"mo_vecb_subvec(CAST({args[0]} AS STRING), "
+                    f"CAST({args[1]} AS BIGINT), CAST({ln} AS BIGINT), {b})")
+        else:
+            kern, nvec = _VEC_SCALAR_FNS[name]
+            if len(args) != nvec:
+                pos = m.end()
+                continue
+            bs = [_vec_bits_of(a, spans, vcols) for a in args]
+            if nvec == 1:
+                b0 = bs[0] or 32
+                repl = f"{kern}(CAST({args[0]} AS STRING), {b0})"
+            else:
+                b0 = bs[0] or bs[1] or 32
+                b1 = bs[1] or bs[0] or 32
+                packed = b0 if b0 == b1 else b0 * 100 + b1
+                repl = (f"{kern}(CAST({args[0]} AS STRING), "
+                        f"CAST({args[1]} AS STRING), {packed})")
+        s = s[:m.start()] + repl + s[close + 1:]
+        pos = m.start()
+
+
+def _vec_lower(masked: str, spans, vcols) -> str:
+    """Fixpoint of the three lowering passes (math → arith → names): each
+    pass can expose operands for the next (`abs(b) + 1` needs math first,
+    `abs(b - c)` needs arith first)."""
+    for _ in range(40):
+        new = _vec_math_pass(masked, spans, vcols)
+        new = _vec_arith_pass(new, spans, vcols)
+        new = _vec_name_pass(new, spans, vcols)
+        if new == masked:
+            return masked
+        masked = new
+    return masked
+
+
 def _norm_type(raw: str) -> str:
     t = raw.strip().lower()
     for pat, target in _TYPE_MAP:
@@ -1314,7 +1676,6 @@ class BvtSession:
             stmt = self._rewrite_int_sum(stmt)
             stmt = self._rewrite_decimal_avg(stmt)
             stmt = self._rewrite_decimal_mul(stmt)
-            stmt = self._rewrite_vec_arith(stmt)
             stmt = self._rewrite_packed_temporal_cmp(stmt)
             stmt = self._rewrite_unsigned_sub(stmt)
             return "select", self.spark.sql(translate(stmt))
@@ -3396,37 +3757,36 @@ class BvtSession:
 
         return self._DEC_MUL_RE.sub(repl, stmt)
 
-    _VEC_ARITH_RE = re.compile(
-        r"([a-zA-Z_]\w*)\s*([*+/-])\s*([a-zA-Z_]\w*|\d+(?:\.\d+)?)"
-    )
-
-    def _rewrite_vec_arith(self, stmt: str) -> str:
-        """Vector ± * / over the text-rendered vecf columns
-        (vector/vector_type.sql `c2 * 25`, `c1 + c2`): route through the
-        elementwise mo_vec_arith kernel; scalars broadcast."""
+    def rewrite_vectors(self, stmt: str) -> str:
+        """Lower vector expressions over the text-rendered vecfXX columns
+        to the bits-aware kernel tier (vector/vector_func.sql,
+        vector_type.sql, array/array.sql): arithmetic `c2 * 25` /
+        `vec + vec` / `2 + cast(... as vecf32(3))`, elementwise abs/sqrt,
+        and the scalar family (inner_product, cosine_similarity, …) with
+        each argument's declared element width.  Applied ONCE at the
+        CoExecutor level so both replay engines run the identical
+        rewritten text (the kernels are registered on Spark AND DuckDB)."""
         vcols: "dict[str, int]" = {}
         for _kw, name, _alias in self._FROM_TBL_RE.findall(stmt):
             vcols.update(self.colmeta.get(name, {}).get("veccols", {}))
-        if not vcols:
-            return stmt
-
-        def repl(m: "re.Match") -> str:
-            l, op, r = m.group(1), m.group(2), m.group(3)
-            bits = vcols.get(l.lower(), vcols.get(r.lower()))
-            if bits is None or (
-                l.lower() not in vcols and r.lower() not in vcols
-            ):
-                return m.group(0)
-            return (
-                f"mo_vec_arith(CAST({l} AS STRING), CAST({r} AS STRING), "
-                f"'{op}:{bits}')"
+        um = re.match(r"\s*update\s+[`]?(\w+)[`]?", stmt, re.IGNORECASE)
+        if um:
+            vcols.update(
+                self.colmeta.get(um.group(1).lower(), {}).get("veccols", {})
             )
-
-        prev = None
-        while prev != stmt:
-            prev = stmt
-            stmt = self._VEC_ARITH_RE.sub(repl, stmt)
-        return stmt
+        im = re.match(r"\s*(?:insert|replace)\s+(?:into\s+)?[`]?(\w+)[`]?",
+                      stmt, re.IGNORECASE)
+        if im:
+            vcols.update(
+                self.colmeta.get(im.group(1).lower(), {}).get("veccols", {})
+            )
+        low = stmt.lower()
+        if not vcols and "vecf" not in low and "subvector" not in low \
+                and not any(n in low for n in _VEC_SCALAR_FNS):
+            return stmt
+        masked, spans = mask_literals(stmt)
+        out = _vec_lower(masked, spans, vcols)
+        return unmask_literals(out, spans) if out != masked else stmt
 
     def _rewrite_packed_temporal_cmp(self, stmt: str) -> str:
         """MySQL parses PACKED digit strings as dates inside temporal
@@ -4697,8 +5057,10 @@ def _duck_surface_fns(masked: str, spans: "list[str]") -> str:
             if len(args) == 2:
                 return f"mo_week2({args[0]}, {args[1]})"
             return None
-        if name == "yearweek" and len(args) in (1, 2):
+        if name == "yearweek" and len(args) == 1:
             return f"mo_yearweek({args[0]})"
+        if name == "yearweek" and len(args) == 2:
+            return f"mo_yearweek2({args[0]}, {args[1]})"
         if name == "format" and len(args) in (2, 3):
             base = f"mo_format({args[0]}, {args[1]})"
             if len(args) == 3:
@@ -5906,6 +6268,12 @@ class CoExecutor:
                 stats["executed"] += 1
                 continue
             stmt = self.sess.coerce_typed_literals(expanded)
+            try:
+                # lower vector expressions ONCE so Spark and DuckDB run the
+                # identical kernel calls (both register the mo_vec* tier)
+                stmt = self.sess.rewrite_vectors(stmt)
+            except Exception:  # noqa: BLE001 — lowering must never kill replay
+                pass
             masked, _ = mask_literals(stmt)
             head = masked.strip().lstrip("(").split(None, 1)[0].lower() if masked.strip() else ""
             if head in ("begin", "start", "commit", "rollback"):

@@ -316,12 +316,25 @@ def time_to_sec(x) -> Column:
 
 
 def yearweek(x) -> Column:
-    """YEARWEEK(d) ≈ ISO year*100 + ISO week (MySQL mode 3).
-    Reference: func_unary.go yearweek; mode-0 divergence documented."""
-    d = _c(x)
-    # ISO year = calendar year of the Thursday in d's ISO week.
-    iso_year = F.year(F.date_add(d.cast("date"), F.lit(3) - F.weekday(d)))
-    return (iso_year * 100 + F.weekofyear(d)).cast("long")
+    """YEARWEEK(d), MySQL default mode 0: Sunday-first weeks 1–53 with
+    WeekYear borrow — a date before the year's first Sunday belongs to the
+    last week of the PREVIOUS year (YEARWEEK('1987-01-01') = 198652).
+    Reference: func_unary.go yearweek; date.go calcWeekFromCalendar."""
+    d = _c(x).cast("date")
+
+    def wk0(e: Column) -> Column:
+        jan1_dow = F.dayofweek(F.trunc(e, "YEAR"))  # Sunday = 1
+        return F.floor(
+            (F.dayofyear(e) - 1 + jan1_dow - 1) / 7
+        ) + F.when(jan1_dow == 1, 1).otherwise(0)
+
+    w = wk0(d)
+    prev_dec31 = F.make_date(F.year(d) - 1, F.lit(12), F.lit(31))
+    return (
+        F.when(w >= 1, F.year(d) * 100 + w)
+        .otherwise((F.year(d) - 1) * 100 + wk0(prev_dec31))
+        .cast("long")
+    )
 
 
 # -------------------------------------------------------------------- string

@@ -58,8 +58,10 @@ def summation(col) -> Column:
 
 
 def inner_product(a, b) -> Column:
-    """a·b. Reference: moarray inner_product (SIMD in cgo; Tungsten here)."""
-    return _fold_sum(F.zip_with(_d(a), _d(b), lambda x, y: x * y))
+    """−(a·b) — the reference NEGATES the dot product so smaller means
+    closer, like its other distances (metric.InnerProduct returns -sum,
+    vectorindex/metric/distance_func.go:206)."""
+    return -_fold_sum(F.zip_with(_d(a), _d(b), lambda x, y: x * y))
 
 
 def l2_distance_sq(a, b) -> Column:
@@ -74,8 +76,12 @@ def l2_distance(a, b) -> Column:
 
 
 def cosine_similarity(a, b) -> Column:
-    """a·b / (|a||b|). Reference: moarray cosine_similarity."""
-    return inner_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """a·b / (|a||b|) — the POSITIVE dot here (inner_product carries the
+    reference's negated-distance convention). Reference: moarray
+    cosine_similarity."""
+    return _fold_sum(
+        F.zip_with(_d(a), _d(b), lambda x, y: x * y)
+    ) / (l2_norm(a) * l2_norm(b))
 
 
 def cosine_distance(a, b) -> Column:

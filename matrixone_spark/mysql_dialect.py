@@ -1180,7 +1180,7 @@ def _compose_fn(
     if name == "week" and len(args) == 2:
         return f"mo_week2({args[0]}, CAST({args[1]} AS INT))"
     if name == "yearweek" and len(args) == 2:
-        return f"yearweek({args[0]})"  # mode argument: ISO-adjacent family
+        return f"mo_yearweek2({args[0]}, CAST({args[1]} AS INT))"
     if name == "from_base64" and len(args) == 1:
         return f"CAST(unbase64({args[0]}) AS STRING)"
     if name == "unnest" and 1 <= len(args) <= 3:

@@ -85,7 +85,8 @@ def _metric(emb_col, q, metric: str):
     if metric == "cosine":
         return V.cosine_distance(emb_col, q)
     if metric == "ip":
-        return -V.inner_product(emb_col, q)
+        # V.inner_product is already the reference's negated-dot distance
+        return V.inner_product(emb_col, q)
     raise ValueError(f"unknown metric {metric!r}")
 
 

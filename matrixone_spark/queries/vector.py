@@ -58,7 +58,7 @@ SELECT vec_id,
        sqrt(list_sum(list_transform(list_zip(embedding, {_QSQL}),
                                     x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])))) AS l2_dist,
        list_cosine_similarity({_DEMB}, {_QSQL}) AS cos_sim,
-       list_inner_product({_DEMB}, {_QSQL})     AS ip
+       -list_inner_product({_DEMB}, {_QSQL})    AS ip
 FROM embeddings WHERE vec_id < 200
 """,
     tags=("vector",),

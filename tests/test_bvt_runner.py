@@ -395,3 +395,124 @@ def test_unnest_json_table_function(spark):
         ("UNNEST_DEFAULT", 1, None, "$.a[1]", "1", '"2"', '[1, "2", {"aa": "b1"}]'),
         ("UNNEST_DEFAULT", 2, None, "$.a[2]", "2", '{"aa": "b1"}', '[1, "2", {"aa": "b1"}]'),
     ]
+
+
+def test_vec_lower_shapes():
+    """The scanner-based vector lowering (vector/vector_type.sql,
+    array/array.sql shapes): bare columns, scalar broadcast on either
+    side, quoted vector literals, vecfXX casts, backticked UPDATE
+    assignments, precedence, elementwise abs/sqrt, and the scalar-family
+    width packing.  Non-vector arithmetic must never rewrite."""
+    from matrixone_spark.bvt_runner import _vec_lower
+    from matrixone_spark.mysql_dialect import mask_literals, unmask_literals
+
+    vcols = {"c2": 32, "b": 32, "vecf32_3": 32, "vecf64_3": 64}
+
+    def run(stmt):
+        m, sp = mask_literals(stmt)
+        return unmask_literals(_vec_lower(m, sp, vcols), sp)
+
+    assert run("select c2 * 25 from t") == (
+        "select mo_vec_arith(CAST(c2 AS STRING), CAST(25 AS STRING), "
+        "'*:32:32') from t"
+    )
+    assert run("select 2 + b from t10") == (
+        "select mo_vec_arith(CAST(2 AS STRING), CAST(b AS STRING), "
+        "'+:32:32') from t10"
+    )
+    assert run('select b + "[1,2,3]" from t') == (
+        'select mo_vec_arith(CAST(b AS STRING), CAST("[1,2,3]" AS STRING), '
+        "'+:32:32') from t"
+    )
+    assert run('select 2 * cast("[1,2,3]" as vecf32(3))') == (
+        'select mo_vec_arith(CAST(2 AS STRING), '
+        'CAST(cast("[1,2,3]" as vecf32(3)) AS STRING), \'*:32:32\')'
+    )
+    # nested unary-minus scalar times vec inside parens, then outer +
+    out = run('select 5 + (-1*cast("[1,2,3]" as vecf32(3)))')
+    assert out.count("mo_vec_arith") == 2 and "CAST(-1 AS STRING)" in out
+    # backticked UPDATE assignment (vector_func.sql vtab32_1)
+    assert run(
+        'update t set `x` = `vecf32_3` + "[1,1,1]"'
+    ) == (
+        'update t set `x` = mo_vec_arith(CAST(`vecf32_3` AS STRING), '
+        'CAST("[1,1,1]" AS STRING), \'+:32:32\')'
+    )
+    # +/- operands extend over the scalar */ tier
+    assert run("select b + x * y from t") == (
+        "select mo_vec_arith(CAST(b AS STRING), CAST(x * y AS STRING), "
+        "'+:32:32') from t"
+    )
+    # elementwise math
+    assert run("select abs(b) from t") == (
+        "select mo_vec_math(CAST(b AS STRING), 'abs', 32) from t"
+    )
+    assert run("select sqrt(b) from t") == (
+        "select mo_vec_math(CAST(b AS STRING), 'sqrt', 32) from t"
+    )
+    # scalar family: per-arg width, cross-width packs LLRR
+    assert run("select inner_product(vecf32_3, vecf32_3) from t") == (
+        "select mo_vecb_ip(CAST(vecf32_3 AS STRING), "
+        "CAST(vecf32_3 AS STRING), 32) from t"
+    )
+    assert run("select cosine_similarity(a.vecf32_3, b.vecf64_3) from a, b") == (
+        "select mo_vecb_cos_sim(CAST(a.vecf32_3 AS STRING), "
+        "CAST(b.vecf64_3 AS STRING), 3264) from a, b"
+    )
+    # cross-width arithmetic widens (l1_norm over the f64 diff)
+    assert run("select l1_norm(vecf64_3 - vecf32_3) from t") == (
+        "select mo_vecb_l1norm(CAST(mo_vec_arith(CAST(vecf64_3 AS STRING), "
+        "CAST(vecf32_3 AS STRING), '-:64:32') AS STRING), 64) from t"
+    )
+    # non-vector statements must pass through untouched
+    for stmt in (
+        "select id, x * 2 from plain",
+        "select count(*) from t",
+        "select a.* from t a",
+        "select d + interval 1 day from t",
+        "select 1 - 2",
+    ):
+        assert run(stmt) == stmt
+
+
+def test_vec_kernels_exact():
+    """Bits-aware kernels reproduce vector_func.result bit-for-bit:
+    negated sequential-T inner product, f64-accumulated cosine with
+    f32-rounded norm sqrts, gonum scaled Nrm2, ScalarOp reciprocal
+    multiply, and Go fixed-notation rendering."""
+    from matrixone_spark.functions.sql_surface import (
+        _k_vec_arith,
+        _k_vec_math,
+        _kb_cosine_similarity,
+        _kb_inner_product,
+        _kb_l1_norm,
+        _kb_l2_norm,
+        _kb_summation,
+    )
+
+    r2 = "[0.8166459,0.66616553,0.4886152]"
+    r3 = "[0.1726299,3.29088557,30.4330937]"
+    r4 = "[8.5606893,6.7903588,821.977768]"
+    assert _kb_inner_product(r2, "[1,1,1]", 32) == -1.9714267253875732
+    assert _kb_inner_product(r2, r2, 64) == -1.349431853018031
+    assert _kb_summation(r3, 32) == 33.89660960435867
+    assert _kb_l1_norm(r4, 32) == 837.328857421875
+    assert _kb_l2_norm(r2, 32) == 1.161650538444519
+    assert _kb_l2_norm(r2, 64) == 1.1616504866000061
+    assert _kb_cosine_similarity(r2, "[1,1,1]", 32) == 0.9798159599304199
+    # cross-width packs left/right widths
+    assert _kb_cosine_similarity(
+        r3, "[8.5606893,6.7903588,821.977768]", 3264
+    ) == 0.9950472712516785
+    # arith: scalar broadcast, div via reciprocal, overflow stays fixed-notation
+    assert _k_vec_arith("[1,2,3]", "2", "/:32:32") == "[0.5, 1, 1.5]"
+    assert _k_vec_arith("2", "[1,2.4,3]", "+:32:32") == "[3, 4.4, 5]"
+    big = "[76875768584509877574546435800000005,8955885757767774774774774456466]"
+    assert _k_vec_arith(big, "623", "*:32:32") == (
+        "[47893604000000000000000000000000000000, "
+        "5579517000000000000000000000000000]"
+    )
+    assert _k_vec_math("[-1,-2,3]", "abs", 32) == "[1, 2, 3]"
+    assert _k_vec_math("[1,2,3]", "sqrt", 32) == (
+        "[1, 1.4142135623730951, 1.7320508075688772]"
+    )
