@@ -3803,18 +3803,51 @@ class BvtSession:
                     if ty in ("date", "timestamp")}
         strcols = {c for c, ty in coltypes.items() if ty == "string"}
         masked, spans = mask_literals(stmt)
-        cast_cmp = re.search(
-            r"(?i)as\s+(?:date|datetime|timestamp)\s*(?:\(\s*\d\s*\))?\s*\)"
-            r"\s*(?:=|<>|!=|<=|>=|<|>|\s+(?:not\s+)?(?:between|in)\b)",
-            masked,
-        )
         col_cmp = temporal and re.search(
             r"(?i)\b(" + "|".join(map(re.escape, temporal)) + r")\s*"
             r"(?:=|<=>|<>|!=|<=|>=|<|>|\s+(?:not\s+)?between\b)",
             masked,
         )
-        if not cast_cmp and not col_cmp:
+        # Collect the span indices that are DIRECT operands of a temporal
+        # comparison — an unrelated varchar compare or INSERT literal in
+        # the same statement must not be re-literaled.
+        eligible: "set[int]" = set()
+        _OPS = r"(?:=|<=>|<>|!=|<=|>=|<|>)"
+        _lhs_pats = [
+            r"(?i:as)\s+(?i:date|datetime|timestamp)\s*"
+            r"(?:\(\s*\d\s*\))?\s*\)",
+        ]
+        if temporal:
+            _lhs_pats.append(
+                r"\b(?i:" + "|".join(map(re.escape, temporal)) + r")\b")
+        for lhs in _lhs_pats:
+            for m in re.finditer(
+                    lhs + r"\s*" + _OPS + r"\s*\x01(\d+)\x01", masked):
+                eligible.add(int(m.group(1)))
+            for m in re.finditer(
+                    lhs + r"\s+(?i:not\s+)?(?i:between)\s+\x01(\d+)\x01"
+                    r"\s+(?i:and)\s+\x01(\d+)\x01", masked):
+                eligible.add(int(m.group(1)))
+                eligible.add(int(m.group(2)))
+            for m in re.finditer(
+                    lhs + r"\s+(?i:not\s+)?(?i:in)\s*\(([^()]*)\)",
+                    masked):
+                for pm in re.finditer(r"\x01(\d+)\x01", m.group(1)):
+                    eligible.add(int(pm.group(1)))
+        _rhs_pats = [
+            r"(?i:cast)\s*\([^()]*(?i:as)\s+"
+            r"(?i:date|datetime|timestamp)\b",
+        ]
+        if temporal:
+            _rhs_pats.append(
+                r"\b(?i:" + "|".join(map(re.escape, temporal)) + r")\b")
+        for rhs in _rhs_pats:
+            for m in re.finditer(
+                    r"\x01(\d+)\x01\s*" + _OPS + r"\s*" + rhs, masked):
+                eligible.add(int(m.group(1)))
+        if not eligible and not (col_cmp and strcols):
             return stmt
+        changed = False
         if col_cmp and strcols:
             # temporal column vs STRING column: the reference parses the
             # cell through its flexible date grammar per row
@@ -3831,12 +3864,16 @@ class BvtSession:
                     return m.group(0)
                 return f"{l} {op} {r}"
 
-            masked = re.sub(
+            new_masked = re.sub(
                 r"([a-zA-Z_]\w*)\s*(<=>|<>|!=|<=|>=|=|<|>)\s*([a-zA-Z_]\w*)",
                 _wrap_pair, masked,
             )
-        changed = True  # col-vs-col wrap above may already have fired
+            if new_masked != masked:
+                masked = new_masked
+                changed = True
         for i, sp in enumerate(spans):
+            if i not in eligible:
+                continue
             body = sp[1:-1] if sp[:1] in "'\"" else None
             if body is None:
                 continue
@@ -5017,10 +5054,15 @@ def _duck_surface_fns(masked: str, spans: "list[str]") -> str:
             if ph is None:
                 return None
             lit = spans[int(ph.group(1))].strip("'\"")
-            parts = [p for p in re.split(r"[^0-9]+", lit.strip()) if p]
+            body = lit.strip()
+            # leading '-' negates EVERY composite field (MySQL semantics)
+            neg = body.startswith("-")
+            parts = [p for p in re.split(r"[^0-9]+", body) if p]
             if not parts or len(parts) > len(comp):
                 return None
             parts = ["0"] * (len(comp) - len(parts)) + parts
+            if neg:
+                parts = [p if p == "0" else f"-{p}" for p in parts]
             return "(" + " + ".join(
                 f"({p}) * INTERVAL 1 {_DUCK_IV_UNIT[s]}"
                 for s, p in zip(comp, parts)

@@ -490,23 +490,24 @@ def _render_time(total: float, frac: bool) -> str:
     return body
 
 
-def _dt_epoch(s) -> "float | None":
-    """Parse a datetime string to an epoch-agnostic second count."""
+def _dt_parse(s) -> "object | None":
+    """Parse a datetime string to a naive datetime. Pure calendar
+    arithmetic (timedelta), never epoch conversion: .timestamp()/
+    fromtimestamp() interpret naive values in the HOST timezone, so pairs
+    straddling a DST transition would drift ±1h vs MySQL."""
+    import datetime as _dt
+
     m = _DT_RE.match(str(s))
     if not m:
         d = re.match(r"^\s*(\d{4})-(\d{1,2})-(\d{1,2})\s*$", str(s))
         if not d:
             return None
-        import datetime as _dt
-
         try:
             return _dt.datetime(
                 int(d.group(1)), int(d.group(2)), int(d.group(3))
-            ).timestamp()
+            )
         except ValueError:
             return None
-    import datetime as _dt
-
     try:
         base = _dt.datetime(
             int(m.group(1)), int(m.group(2)), int(m.group(3)),
@@ -514,7 +515,7 @@ def _dt_epoch(s) -> "float | None":
         )
     except ValueError:
         return None
-    return base.timestamp() + float(m.group(6))
+    return base + _dt.timedelta(seconds=float(m.group(6)))
 
 
 def _k_timediff(a, b):
@@ -522,9 +523,9 @@ def _k_timediff(a, b):
     strings → their difference; mixed → NULL (func_binary.go timediff)."""
     if a is None or b is None:
         return None
-    ea, eb = _dt_epoch(a), _dt_epoch(b)
-    if ea is not None and eb is not None:
-        d = ea - eb
+    da, db = _dt_parse(a), _dt_parse(b)
+    if da is not None and db is not None:
+        d = (da - db).total_seconds()
         return _render_time(d, abs(d - round(d)) > 1e-9)
     ta, tb = _time_secs(a), _time_secs(b)
     if ta is not None and tb is not None:
@@ -539,11 +540,11 @@ def _addsub_time(x, t, sign: int):
     tsec = _time_secs(t)
     if tsec is None:
         return None
-    ex = _dt_epoch(x)
-    if ex is not None:
+    dx = _dt_parse(x)
+    if dx is not None:
         import datetime as _dt
 
-        res = _dt.datetime.fromtimestamp(ex) + _dt.timedelta(seconds=sign * tsec)
+        res = dx + _dt.timedelta(seconds=sign * tsec)
         out = res.strftime("%Y-%m-%d %H:%M:%S")
         if res.microsecond:
             out += f".{res.microsecond:06d}"

@@ -788,10 +788,16 @@ def _make_interval_sql(
     if comp is not None:
         if lit is None:
             return None
-        parts = [p for p in re.split(r"[^0-9]+", lit.strip()) if p]
+        body = lit.strip()
+        # MySQL honors a leading '-' on a composite interval literal:
+        # INTERVAL '-1 10' DAY_HOUR subtracts 1 day 10 hours
+        neg = body.startswith("-")
+        parts = [p for p in re.split(r"[^0-9]+", body) if p]
         if not parts or len(parts) > len(comp):
             return None
         parts = ["0"] * (len(comp) - len(parts)) + parts
+        if neg:
+            parts = [p if p == "0" else f"-{p}" for p in parts]
         for slot, p in zip(comp, parts):
             vals[slot] = p
         if "usecs" in vals:

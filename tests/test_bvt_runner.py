@@ -516,3 +516,43 @@ def test_vec_kernels_exact():
     assert _k_vec_math("[1,2,3]", "sqrt", 32) == (
         "[1, 1.4142135623730951, 1.7320508075688772]"
     )
+
+
+def test_packed_temporal_cmp_scoped_to_operands():
+    """_rewrite_packed_temporal_cmp re-literals 8/14-digit strings ONLY
+    when they are the direct operand of a temporal comparison (cast or
+    date/timestamp column; =, <>, range ops, BETWEEN, IN, either side) —
+    an unrelated varchar compare or INSERT literal in the same statement
+    must pass through untouched (mysql_compat_temporal_predicate_matrix)."""
+    from matrixone_spark.bvt_runner import BvtSession
+
+    r = BvtSession.__new__(BvtSession)
+    r.schemas = {
+        "t1": [("d", "date"), ("s", "string"), ("v", "string")],
+        "t2": [("ts", "timestamp")],
+    }
+    f = r._rewrite_packed_temporal_cmp
+    assert f(
+        "select * from t1 where cast('2024-01-02' as date) = '20240102'"
+    ).endswith("= '2024-01-02'")
+    assert f("select * from t1 where d = '20240102'").endswith(
+        "= '2024-01-02'")
+    assert f("select * from t1 where '20240102' <= d").count("2024-01-02")
+    assert f(
+        "select * from t2 where ts between '20240101' and '20241231'"
+    ) == "select * from t2 where ts between '2024-01-01' and '2024-12-31'"
+    assert f("select * from t1 where d in ('20240101', '20240102')") == (
+        "select * from t1 where d in ('2024-01-01', '2024-01-02')")
+    # scoping: the v-compare literal survives verbatim
+    assert f(
+        "select * from t1 where d = '20240102' and v = '20240103'"
+    ) == "select * from t1 where d = '2024-01-02' and v = '20240103'"
+    # no temporal comparison anywhere -> identity
+    for sql in (
+        "select * from t1 where v = '20240102'",
+        "insert into t1 values ('20240101')",
+    ):
+        assert f(sql) == sql
+    # 14-digit datetime form
+    assert f("select * from t2 where ts = '20240102030405'").endswith(
+        "= '2024-01-02 03:04:05'")
