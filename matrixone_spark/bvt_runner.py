@@ -761,6 +761,7 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
     times: "dict[str, int]" = {}
     varbins: "set[str]" = set()
     veccols: "dict[str, int]" = {}  # vector col → element bits (32/64)
+    jsoncols: "set[str]" = set()  # JSON-typed columns
     geos: "dict[str, int]" = {}  # geometry col → coord width (32/64 bits)
     fulltexts: "list[tuple[str, tuple, str]]" = []
     # (child cols, parent table, parent cols, on-delete action)
@@ -924,6 +925,10 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
             # need the packed [H]HMMSS form (dtype/TimeToInt.sql); TIME(n)
             # keeps n fractional digits in the canonical display
             times[col] = int(tmm.group(1) or 0)
+        if re.match(r"json\s*$", rest, re.IGNORECASE):
+            # JSON columns store bytejson-canonical text (or a typed-scalar
+            # tag); INSERT paths normalize through mo_json_store
+            jsoncols.add(col.lower())
         if re.match(r"year(?:\(\d+\))?\s*$", rest, re.IGNORECASE):
             # YEAR stores with MySQL 2-digit expansion (70-99 → 19xx,
             # 1-69 → 20xx; string '0' → 2000, numeric 0 → 0000)
@@ -971,6 +976,7 @@ def parse_create_table(stmt: str) -> "tuple[str, list[tuple[str, str]], dict]":
         "tsprec": tsprec, "intrange": intrange, "enums": enums, "sets": sets,
         "bits": bitwidth, "fulltexts": fulltexts, "times": times,
         "varbins": varbins, "geos": geos, "veccols": veccols,
+        "jsons": jsoncols,
         "keys": [tuple(c for c, _p in k) for k in keys_pfx],
         "keys_pfx": keys_pfx, "fks": fks, "strw": strw, "gencols": gencols,
         "n_pk": len(pkeys), "onupd": onupd, "texts": textcaps,
@@ -1151,6 +1157,20 @@ class BvtSession:
                         )
                     else:
                         sel.append(F.substring(v, 1, sw).alias(c))
+                    continue
+                if c.lower() in meta.get("jsons", set()):
+                    # implicit store-cast into a JSON column: binary
+                    # sources become opaque BLOB scalars, document text
+                    # re-renders canonical, typed tags pass through
+                    # (func_convert_json.test destination tables)
+                    src = provided[c]
+                    if src_types.get(src, "") == "binary":
+                        sel.append(
+                            F.expr(f"mo_json_blob(hex(`{src}`))").alias(c))
+                    else:
+                        sel.append(
+                            F.expr(f"mo_json_store(CAST(`{src}` AS STRING))")
+                            .alias(c))
                     continue
                 if c in meta.get("texts", {}):
                     # TEXT-family byte caps (dtype/text.test goldens):
@@ -3788,6 +3808,415 @@ class BvtSession:
         out = _vec_lower(masked, spans, vcols)
         return unmask_literals(out, spans) if out != masked else stmt
 
+    # ------------------------------------------------------------ typed JSON
+    # CAST(x AS JSON)/CONVERT(x, JSON) keep the SOURCE type in the
+    # reference's bytejson model (pkg/container/bytejson;
+    # func_convert_json.test): binary family → opaque BLOB, BIT(n) → BIT
+    # with the declared byte width, temporals → DATE/TIME/DATETIME scalars,
+    # DECIMAL keeps scale, ENUM/SET labels → JSON strings, geometry →
+    # GeoJSON.  The rewrite classifies the cast source STATICALLY (column
+    # metadata or the syntactic inner cast) and lowers to the mo_json_*
+    # kernel tier, applied once so both engines run identical text.
+
+    _JSON_SETOP_RE = re.compile(
+        r"(?i)\b(union\s+all|union|intersect\s+all|intersect|minus|except)\b")
+
+    def _tbl_json_kinds(self, name: str) -> "dict[str, tuple]":
+        meta = self.colmeta.get(name, {})
+        low = lambda d: {k.lower(): v for k, v in d.items()}  # noqa: E731
+        bits = low(meta.get("bits", {}))
+        enums = {k.lower() for k in meta.get("enums", {})}
+        sets_ = {k.lower() for k in meta.get("sets", {})}
+        times = low(meta.get("times", {}))
+        tsprec = low(meta.get("tsprec", {}))
+        geos = {k.lower() for k in meta.get("geos", {})}
+        jsons = meta.get("jsons", set())
+        kinds: "dict[str, tuple]" = {}
+        for c, t in self.schemas.get(name, ()):
+            cl, tl = c.lower(), t.lower()
+            if cl in bits:
+                kinds[cl] = ("BIT", bits[cl])
+            elif cl in enums or cl in sets_:
+                kinds[cl] = ("STRING", None)
+            elif cl in geos:
+                kinds[cl] = ("GEO", None)
+            elif tl == "binary":
+                kinds[cl] = ("BLOB", None)
+            elif cl in jsons:
+                kinds[cl] = ("JSON", None)
+            elif cl in times:
+                kinds[cl] = ("TIME", times[cl])
+            elif tl == "date":
+                kinds[cl] = ("DATE", None)
+            elif tl in ("timestamp", "timestamp_ntz"):
+                kinds[cl] = ("DATETIME", tsprec.get(cl, 0))
+            elif tl.startswith(("decimal", "numeric")):
+                kinds[cl] = ("DECIMAL", None)
+            else:
+                kinds[cl] = ("DOC", None)
+        return kinds
+
+    def _select_out_cols(self, sel: str) -> "dict[str, tuple]":
+        """Output column → json-source kind for a (masked) SELECT text,
+        following the reference's static typing: pure column projections
+        keep the source kind, UNION keeps a kind only when every branch
+        agrees, INTERSECT/MINUS follow the left branch."""
+        sel = sel.strip()
+        while sel.startswith("(") and sel.endswith(")"):
+            sel = sel[1:-1].strip()
+        parts: "list[tuple[str, str]]" = []
+        s = 0
+        last_op = ""
+        for m in self._JSON_SETOP_RE.finditer(sel):
+            pre = sel[:m.start()]
+            if pre.count("(") == pre.count(")"):  # top level (masked text)
+                parts.append((last_op, sel[s:m.start()]))
+                last_op, s = m.group(1).lower(), m.end()
+        parts.append((last_op, sel[s:]))
+        out = self._single_select_cols(parts[0][1])
+        for op, text in parts[1:]:
+            if op.startswith(("intersect", "minus", "except")):
+                continue  # left branch wins
+            other = self._single_select_cols(text)
+            for k in list(out):
+                if out[k] != other.get(k):
+                    out[k] = ("DOC", None)
+        return out
+
+    def _single_select_cols(self, text: str) -> "dict[str, tuple]":
+        m = re.match(r"(?is)\s*\(?\s*select\s+(?:distinct\s+)?", text)
+        if not m:
+            return {}
+        body = text[m.end():]
+        # top-level FROM split
+        depth = 0
+        from_at = None
+        for fm in re.finditer(r"(?i)\bfrom\b|[()]", body):
+            tok = fm.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                from_at = fm
+                break
+        items_txt = body[: from_at.start()] if from_at else body
+        ctx = self._json_ctx_from(body[from_at.start():]) if from_at else {}
+        from matrixone_spark.mysql_dialect import _split_top_level
+
+        out: "dict[str, tuple]" = {}
+        for item in _split_top_level(items_txt):
+            it = item.strip().rstrip(";")
+            if not it:
+                continue
+            am = re.match(r"(?is)^(.*?)\s+as\s+[`]?(\w+)[`]?\s*$", it)
+            if am and am.group(1).count("(") == am.group(1).count(")"):
+                expr, alias = am.group(1).strip(), am.group(2).lower()
+            else:
+                expr, alias = it, None
+            cm = re.fullmatch(
+                r"[`]?(?:\w+[`]?\.[`]?)?(\w+)[`]?", expr)
+            if cm:
+                col = cm.group(1).lower()
+                out[alias or col] = ctx.get(col, ("DOC", None))
+            elif alias:
+                out[alias] = ("DOC", None)
+        return out
+
+    def _json_ctx_from(self, from_txt: str) -> "dict[str, tuple]":
+        """Column kinds visible from a (masked) FROM clause: plain tables
+        via colmeta, parenthesized derived tables recursively."""
+        ctx: "dict[str, tuple]" = {}
+        for _kw, name, _alias in self._FROM_TBL_RE.findall(from_txt):
+            for k, v in self._tbl_json_kinds(name.lower()).items():
+                ctx.setdefault(k, v)
+        # derived tables: from ( select ... ) alias [, ...]
+        for dm in re.finditer(r"(?i)\b(?:from|join)\s*\(", from_txt):
+            i, depth = dm.end() - 1, 0
+            for j in range(i, len(from_txt)):
+                if from_txt[j] == "(":
+                    depth += 1
+                elif from_txt[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            inner = from_txt[i + 1:j]
+            if re.match(r"(?is)\s*select\b", inner):
+                for k, v in self._select_out_cols(inner).items():
+                    ctx.setdefault(k, v)
+        return ctx
+
+    def _classify_json_src(
+        self, inner: str, ctx: "dict[str, tuple]", spans: "list[str]"
+    ) -> "str | None":
+        """Replacement text for CAST(<inner> AS JSON), or None to keep the
+        default document path."""
+        t = inner.strip()
+        while t.startswith("(") and t.endswith(")") and \
+                t[1:-1].count("(") == t[1:-1].count(")"):
+            t = t[1:-1].strip()
+        cm = re.fullmatch(r"[`]?(?:\w+[`]?\.[`]?)?(\w+)[`]?", t)
+        if cm:
+            kind = ctx.get(cm.group(1).lower())
+            if kind is None:
+                return None
+            k, p = kind
+            if k == "BLOB":
+                return f"mo_json_blob(hex({t}))"
+            if k == "BIT":
+                return f"mo_json_bit(CAST({t} AS BIGINT), {int(p or 1)})"
+            if k == "STRING":
+                return f"mo_json_string({t})"
+            if k == "GEO":
+                return f"mo_json_geo(CAST({t} AS STRING))"
+            if k in ("DATE", "TIME", "DATETIME"):
+                return (f"mo_json_temporal('{k}', CAST({t} AS STRING), "
+                        f"{int(p or 0)})")
+            if k == "DECIMAL":
+                return f"mo_json_decimal(CAST({t} AS STRING))"
+            if k == "JSON":
+                return f"({t})"
+            return None
+        im = re.match(r"(?is)^cast\s*\((.*)\)\s*$", t)
+        if im and im.group(1).count("(") == im.group(1).count(")"):
+            body = im.group(1)
+            # last top-level ' as '
+            depth, as_at = 0, None
+            for am in re.finditer(r"(?i)\bas\b|[()]", body):
+                tok = am.group(0)
+                if tok == "(":
+                    depth += 1
+                elif tok == ")":
+                    depth -= 1
+                elif depth == 0:
+                    as_at = am
+            if as_at is not None:
+                src, ty = body[:as_at.start()], body[as_at.end():].strip().lower()
+                tyb = ty.split("(")[0].strip()
+                pm = re.match(r"\w+\s*\(\s*(\d+)", ty)
+                p = int(pm.group(1)) if pm else 0
+                if tyb in ("blob", "tinyblob", "mediumblob", "longblob",
+                           "binary", "varbinary"):
+                    return f"mo_json_blob(hex({t}))"
+                if tyb == "bit":
+                    bm = re.match(r"(?i)\s*b\x01(\d+)\x01\s*$", src)
+                    if bm and int(bm.group(1)) < len(spans):
+                        bits_txt = spans[int(bm.group(1))][1:-1]
+                        if re.fullmatch(r"[01]+", bits_txt):
+                            return f"mo_json_bit({int(bits_txt, 2)}, {p or 1})"
+                    return f"mo_json_bit(CAST({t} AS BIGINT), {p or 1})"
+                if tyb == "date":
+                    return f"mo_json_temporal('DATE', CAST(({t}) AS STRING), 0)"
+                if tyb == "time":
+                    return f"mo_json_temporal('TIME', CAST(({t}) AS STRING), {p})"
+                if tyb in ("datetime", "timestamp"):
+                    return (f"mo_json_temporal('DATETIME', "
+                            f"CAST(({t}) AS STRING), {p})")
+                if tyb in ("decimal", "numeric", "dec", "fixed"):
+                    return f"mo_json_decimal(CAST(({t}) AS STRING))"
+            return None
+        if re.match(r"(?i)^st_\w+\s*\(", t):
+            return f"mo_json_geo(CAST(({t}) AS STRING))"
+        return None
+
+    _TIME_CAST_ATOM = (
+        r"cast\s*\((?:[^()]|\([^()]*\))*\s+as\s+time"
+        r"(?:\s*\(\s*\d\s*\))?\s*\)")
+    _TIME_CAST_CMP_RE = re.compile(
+        rf"(?is)({_TIME_CAST_ATOM})\s*(<=>|<>|!=|<=|>=|=|<|>)\s*"
+        rf"({_TIME_CAST_ATOM})")
+    _TIME_DATEADD_RE = re.compile(
+        r"(?is)\b(date_add|date_sub|adddate|subdate)\s*\(\s*([`\w.]+)\s*,"
+        r"\s*interval\s+(\d+(?:\.\d+)?)\s+(\w+)\s*\)")
+    _TIME_IV_SECS = {"microsecond": 1e-6, "second": 1, "minute": 60,
+                     "hour": 3600, "day": 86400, "week": 604800}
+
+    def rewrite_time_ops(self, stmt: str) -> str:
+        """TIME-typed value semantics over the duration-string model
+        (dtype/time_precision_comprehensive.sql): cross-scale TIME cast
+        comparisons compare SECONDS (TIME(0) '12:34:56' equals TIME(6)
+        '12:34:56.000000'), and DATE_ADD/DATE_SUB on a TIME column keeps
+        the TIME type (reference adds the interval to the duration)."""
+        low = stmt.lower()
+        if "time" not in low and "date_" not in low \
+                and "adddate" not in low and "subdate" not in low:
+            return stmt
+        masked, spans = mask_literals(stmt)
+        changed = False
+        if "cast" in low:
+            new = self._TIME_CAST_CMP_RE.sub(
+                lambda m: (
+                    f"mo_time_secsf(CAST({m.group(1)} AS STRING)) "
+                    f"{m.group(2)} "
+                    f"mo_time_secsf(CAST({m.group(3)} AS STRING))"),
+                masked,
+            )
+            if new != masked:
+                masked, changed = new, True
+        timecols: "dict[str, int]" = {}
+        for _kw, name, _alias in self._FROM_TBL_RE.findall(masked):
+            timecols.update({
+                k.lower(): v for k, v in
+                self.colmeta.get(name.lower(), {}).get("times", {}).items()
+            })
+        if timecols and ("date_add" in low or "date_sub" in low
+                         or "adddate" in low or "subdate" in low):
+            def _addsub(m: "re.Match") -> str:
+                col = m.group(2).strip("`").split(".")[-1].lower()
+                mult = self._TIME_IV_SECS.get(m.group(4).lower())
+                if col not in timecols or mult is None:
+                    return m.group(0)
+                tot = float(m.group(3)) * mult
+                h, rem = int(tot // 3600), tot % 3600
+                mm, ss = int(rem // 60), rem % 60
+                frac = round((ss - int(ss)) * 1e6)
+                dur = f"{h:02d}:{mm:02d}:{int(ss):02d}"
+                if frac:
+                    dur += f".{frac:06d}"
+                fn = ("addtime"
+                      if m.group(1).lower() in ("date_add", "adddate")
+                      else "subtime")
+                return f"{fn}({m.group(2)}, '{dur}')"
+
+            new = self._TIME_DATEADD_RE.sub(_addsub, masked)
+            if new != masked:
+                masked, changed = new, True
+        return unmask_literals(masked, spans) if changed else stmt
+
+    _RANK_ALIAS_RE = re.compile(
+        r"(?is)\b(?:row_number|rank|dense_rank)\s*\(\s*\)\s*over\s*\("
+        r"[^()]*\)\s+as\s+[`]?(\w+)[`]?")
+
+    def rewrite_arrayagg_window_order(self, stmt: str) -> str:
+        """JSON_ARRAYAGG over a derived table that carries a ranking
+        window: the reference consumes rows in the window's order
+        (func_arrayagg.sql); lower to the ordered variant keyed on the
+        rank alias so both engines sort the collected values."""
+        low = stmt.lower()
+        if "json_arrayagg" not in low or " over" not in low:
+            return stmt
+        masked, spans = mask_literals(stmt)
+        rm = self._RANK_ALIAS_RE.search(masked)
+        if rm is None:
+            return stmt
+        rn = rm.group(1)
+        out = re.sub(
+            r"(?is)\bjson_arrayagg\s*\(([^()]*)\)",
+            lambda m: f"mo_jarragg_ord({m.group(1)}, {rn})"
+            if "(" not in m.group(1) else m.group(0),
+            masked,
+        )
+        return unmask_literals(out, spans) if out != masked else stmt
+
+    def rewrite_json_casts(self, stmt: str) -> str:
+        low = stmt.lower()
+        if "json" not in low:
+            # INSERT…SELECT into a JSON column needs the store-cast even
+            # when the statement text never says "json"
+            im0 = re.match(
+                r"(?is)^\s*insert\s+(?:ignore\s+)?into\s+([`\w.]+)", stmt)
+            if im0 is None or not self.colmeta.get(
+                    im0.group(1).strip("`").split(".")[-1].lower(), {}
+            ).get("jsons"):
+                return stmt
+        masked, spans = mask_literals(stmt)
+        # INSERT ... SELECT into a table with JSON columns: make the store
+        # cast explicit so the classification below applies (enum labels
+        # store as STRING scalars, blob columns as BLOB — destination
+        # tables in func_convert_json.test)
+        im = re.match(
+            r"(?is)^(\s*insert\s+(?:ignore\s+)?into\s+([`\w.]+)\s*"
+            r"(?:\(([^)]*)\))?\s*)(select\b.*)$", masked)
+        if im:
+            tname = _name_token(im.group(2), spans)
+            jsons = self.colmeta.get(tname, {}).get("jsons", set())
+            top_setop = any(
+                im.group(4)[:sm0.start()].count("(")
+                == im.group(4)[:sm0.start()].count(")")
+                for sm0 in self._JSON_SETOP_RE.finditer(im.group(4))
+            )
+            if jsons and not top_setop:
+                if im.group(3):
+                    tcols = [c.strip().strip("`").lower()
+                             for c in im.group(3).split(",")]
+                else:
+                    tcols = [c.lower() for c, _ in self.schemas.get(tname, ())]
+                sm = re.match(r"(?is)^select\s+(?:distinct\s+)?", im.group(4))
+                body = im.group(4)[sm.end():]
+                depth, from_at = 0, None
+                for fm in re.finditer(r"(?i)\bfrom\b|[()]", body):
+                    tok = fm.group(0)
+                    if tok == "(":
+                        depth += 1
+                    elif tok == ")":
+                        depth -= 1
+                    elif depth == 0:
+                        from_at = fm
+                        break
+                items_txt = body[:from_at.start()] if from_at else body
+                from matrixone_spark.mysql_dialect import _split_top_level
+
+                items = _split_top_level(items_txt)
+                if len(items) == len(tcols):
+                    changed_ins = False
+                    for i, (it, tc) in enumerate(zip(items, tcols)):
+                        if tc in jsons and not re.search(
+                                r"(?i)\b(?:as\s+json|,\s*json)\s*\)",
+                                it) and not it.strip().startswith("\x01"):
+                            items[i] = f"cast(({it.strip()}) as json)"
+                            changed_ins = True
+                    if changed_ins:
+                        masked = (im.group(1) + "select "
+                                  + ", ".join(i.strip() for i in items)
+                                  + (" " + body[from_at.start():]
+                                     if from_at else ""))
+        # lower typed casts, restart-scan until no rewrite applies
+        for _pass in range(24):
+            done = True
+            for m in re.finditer(r"(?i)\b(convert|cast)\s*\(", masked):
+                i, depth = m.end() - 1, 0
+                for j in range(i, len(masked)):
+                    if masked[j] == "(":
+                        depth += 1
+                    elif masked[j] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                else:
+                    continue
+                body = masked[i + 1:j]
+                inner = None
+                if m.group(1).lower() == "convert":
+                    from matrixone_spark.mysql_dialect import _split_top_level
+
+                    args = _split_top_level(body)
+                    if len(args) == 2 and args[1].strip().lower() == "json":
+                        inner = args[0]
+                else:
+                    depth2, as_at = 0, None
+                    for am in re.finditer(r"(?i)\bas\b|[()]", body):
+                        tok = am.group(0)
+                        if tok == "(":
+                            depth2 += 1
+                        elif tok == ")":
+                            depth2 -= 1
+                        elif depth2 == 0:
+                            as_at = am
+                    if as_at is not None and \
+                            body[as_at.end():].strip().lower() == "json":
+                        inner = body[:as_at.start()]
+                if inner is None:
+                    continue
+                ctx = self._json_ctx_from(masked)
+                repl = self._classify_json_src(inner, ctx, spans)
+                if repl is not None:
+                    masked = masked[:m.start()] + repl + masked[j + 1:]
+                    done = False
+                    break
+            if done:
+                break
+        return unmask_literals(masked, spans)
+
     def _rewrite_packed_temporal_cmp(self, stmt: str) -> str:
         """MySQL parses PACKED digit strings as dates inside temporal
         comparisons (cast('2024-01-02' as date) = '20240102' is TRUE —
@@ -5145,6 +5574,13 @@ def _duck_surface_fns(masked: str, spans: "list[str]") -> str:
             if not args or (len(args) == 1 and not args[0].strip()):
                 return "'[]'"
             return f"mo_json_norm(CAST(__mo_jarr__({', '.join(args)}) AS VARCHAR))"
+        if name == "mo_jarragg_ord" and len(args) == 2:
+            # windowed-subquery JSON_ARRAYAGG: consume in the rank order
+            return (
+                f"mo_json_arr_from(string_agg(CAST(to_json("
+                f"{{'v': ({args[0]})}}) AS VARCHAR), chr(30) "
+                f"ORDER BY ({args[1]})))"
+            )
         if name == "json_arrayagg" and len(args) == 1:
             if args[0].lstrip().lower().startswith("to_json("):
                 return None
@@ -5159,6 +5595,9 @@ def _duck_surface_fns(masked: str, spans: "list[str]") -> str:
                 f"mo_json_obj_from(string_agg(CAST(to_json("
                 f"{{'k': ({args[0]}), 'v': ({args[1]})}}) AS VARCHAR), chr(30)))"
             )
+        if name == "json_unquote" and len(args) == 1:
+            # tag-aware shared kernel (duck UDFs don't implicitly cast)
+            return f"mo_json_unquote(CAST({args[0]} AS VARCHAR))"
         if name == "json_contains":
             if len(args) == 2:
                 return f"mo_json_contains({args[0]}, {args[1]})"
@@ -5237,6 +5676,10 @@ def _duck_surface_fns(masked: str, spans: "list[str]") -> str:
             return out
         if name == "convert":
             if len(args) == 2:
+                if args[1].strip().lower() == "json":
+                    # bytejson canonical rendering (space after ':'/','),
+                    # matching the Spark side's mo_json_norm document path
+                    return f"mo_json_norm(CAST({args[0]} AS VARCHAR))"
                 return f"CAST({args[0]} AS {args[1]})"
             if len(args) == 1 and re.search(r"(?i)\busing\s+\w+\s*$", args[0]):
                 inner = re.sub(r"(?i)\busing\s+\w+\s*$", "", args[0])
@@ -5322,6 +5765,39 @@ def _duck_surface_fns(masked: str, spans: "list[str]") -> str:
     )
 
 
+def _duck_cast_json(masked: str) -> str:
+    """CAST(x AS JSON) on DuckDB re-renders through mo_json_norm so the
+    document text matches the Spark side's bytejson-style rendering
+    (space after ':' and ','); DuckDB's native JSON cast keeps the input
+    text verbatim."""
+    for _pass in range(16):
+        changed = False
+        for m in re.finditer(r"(?i)\bcast\s*\(", masked):
+            i, depth = m.end() - 1, 0
+            for j in range(i, len(masked)):
+                if masked[j] == "(":
+                    depth += 1
+                elif masked[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            else:
+                continue
+            body = masked[i + 1:j]
+            am = re.search(r"(?i)\s+as\s+json\s*$", body)
+            if am is None or body[:am.start()].count("(") != \
+                    body[:am.start()].count(")"):
+                continue
+            masked = (masked[:m.start()]
+                      + f"mo_json_norm(CAST({body[:am.start()]} AS VARCHAR))"
+                      + masked[j + 1:])
+            changed = True
+            break
+        if not changed:
+            return masked
+    return masked
+
+
 def _duckify(stmt: str) -> str:
     from matrixone_spark.mysql_dialect import (
         _DIV_WORD_RE as _re_div,
@@ -5346,6 +5822,7 @@ def _duckify(stmt: str) -> str:
         # out-of-range decimal casts)
         masked = _duck_cast_decimal_sat(masked)
         masked = _duck_cast_signed_round(masked)
+        masked = _duck_cast_json(masked)
     if re.search(r"\bif\s*\(", masked, re.IGNORECASE):
         masked = _duck_if_string_cond(masked)
     # MySQL STD/STDDEV/VARIANCE are population variants; DuckDB's same-named
@@ -5716,6 +6193,13 @@ def _ref_match(spark_pdf, ref_rows, fmt: bool = False) -> bool:
                 return _json.dumps(vv)
             except (TypeError, ValueError):
                 return str(vv)
+        if isinstance(v, str) and v.startswith("\x04"):
+            # typed-JSON scalar tag → the reference's raw JSON rendering
+            from matrixone_spark.functions.sql_surface import jtag_display
+
+            d = jtag_display(v)
+            if d is not None:
+                return d
         s = str(v)
         return "null" if s in ("NaT", "None", "<NA>", "nan") else s
 
@@ -6316,6 +6800,19 @@ class CoExecutor:
                 stmt = self.sess.rewrite_vectors(stmt)
             except Exception:  # noqa: BLE001 — lowering must never kill replay
                 pass
+            try:
+                # typed CAST(… AS JSON) lowering (bytejson source types)
+                stmt = self.sess.rewrite_json_casts(stmt)
+            except Exception:  # noqa: BLE001
+                pass
+            try:
+                stmt = self.sess.rewrite_arrayagg_window_order(stmt)
+            except Exception:  # noqa: BLE001
+                pass
+            try:
+                stmt = self.sess.rewrite_time_ops(stmt)
+            except Exception:  # noqa: BLE001
+                pass
             masked, _ = mask_literals(stmt)
             head = masked.strip().lstrip("(").split(None, 1)[0].lower() if masked.strip() else ""
             if head in ("begin", "start", "commit", "rollback"):
@@ -6494,10 +6991,10 @@ class CoExecutor:
                                 details.append(
                                     (orig,
                                      [tuple(map(str, r)) for r in
-                                      spark_df.head(5).itertuples(
+                                      spark_df.head(30).itertuples(
                                           index=False, name=None)],
                                      [("ref",) + tuple(r)
-                                      for r in cl[1][:5]])
+                                      for r in cl[1][:30]])
                                 )
                     for t in getattr(self.sess, "last_dropped", ()):  # re-sync
                         tainted.discard(t)
@@ -6744,10 +7241,10 @@ class CoExecutor:
                                 details.append(
                                     (orig,
                                      [tuple(map(str, r)) for r in
-                                      spark_df.head(5).itertuples(
+                                      spark_df.head(30).itertuples(
                                           index=False, name=None)],
                                      [("ref",) + tuple(r)
-                                      for r in claimed[1][:5]])
+                                      for r in claimed[1][:30]])
                                 )
                     elif claimed is not None and claimed[0] == "error":
                         stats["ref_error"] += 1
@@ -6766,7 +7263,7 @@ class CoExecutor:
                     ):
                         stats["mismatch"] += 1
                         if details is not None:
-                            details.append((orig, s_rows[:5], o_rows[:5]))
+                            details.append((orig, s_rows[:30], o_rows[:30]))
                     continue
                 if s_rows != o_rows and _rows_close(s_rows, o_rows):
                     # float-representation divergence only: DuckDB keeps
@@ -6793,7 +7290,7 @@ class CoExecutor:
                     elif not _limit_tie_equivalent():
                         stats["mismatch"] += 1
                         if details is not None:
-                            details.append((orig, s_rows[:5], o_rows[:5]))
+                            details.append((orig, s_rows[:30], o_rows[:30]))
             elif spark_ok and spark_df is not None:
                 # DuckDB could not run the statement (MySQL-ism). The
                 # reference's own .result still grades Spark directly.
@@ -6816,8 +7313,8 @@ class CoExecutor:
                             details.append(
                                 (orig,
                                  [tuple(map(str, r)) for r in
-                                  spark_df.head(5).itertuples(index=False, name=None)],
-                                 [("ref",) + tuple(r) for r in claimed[1][:5]])
+                                  spark_df.head(30).itertuples(index=False, name=None)],
+                                 [("ref",) + tuple(r) for r in claimed[1][:30]])
                             )
                 else:
                     stats["spark_only"] += 1

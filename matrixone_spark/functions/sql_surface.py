@@ -1116,6 +1116,9 @@ def _k_json_type(j):
 
     if j is None:
         return None
+    kind, _payload = jtag_parse(str(j))
+    if kind is not None:
+        return kind
     v = _loads_or_none(j)
     if v is None and str(j).strip() != "null":
         return None
@@ -1309,6 +1312,184 @@ def _k_json_merge_preserve(a, b):
         return None
 
 
+# ---------------------------------------------------------------- typed JSON
+# The reference's bytejson model (pkg/container/bytejson) keeps the SOURCE
+# type of CAST(x AS JSON): binary family becomes an opaque BLOB/BIT scalar
+# (base64 in json_unquote output, raw-byte payload in comparisons),
+# temporals become DATE/TIME/DATETIME scalars with quoted text rendering,
+# DECIMAL keeps its scale, ENUM/SET labels become plain JSON strings
+# (func_convert_json.test/.result).  The replay encodes such scalars as a
+# tagged text cell: "\x04KIND\x04payload" with the payload chosen so plain
+# string comparison matches bytejson ordering (hex for byte payloads).
+
+_JTAG = "\x04"
+
+
+def _jtag(kind: str, payload: str) -> str:
+    return f"{_JTAG}{kind}{_JTAG}{payload}"
+
+
+def jtag_parse(s):
+    """('KIND', payload) when s is a typed-JSON tag, else (None, None)."""
+    if isinstance(s, str) and s.startswith(_JTAG):
+        i = s.find(_JTAG, 1)
+        if i > 1:
+            return s[1:i], s[i + 1:]
+    return None, None
+
+
+def jtag_display(s):
+    """The reference's raw JSON text rendering of a tagged scalar; None
+    when s is not a tag (caller falls through to document handling)."""
+    import base64 as _b64
+
+    kind, payload = jtag_parse(s)
+    if kind is None:
+        return None
+    if kind in ("BLOB", "BIT", "OPAQUE"):
+        return '"' + _b64.b64encode(bytes.fromhex(payload)).decode() + '"'
+    if kind in ("DATE", "TIME", "DATETIME"):
+        return '"' + payload + '"'
+    if kind == "STRING":
+        return json.dumps(payload, ensure_ascii=False)
+    return payload  # DECIMAL: bare scale-preserved numeric text
+
+
+def _k_json_blob(hexs):
+    if hexs is None:
+        return None
+    return _jtag("BLOB", str(hexs).lower())
+
+
+def _k_json_bit(v, width):
+    if v is None:
+        return None
+    try:
+        iv, w = int(v), int(width or 1)
+    except (TypeError, ValueError):
+        return None
+    nbytes = max(1, (w + 7) // 8)
+    return _jtag("BIT", iv.to_bytes(nbytes, "big", signed=False).hex())
+
+
+def _k_json_string(s):
+    return None if s is None else _jtag("STRING", str(s))
+
+
+def _k_json_decimal(s):
+    if s is None:
+        return None
+    t = str(s).strip()
+    return _jtag("DECIMAL", t[1:] if t.startswith("+") else t)
+
+
+def _k_json_temporal(kind, text, scale):
+    """DATE/TIME/DATETIME payloads in the reference's json rendering:
+    DATE bare, TIME/DATETIME with full 6-digit microseconds."""
+    if text is None:
+        return None
+    kind = str(kind).upper()
+    t = str(text).strip()
+    if kind == "DATE":
+        return _jtag("DATE", t[:10])
+    if kind == "TIME":
+        m = re.match(r"^(-?)(\d+):(\d{1,2}):(\d{1,2})(?:\.(\d+))?$", t)
+        if not m:
+            return None
+        frac = (m.group(5) or "").ljust(6, "0")[:6]
+        return _jtag(
+            "TIME",
+            f"{m.group(1)}{int(m.group(2)):02d}:{int(m.group(3)):02d}:"
+            f"{int(m.group(4)):02d}.{frac}",
+        )
+    m = re.match(
+        r"^(\d{4}-\d{2}-\d{2})[ T](\d{1,2}):(\d{1,2}):(\d{1,2})(?:\.(\d+))?",
+        t,
+    )
+    if not m:
+        if re.match(r"^\d{4}-\d{2}-\d{2}$", t):
+            m2 = (t, "0", "0", "0", None)
+            return _jtag(
+                "DATETIME", f"{t} 00:00:00.000000")
+        return None
+    frac = (m.group(5) or "").ljust(6, "0")[:6]
+    return _jtag(
+        "DATETIME",
+        f"{m.group(1)} {int(m.group(2)):02d}:{int(m.group(3)):02d}:"
+        f"{int(m.group(4)):02d}.{frac}",
+    )
+
+
+def _k_json_geo(ewkt):
+    """Geometry → GeoJSON document with bytejson's sorted keys
+    ({"coordinates": …, "type": …})."""
+    if ewkt is None:
+        return None
+    try:
+        from matrixone_spark.functions import geomlib as GL
+
+        txt = str(ewkt)
+        if txt.upper().startswith("SRID="):
+            txt = txt.split(";", 1)[1]
+        g = GL.parse_wkt(txt)
+        doc = json.loads(GL.to_geojson(g))
+    except Exception:  # noqa: BLE001 — unparseable geometry → SQL NULL
+        return None
+
+    def srt(v):
+        if isinstance(v, dict):
+            return {k: srt(v[k]) for k in sorted(v)}
+        if isinstance(v, list):
+            return [srt(x) for x in v]
+        return v
+
+    from matrixone_spark.functions.json_fns import _mysql_dumps
+
+    return _mysql_dumps(srt(doc))
+
+
+def _k_json_store(s):
+    """Implicit store-cast into a JSON column: tagged scalars pass
+    through, valid document text re-renders in bytejson style, anything
+    else keeps its raw text (tainted data stays comparable)."""
+    if s is None:
+        return None
+    if isinstance(s, (bytes, bytearray, memoryview)):
+        return _jtag("BLOB", bytes(s).hex())
+    t = str(s)
+    if t.startswith(_JTAG):
+        return t
+    norm = _k_json_norm(t)
+    return norm if norm is not None else t
+
+
+def _k_json_unquote(s):
+    """JSON_UNQUOTE with typed-scalar awareness: BLOB/BIT render base64,
+    temporals/STRING render their payload text; a quoted JSON string
+    decodes its escapes (\\uXXXX, \\t, …), raw control bytes the strict
+    parser rejects fall back to quote-stripping; everything else is
+    identity (MySQL semantics; func_json_unquote.sql)."""
+    import base64 as _b64
+
+    if s is None:
+        return None
+    t = str(s)
+    kind, payload = jtag_parse(t)
+    if kind is not None:
+        if kind in ("BLOB", "BIT", "OPAQUE"):
+            return _b64.b64encode(bytes.fromhex(payload)).decode()
+        return payload
+    if len(t) >= 2 and t.startswith('"') and t.endswith('"'):
+        try:
+            v = json.loads(t)
+            if isinstance(v, str):
+                return v
+        except (ValueError, TypeError):
+            pass
+        return t[1:-1]
+    return t
+
+
 def _k_json_quote(s):
     if s is None:
         return None
@@ -1428,6 +1609,8 @@ def _k_json_norm(s):
 
     if s is None:
         return None
+    if isinstance(s, str) and s.startswith(_JTAG):
+        return s  # typed scalar: already canonical
     try:
         return _mysql_dumps(json.loads(s))
     except (ValueError, TypeError):
@@ -1532,6 +1715,9 @@ PYFUNCS: "list[tuple[str, object, list, tuple]]" = [
     ("timediff", _k_timediff, [_T_STR, _T_STR], _T_STR),
     ("addtime", _k_addtime, [_T_STR, _T_STR], _T_STR),
     ("subtime", _k_subtime, [_T_STR, _T_STR], _T_STR),
+    # fractional seconds of a TIME duration string (unlike MySQL's
+    # integer TIME_TO_SEC) — cross-scale TIME comparisons use it
+    ("mo_time_secsf", _time_secs, [_T_STR], _T_DOUBLE),
     ("time_format", _k_time_format, [_T_STR, _T_STR], _T_STR),
     ("get_format", _k_get_format, [_T_STR, _T_STR], _T_STR),
     ("mo_vec_l1_norm", _k_l1_norm, [_T_STR], _T_DOUBLE),
@@ -1586,6 +1772,14 @@ PYFUNCS: "list[tuple[str, object, list, tuple]]" = [
     ("mo_json_obj_from", _k_json_obj_from, [_T_STR], _T_STR),
     ("mo_json_norm", _k_json_norm, [_T_STR], _T_STR),
     ("mo_json_norm_sorted", _k_json_norm_sorted, [_T_STR], _T_STR),
+    ("mo_json_blob", _k_json_blob, [_T_STR], _T_STR),
+    ("mo_json_bit", _k_json_bit, [_T_LONG, _T_INT], _T_STR),
+    ("mo_json_string", _k_json_string, [_T_STR], _T_STR),
+    ("mo_json_decimal", _k_json_decimal, [_T_STR], _T_STR),
+    ("mo_json_temporal", _k_json_temporal, [_T_STR, _T_STR, _T_INT], _T_STR),
+    ("mo_json_geo", _k_json_geo, [_T_STR], _T_STR),
+    ("mo_json_store", _k_json_store, [_T_STR], _T_STR),
+    ("mo_json_unquote", _k_json_unquote, [_T_STR], _T_STR),
     ("mo_dec_mul", _k_dec_mul, [_T_STR, _T_STR, _T_INT], _T_STR),
 ]
 

@@ -314,8 +314,9 @@ def _convert_tz_rewrite(masked: str) -> str:
 _CAST_CALL_RE = re.compile(r"\bcast\s*\(", re.IGNORECASE)
 _CAST_AS_RE = re.compile(
     r"^(?P<expr>.*)\s+as\s+(?P<type>datetime(?:\s*\(\s*\d\s*\))?|signed(?:\s+integer)?"
-    r"|unsigned(?:\s+integer)?|n?char(?:\s*\(\s*\d+\s*\))?"
-    r"|(?:var)?binary(?:\s*\(\s*\d+\s*\))?|geometry|double|real"
+    r"|unsigned(?:\s+integer)?|(?:var|n)?char(?:\s*\(\s*\d+\s*\))?"
+    r"|(?:var)?binary(?:\s*\(\s*\d+\s*\))?|(?:tiny|medium|long)?blob"
+    r"|geometry|double|real"
     r"|float(?:\s*\(\s*\d+\s*\))?|date"
     r"|(?:big|small|tiny|medium)?int(?:eger)?(?:\s*\(\s*\d+\s*\))?"
     r"(?:\s+unsigned)?"
@@ -466,9 +467,9 @@ def _cast_rewrite(masked: str, spans: "list[str] | None" = None) -> str:
             # MySQL CAST(x AS GEOMETRY) parses WKT (geo/geo_io.sql); the
             # engine's geometry value is our EWKT string convention
             return f"st_geomfromtext({x}, NULL)"
-        if ty.split("(")[0] in ("char", "nchar"):
-            # CHAR(n) truncates to n characters; length-less CHAR is the
-            # MySQL display cast (Spark requires CHAR(n), use STRING)
+        if ty.split("(")[0] in ("char", "nchar", "varchar"):
+            # CHAR(n)/VARCHAR(n) truncate to n characters; length-less is
+            # the display cast (Spark requires a length, use STRING)
             cn = re.search(r"\(\s*(\d+)\s*\)", m.group("type"))
             if cn:
                 return f"substring(CAST({x} AS STRING), 1, {int(cn.group(1))})"
@@ -485,6 +486,12 @@ def _cast_rewrite(masked: str, spans: "list[str] | None" = None) -> str:
                 f"try_to_date(CAST(({x}) AS STRING), 'y/M/d'), "
                 f"try_to_date(CAST(({x}) AS STRING), 'yyyyMMdd'))"
             )
+        if ty.split("(")[0].endswith("blob"):
+            # BLOB keeps raw bytes: byte sources are identity, text sources
+            # contribute their UTF-8 bytes (no fixed-width padding).
+            # try_cast so the rescan's binary branch can't re-wrap it in
+            # the text-rendering path (word-boundary miss on try_cast)
+            return f"try_cast(({x}) AS BINARY)"
         if ty.split("(")[0] in ("binary", "varbinary"):
             ty = ty.split("(")[0]
             # MySQL CAST(x AS BINARY[(n)]) converts the TEXT rendering to
@@ -713,7 +720,7 @@ _FN_COMPOSE_RE = re.compile(
     r"|h3_h3index_parent|h3_h3index|json_length|json_extract|json_unquote"
     r"|quote|convert|yearweek|week|utc_time|curtime|utc_timestamp|format"
     r"|from_base64|subvector|unnest"
-    r"|json_object|json_arrayagg|json_objectagg|json_array"
+    r"|json_object|json_arrayagg|json_objectagg|json_array|mo_jarragg_ord"
     r"|json_set|json_insert|json_replace|json_remove"
     r"|json_merge_patch|json_merge_preserve|json_contains_path|json_contains"
     r"|date_add|date_sub|adddate|subdate)\s*\(",
@@ -1246,10 +1253,30 @@ def _compose_fn(
             return "'[]'"
         if len(args) == 1 and args[0].lstrip().lower().startswith("to_json("):
             return None  # our own output (fixpoint)
+        # DATETIME values render '2021-02-01 11:11:11' in the reference's
+        # json output; Spark's to_json would emit ISO-8601 'T…Z' — go
+        # through the text rendering for syntactic datetime casts
+        args = [
+            f"CAST(({a}) AS STRING)"
+            if re.match(r"(?is)^\s*cast\s*\(.*\bas\s+(?:datetime|timestamp)"
+                        r"\s*(?:\(\s*\d\s*\))?\s*\)\s*$", a)
+            else a
+            for a in args
+        ]
         fields = ", ".join(f"{a} AS `_{i}`" for i, a in enumerate(args))
         return (
             f"mo_json_vals(to_json(struct({fields}), "
             f"map('ignoreNullFields', 'false')))"
+        )
+    if name == "mo_jarragg_ord" and len(args) == 2:
+        # JSON_ARRAYAGG over a windowed subquery: the reference consumes
+        # rows in the window's order (func_arrayagg.sql ROW_NUMBER
+        # subquery) — sort the collected structs by the rank column
+        x, o = args
+        return (
+            f"mo_json_arr_from(concat_ws(chr(30), transform(array_sort("
+            f"collect_list(struct(({o}) AS o, to_json(struct(({x}) AS v), "
+            f"map('ignoreNullFields', 'false')) AS j))), s -> s.j)))"
         )
     if name == "json_arrayagg" and len(args) == 1:
         if args[0].lstrip().lower().startswith("to_json("):
@@ -1380,16 +1407,10 @@ def _compose_fn(
         # func_json_unquote.sql '"\\u554a…"' → 啊…; raw control bytes the
         # strict JSON parser rejects fall back to quote-stripping (MySQL
         # tolerates a literal TAB inside the quotes)
-        x = args[0]
-        s = f"CAST({x} AS STRING)"
-        strip = f"regexp_replace({s}, '^\"(.*)\"$', '$1')"
-        dec = (
-            "from_json(concat('{\"v\":', " + s + ", '}'), 'v string').v"
-        )
+        # typed-scalar aware kernel (BLOB/BIT render base64, temporals
+        # their payload; sql_surface._k_json_unquote)
         return (
-            f"(CASE WHEN {s} rlike '^\".*\"$' "
-            f"THEN COALESCE({dec}, {strip}) "
-            f"ELSE {s} END)"
+            f"mo_json_unquote(CAST({args[0]} AS STRING))"
         )
     if name == "conv" and len(args) == 3:
         # mo_conv carries MySQL's exact sign/overflow/negative-base semantics

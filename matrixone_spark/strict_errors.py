@@ -1417,6 +1417,37 @@ def _r_decimal_arith_overflow(masked: str, spans, sess) -> "str | None":
     return None
 
 
+_CAST_JSON_RE = re.compile(
+    r"(?i)\bcast\s*\(\s*(\x01\d+\x01)\s+as\s+json\s*\)"
+    r"|\bconvert\s*\(\s*(\x01\d+\x01)\s*,\s*json\s*\)")
+_CAST_UUID_JSON_RE = re.compile(
+    r"(?i)\b(?:cast\s*\(|convert\s*\(\s*)\s*cast\s*\([^()]*as\s+uuid\s*\)"
+    r"\s*(?:as\s+json\s*\)|,\s*json\s*\))")
+
+
+def _r_cast_const_json(masked: str, spans, sess) -> "str | None":
+    """CAST('<text>' AS JSON)/CONVERT('<text>', JSON) of a CONSTANT that is
+    not a valid JSON document is rejected by the reference's bytejson
+    parser (pkg/container/bytejson ParseFromString;
+    func_convert_json.result 'invalid input: json text …'); a UUID source
+    has no JSON conversion at all."""
+    if _CAST_UUID_JSON_RE.search(masked):
+        return "invalid argument operator cast, bad value [UUID JSON]"
+    import json as _json
+
+    for m in _CAST_JSON_RE.finditer(masked):
+        v = _lit_value(m.group(1) or m.group(2), spans)
+        if v is None:
+            continue
+        if v.strip() == "":
+            return "invalid input: json text is empty"
+        try:
+            _json.loads(v)
+        except (ValueError, TypeError):
+            return f"invalid input: json text {v}"
+    return None
+
+
 _RULES = (
     _r_cast_str_int,
     _r_cast_str_decimal,
@@ -1442,6 +1473,7 @@ _RULES = (
     _r_int_arith_overflow,
     _r_decimal_arith_overflow,
     _r_geometry,
+    _r_cast_const_json,
 )
 
 

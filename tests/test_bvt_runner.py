@@ -57,20 +57,24 @@ def test_parse_create_table_defaults():
         "create table t (a float, b int default 3, c varchar(10) default 'x,y', "
         "d bigint unsigned not null, primary key (a))"
     )
-    assert meta == {"binpads": {}, "autoinc": set(), "years": set(), "rounds": {}, "tsprec": {},
+    # subset pin: new meta keys may appear, but these must hold exactly
+    expect = {"binpads": {}, "autoinc": set(), "years": set(), "rounds": {},
+        "tsprec": {},
         "intrange": {"b": (-2147483648, 2147483647), "d": (0, 18446744073709551615)},
         "enums": {}, "sets": {}, "bits": {}, "fulltexts": [], "times": {},
         "varbins": set(), "geos": {}, "veccols": {}, "keys": [("a",)],
         "keys_pfx": [(("a", None),)], "fks": [], "strw": {"c": 10},
         "gencols": {}, "n_pk": 1, "onupd": set(), "texts": {}}
+    assert {k: meta[k] for k in expect} == expect
     _, _, _, meta2 = parse_create_table(
         "create table t2 (id int primary key auto_increment, b binary(4), "
         "v varbinary(4))"
     )
-    assert meta2 == {"binpads": {"b": 4}, "autoinc": {"id"}, "years": set(), "rounds": {}, "tsprec": {},
+    expect2 = {"binpads": {"b": 4}, "autoinc": {"id"}, "years": set(), "rounds": {}, "tsprec": {},
         "intrange": {"id": (-2147483648, 2147483647)}, "enums": {}, "sets": {}, "bits": {}, "fulltexts": [], "times": {}, "varbins": {"v"}, "geos": {}, "veccols": {}, "keys": [("id",)],
         "keys_pfx": [(("id", None),)], "fks": [], "strw": {}, "gencols": {},
         "n_pk": 1, "onupd": set(), "texts": {}}
+    assert {k: meta2[k] for k in expect2} == expect2
     assert name == "t"
     assert cols == [
         ("a", "float"),
@@ -556,3 +560,93 @@ def test_packed_temporal_cmp_scoped_to_operands():
     # 14-digit datetime form
     assert f("select * from t2 where ts = '20240102030405'").endswith(
         "= '2024-01-02 03:04:05'")
+
+
+def test_typed_json_kernels():
+    """bytejson typed-scalar kernels: BLOB/BIT base64 rendering, temporal
+    quoting, DECIMAL scale retention, STRING labels, GeoJSON documents
+    (func_convert_json.result golden cells)."""
+    from matrixone_spark.functions.sql_surface import (
+        _k_json_bit, _k_json_blob, _k_json_decimal, _k_json_geo,
+        _k_json_store, _k_json_string, _k_json_temporal, _k_json_type,
+        _k_json_unquote, jtag_display,
+    )
+
+    b = _k_json_blob("7b2261223a317d")
+    assert (_k_json_type(b), _k_json_unquote(b)) == ("BLOB", "eyJhIjoxfQ==")
+    assert _k_json_unquote(_k_json_bit(266, 9)) == "AQo="
+    assert _k_json_unquote(_k_json_bit(10, 4)) == "Cg=="
+    assert _k_json_type(_k_json_bit(1, 1)) == "BIT"
+    assert jtag_display(_k_json_decimal("1.20")) == "1.20"
+    assert jtag_display(_k_json_temporal("DATE", "2020-01-02", 0)) == '"2020-01-02"'
+    assert jtag_display(_k_json_temporal("TIME", "10:00:00.1", 1)) == '"10:00:00.100000"'
+    assert _k_json_unquote(
+        _k_json_temporal("DATETIME", "2020-01-02 03:04:05.12", 6)
+    ) == "2020-01-02 03:04:05.120000"
+    assert jtag_display(_k_json_string('a"b')) == '"a\\"b"'
+    assert _k_json_unquote(_k_json_string('{"a":1}')) == '{"a":1}'
+    assert _k_json_geo("POINT(1 1)") == '{"coordinates": [1, 1], "type": "Point"}'
+    # raw-byte payload ordering: BLOB hex compares bytewise, BIT < BLOB
+    assert _k_json_blob("00") < _k_json_blob("d0")
+    assert _k_json_bit(1, 8) < _k_json_blob("01")
+    # store coercion: tag passthrough, document normalize, raw fallback
+    assert _k_json_store(b) == b
+    assert _k_json_store('{"a":1}') == '{"a": 1}'
+    assert _k_json_store("alpha") == "alpha"
+
+
+def test_typed_json_cast_rewrite():
+    """CoExecutor-level CAST(… AS JSON) lowering picks the source type
+    statically: blob/bit/enum columns, syntactic temporal and decimal
+    casts, ENUM provenance through derived tables and set operations."""
+    from matrixone_spark.bvt_runner import BvtSession
+
+    r = BvtSession.__new__(BvtSession)
+    r.schemas = {
+        "src": [("id", "int"), ("bl", "binary"), ("bits", "bigint"),
+                ("e", "string")],
+        "dest": [("id", "int"), ("j", "string")],
+    }
+    r.colmeta = {
+        "src": {"bits": {"bits": 4}, "enums": {"e": ["a", "b"]}},
+        "dest": {"jsons": {"j"}},
+    }
+    f = r.rewrite_json_casts
+    assert "mo_json_blob(hex(bl))" in f("select convert(bl, json) from src")
+    assert "mo_json_bit(CAST(bits AS BIGINT), 4)" in f(
+        "select cast(bits as json) from src")
+    assert "mo_json_string(e)" in f("select convert(e, json) from src")
+    assert "mo_json_bit(1, 1)" in f(
+        "select convert(cast(b'1' as bit(1)), json)")
+    assert "mo_json_decimal" in f("select cast(cast(1.20 as decimal(10,2)) as json)")
+    assert "mo_json_temporal('DATE'" in f(
+        "select convert(cast('2020-01-02' as date), json)")
+    # enum provenance: pure projection keeps STRING, mixed union → document
+    assert "mo_json_string(e2)" in f(
+        "insert into dest select 1, e2 from "
+        "(select e as e2 from src where id = 1) s")
+    out = f("insert into dest select id, e2 from ("
+            " select 1 as id, e as e2 from src"
+            " union all select 2 as id, cast('{\"b\":2}' as varchar) as e2"
+            ") s")
+    assert "mo_json_string" not in out and "as json" in out
+
+
+def test_time_ops_rewrite():
+    """Cross-scale TIME cast comparisons compare fractional seconds;
+    DATE_ADD on a TIME column becomes duration addtime
+    (dtype/time_precision_comprehensive.sql)."""
+    from matrixone_spark.bvt_runner import BvtSession
+
+    r = BvtSession.__new__(BvtSession)
+    r.schemas = {"t": [("id", "int"), ("t0", "string")]}
+    r.colmeta = {"t": {"times": {"t0": 0}}}
+    out = r.rewrite_time_ops(
+        "SELECT CAST('12:34:56' AS TIME(0)) = CAST('12:34:56.000000' AS TIME(6)) x")
+    assert out.count("mo_time_secsf") == 2
+    out2 = r.rewrite_time_ops(
+        "SELECT DATE_ADD(t0, INTERVAL 1 MINUTE) FROM t")
+    assert "addtime(t0, '00:01:00')" in out2
+    out3 = r.rewrite_time_ops(
+        "SELECT DATE_SUB(t0, INTERVAL 100 MICROSECOND) FROM t")
+    assert "subtime(t0, '00:00:00.000100')" in out3
