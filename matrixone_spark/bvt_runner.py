@@ -1726,6 +1726,30 @@ class BvtSession:
                 return "ddl", None
             raise SkipStatement("unsupported SET")
         if head == "alter":
+            avm = re.match(
+                r"\s*alter\s+view\s+(?P<ife>if\s+exists\s+)?[`]?(?P<vn>\w+)"
+                r"[`]?\s*(?:\([^)]*\))?\s+as\s+(?P<body>.*)$",
+                masked, re.IGNORECASE | re.DOTALL,
+            )
+            if avm:
+                # ALTER VIEW replaces the stored definition; a missing view
+                # errors unless IF EXISTS (view/alter_view.sql: bodies swap,
+                # later reads resolve the NEW definition)
+                name = avm.group("vn").lower()
+                if name not in self.views:
+                    if avm.group("ife"):
+                        return "ddl", None
+                    raise RuntimeError(f"view {name} does not exist")
+                body = unmask_literals(avm.group("body"), spans)
+                sql = translate(body)
+                df = self.spark.sql(sql)  # validate eagerly
+                self.views[name] = sql
+                self._register(name, df, materialize=False)
+                # DuckDB has no ALTER VIEW — replace the definition
+                self.last_duck_override = (
+                    f"create or replace view {name} as {body}"
+                )
+                return "ddl", None
             am = re.match(
                 r"\s*alter\s+table\s+[`]?([\w.]+)[`]?\s+add\s+fulltext\s+"
                 r"(?:index\s+)?[`]?(\w+)[`]?\s*\(([^)]*)\)",
@@ -1845,14 +1869,30 @@ class BvtSession:
             # full-match so malformed shapes (`drop table t1(a int)`) fail on
             # BOTH engines instead of silently "succeeding" here only
             m = re.match(
-                r"\s*drop\s+(?:table|view)\s+(?:if\s+exists\s+)?([`\w.,\s\x01]+?)\s*$",
+                r"\s*drop\s+(?P<kind>table|view)\s+(?:if\s+exists\s+)?"
+                r"([`\w.,\s\x01]+?)\s*$",
                 masked,
                 re.IGNORECASE,
             )
             if not m:
                 raise SkipStatement("unsupported DROP kind")
-            for raw in unmask_literals(m.group(1), spans).split(","):
+            dkind = m.group("kind").lower()
+            duck_drops: "list[str]" = []
+            for raw in unmask_literals(m.group(2), spans).split(","):
                 name = raw.strip().strip("`").split(".")[-1].lower()
+                # DROP TABLE does not remove a VIEW (and vice versa): the
+                # reference keeps the view alive through DROP TABLE IF
+                # EXISTS, so a later plain CREATE VIEW still errors
+                # (view/alter_view.sql)
+                if dkind == "table" and name in self.views:
+                    continue
+                if dkind == "view" and name in self.tables \
+                        and name not in self.views:
+                    continue
+                duck_drops.append(
+                    f"DROP {'VIEW' if name in self.views else 'TABLE'} "
+                    f"IF EXISTS {name}"
+                )
                 if name in self.tables:
                     self.spark.catalog.dropTempView(name)
                     self.tables.pop(name, None)
@@ -1863,6 +1903,11 @@ class BvtSession:
                     self.ft_indexes.pop(name, None)
                     self.ft_parser.pop(name, None)
                     self.last_dropped.append(name)
+            # duck mirrors only the drops that actually applied (kind-
+            # mismatched names keep their object on BOTH engines)
+            self.last_duck_override = (
+                "; ".join(duck_drops) if duck_drops else "SELECT 1"
+            )
             return "ddl", None
         if head in ("use",) or re.match(
             r"\s*create\s+(?:database|schema)\b", masked, re.IGNORECASE
@@ -4082,6 +4127,32 @@ class BvtSession:
             if new != masked:
                 masked, changed = new, True
         return unmask_literals(masked, spans) if changed else stmt
+
+    _ARROW_CMP_RE = re.compile(
+        r"(?is)\(?\s*([`\w.]+)\s*->\s*(\x01\d+\x01)\s*\)?\s*"
+        r"(<=>|<>|!=|<=|>=|=|<|>)\s*"
+        r"(\x01\d+\x01|-?\d+(?:\.\d+)?(?![\w.]))")
+
+    def rewrite_json_arrow_cmp(self, stmt: str) -> str:
+        """`doc -> '$.p' <op> X` compares the UNQUOTED scalar in the
+        reference (func_json_arrow.sql jt_diff/jemp): a numeric operand
+        coerces the scalar numerically ('"2"' > 1 is TRUE, '"1"' > 1
+        FALSE), a string operand compares against the bare string
+        ('"active"' = 'active', NOT the quoted rendering)."""
+        if "->" not in stmt or "->>" in stmt:
+            return stmt
+        masked, spans = mask_literals(stmt)
+
+        def _cmp(m: "re.Match") -> str:
+            col, path, op, rhs = m.groups()
+            ext = (f"mo_json_unquote(CAST(json_extract({col}, {path}) "
+                   f"AS STRING))")
+            if rhs.startswith("\x01"):
+                return f" {ext} {op} {rhs}"
+            return f" CAST({ext} AS DOUBLE) {op} {rhs}"
+
+        out = self._ARROW_CMP_RE.sub(_cmp, masked)
+        return unmask_literals(out, spans) if out != masked else stmt
 
     _RANK_ALIAS_RE = re.compile(
         r"(?is)\b(?:row_number|rank|dense_rank)\s*\(\s*\)\s*over\s*\("
@@ -6813,6 +6884,10 @@ class CoExecutor:
                 stmt = self.sess.rewrite_time_ops(stmt)
             except Exception:  # noqa: BLE001
                 pass
+            try:
+                stmt = self.sess.rewrite_json_arrow_cmp(stmt)
+            except Exception:  # noqa: BLE001
+                pass
             masked, _ = mask_literals(stmt)
             head = masked.strip().lstrip("(").split(None, 1)[0].lower() if masked.strip() else ""
             if head in ("begin", "start", "commit", "rollback"):
@@ -7329,4 +7404,9 @@ class CoExecutor:
             else:
                 stats["both_failed"] += 1
                 _census("both_failed")
+                if os.environ.get("BVT_DUMP_BOTH_FAILED"):
+                    print("  BOTH_FAILED:", " ".join(orig.split())[:200],
+                          "\n    spark_err:",
+                          str(getattr(self, "_last_spark_err", "")
+                              )[:300].replace("\n", " "))
         return stats

@@ -650,3 +650,45 @@ def test_time_ops_rewrite():
     out3 = r.rewrite_time_ops(
         "SELECT DATE_SUB(t0, INTERVAL 100 MICROSECOND) FROM t")
     assert "subtime(t0, '00:00:00.000100')" in out3
+
+
+def test_view_ddl_semantics(spark):
+    """ALTER VIEW swaps the stored definition; DROP TABLE does not remove
+    a VIEW, so a later plain CREATE VIEW still errors and the original
+    body keeps answering (view/alter_view.sql)."""
+    s = BvtSession(spark)
+    s.execute("create table vt (a int)")
+    s.execute("insert into vt values (1), (2)")
+    s.execute("create view vv as select a from vt where a = 1")
+    assert [r.a for r in s.tables["vv"].collect()] == [1]
+    s.execute("alter view vv as select a from vt where a = 2")
+    assert [r.a for r in s.tables["vv"].collect()] == [2]
+    # DROP TABLE of a view name is a no-op on the view
+    s.execute("drop table if exists vv")
+    assert "vv" in s.views
+    try:
+        s.execute("create view vv as select a from vt")
+        created = True
+    except Exception:
+        created = False
+    assert not created
+    s.execute("drop view vv")
+    assert "vv" not in s.views
+
+
+def test_json_arrow_cmp_rewrite():
+    """`doc -> '$.p' <op> X` unquotes the scalar: numeric operands coerce
+    numerically, string operands compare the bare string
+    (func_json_arrow.sql jt_diff)."""
+    from matrixone_spark.bvt_runner import BvtSession
+
+    r = BvtSession.__new__(BvtSession)
+    out = r.rewrite_json_arrow_cmp(
+        "select id from jt where doc -> '$.score' > 80")
+    assert "CAST(" in out and "AS DOUBLE) > 80" in out and " where " in out
+    out2 = r.rewrite_json_arrow_cmp(
+        "select id from jt where doc -> '$.s' = 'active'")
+    assert "mo_json_unquote" in out2 and "= 'active'" in out2
+    # projection-only arrows stay untouched
+    sql = "select doc -> '$.name' from jt where id = 1"
+    assert r.rewrite_json_arrow_cmp(sql) == sql
