@@ -80,6 +80,8 @@ _TYPE_MAP = [
     (r"enum\s*\([^)]*\)", "string"),
     (r"set\s*\([^)]*\)", "string"),
     (r"json", "string"),
+    # UUID stores its canonical 36-char text (dtype/uuid_type_and_uuid_func)
+    (r"uuid", "string"),
     (r"bit(?:\(\d+\))?", "bigint"),
 ]
 
@@ -1799,6 +1801,51 @@ class BvtSession:
                     self.ft_parser[tbl] = "dict"
                 return "ddl", None
             if re.match(r"\s*create\s+fulltext\s+index\b", masked, re.IGNORECASE):
+                return "ddl", None
+            ctm = re.match(
+                r"\s*create\s+(?:temporary\s+)?table\s+"
+                r"(?:if\s+not\s+exists\s+)?([`\w.]+)\s+as\s*\(?\s*"
+                r"(select\b.*?)\)?\s*;?\s*$",
+                masked, re.IGNORECASE | re.DOTALL,
+            )
+            if ctm:
+                # CREATE TABLE … AS SELECT: materialize the query and
+                # derive the schema from the result (dtype/year.sql
+                # t_year_copy, dtype/enum_1.test table02, …); DuckDB runs
+                # the CTAS natively via the duckified original text
+                name = ctm.group(1).strip("`").split(".")[-1].lower()
+                if name in self.tables:
+                    raise RuntimeError(f"table {name} already exists")
+                body = unmask_literals(ctm.group(2), spans)
+                df = self.spark.sql(translate(body))
+                _SPARK_T = {
+                    "tinyint": "int", "smallint": "int", "integer": "int",
+                    "long": "bigint", "float": "float", "real": "double",
+                }
+                cols = []
+                for f in df.schema.fields:
+                    t = f.dataType.simpleString()
+                    cols.append((f.name.lower(), _SPARK_T.get(t, t)))
+                df = df.toDF(*[c for c, _ in cols])
+                self.schemas[name] = cols
+                self.defaults[name] = {}
+                self.colmeta[name] = {}
+                self._register(name, df)
+                # duck replays the SPARK-materialized rows so both engines
+                # hold identical data even when the select is
+                # engine-sensitive (same contract as INSERT coercion)
+                lit = self._literal_insert_sql(name, self.tables[name])
+                duck_t = {"string": "VARCHAR", "binary": "BLOB",
+                          "timestamp_ntz": "TIMESTAMP"}
+                cols_sql = ", ".join(
+                    f"{c} {duck_t.get(t.split('(')[0].lower(), t)}"
+                    for c, t in cols
+                )
+                self.last_duck_override = (
+                    f"CREATE TABLE {name} ({cols_sql})"
+                    + (f"; {lit}" if lit is not None else "")
+                )
+                self.last_table = name
                 return "ddl", None
             if re.match(r"\s*create\s+(?:temporary\s+)?table", masked, re.IGNORECASE):
                 name, cols, defaults, meta = parse_create_table(stmt)
@@ -4638,6 +4685,23 @@ class BvtSession:
         ):
             return stmt
         masked, spans = mask_literals(stmt)
+        # UPDATE … SET col = <expr>: the assignment TARGET must not be
+        # rewritten by the numeric-context passes below (`set colors = 5`
+        # is a store, not a bitmap comparison — dtype/set.sql id 4);
+        # shield the target tokens behind \x03 sentinels for this pass
+        _upd_shield: "list[str]" = []
+        um0 = re.match(
+            r"(?is)^(\s*update\s+.+?\s+set\s+)(.*?)"
+            r"(\s+where\s+.*|\s*;?\s*)$", masked)
+        if um0:
+            def _shield(am: "re.Match") -> str:
+                _upd_shield.append(am.group(2))
+                return f"{am.group(1)}\x03{len(_upd_shield) - 1}\x03 ="
+
+            assigns_txt = re.sub(
+                r"(^|,)(\s*[`\w.\x60]+\s*)=(?!=)",
+                lambda am: _shield(am), um0.group(2))
+            masked = um0.group(1) + assigns_txt + um0.group(3)
         for c in dbl_cf_cols:
             masked = re.sub(
                 rf"(?i)\b(ceil|ceiling|floor)\s*\(\s*({re.escape(c)})\s*\)",
@@ -5040,6 +5104,10 @@ class BvtSession:
                           f" + day({m.group(1)}{m.group(2)}{m.group(3)}))" + m.group(4),
                 masked, flags=re.IGNORECASE,
             )
+        if _upd_shield:
+            masked = re.sub(
+                r"\x03(\d+)\x03",
+                lambda sm: _upd_shield[int(sm.group(1))], masked)
         return unmask_literals(masked, spans)
 
     _TEMPORAL_CAST_RE = re.compile(
@@ -6634,7 +6702,8 @@ _ERRMATCH_CATS: "tuple[tuple[str, ...], ...]" = (
     ("out of range", "data truncation", "overflow", "too long", "too large",
      "data too long"),
     ("invalid argument", "bad value", "incorrect", "invalid input",
-     "invalid cast", "cast to", "truncated", "invalid string", "conversion"),
+     "invalid cast", "cast to", "truncated", "invalid string", "conversion",
+     "strconv", "invalid syntax"),
     ("invalid datetime", "invalid date", "invalid time", "zero date",
      "not a valid", "invalid year"),
     ("division by zero", "divided by zero", "divide by zero"),
@@ -6642,6 +6711,8 @@ _ERRMATCH_CATS: "tuple[tuple[str, ...], ...]" = (
      "no such"),
     ("invalid json", "json type", "json text", "json path"),
     ("invalid geometry", "longitude", "latitude", "srid"),
+    ("must appear in the group by", "group by clause",
+     "not in group by", "nonaggregated"),
 )
 
 

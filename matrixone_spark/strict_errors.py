@@ -1448,6 +1448,76 @@ def _r_cast_const_json(masked: str, spans, sess) -> "str | None":
     return None
 
 
+def _strip_parens(t: str) -> str:
+    t = t.strip()
+    while t.startswith("(") and t.endswith(")") and \
+            t[1:-1].count("(") == t[1:-1].count(")"):
+        t = t[1:-1].strip()
+    return t
+
+
+def _r_format_misuse(masked: str, spans, sess) -> "str | None":
+    """FORMAT() returns a comma-grouped VARCHAR the reference refuses to
+    feed back into numeric context (func_string_format.test: ABS/SUM/CEIL
+    over format(), format() in numeric comparisons → 'invalid argument
+    cast to int, bad value 46,787,698'), and rejects temporal first
+    arguments outright ('bad value [DATE BIGINT]',
+    pkg/sql/plan/function/func_binary.go Format)."""
+    low = masked.lower()
+    if "format" not in low:
+        return None
+    for m in re.finditer(r"(?<![\w.])format\s*\(", low):
+        args = _call_args(masked, m.end() - 1)
+        if not args or len(args) < 2:
+            continue
+        ty = _col_type(_strip_parens(args[0]), masked, sess)
+        if ty is not None and ty.split("(")[0] in ("date", "timestamp"):
+            kind = "DATE" if ty == "date" else "DATETIME"
+            return (f"invalid argument function format, "
+                    f"bad value [{kind} BIGINT]")
+    if re.search(
+            r"\b(?:abs|sum|avg|ceil|ceiling|floor|round)\s*\(\s*format\s*\(",
+            low):
+        return "invalid argument cast to int, bad value (FORMAT output)"
+    fmt_atom = r"format\s*\((?:[^()]|\([^()]*\))*\)"
+    if re.search(
+            rf"{fmt_atom}\s*(?:>=|<=|<>|!=|=|<|>)\s*-?(?:\d|\x01)", low) or \
+            re.search(rf"{fmt_atom}\s+(?:not\s+)?between\b", low):
+        return "invalid argument cast to int, bad value (FORMAT output)"
+    return None
+
+
+_NC_NUM_RE = re.compile(r"[+-]?\d+(?:\.\d+)?(?:e[+-]?\d+)?", re.IGNORECASE)
+
+
+def _r_name_const(masked: str, spans, sess) -> "str | None":
+    """NAME_CONST(name, value) takes LITERALS only: name must be a string
+    literal or unsigned integer, value a (signed) numeric/string literal
+    or NULL — function calls, columns, NULL/negative names are rejected
+    (func_nameconst.test; pkg/sql/plan/function func_mo.go NameConst)."""
+    low = masked.lower()
+    if "name_const" not in low:
+        return None
+    for m in re.finditer(r"\bname_const\s*(\()", low):
+        args = _call_args(masked, m.start(1))
+        if args is None or len(args) != 2:
+            continue
+        name, val = _strip_parens(args[0]), _strip_parens(args[1])
+        name_ok = (
+            re.fullmatch(r"\x01\d+\x01", name) is not None
+            and _lit_value(name, spans) is not None
+        ) or re.fullmatch(r"\d+", name) is not None
+        val_ok = (
+            re.fullmatch(r"(?:_\w+\s*)?\x01\d+\x01"
+                         r"(?:\s+collate\s+\w+)?", val) is not None
+            or _NC_NUM_RE.fullmatch(val) is not None
+            or val.lower() == "null"
+        )
+        if not (name_ok and val_ok):
+            return "invalid argument NAME_CONST, bad value"
+    return None
+
+
 _RULES = (
     _r_cast_str_int,
     _r_cast_str_decimal,
@@ -1474,6 +1544,8 @@ _RULES = (
     _r_decimal_arith_overflow,
     _r_geometry,
     _r_cast_const_json,
+    _r_format_misuse,
+    _r_name_const,
 )
 
 

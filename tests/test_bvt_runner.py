@@ -692,3 +692,31 @@ def test_json_arrow_cmp_rewrite():
     # projection-only arrows stay untouched
     sql = "select doc -> '$.name' from jt where id = 1"
     assert r.rewrite_json_arrow_cmp(sql) == sql
+
+
+def test_ctas_and_uuid_and_update_shield(spark):
+    """CREATE TABLE AS SELECT materializes with a derived schema and
+    stays writable; UUID columns store their text; an UPDATE SET
+    assignment target is NOT rewritten by the enum/set numeric-context
+    coercion (dtype/set.sql id 4: colors = 5 stores the bitmap value)."""
+    s = BvtSession(spark)
+    s.execute("create table csrc (a int, b varchar(10))")
+    s.execute("insert into csrc values (1, 'x'), (2, 'y')")
+    s.execute("create table cdst as select a + 1 as a2, upper(b) as ub from csrc")
+    assert sorted(tuple(r) for r in s.tables["cdst"].collect()) == [
+        (2, "X"), (3, "Y")]
+    s.execute("insert into cdst values (9, 'Z')")
+    assert s.tables["cdst"].count() == 3
+    s.execute("create table ut (a uuid)")
+    s.execute("insert into ut values ('550e8400-e29b-41d4-a716-446655440000')")
+    assert s.tables["ut"].collect()[0][0] == (
+        "550e8400-e29b-41d4-a716-446655440000")
+    s.execute("create table st (id int primary key, "
+              "colors set('red','green','blue'))")
+    s.execute("insert into st values (4, '')")
+    s.execute(s.coerce_typed_literals(
+        "update st set colors = 5 where id = 4"))
+    assert s.tables["st"].collect()[0]["colors"] == "red,blue"
+    # numeric-context compare in WHERE still rewrites
+    assert "find_in_set" in s.coerce_typed_literals(
+        "select id from st where colors = 3")

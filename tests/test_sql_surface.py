@@ -126,3 +126,49 @@ def test_surface_duck_agrees(duck, stmt, want):
             assert float(g) == pytest.approx(float(w))
         except ValueError:
             assert g == w
+
+
+def test_strict_gate_json_format_nameconst():
+    """New strict-gate families (r12): invalid constant JSON casts,
+    FORMAT misuse (temporal arg / numeric consumption), NAME_CONST
+    literal-argument shapes (func_convert_json / func_string_format /
+    func_nameconst .result error parity)."""
+    from matrixone_spark.strict_errors import strict_reject
+
+    class S:
+        schemas = {"t": [("d", "date"), ("dt", "timestamp"), ("x", "int")]}
+        colmeta = {}
+        tables = {"t": None}
+
+    s = S()
+    assert "json text is empty" in strict_reject(
+        "select convert('', json)", s)
+    assert "json text not json" in strict_reject(
+        "select convert('not json', json)", s)
+    assert strict_reject("select convert('null', json)", s) is None
+    assert "UUID JSON" in strict_reject(
+        "select convert(cast('0-0' as uuid), json)", s)
+    assert "DATE BIGINT" in strict_reject(
+        "select d, format(d, 1) from t", s)
+    assert "DATETIME BIGINT" in strict_reject(
+        "select dt, format(dt, 0) from t", s)
+    assert "bad value" in strict_reject(
+        "SELECT ABS(format(d3,0)) FROM f", s)
+    assert "bad value" in strict_reject(
+        "SELECT * from f WHERE format(d2, 2) >= 0", s)
+    assert strict_reject("select format(x, 2) from t", s) is None
+    nc = "invalid argument NAME_CONST"
+    assert nc in strict_reject("select name_const('n', now())", s)
+    assert nc in strict_reject("select name_const(null, 1)", s)
+    assert nc in strict_reject("select name_const(-123, -456)", s)
+    assert nc in strict_reject("select name_const('c', x) from t", s)
+    for ok in (
+        "select name_const('myname', 14)",
+        "select name_const('n', -12.34)",
+        "select name_const(123, -456)",
+        "select name_const(('p'), (14))",
+        "select name_const('n', 1.5e0)",
+        "select name_const('n', null)",
+        "select name_const('n', _utf8mb4'test' collate utf8mb4_unicode_ci)",
+    ):
+        assert strict_reject(ok, s) is None, ok
