@@ -1777,6 +1777,12 @@ class BvtSession:
                 masked, re.IGNORECASE,
             ):
                 return "ddl", None
+        if head == "create" and re.match(
+                r"\s*create\s+(?:database|schema)\b", masked, re.IGNORECASE):
+            # databases are flattened — the CREATE itself is a no-op DDL
+            # (was previously swallowed by the unsupported-CREATE skip)
+            self.last_duck_override = "SELECT 1"
+            return "ddl", None
         if head == "create":
             fm = re.match(
                 r"\s*create\s+fulltext\s+index\s+[`]?(\w+)[`]?\s+on\s+"
@@ -1992,7 +1998,8 @@ class BvtSession:
             return self._update(stmt, masked, spans)
         if head == "delete":
             dm = re.match(
-                r"\s*delete\s+[`]?(\w+)[`]?\s+from\s+(.+?)\s+where\s+(.*)$",
+                r"\s*delete\s+((?:[`]?\w+[`]?\s*,\s*)*[`]?\w+[`]?)\s+from\s+"
+                r"(.+?)\s+where\s+(.*)$",
                 masked, re.IGNORECASE | re.DOTALL,
             )
             if dm is None:
@@ -2292,7 +2299,8 @@ class BvtSession:
         # either, so the rewritten text doubles as the duck override when
         # the coercion path doesn't produce a literal one.
         sm = re.match(
-            r"\s*insert\s+(?:ignore\s+)?(?:into\s+)?([`\w.\x01]+)\s+set\s+(.*)$",
+            r"\s*(?:insert|replace)\s+(?:ignore\s+)?(?:into\s+)?"
+            r"([`\w.\x01]+)\s+set\s+(.*)$",
             masked,
             re.IGNORECASE | re.DOTALL,
         )
@@ -2304,13 +2312,14 @@ class BvtSession:
                     raise SkipStatement("unsupported INSERT ... SET shape")
                 assigns.append((am.group(1), am.group(2).strip()))
             tname = sm.group(1)
+            verb = "REPLACE" if replace else "INSERT"
             cols_sql = ", ".join(c for c, _ in assigns)
             vals_sql = ", ".join(v for _, v in assigns)
             stmt = unmask_literals(
-                f"INSERT INTO {tname} ({cols_sql}) VALUES ({vals_sql})", spans
+                f"{verb} INTO {tname} ({cols_sql}) VALUES ({vals_sql})", spans
             )
             masked, spans = mask_literals(stmt)
-            kind = self._insert(stmt, masked, spans)
+            kind = self._insert(stmt, masked, spans, replace=replace)
             if not self.last_duck_override:
                 self.last_duck_override = stmt
             return kind
@@ -2751,36 +2760,59 @@ class BvtSession:
         return "dml", None
 
     def _multi_delete(self, dm: "re.Match", spans) -> "tuple[str, None]":
-        """MySQL multi-table DELETE: `DELETE t1 FROM t1, t2 WHERE cond` /
-        `DELETE FROM t1 USING t1, t2 WHERE cond` — target rows with a
-        match are removed (dtype/year.sql t_year_del1)."""
-        tgt_name = _name_token(dm.group(1), spans)
+        """MySQL multi-table DELETE: `DELETE t1[, t2] FROM t1, t2 WHERE
+        cond` / `DELETE FROM t1 USING t1, t2 WHERE cond` — each listed
+        target's rows with a match are removed (dtype/year.sql
+        t_year_del1; dml/delete/delete_index.test delete t1, t2)."""
+        tgt_names = [
+            _name_token(t.strip(), spans) for t in dm.group(1).split(",")
+        ]
         tables, jconds = self._parse_from_tables(dm.group(2), spans)
-        tgt = next((t for t in tables if t[1] == tgt_name.lower() or t[0] == tgt_name), None)
-        if tgt is None or len(tables) != 2:
+        tgts = []
+        for tn in tgt_names:
+            tgt = next(
+                (t for t in tables if t[1] == tn.lower() or t[0] == tn),
+                None,
+            )
+            if tgt is None:
+                raise SkipStatement("unsupported multi-table DELETE shape")
+            tgts.append(tgt)
+        if len(tables) < 2:
             raise SkipStatement("unsupported multi-table DELETE shape")
-        other = next(t for t in tables if t is not tgt)
         cond = translate(unmask_literals(
             " AND ".join(
                 [f"({c})" for c in jconds] + [f"({dm.group(3)})"]
             ), spans,
         ))
-        rid = "__md_rid"
-        t_df = self.tables[tgt[0]].withColumn(rid, F.monotonically_increasing_id())
-        matched = (
-            t_df.alias(tgt[1])
-            .join(self.tables[other[0]].alias(other[1]), on=F.expr(cond), how="inner")
-            .select(rid)
-            .distinct()
-        )
-        final = t_df.join(matched, rid, "left_anti").drop(rid)
-        self._rowcount_pending = matched
-        self._register(tgt[0], final)
-        lit = self._literal_insert_sql(tgt[0], final)
-        self.last_duck_override = (
-            f"DELETE FROM {tgt[0]}; {lit}" if lit is not None else None
-        )
-        self.last_table = tgt[0]
+        rid_dfs: "dict[int, tuple]" = {}
+        joined = None
+        for i, t in enumerate(tables):
+            df = self.tables[t[0]]
+            if any(t is g for g in tgts):
+                rc = f"__md_rid{i}"
+                df = df.withColumn(rc, F.monotonically_increasing_id())
+                rid_dfs[i] = (df, rc)
+            a = df.alias(t[1])
+            joined = a if joined is None else joined.crossJoin(a)
+        matched_all = joined.filter(F.expr(cond))
+        overrides: "list[str]" = []
+        first_matched = None
+        for i, t in enumerate(tables):
+            if i not in rid_dfs:
+                continue
+            t_df, rc = rid_dfs[i]
+            matched = matched_all.select(rc).distinct()
+            if first_matched is None:
+                first_matched = matched
+            final = t_df.join(matched, rc, "left_anti").drop(rc)
+            self._register(t[0], final)
+            lit = self._literal_insert_sql(t[0], self.tables[t[0]])
+            overrides.append(
+                f"DELETE FROM {t[0]}" + (f"; {lit}" if lit is not None else "")
+            )
+            self.last_table = t[0]
+        self._rowcount_pending = first_matched
+        self.last_duck_override = "; ".join(overrides) or None
         return "dml", None
 
     def _apply_odku(self, name, cur, new, keys, odku_masked, spans):
@@ -3464,6 +3496,14 @@ class BvtSession:
         name = _name_token(m.group(1), spans) if m else None
         if name not in self.tables:
             raise SkipStatement("unsupported UPDATE shape")
+        # self-qualified references (`update t2 set t2.name = … where
+        # t2.id in …`) resolve against the single target table — strip
+        # the qualifier (dml/update scripts)
+        masked = re.sub(rf"(?i)\b{re.escape(name)}\s*\.\s*", "", masked)
+        m = re.match(
+            r"\s*update\s+([`\w.\x01]+)\s+set\s+(.*?)(?:\s+where\s+(.*))?$",
+            masked, re.IGNORECASE | re.DOTALL,
+        )
         assigns = {}
         # top-level comma split: an assignment value may itself contain
         # commas inside calls (`set c = repeat('科技', 1000)`)
@@ -3473,7 +3513,27 @@ class BvtSession:
                 raise SkipStatement("unparseable SET clause")
             col = _name_token(am.group(1), spans)
             assigns[col] = translate(unmask_literals(am.group(2).strip(), spans))
-        cond = translate(unmask_literals(m.group(3), spans)) if m.group(3) else "true"
+        raw_cond = m.group(3)
+        limit_n = None
+        if raw_cond:
+            lm = re.search(r"(?is)\s+limit\s+(\d+)\s*;?\s*$", raw_cond)
+            if lm:
+                # UPDATE … LIMIT n: MySQL updates the first n matched rows
+                # in scan order — approximated by insertion order
+                limit_n = int(lm.group(1))
+                raw_cond = raw_cond[:lm.start()]
+        cond = translate(unmask_literals(raw_cond, spans)) if raw_cond else "true"
+        upd_src = name
+        if limit_n is not None:
+            inner = (f"(SELECT *, monotonically_increasing_id() AS "
+                     f"__upd_rid__ FROM {name})")
+            ids = [str(r[0]) for r in self.spark.sql(
+                f"SELECT __upd_rid__ FROM {inner} "
+                f"WHERE coalesce(({cond}), false) "
+                f"ORDER BY __upd_rid__ LIMIT {limit_n}").collect()]
+            cond = (f"({cond}) AND __upd_rid__ IN "
+                    f"({', '.join(ids) or 'NULL'})")
+            upd_src = inner
         schema = self.schemas[name]
         meta = self.colmeta.get(name, {})
         tsprec = meta.get("tsprec", {})
@@ -3575,15 +3635,15 @@ class BvtSession:
                 )
             else:
                 sel.append(c)
-        updated = self.spark.sql(f"SELECT {', '.join(sel)} FROM {name}")
+        updated = self.spark.sql(f"SELECT {', '.join(sel)} FROM {upd_src}")
         self._rowcount_pending = self.spark.sql(
-            f"SELECT 1 FROM {name} WHERE coalesce(({cond}), false)"
+            f"SELECT 1 FROM {upd_src} WHERE coalesce(({cond}), false)"
         )
         if meta.get("gencols"):
             updated = self._apply_gencols(name, updated)
         if getattr(self, "_want_affected", False):
             aff = self.spark.sql(
-                f"SELECT {', '.join(sel)} FROM {name} "
+                f"SELECT {', '.join(sel)} FROM {upd_src} "
                 f"WHERE coalesce(({cond}), false)"
             )
             if meta.get("gencols"):
@@ -3591,9 +3651,11 @@ class BvtSession:
             self.last_affected = self.spark.createDataFrame(
                 aff.collect(), aff.schema
             )
-        if any(c in meta.get("times", {}) for c in assigns):
-            # TIME store coercion has no DuckDB equivalent in the raw
-            # UPDATE text — rebuild the duck table from the coerced rows
+        if any(c in meta.get("times", {}) for c in assigns) \
+                or limit_n is not None:
+            # TIME store coercion / LIMIT row-capping have no DuckDB
+            # equivalent in the raw UPDATE text — rebuild the duck table
+            # from the coerced rows
             lit = self._literal_insert_sql(name, updated)
             self.last_duck_override = (
                 f"DELETE FROM {name}; {lit}" if lit is not None else None
