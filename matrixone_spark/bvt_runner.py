@@ -5561,6 +5561,16 @@ def _duck_cast_decimal_sat(masked: str) -> str:
             return None  # idempotence: already our saturation output
         dm = _DEC_TYPE_RE.match(m.group("type").strip())
         p, s = int(dm.group(1)), int(dm.group(2) or 0)
+        if re.match(
+            r"(?is)^\s*cast\s*\(.*\bas\s+(?:datetime|timestamp)\b.*\)"
+            r"\s*[+-]\s*interval\b", m.group("expr"),
+        ):
+            # temporal expression → PACKED decimal (YYYYMMDDHHMMSS.ffffff)
+            x = m.group("expr")
+            body = (f"strftime(({x}), '%Y%m%d%H%M%S')" if s == 0 else
+                    f"strftime(({x}), '%Y%m%d%H%M%S') || '.' || "
+                    f"substring(strftime(({x}), '%f'), 1, {s})")
+            return f"CAST({body} AS DECIMAL({p}, {s}))"
         # p == 38: the intermediate CAST(38,s) nulls out-of-range input
         # before saturation could apply — and skipping it terminates the
         # fixpoint (our own output's inner casts are all precision 38)

@@ -420,6 +420,20 @@ def _cast_rewrite(masked: str, spans: "list[str] | None" = None) -> str:
             # CAST(CASE … AS DECIMAL(p,s)) — rewriting it again would loop
             if x.lstrip().startswith("CASE WHEN CAST(("):
                 return None
+            # temporal EXPRESSION → decimal takes the PACKED numeric form
+            # (YYYYMMDDHHMMSS.ffffff — temporal_interval.sql: datetime +
+            # INTERVAL cast to DECIMAL(20,6)); column casts take the same
+            # path via the session's temporal-int-cast rewrite
+            if re.match(
+                r"(?is)^\s*cast\s*\(.*\bas\s+(?:datetime|timestamp)\b.*\)"
+                r"\s*[+-]\s*interval\b", x,
+            ):
+                sd = int(dm.group(2) or 0)
+                body = (f"date_format(({x}), 'yyyyMMddHHmmss')" if sd == 0
+                        else f"concat(date_format(({x}), 'yyyyMMddHHmmss'), "
+                             f"'.', substring(date_format(({x}), "
+                             f"'SSSSSS'), 1, {sd}))")
+                return (f"CAST({body} AS DECIMAL({int(dm.group(1))}, {sd}))")
             p, s = int(dm.group(1)), int(dm.group(2) or 0)
             # p == 38 skipped: intermediate CAST(38,s) nulls out-of-range
             # first, and the skip terminates the rewrite fixpoint (our own
@@ -813,13 +827,14 @@ def _make_interval_sql(
     elif unit in _IV_UNITS:
         slot, mult = _IV_UNITS[unit]
         base = f"TRY_CAST(({n}) AS DOUBLE)"
-        if mult != 1:
-            base = f"{base} * {mult}"
-        # MySQL ROUNDS a fractional count for integral units
-        # (INTERVAL 1.5 MINUTE = 2 minutes — expression/temporal_interval);
+        # MySQL ROUNDS a fractional count for integral units BEFORE the
+        # unit multiplier (INTERVAL 1.5 QUARTER = 2 quarters = 6 months,
+        # not round(4.5) months — expression/temporal_interval);
         # fractional SECONDS keep their sub-second part
         if slot != "secs":
             base = f"ROUND({base})"
+        if mult != 1:
+            base = f"{base} * {mult}"
         vals[slot] = base
     else:
         return None
@@ -3035,6 +3050,36 @@ def _int_date_arith(lit: str, op: str, interval: str) -> str:
     )
 
 
+_COMPOSITE_IV_ARITH_RE = None  # built lazily from _IV_COMPOSITE keys
+
+
+def rewrite_composite_interval(masked: str, spans) -> str:
+    """Bare `expr ± INTERVAL '1:1' MINUTE_SECOND` arithmetic (outside the
+    DATE_ADD compose, which already lowers composites): Spark has no
+    composite interval literal — emit make_interval
+    (expression/temporal_interval.sql t1 inserts)."""
+    global _COMPOSITE_IV_ARITH_RE
+    if _COMPOSITE_IV_ARITH_RE is None:
+        _COMPOSITE_IV_ARITH_RE = re.compile(
+            r"(?i)(\x01\d+\x01|\w+\s*\((?:[^()]|\([^()]*\))*\)|[\w.]+)"
+            r"\s*([+-])\s*interval\s+(\x01\d+\x01)\s+("
+            + "|".join(_IV_COMPOSITE) + r")\b")
+
+    def _r(m: "re.Match") -> str:
+        iv = _make_interval_sql(m.group(3), m.group(4), spans)
+        if iv is None:
+            return m.group(0)
+        # promote the operand to TIMESTAMP (DATE + hour-carrying composite
+        # keeps its time parts, MySQL-style) and NULL a result past the
+        # DATETIME range, as the reference does
+        # (temporal_interval.sql '1000000000:214748364700' MINUTE_SECOND)
+        base = f"try_cast(({m.group(1)}) AS TIMESTAMP) {m.group(2)} {iv}"
+        return (f"(CASE WHEN year({base}) BETWEEN 1 AND 9999 "
+                f"THEN {base} END)")
+
+    return _COMPOSITE_IV_ARITH_RE.sub(_r, masked)
+
+
 def rewrite_int_interval(masked: str) -> str:
     """Reference INT-as-compact-date ± INTERVAL arithmetic
     (expression/int_interval_arithmetic.sql: 20260515 + INTERVAL 7 DAY →
@@ -3481,6 +3526,8 @@ def translate(sql: str) -> str:
             lambda m: f"interval {3 * int(m.group(1))} month", masked
         )
         masked = rewrite_int_interval(masked)
+    if re.search(r"(?i)\binterval\s+\x01", masked):
+        masked = rewrite_composite_interval(masked, spans)
     if _APPLY_RE.search(masked):
         masked = rewrite_apply(masked)
     if _PAREN_IN_RE.search(masked):
