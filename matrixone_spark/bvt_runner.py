@@ -1495,8 +1495,8 @@ class BvtSession:
                     # dialect's CAST path applies) — operator/row_constructor
                     # row03. Skip decimal→decimal sources: Spark's own cast
                     # handles scale change and in-range stores identically.
-                    dm2 = re.match(r"decimal\((\d+),\s*(\d+)\)", t)
-                    p_, s_ = int(dm2.group(1)), int(dm2.group(2))
+                    dm2 = re.match(r"decimal\((\d+)(?:,\s*(\d+))?\)", t)
+                    p_, s_ = int(dm2.group(1)), int(dm2.group(2) or 0)
                     mxs = "9" * (p_ - s_) + ("." + "9" * s_ if s_ else "")
                     if p_ > s_:
                         src = F.col(provided[c])

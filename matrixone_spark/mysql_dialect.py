@@ -1638,6 +1638,15 @@ def rewrite_sample(masked: str) -> str:
                 return masked
             spec = (nm.group(1), nm.group(2).lower())
             sample_args = parts[:-1]
+            # boolean-valued sampled expressions render 1/0 in the
+            # reference (sample.sql startswith/endswith columns); Spark
+            # would print True/False and NULL for a NULL operand
+            sample_args = [
+                f"CAST(({a}) AS INT)"
+                if re.match(r"(?is)^(?:startswith|endswith)\s*\(", a)
+                else a
+                for a in sample_args
+            ]
             projs.extend(sample_args)
         elif re.match(
             r"(?is)^(count|sum|avg|min|max|stddev\w*|var\w*)\s*\(", it
@@ -1648,8 +1657,24 @@ def rewrite_sample(masked: str) -> str:
             projs.append(it)
     if sample_args is None or spec is None:
         return masked
-    part = f"PARTITION BY {', '.join(keys)} " if keys else ""
-    order_in = sample_args[0] if sample_args else "1"
+    # SAMPLE is per-group under an explicit GROUP BY, and plain select
+    # items become the grouping when a REAL aggregate rides along
+    # (build_sample.go groupByAst); with only plain items the sample is
+    # GLOBAL — sample.sql `select col1, sample(startswith(…), 3 rows)`
+    # returns 3 rows total, not 3 per col1
+    has_agg = any(p.startswith("\x00AGG\x00") for p in projs)
+    if "group" in cl:
+        part = f"PARTITION BY {cl['group']} "
+    elif keys and has_agg:
+        part = f"PARTITION BY {', '.join(keys)} "
+    else:
+        part = ""
+    # full tiebreak across every sampled expression: a single-key order
+    # leaves ties for the engines to break differently (sample03's
+    # 4-column sample picked different rows on Spark vs DuckDB)
+    order_in = (
+        " NULLS LAST, ".join(sample_args) if sample_args else "1"
+    )
     sel_out = []
     for p in projs:
         if p.startswith("\x00AGG\x00"):
