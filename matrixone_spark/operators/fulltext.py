@@ -86,7 +86,7 @@ class FullTextIndex:
         postings: DataFrame,
         doc_stats: DataFrame,
         n_docs: int,
-        corpus_stats: DataFrame,
+        avg_dl: float,
         postings_pos: "DataFrame | None" = None,
         mode: str = "simple",
     ):
@@ -94,7 +94,13 @@ class FullTextIndex:
         self.postings_pos = postings_pos  # doc_id, token, pos (phrase search)
         self.doc_stats = doc_stats        # doc_id, dl (token count)
         self.n_docs = n_docs
-        self.corpus_stats = corpus_stats  # 1 row: avg_dl (kept lazy/in-plan)
+        # Mean doc length, materialized at build (r12): n_docs already forces
+        # one index-stats job; avg_dl rides the same aggregate for free. As a
+        # plan literal it removes a per-query single-partition agg + broadcast
+        # + BroadcastNestedLoopJoin from every BM25 scoring plan (the 1-row
+        # frame was re-aggregated from doc_stats on each query). sum(dl) is
+        # exact long arithmetic, so the double it yields is deterministic.
+        self.avg_dl = avg_dl
         self.mode = mode                  # tokenizer the postings were built with
 
     @classmethod
@@ -153,10 +159,11 @@ class FullTextIndex:
                 F.count(F.lit(1)).alias("tf")
             )
         doc_stats = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-        corpus_stats = doc_stats.agg(F.avg("dl").alias("avg_dl"))
         # N = documents with at least one token: an all-NULL/empty doc is
-        # not in the reference's index and does not dilute idf
-        return cls(postings, doc_stats, doc_stats.count(), corpus_stats, postings_pos, mode=mode)
+        # not in the reference's index and does not dilute idf. One job
+        # yields both corpus stats (count + mean length).
+        n_docs, avg_dl = doc_stats.agg(F.count(F.lit(1)), F.avg("dl")).first()
+        return cls(postings, doc_stats, n_docs, float(avg_dl), postings_pos, mode=mode)
 
     @classmethod
     def build_cached(cls, docs: DataFrame, id_col: str, text_col: str, mode: str = "simple") -> "FullTextIndex":
@@ -204,17 +211,17 @@ class FullTextIndex:
     def _scored_terms(self, terms: "list[str]", algo: str) -> DataFrame:
         """Per (doc, term) score for the query terms."""
         t = self.postings.filter(F.col("token").isin([w.lower() for w in terms]))
-        df_stats = t.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+        # postings hold ONE row per (doc_id, token) by construction, so df =
+        # plain count — countDistinct planned an extra expand+exchange here
+        df_stats = t.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
         idf = F.log10(F.lit(float(self.n_docs)) / F.col("df"))
         scored = t.join(F.broadcast(df_stats), "token")
         if algo == "tfidf":
             score = F.col("tf") * idf * idf
         elif algo == "bm25":
-            scored = scored.join(self.doc_stats, "doc_id").crossJoin(
-                F.broadcast(self.corpus_stats)
-            )
+            scored = scored.join(self.doc_stats, "doc_id")
             tf = F.col("tf")
-            denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl") / F.col("avg_dl")))
+            denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl") / F.lit(self.avg_dl)))
             score = idf * idf * tf * (BM25_K1 + 1) / denom
         else:
             raise ValueError(f"unknown algo {algo!r}")
@@ -298,11 +305,9 @@ class FullTextIndex:
         if algo == "tfidf":
             score = F.col("tf") * idf * idf
         elif algo == "bm25":
-            scored = scored.join(self.doc_stats, "doc_id").crossJoin(
-                F.broadcast(self.corpus_stats)
-            )
+            scored = scored.join(self.doc_stats, "doc_id")
             tf = F.col("tf")
-            denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl") / F.col("avg_dl")))
+            denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl") / F.lit(self.avg_dl)))
             score = idf * idf * tf * (BM25_K1 + 1) / denom
         else:
             raise ValueError(f"unknown algo {algo!r}")
@@ -406,7 +411,7 @@ class FullTextIndex:
         """BM25 tf-part with tf=1 (boolean mode ignores occurrence counts,
         sql.go GROUP BY doc_id): (k1+1) / (1 + k1·(1−b+b·dl/avgdl))."""
         return (BM25_K1 + 1.0) / (
-            1.0 + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl") / F.col("avg_dl")))
+            1.0 + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl") / F.lit(self.avg_dl)))
         )
 
     def match_pattern(self, pattern: str, algo: str = "bm25") -> DataFrame:
@@ -443,9 +448,7 @@ class FullTextIndex:
             ],
         )
         if algo == "bm25":
-            wide = wide.join(self.doc_stats, "doc_id").crossJoin(
-                F.broadcast(self.corpus_stats)
-            )
+            wide = wide.join(self.doc_stats, "doc_id")
             tf_part = self._bm25_tf1()
         elif algo == "tfidf":
             tf_part = F.lit(1.0)  # boolean mode: tf = 1
@@ -519,9 +522,7 @@ class FullTextIndex:
         scored = docs.crossJoin(F.broadcast(stats))
         idf = F.log10(F.lit(float(self.n_docs)) / F.col("__df"))
         if algo == "bm25":
-            scored = scored.join(self.doc_stats, "doc_id").crossJoin(
-                F.broadcast(self.corpus_stats)
-            )
+            scored = scored.join(self.doc_stats, "doc_id")
             tf_part = self._bm25_tf1()
         elif algo == "tfidf":
             tf_part = F.lit(1.0)

@@ -409,22 +409,40 @@ GROUP BY s.s_name
     doc="TPC-H Q21 waiting suppliers (lateness = shipdate > orderdate+90d, no commitdate): EXISTS + correlated NOT EXISTS → semi + anti joins over the same fact table.",
 )
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 rewrite: the EXISTS / NOT EXISTS pair collapses to per-order
+    # min/max supplier aggregates — no self-joins of the fact table.
+    #   EXISTS l2 (same order, other supplier)      ⟺ the order has ≥2
+    #     distinct suppliers ⟺ min(l_suppkey) ≠ max(l_suppkey) over the
+    #     order's lineitems (l1's own supplier is in that set);
+    #   NOT EXISTS l3 (same order, other LATE supplier) ⟺ the order's late
+    #     set has exactly one distinct supplier ⟺ late min = late max
+    #     (the l1 row itself is late, so the set is nonempty and equals
+    #     {l1.l_suppkey}).
+    # The previous form semi+anti-joined lineitem against itself: at bench
+    # scale AQE broadcast the ENTIRE fact table as the semi build side
+    # (33 MiB at sf0.1) and left an orphaned 18 MiB exchange; at 100 TB it
+    # degrades to two fact-fact shuffles. Here only (orderkey, min, max)
+    # pairs move: one map-side-combinable agg per input, then equi-joins
+    # that AQE broadcasts when small and shuffles by the same key when not.
     cat = Catalog(spark, sf_dir)
     s, o = cat.table("supplier"), cat.table("orders").filter(F.col("o_orderstatus") == "F")
     l = cat.table("lineitem")
-    l1 = (
+    late = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
-        .select("l_orderkey", "l_suppkey", "o_orderdate")
+        .select("l_orderkey", "l_suppkey")
     )
-    l2 = l.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
-    exists = l1.join(
-        l2, (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")), "left_semi"
+    order_supp = l.groupBy(F.col("l_orderkey").alias("k2")).agg(
+        F.min("l_suppkey").alias("_smin"), F.max("l_suppkey").alias("_smax")
     )
-    # l3 is exactly the late set (l1) from other suppliers of the same order
-    l3 = l1.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
-    only_late = exists.join(
-        l3, (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")), "left_anti"
+    late_supp = late.groupBy(F.col("l_orderkey").alias("k3")).agg(
+        F.min("l_suppkey").alias("_lmin"), F.max("l_suppkey").alias("_lmax")
+    )
+    only_late = (
+        late.join(order_supp, F.col("l_orderkey") == F.col("k2"))
+        .filter(F.col("_smin") != F.col("_smax"))
+        .join(late_supp, F.col("l_orderkey") == F.col("k3"))
+        .filter(F.col("_lmin") == F.col("_lmax"))
     )
     return (
         only_late.join(s, F.col("l_suppkey") == s.s_suppkey)

@@ -16,10 +16,58 @@ vs plain SQL over the same parquet).
 
 from __future__ import annotations
 
+import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# State-store partition count for the bounded availableNow drains (r12 perf).
+# Structured Streaming pins the stateful operator's partitioning — and
+# therefore the number of state-store instances, each paying provider init +
+# a per-commit delta-file write — to spark.sql.shuffle.partitions at query
+# start. That knob must be sized to STATE VOLUME (Spark guidance: ~100 MB-1 GB
+# of state per partition), not to the session's batch-shuffle default: these
+# gate queries hold a few thousand keys of state, where 32 partitions mean
+# 32 near-empty state stores whose fixed commit cost dominates the batch
+# (measured sf0.1 local[32]: 32 partitions -> 2.0 s state stage, 8 -> ~0.4 s,
+# identical results). A 100 TB deployment sets this to (state size / ~500 MB)
+# via the same env knob; the local default 8 matches the harness's KB-scale
+# state while still exercising multi-partition state-store commit paths.
+_STATE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+
+
+@contextmanager
+def _stream_run_confs(spark: SparkSession):
+    """Scoped confs for one bounded streaming drain (set at query start —
+    which is when Structured Streaming reads them — restored after).
+
+    - shuffle.partitions: state-store partition count (see _STATE_PARTITIONS).
+    - noDataMicroBatches off: with an event-time watermark, availableNow
+      otherwise appends a trailing EMPTY micro-batch purely to advance the
+      watermark and evict state — a full extra pass over every state store.
+      Complete-mode re-emits the identical result; append-mode operators here
+      (stream-stream inner join, dropDuplicatesWithinWatermark) emit matches/
+      firsts in the data batch itself, so the empty batch adds no rows on any
+      of these queries at any scale; eviction matters only for a LONG-RUNNING
+      query, which the production path (real sink + processingTime trigger)
+      re-enables by simply not entering this scope.
+    """
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", _STATE_PARTITIONS)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old_nodata)
+
+
+# (appId, path) -> parquet schema: footer-sniffing costs a driver job per
+# readStream construction; the schema is immutable for a given file set.
+_SCHEMA_CACHE: "dict[tuple[str, str], object]" = {}
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -27,11 +75,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nanos→us fixup included via the same catalog conversion)."""
     from matrixone_spark.catalog import Catalog, _fix_nanos_timestamps
 
-    import os
-
     cat = Catalog(spark, sf_dir)
     path = cat.path("events")
-    batch_schema = spark.read.parquet(path).schema
+    skey = (spark.sparkContext.applicationId, path)
+    batch_schema = _SCHEMA_CACHE.get(skey)
+    if batch_schema is None:
+        batch_schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[skey] = batch_schema
     reader = spark.readStream.schema(batch_schema).format("parquet")
     if os.path.isfile(path):
         # file-source streams need a directory: stream the parent dir with a
@@ -54,14 +104,15 @@ def run_streaming_aggregate(
         stream = stream.withWatermark(*watermark)
     agg = agg_builder(stream)
     name = f"stream_result_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_run_confs(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -183,14 +234,15 @@ def stream_stream_interval_join(
         (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"),
     )
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_run_confs(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -240,14 +292,15 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
     name = f"sus_{uuid.uuid4().hex[:8]}"
-    q = (
-        updated.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_run_confs(spark):
+        q = (
+            updated.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # multiple micro-batches emit successive totals; the final row per user
     # (max n_events) is the converged state
     from pyspark.sql import Window
@@ -265,14 +318,15 @@ def run_streaming_append(agg: DataFrame) -> DataFrame:
     """Run an append-mode streaming transform to completion (availableNow)
     and return the emitted rows as a batch DataFrame."""
     name = f"stream_result_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_run_confs(agg.sparkSession):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return agg.sparkSession.table(name)
 
 
