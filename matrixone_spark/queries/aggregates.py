@@ -46,15 +46,43 @@ FROM orders GROUP BY o_orderstatus
     doc="count/count-distinct/min/max over numeric, timestamp, string + exact sum (list_agg.go:59-157).",
 )
 def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: max(o_orderpriority) is a STRING aggregation buffer, which
+    # HashAggregateExec cannot hold in its fixed-width UnsafeRow — one string
+    # max used to demote the WHOLE aggregation (7 aggs, 2 phases + the
+    # count-distinct phase) to SortAggregate, adding full-table Sorts before
+    # every phase. Split it out: the numeric/date aggs stay hash-based over
+    # one scan, and the string max runs over distinct (status, priority)
+    # PAIRS — strings are fine as hash GROUP KEYS, so the distinct is a
+    # HashAggregate whose partial phase collapses the scan to ~|status|x
+    # |priority| rows; the final tiny SortAggregate and broadcast join are
+    # over a handful of rows at any scale. Same results, measured sf0.1:
+    # executor-run-time 1.34s -> 0.99s; at 100 TB it replaces a fact-table
+    # sort with a 2-column pruned rescan.
     o = Catalog(spark, sf_dir).table("orders")
-    return o.groupBy("o_orderstatus").agg(
+    num = o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.countDistinct("o_custkey").alias("uniq_cust"),
         F.min("o_totalprice").cast("double").alias("min_price"),
         F.max("o_totalprice").cast("double").alias("max_price"),
         F.min("o_orderdate").alias("first_date"),
-        F.max("o_orderpriority").alias("max_prio"),
         F.sum(dec("o_totalprice")).cast("double").alias("sum_price"),
+    )
+    # NOTE: a plain .distinct() here gets collapsed by the optimizer (max is
+    # duplicate-agnostic), reinstating partial_max(string) + full-table Sort;
+    # the count + always-true filter keep the pairs aggregate non-removable
+    # (an unused count would be pruned, then collapsed the same way), so the
+    # partial phase is a HashAggregate that shrinks the scan to
+    # ~|status|x|priority| rows BEFORE any sort (plans/r12/agg_basic_after.txt).
+    prio = (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 0)
+        .groupBy("o_orderstatus")
+        .agg(F.max("o_orderpriority").alias("max_prio"))
+    )
+    return num.join(F.broadcast(prio), "o_orderstatus").select(
+        "o_orderstatus", "cnt", "uniq_cust", "min_price", "max_price",
+        "first_date", "max_prio", "sum_price",
     )
 
 
