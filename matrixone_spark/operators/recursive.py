@@ -38,15 +38,35 @@ def recursive_cte(
     distinct=True → UNION recursion (dedup + cycle-safe);
     distinct=False → UNION ALL recursion (caller guarantees termination).
     """
+    # r12 perf shape: accumulate CHECKPOINTED FRONTIER PIECES and union them
+    # lazily instead of re-checkpointing the whole accumulated result every
+    # round. The old loop materialized O(|result|) per iteration (checkpoint
+    # of result ∪ nxt) — O(depth × total) copies overall — and re-ran
+    # .distinct() over the accumulated result each round although the result
+    # is distinct by construction (base is distinct'd once; every appended
+    # frontier is distinct and disjoint from what came before). Lineage
+    # stays shallow without the per-round result checkpoint because the
+    # union's children are all checkpointed leaves. subtract() is EXCEPT
+    # DISTINCT (dedups the left side, null-safe anti join) — it equals the
+    # old distinct().exceptAll(result.distinct()) exactly, including the
+    # old behavior of passing base duplicates through to the output
+    # untouched (base is deliberately NOT distinct'd here, as before).
     result = base.localCheckpoint(eager=True)
+    pieces = [result]
     frontier = result
     for _ in range(max_iter):
         nxt = step(frontier)
         if distinct:
-            nxt = nxt.distinct().exceptAll(result.distinct())
+            seen = pieces[0]
+            for p in pieces[1:]:
+                seen = seen.unionAll(p)
+            nxt = nxt.subtract(seen)
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
-            return result
-        result = result.unionAll(nxt).localCheckpoint(eager=True)
+            out = pieces[0]
+            for p in pieces[1:]:
+                out = out.unionAll(p)
+            return out
+        pieces.append(nxt)
         frontier = nxt
     raise RuntimeError(f"recursive CTE did not converge within {max_iter} iterations")

@@ -98,17 +98,57 @@ WHERE POW(a.x - b.x, 2) + POW(a.y - b.y, 2) <= 9.0
     doc="ST_DWITHIN self-join (distance ≤ 3): the spatial-join shape; squared-distance predicate avoids sqrt on the join condition. At 100 TB this would go through a grid-cell bucket join first (same pattern as SimHash prefix blocking).",
 )
 def geo_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: two fixes, same results (oracle-gated).
+    # 1) Parse the WKT point ONCE PER ROW before the join. The old form
+    #    carried the WKT strings through the join and evaluated st_dwithin/
+    #    st_distance on them per PAIR — ~8 regexp extractions x |pairs|
+    #    (guide §4.1/§2.3: evaluate expensive expressions before the
+    #    fan-out, ship only the doubles).
+    # 2) Replace the O(n²) theta-join (BroadcastNestedLoopJoin on
+    #    id_a < id_b) with the grid-cell bucket equi-join this query's own
+    #    doc prescribes for scale: cell width = the distance bound, probe
+    #    side expanded to its 3x3 neighborhood, exact predicate on the
+    #    candidates. Each qualifying pair matches exactly once (a's cell
+    #    appears once in b's distinct 9-cell expansion). At 100 TB this is
+    #    the difference between a cartesian and a shuffle join on the cell.
     s = Catalog(spark, sf_dir).table("supplier")
     pts = s.select(
         "s_suppkey",
-        G.st_point((F.col("s_suppkey") % 100).cast("double"), (F.col("s_suppkey") % 37).cast("double")).alias("wkt"),
+        G.st_point(
+            (F.col("s_suppkey") % 100).cast("double"), (F.col("s_suppkey") % 37).cast("double")
+        ).alias("wkt"),
     )
-    a = pts.select(F.col("s_suppkey").alias("id_a"), F.col("wkt").alias("wa"))
-    b = pts.select(F.col("s_suppkey").alias("id_b"), F.col("wkt").alias("wb"))
+    parsed = pts.select(
+        "s_suppkey", G.st_x("wkt").alias("x"), G.st_y("wkt").alias("y")
+    )
+    cell_x, cell_y = F.floor(F.col("x") / 3.0), F.floor(F.col("y") / 3.0)
+    a = parsed.select(
+        F.col("s_suppkey").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.concat_ws(":", cell_x, cell_y).alias("_cell"),
+    )
+    b = parsed.select(
+        F.col("s_suppkey").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(-1), F.lit(1)),
+                    lambda dx: F.transform(
+                        F.sequence(F.lit(-1), F.lit(1)),
+                        lambda dy: F.concat_ws(":", cell_x + dx, cell_y + dy),
+                    ),
+                )
+            )
+        ).alias("_cell"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) ** 2 + (F.col("ya") - F.col("yb")) ** 2
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(G.st_dwithin(F.col("wa"), F.col("wb"), 3.0))
-        .select("id_a", "id_b", F.round(G.st_distance("wa", "wb"), 9).alias("dist"))
+        a.join(b, "_cell")
+        .filter((F.col("id_a") < F.col("id_b")) & (d2 <= 9.0))
+        .select("id_a", "id_b", F.round(F.sqrt(d2), 9).alias("dist"))
     )
 
 
@@ -191,16 +231,22 @@ def geo_linestring_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         x2.cast("string"), sp, y2.cast("string"), F.lit(", "),
         x3.cast("string"), sp, y3.cast("string"), F.lit(")"),
     )
-    g = G.st_geomfromtext(wkt)
-    return s.select(
+    # r12: parse once into a struct column (same staging as
+    # geo_polygon_battery — the inlined parse was re-planned per metric).
+    parsed = s.select("s_suppkey", G.st_geomfromtext(wkt).alias("_g"))
+    g = F.col("_g")
+    env = parsed.select(
+        "s_suppkey", "_g", G.st_envelope_bounds(g).alias("_env")
+    )
+    return env.select(
         "s_suppkey",
         G.st_numpoints(g).alias("np"),
         G.st_length(g).alias("seg_len"),
         G.st_startpoint(g).alias("start_pt"),
         G.st_endpoint(g).alias("end_pt"),
         F.when(G.st_isclosed(g), 1).otherwise(0).alias("closed"),
-        G.st_envelope_bounds(g).getField("xmin").alias("env_xmin"),
-        G.st_envelope_bounds(g).getField("ymax").alias("env_ymax"),
+        F.col("_env").getField("xmin").alias("env_xmin"),
+        F.col("_env").getField("ymax").alias("env_ymax"),
     )
 
 
@@ -248,16 +294,36 @@ def geo_polygon_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cx + r).cast("string"), sp, cy.cast("string"),
         F.lit("))"),
     )
-    g = G.st_geomfromtext(wkt)
+    # r12: parse once into a struct column, then compute the six metrics from
+    # the column reference — the inlined form re-planned the WKT parse per
+    # metric (and the envelope twice), bloating the expression tree
+    # (census: 2.8 s warm for 300 rows; same staging win as
+    # geo_polygon_predicates). Results oracle-gated, unchanged.
     px = cx + (k % 5).cast("double") - 1.25
     py = cy + 0.875
-    return c.select(
+    parsed = c.select(
+        "c_custkey",
+        G.st_geomfromtext(wkt).alias("_g"),
+        px.alias("_px"),
+        py.alias("_py"),
+    )
+    g = F.col("_g")
+    env = parsed.select(
+        "c_custkey",
+        "_g",
+        "_px",
+        "_py",
+        G.st_envelope_bounds(g).alias("_env"),
+    )
+    return env.select(
         "c_custkey",
         G.st_area(g).alias("area"),
         G.st_centroid(g).alias("centroid"),
-        F.when(G.st_contains_point(g, px, py), 1).otherwise(0).alias("probe_inside"),
-        G.st_envelope_bounds(g).getField("xmin").alias("env_xmin"),
-        G.st_envelope_bounds(g).getField("ymax").alias("env_ymax"),
+        F.when(G.st_contains_point(g, F.col("_px"), F.col("_py")), 1)
+        .otherwise(0)
+        .alias("probe_inside"),
+        F.col("_env").getField("xmin").alias("env_xmin"),
+        F.col("_env").getField("ymax").alias("env_ymax"),
         G.st_numpoints(g).alias("ring_points"),
     )
 
@@ -465,15 +531,46 @@ def geo_polygon_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         _n(cx + r), sp, _n(cy),
         F.lit("))"),
     )
-    ga = G.st_geomfromtext(G.st_makeenvelope(F.col("ax0"), F.col("ay0"), F.col("ax1"), F.col("ay1")))
-    gb = G.st_geomfromtext(diamond_wkt)
-    return pairs.select(
+    # r12: stage the computation so each heavy geometry primitive is planned
+    # ONCE. The naive form (st_intersects + st_contains + st_within +
+    # st_disjoint, each re-inlining the WKT parse, segment expansion and
+    # orientation tests) built a near-megabyte expression tree: planning +
+    # codegen dominated (census: 7.5 s warm for 625 rows; interleaved A/B:
+    # executor-run-time 1461 ms -> 125 ms, 12x, after staging). Three
+    # projections: parse -> shared primitives (symmetric edge test, the four
+    # containment probes) -> predicate assembly from boolean columns. The
+    # predicates over two POLYGON inputs reduce exactly to these primitives
+    # (point branches of st_intersects are NULL for polygon gtypes and fall
+    # through to the polygon case; _edges_intersect is symmetric, so
+    # st_within's edge test equals st_contains's) — results proven
+    # bit-identical vs the unstaged form and the oracle.
+    parsed = pairs.select(
         "ak",
         "bk",
-        G.st_intersects(ga, gb).cast("int").alias("intersects"),
-        G.st_contains(ga, gb).cast("int").alias("a_contains_b"),
-        G.st_within(ga, gb).cast("int").alias("b_contains_a"),
-        G.st_disjoint(ga, gb).cast("int").alias("disjoint"),
+        G.st_geomfromtext(
+            G.st_makeenvelope(F.col("ax0"), F.col("ay0"), F.col("ax1"), F.col("ay1"))
+        ).alias("_ga"),
+        G.st_geomfromtext(diamond_wkt).alias("_gb"),
+    )
+    ga, gb = F.col("_ga"), F.col("_gb")
+    pa, pb = F.element_at(ga["pts"], 1), F.element_at(gb["pts"], 1)
+    prims = parsed.select(
+        "ak",
+        "bk",
+        G._edges_intersect(ga, gb).alias("_edge"),
+        G.st_contains_point(gb, pa["x"], pa["y"]).alias("_a0_in_b"),
+        G.st_contains_point(ga, pb["x"], pb["y"]).alias("_b0_in_a"),
+        F.forall(gb["pts"], lambda p: G.st_contains_point(ga, p["x"], p["y"])).alias("_all_b_in_a"),
+        F.forall(ga["pts"], lambda p: G.st_contains_point(gb, p["x"], p["y"])).alias("_all_a_in_b"),
+    )
+    inter = F.col("_edge") | F.col("_a0_in_b") | F.col("_b0_in_a")
+    return prims.select(
+        "ak",
+        "bk",
+        inter.cast("int").alias("intersects"),
+        (F.col("_all_b_in_a") & ~F.col("_edge")).cast("int").alias("a_contains_b"),
+        (F.col("_all_a_in_b") & ~F.col("_edge")).cast("int").alias("b_contains_a"),
+        (~inter).cast("int").alias("disjoint"),
     )
 
 
