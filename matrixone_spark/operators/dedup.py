@@ -77,13 +77,24 @@ def ngram_jaccard_pairs(
     whose overlap rode on corpus-wide boilerplate. None = exact (the oracle
     gate runs uncapped).
     """
+    # r12 shape: carry each doc's shingle-set SIZE through the explode so the
+    # posting lists hold (doc_id, sz) structs. The previous form derived sizes
+    # from a SECOND scan+tokenize pass over the corpus and attached them with
+    # two broadcast joins after pair counting; at 100 TB that second pass is a
+    # full corpus re-read (Spark shares no subtrees), and the broadcasts cap
+    # out at the 8 GB relation limit long before the corpus does. Cost: +8
+    # bytes per (shingle, doc) shuffle row; win: 1 scan instead of 2, one
+    # tokenize pass, 2 exchanges instead of 4, zero broadcast joins
+    # (guide §2.3 "shuffle keys and metadata instead of payloads", §2.4).
+    # array_sort over (doc_id, sz) structs orders by doc_id first (doc_id is
+    # unique within a posting list), so pair order matches the old
+    # array_sort(collect_list(doc_id)) exactly.
     sh = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col, n)).alias("shingle")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("_sh")
+    ).select("doc_id", F.size("_sh").alias("sz"), F.explode("_sh").alias("shingle"))
     posts = (
         sh.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sz"))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     if max_posting_len is not None:
@@ -91,21 +102,25 @@ def ngram_jaccard_pairs(
     # pair expansion as two flat generators (posexplode the anchor, explode
     # the tail slice) — same pairs as a nested-transform struct array but a
     # far smaller expression tree, which keeps analysis + codegen cheap
+    pairs = posts.select(F.posexplode("ids").alias("_i", "a"), "ids").select(
+        "a", F.explode(F.slice("ids", F.col("_i") + 2, F.size("ids"))).alias("b")
+    )
     inter = (
-        posts.select(F.posexplode("ids").alias("_i", "id_a"), "ids")
-        .select(
-            "id_a",
-            F.explode(F.slice("ids", F.col("_i") + 2, F.size("ids"))).alias("id_b"),
+        pairs.select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sz").alias("size_a"),
+            F.col("b.sz").alias("size_b"),
         )
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.min("size_a").alias("size_a"),
+            F.min("size_b").alias("size_b"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b"))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 6
