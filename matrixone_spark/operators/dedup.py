@@ -23,21 +23,30 @@ the explicitly-bounded verification joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from matrixone_spark.functions.text import tokenize
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
-    """Keep the lowest-id row per exact content digest."""
+    """Keep the lowest-id row per exact content digest.
+
+    min_by(whole row, id) under a digest groupBy instead of a window
+    row_number: the window form shuffles EVERY row and sorts each digest
+    partition; the aggregate form runs a map-side partial min_by, so each
+    map task ships at most one candidate row per digest and the reduce side
+    needs no sort (guide §2.3 "aggregate before you shuffle"). On a dup-heavy
+    corpus the shuffle shrinks by the duplication factor; identical rows kept
+    (id is the unique orderBy key, so min_by's winner is the window's row 1).
+    """
     digest = F.md5(F.col(content_col))
-    w = Window.partitionBy("_digest").orderBy(id_col)
+    cols = df.columns
     return (
         df.withColumn("_digest", digest)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_digest", "_rn")
+        .groupBy("_digest")
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_row"))
+        .select("_row.*")
     )
 
 
@@ -308,35 +317,43 @@ def connected_components(
     (fuzzyfilter/filter.go); grouping transitive dup chains is the batch
     generalization the reference leaves to the user.
     """
+    # r12 round shape (guide §2.4, §1.2): one join + one aggregation per
+    # round instead of two joins + one aggregation + a convergence join.
+    # - propagate: (sym ⋈ labels on b=node) emits each node's neighbor
+    #   components; unionAll with the labels themselves and a single
+    #   min-aggregate computes least(own, min(neighbors)) directly — the
+    #   old nbr_min groupBy THEN left-join-back is a second shuffle of the
+    #   full label set per round.
+    # - convergence: the old/new compare join is replaced by carrying the
+    #   old component through the same aggregate (min over the _own-flagged
+    #   row) and filtering the checkpointed result — a re-scan of in-memory
+    #   blocks, zero extra shuffles.
+    # - sym is repartitioned on the join key ONCE before its checkpoint, so
+    #   at scale each round re-shuffles only the (shrinking-entropy) label
+    #   frame, not the static edge list.
     sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
         edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.repartition("b").localCheckpoint(eager=True)
     labels = nodes.select(F.col("node"), F.col("node").alias("component"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_min"))
+        prop = sym.join(labels, sym.b == labels.node).select(
+            F.col("a").alias("node"), "component", F.lit(False).alias("_own")
+        )
+        merged = prop.unionAll(
+            labels.select("node", "component", F.lit(True).alias("_own"))
         )
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", "component")
-                ).alias("component"),
+            merged.groupBy("node")
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("_own"), F.col("component"))).alias("_old"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .isEmpty()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("component") != F.col("_old")).isEmpty()
+        labels = new_labels.select("node", "component")
         if changed:
             return labels
     raise RuntimeError(f"components did not converge in {max_iter} rounds")

@@ -73,3 +73,35 @@ def test_simhash_identity_and_stability(spark):
     assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
     h = df.select(simhash("text").alias("h")).collect()
     assert h[0].h == h[1].h != h[2].h
+
+
+def test_exact_dedup_keeps_lowest_id_full_rows(spark):
+    """r12 internals change (min_by aggregate instead of window row_number):
+    the survivor per digest must still be the LOWEST-id row, with every
+    column intact and column order preserved."""
+    from matrixone_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(5, "aaa", "x5"), (2, "aaa", "x2"), (9, "bbb", "x9"),
+         (1, "ccc", "x1"), (7, "ccc", "x7"), (3, "ccc", "x3")],
+        "doc_id long, text string, extra string",
+    )
+    out = exact_dedup(df, "text", "doc_id")
+    assert out.columns == ["doc_id", "text", "extra"]
+    rows = sorted((r.doc_id, r.text, r.extra) for r in out.collect())
+    assert rows == [(1, "ccc", "x1"), (2, "aaa", "x2"), (9, "bbb", "x9")]
+
+
+def test_connected_components_chain_and_isolates(spark):
+    """r12 internals change (union+single-aggregate rounds, aggregate-carried
+    convergence flag): a 5-node chain needs multiple propagation rounds and
+    must converge to min-label 1 everywhere; isolated nodes keep themselves."""
+    from matrixone_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "node long")
+    # chain 1-2-3-4-5 (diameter forces >1 round), pair 6-7, isolate 8
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)], "src long, dst long"
+    )
+    got = {r.node: r.component for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 8: 8}
