@@ -358,6 +358,31 @@ class FullTextIndex:
             return F.col("token").startswith(leaf.text.rstrip("*").lower())
         return F.col("token") == leaf.text.lower()
 
+    def _leaf_probe(self, leaf) -> "F.Column | None":
+        """Single-token postings predicate for a leaf (equality or prefix),
+        or None when the leaf re-tokenizes into a positional phrase over
+        several index tokens (CJK word over a trigram/dict index) and needs
+        the per-leaf anchor-grouping frame from _leaf_docs. Probe-able
+        leaves fuse into ONE shared scan of the postings in match_pattern
+        instead of one scan + distinct exchange per leaf."""
+        if leaf.op == fp.STAR:
+            return self._leaf_cond(leaf)
+        if self.mode == "mixed":
+            from matrixone_spark.functions.text import nl_query_leaves_py
+
+            sub = nl_query_leaves_py(leaf.text)
+        elif self.mode == "dict":
+            from matrixone_spark.functions.cjk_dict import cut_mixed_dict_pos
+
+            sub = [("eq", t, off) for t, off in cut_mixed_dict_pos(leaf.text)]
+        else:
+            sub = None
+        if not sub or (
+            len(sub) == 1 and sub[0][0] == "eq" and sub[0][1] == leaf.text.lower()
+        ):
+            return F.col("token") == leaf.text.lower()
+        return None
+
     def _leaf_docs(self, leaf) -> DataFrame:
         """Distinct docs matching one boolean leaf. A TEXT word that
         re-tokenizes into several index tokens (a CJK word over the trigram
@@ -388,21 +413,21 @@ class FullTextIndex:
                 .distinct()
             )
         base = leaves[0][2]
-        parts = []
+        conds = []
         for kind, t, off in leaves:
             cond = F.col("token").startswith(t) if kind == "star" else F.col("token") == t
-            parts.append(
-                self.postings_pos.filter(cond).select(
-                    "doc_id", (F.col("pos") - F.lit(off - base)).alias("anchor")
-                )
+            conds.append((cond, off - base))
+        # one shared postings_pos scan (see _match_phrase)
+        anchors = F.array_compact(
+            F.array(
+                *[F.when(cond, F.col("pos") - F.lit(rel)) for cond, rel in conds]
             )
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
+        )
+        u = self.postings_pos.select("doc_id", F.explode(anchors).alias("anchor"))
         return (
             u.groupBy("doc_id", "anchor")
             .agg(F.count(F.lit(1)).alias("k"))
-            .filter(F.col("k") == len(parts))
+            .filter(F.col("k") == len(conds))
             .select("doc_id")
             .distinct()
         )
@@ -427,10 +452,31 @@ class FullTextIndex:
             return self._match_phrase(ps[0], algo)
         lvs = fp.leaves(ps)
         n = len(lvs)
-        frames = [
-            self._leaf_docs(leaf).withColumn("__idx", F.lit(i))
-            for i, leaf in enumerate(lvs)
-        ]
+        # Leaves answerable by a single-token predicate share ONE scan of
+        # the postings: per row, the array of leaf indices whose predicate
+        # the token satisfies, exploded (empty array = non-matching row,
+        # dropped by the explode). The previous form planned one postings
+        # scan + distinct exchange PER leaf and unioned them — n scans and
+        # n shuffles where the data supports one of each. A doc-level
+        # distinct is only needed when a prefix leaf exists (several tokens
+        # of one doc can share a prefix; equality leaves are unique per
+        # (doc_id, token) by postings construction).
+        probe_conds: "list[tuple[int, F.Column, bool]]" = []
+        frames = []
+        for i, leaf in enumerate(lvs):
+            cond = self._leaf_probe(leaf)
+            if cond is not None:
+                probe_conds.append((i, cond, leaf.op == fp.STAR))
+            else:
+                frames.append(self._leaf_docs(leaf).withColumn("__idx", F.lit(i)))
+        if probe_conds:
+            hits = F.array_compact(
+                F.array(*[F.when(cond, F.lit(i)) for i, cond, _ in probe_conds])
+            )
+            probed = self.postings.select("doc_id", F.explode(hits).alias("__idx"))
+            if any(star for _, _, star in probe_conds):
+                probed = probed.distinct()
+            frames.insert(0, probed)
         u = frames[0]
         for f in frames[1:]:
             u = u.unionByName(f)
@@ -502,19 +548,20 @@ class FullTextIndex:
                         )
                     continue
             probes.append((self._leaf_cond(c), c.position - base))
-        parts = [
-            self.postings_pos.filter(cond).select(
-                "doc_id", (F.col("pos") - F.lit(rel)).alias("anchor")
+        # One shared scan of the positional postings: per row, the array of
+        # candidate anchors (pos − rel) for every probe the token satisfies,
+        # exploded — the per-probe filter+union form scanned postings_pos
+        # once per phrase word (guide: scan/shuffle less, same rows out).
+        anchors = F.array_compact(
+            F.array(
+                *[F.when(cond, F.col("pos") - F.lit(rel)) for cond, rel in probes]
             )
-            for cond, rel in probes
-        ]
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
+        )
+        u = self.postings_pos.select("doc_id", F.explode(anchors).alias("anchor"))
         docs = (
             u.groupBy("doc_id", "anchor")
             .agg(F.count(F.lit(1)).alias("k"))
-            .filter(F.col("k") == len(parts))
+            .filter(F.col("k") == len(probes))
             .select("doc_id")
             .distinct()
         )
