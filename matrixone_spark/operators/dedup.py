@@ -285,14 +285,30 @@ def simhash_pairs(docs: DataFrame, id_col: str, text_col: str, max_hamming: int 
     tight thresholds — documented recall tradeoff)."""
     s = simhash_signatures(docs, id_col, text_col)
     s = s.withColumn("block", F.shiftrightunsigned("sh", 48))
-    a = s.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "block")
-    b = s.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), "block")
+    # Pair expansion through per-block posting lists (the ngram_jaccard_pairs
+    # shape) instead of a self-join: the join form referenced the signature
+    # subtree twice (Spark shares no subtrees), recomputing the tokenize +
+    # explode + 64-aggregate pass for each side. One groupBy(block) with
+    # array_sort(collect_list(struct(doc_id, sh))) computes signatures once;
+    # doc_id-sorted structs make the upper triangle (a < b) by slice
+    # position, same pairs as the join + id_a<id_b filter. Block arrays are
+    # bounded by 16-bit-prefix block cardinality — the same expansion the
+    # join produced, materialized per block instead of streamed.
+    posts = (
+        s.groupBy("block")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sh"))).alias("items"))
+        .filter(F.size("items") > 1)
+    )
+    pairs = posts.select(F.posexplode("items").alias("_i", "a"), "items").select(
+        "a", F.explode(F.slice("items", F.col("_i") + 2, F.size("items"))).alias("b")
+    )
     return (
-        a.join(b, "block")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        pairs.select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
 
 

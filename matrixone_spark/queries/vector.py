@@ -188,8 +188,7 @@ def vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="IVF-flat index search (ivf_create/ivf_search TVFs, apply_indices_ivfflat.go rewrite): KMeans centroids (cluster_centers parity) + nprobe bucket probe. Recall ≥0.9 vs exact KNN pytest-gated.",
 )
 def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = Catalog(spark, sf_dir).table("embeddings")
-    idx = IvfIndex.build(e, "embedding", "vec_id", n_centroids=8)
+    idx = _ivf_index_cached(spark, sf_dir)
     return idx.search(_QVEC, 10, nprobe=3).select("vec_id", "label", "distance")
 
 
@@ -227,6 +226,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ivfpq_index_cached(spark, sf_dir)
     return idx.search(_QVEC, 10, nprobe=4, refine=8).select("vec_id", "label", "distance")
+
+
+_IVF_CACHE: "dict[tuple[str, str], IvfIndex]" = {}
+
+
+def _ivf_index_cached(spark: SparkSession, sf_dir: str) -> "IvfIndex":
+    # build-once-search-many, same contract as the LSH/IVF-PQ caches below
+    # (ivf_create writes the index once; ivf_search probes it — the KMeans
+    # fit was being re-run on every probe call)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _IVF_CACHE.get(key)
+    if idx is None:
+        e = Catalog(spark, sf_dir).table("embeddings")
+        idx = IvfIndex.build(e, "embedding", "vec_id", n_centroids=8)
+        _IVF_CACHE[key] = idx
+    return idx
 
 
 _IVFPQ_CACHE: "dict[tuple[str, str], IvfPqIndex]" = {}
