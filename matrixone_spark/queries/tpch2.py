@@ -45,9 +45,16 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = l.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)).alias("unit_price")
     )
-    best = unit.groupBy("l_partkey").agg(F.min("unit_price").alias("best_price"))
+    # best-per-part as a window min over the aggregated unit frame instead of
+    # a second aggregate + join back: the join form referenced the unit
+    # subtree twice and the two lineitem aggregation exchanges did NOT reuse
+    # (different pushed not-null filters), so the fact table was scanned and
+    # aggregated twice (plans/r12/tpch_q2_before.txt nodes 1-9 vs 10-25).
+    # The window shuffles only the small (partkey, suppkey) frame; ties keep
+    # every min-price supplier, exactly like the join+filter form.
+    best_w = Window.partitionBy("l_partkey")
     return (
-        unit.join(best, ["l_partkey"])
+        unit.withColumn("best_price", F.min("unit_price").over(best_w))
         .filter(F.col("unit_price") == F.col("best_price"))
         .join(p.filter(F.col("p_size") == 15), F.col("l_partkey") == F.col("p_partkey"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -311,21 +318,24 @@ LIMIT 100
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     c, o, l = cat.table("customer"), cat.table("orders"), cat.table("lineitem")
+    # One pass over lineitem: the HAVING aggregate IS the output aggregate.
+    # o_orderkey sits in the final group key, so every output group is one
+    # order and total_qty equals the per-order sum the semi-join filter
+    # already computed — the old form scanned lineitem twice (HAVING agg +
+    # detail re-aggregation over every line of the qualifying orders). The
+    # filtered sums frame is tiny, so both remaining joins broadcast it.
     big = (
         l.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("sq"))
         .filter(F.col("sq") > 212)
-        .select("l_orderkey")
     )
     return (
-        o.join(big.withColumnRenamed("l_orderkey", "bk"), o.o_orderkey == F.col("bk"), "left_semi")
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
-            F.col("o_totalprice").cast("double").alias("o_totalprice"), "total_qty",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("sq").cast("double").alias("total_qty"),
         )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
