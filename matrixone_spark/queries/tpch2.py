@@ -284,12 +284,25 @@ WHERE l.l_quantity < pa.qty_thresh
 def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     l, p = cat.table("lineitem"), cat.table("part")
-    pa = l.groupBy("l_partkey").agg(
-        F.round(0.2 * F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6).alias("qty_thresh")
+    # The per-part threshold only matters for Brand#23 parts, so compute it
+    # AFTER the brand join as a window over the surviving rows instead of a
+    # full-lineitem aggregate joined back: the old form shuffled an
+    # all-parts aggregation of the entire fact table and re-scanned lineitem
+    # for the detail side (two fact passes); this is one scan, one broadcast
+    # part-key join, and a window shuffle over just the brand's rows. The
+    # window's decimal sum equals the groupBy's (exact arithmetic), so the
+    # rounded double threshold is bit-identical.
+    w = Window.partitionBy("l_partkey")
+    thresh = F.round(
+        0.2 * F.sum(dec("l_quantity")).over(w).cast("double") / F.count(F.lit(1)).over(w),
+        6,
     )
     return (
-        l.join(p.filter(F.col("p_brand") == "Brand#23"), l.l_partkey == p.p_partkey)
-        .join(pa.withColumnRenamed("l_partkey", "pk"), F.col("l_partkey") == F.col("pk"))
+        l.join(
+            F.broadcast(p.filter(F.col("p_brand") == "Brand#23").select("p_partkey")),
+            l.l_partkey == F.col("p_partkey"),
+        )
+        .withColumn("qty_thresh", thresh)
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(F.round(F.sum(dec("l_extendedprice")).cast("double") / 7.0, 6).alias("avg_yearly"))
     )
