@@ -492,17 +492,15 @@ FROM h GROUP BY depth
 def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matrixone_spark.operators.recursive import recursive_cte
 
-    # The step input is static across all ~log2(|part|) fixpoint rounds but
-    # Spark shares no subtrees between jobs — without materialization every
-    # round re-scans the parquet table. One eager localCheckpoint of the
-    # single projected column turns that into an in-memory block read per
-    # round (15 scans -> 1 at sf0.1; executor run time -6x on a quiet box).
-    p = (
-        Catalog(spark, sf_dir)
-        .table("part")
-        .select(F.col("p_partkey").alias("node"))
-        .localCheckpoint(eager=True)
-    )
+    # NOTE (r12): an eager localCheckpoint of this static step input was
+    # tried (one in-memory materialization instead of ~15 per-round parquet
+    # re-scans) and REVERTED: on an idle box the interleaved A/B is neutral
+    # on wall and slightly WORSE on executor time (ckpt 8.8 s vs 6.9 s ERT
+    # min) — the 20K-row single-column scan with pushdown is cheaper than
+    # the checkpoint job + block reads. The earlier "-6x ERT" reading was a
+    # noise burst on the baseline side. Wall here is the driver-loop
+    # scheduler-latency floor (~15 rounds x 2-3 jobs), not executor work.
+    p = Catalog(spark, sf_dir).table("part").select(F.col("p_partkey").alias("node"))
     base = p.filter(F.col("node") == 1).select("node", F.lit(0).alias("depth"))
 
     def step(frontier):
