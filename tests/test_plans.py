@@ -97,3 +97,70 @@ def test_s2_bucket_join_is_single_shuffle_equi_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Scan parquet") == 2
+
+
+def test_q2_q17_q18_single_fact_pass(spark):
+    """r12 rewrites: the correlated/HAVING aggregate rides the one fact scan
+    (window or reused aggregate) instead of a second lineitem scan+agg."""
+    for name, marker in (
+        ("tpch_q2", "Window"),    # best-price-per-part as window min
+        ("tpch_q17", "Window"),   # 20%-of-avg threshold as window
+        ("tpch_q18", None),       # HAVING aggregate IS the output aggregate
+    ):
+        plan = _plan(spark, name)
+        n_li = len(re.findall(r"FileScan parquet[^\n]*lineitem", plan))
+        assert n_li == 1, (name, n_li, plan[:600])
+        if marker:
+            assert marker in plan, (name, plan[:600])
+    assert "LeftSemi" not in _plan(spark, "tpch_q18")
+
+
+def test_agg_basic_hash_aggregate_over_scan(spark):
+    """r12: the string max is split off, so the full-table branch must stay
+    a 2-phase HashAggregate — a SortAggregate (with its full-table Sort)
+    may survive only over the tiny distinct-pairs intermediate, never
+    directly over the parquet scan."""
+    plan = _plan(spark, "agg_basic")
+    assert "HashAggregate" in plan, plan[:600]
+    for frag in plan.split("SortAggregate")[1:]:
+        # the subtree below a SortAggregate must aggregate an aggregated
+        # input (the pairs frame), not the raw file scan: a scan directly
+        # under it would mean the optimizer re-fused the string max
+        head = frag[:2000]
+        assert "HashAggregate" in head or "FileScan" not in head, head
+
+
+def test_fulltext_boolean_single_postings_scan(spark):
+    """r12: single-token boolean leaves share ONE postings probe (explode of
+    matched leaf indices) instead of one scan + distinct exchange per leaf.
+    4 leaves => the executed plan holds at most 2 postings scans (the probe
+    subtree is referenced twice: df computation + wide pivot)."""
+    from matrixone_spark.catalog import Catalog
+    from matrixone_spark.operators.fulltext import FullTextIndex
+
+    d = Catalog(spark, SF_DIR).table("documents")
+    idx = FullTextIndex.build_cached(d, "doc_id", "text")
+    df = idx.match_pattern("table <query >spark ~slow", algo="tfidf")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both sections
+    assert final.count("InMemoryTableScan") <= 2, final[:800]
+    assert "Generate" in final, final[:800]  # the explode probe
+
+
+def test_simhash_pairs_single_signature_subtree(spark):
+    """r12: pair expansion through per-block posting lists computes the
+    64-aggregate signature subtree once (the block self-join computed it
+    twice). One corpus scan in the executed plan."""
+    from pyspark.sql import functions as F
+
+    from matrixone_spark.catalog import Catalog
+    from matrixone_spark.operators.dedup import simhash_pairs
+
+    d = Catalog(spark, SF_DIR).table("documents").filter(F.col("doc_id") < 60)
+    df = simhash_pairs(d, "doc_id", "text", max_hamming=10)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both sections
+    n_scans = len(re.findall(r"FileScan parquet[^\n]*documents", final))
+    assert n_scans == 1, (n_scans, final[:800])
