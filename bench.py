@@ -82,20 +82,47 @@ def main() -> None:
     # round-over-round comparison can re-derive min/median without
     # re-litigating which single number was the noisy one.
     raw: dict[str, list[float]] = {name: [] for name in names}
+    # r13 (additions-only per the r12 verdict): alongside wall, record the
+    # per-run delta of cluster-wide task executorRunTime (ms) read from the
+    # live AppStatusStore — CPU-time-ish work tasks actually did, which a
+    # co-tenant noise burst inflates far less than wall clock. Lets PERF
+    # comparisons separate plan cost from box noise. Read failures degrade
+    # to -1 (never fail the bench over a metrics read).
+    def _ert_ms() -> int:
+        try:
+            sc = spark.sparkContext
+            store = sc._jsc.sc().statusStore()
+            gw, jvm = sc._gateway, sc._jvm
+            seq = store.stageList(
+                jvm.java.util.ArrayList(), False, False,
+                gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+            )
+            it, total = seq.iterator(), 0
+            while it.hasNext():
+                total += it.next().executorRunTime()
+            return total
+        except Exception:  # noqa: BLE001 — metrics must never break timing
+            return -1
+
+    raw_ert: dict[str, list[int]] = {name: [] for name in names}
     errors: dict[str, str] = {}
     for i in range(runs):
         for name in names:
             if name in errors:
                 continue
             try:
+                e0 = _ert_ms()
                 t0 = time.time()
                 rows = registry[name].fn(spark, sf_dir).collect()
                 dt = time.time() - t0
+                e1 = _ert_ms()
                 assert rows is not None
                 raw[name].append(round(dt, 3))
+                raw_ert[name].append(e1 - e0 if e0 >= 0 and e1 >= 0 else -1)
             except Exception as exc:  # noqa: BLE001 — isolation is the point
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 raw.pop(name, None)
+                raw_ert.pop(name, None)
     timings = {n: min(r) for n, r in raw.items() if r}
     cold = {n: r[0] for n, r in raw.items() if r}
     total = round(sum(timings.values()), 3)
@@ -107,6 +134,14 @@ def main() -> None:
         "queries_cold": cold,
         "value_cold": round(sum(cold.values()), 3),
         "queries_runs": raw,
+        # additions-only (r12 verdict ask #6): per-query executorRunTime in
+        # ms — min over runs (noise-robust plan-cost signal) + every raw run
+        "queries_ert": {
+            n: min((e for e in r if e >= 0), default=-1)
+            for n, r in raw_ert.items()
+            if r
+        },
+        "queries_ert_runs": raw_ert,
         "runs": runs,
         "sf": sf_val,
     }

@@ -279,10 +279,29 @@ def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     return sums.select("doc_id", out.alias("sh"))
 
 
-def simhash_pairs(docs: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_block_len: "int | None" = None,
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ k. Blocked on the top-16
     bit prefix to avoid O(n²) (prefix-equal is a necessary condition only for
-    tight thresholds — documented recall tradeoff)."""
+    tight thresholds — documented recall tradeoff).
+
+    Skew bound (guide §2.5): the block key is content-derived, so a
+    boilerplate-heavy corpus can concentrate docs into few blocks, and each
+    block materializes as ONE collect_list array in an aggregation buffer
+    (worst case: all n docs share a block → one n-sized array of (id, sh)
+    structs ≈ 16n bytes in a single buffer, then n²/2 expanded pairs in one
+    task). ``max_block_len`` mirrors ngram's ``max_posting_len``: blocks
+    larger than the cap are dropped before expansion, bounding any buffer to
+    cap structs and any task's expansion to cap²/2 pairs per block. Capped
+    output is a strict SUBSET of uncapped (pairs lost are those inside
+    over-full blocks — near-identical boilerplate clusters a real pipeline
+    handles with exact dedup first). None = exact (the declared query runs
+    uncapped; the gate pins subset semantics)."""
     s = simhash_signatures(docs, id_col, text_col)
     s = s.withColumn("block", F.shiftrightunsigned("sh", 48))
     # Pair expansion through per-block posting lists (the ngram_jaccard_pairs
@@ -292,13 +311,15 @@ def simhash_pairs(docs: DataFrame, id_col: str, text_col: str, max_hamming: int 
     # array_sort(collect_list(struct(doc_id, sh))) computes signatures once;
     # doc_id-sorted structs make the upper triangle (a < b) by slice
     # position, same pairs as the join + id_a<id_b filter. Block arrays are
-    # bounded by 16-bit-prefix block cardinality — the same expansion the
-    # join produced, materialized per block instead of streamed.
+    # bounded by max_block_len when set (see above), else by 16-bit-prefix
+    # block cardinality.
     posts = (
         s.groupBy("block")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sh"))).alias("items"))
         .filter(F.size("items") > 1)
     )
+    if max_block_len is not None:
+        posts = posts.filter(F.size("items") <= max_block_len)
     pairs = posts.select(F.posexplode("items").alias("_i", "a"), "items").select(
         "a", F.explode(F.slice("items", F.col("_i") + 2, F.size("items"))).alias("b")
     )

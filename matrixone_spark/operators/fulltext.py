@@ -163,7 +163,16 @@ class FullTextIndex:
         # not in the reference's index and does not dilute idf. One job
         # yields both corpus stats (count + mean length).
         n_docs, avg_dl = doc_stats.agg(F.count(F.lit(1)), F.avg("dl")).first()
-        return cls(postings, doc_stats, n_docs, float(avg_dl), postings_pos, mode=mode)
+        # empty corpus: avg over zero rows is NULL — scoring is moot when
+        # n_docs == 0, but float(None) would fail the BUILD (r12 advice)
+        return cls(
+            postings,
+            doc_stats,
+            n_docs,
+            float(avg_dl) if avg_dl is not None else 0.0,
+            postings_pos,
+            mode=mode,
+        )
 
     @classmethod
     def build_cached(cls, docs: DataFrame, id_col: str, text_col: str, mode: str = "simple") -> "FullTextIndex":

@@ -85,65 +85,74 @@ def register(name: str, oracle: "str | None", tags: tuple = (), doc: str = ""):
 # refreshes the oldest r01-only greens (plan-fragility check).
 _SENTINELS: "tuple[str, ...]" = ()
 
-# The 50 rows of the r12 driver window (r11 VERDICT ask #2 — the rotation
-# the r11 round failed to execute): every row whose last driver pin is
-# ≤r06 (45 rows: 2×r03, 9×r04, 1×r05, 33×r06 — the tpch r06 block, the
-# json family, the geo_s2 rows, and the approx/stream rows-only set),
-# plus 5 overflow slots currently holding the oldest r08 rows from
-# diverse families (swap these for any new round-12 registrations).
+# The 50 rows of the r13 driver window (r12 VERDICT ask #1): every query
+# whose CODE changed in the r12 optimization round but sat outside the r12
+# window (the semantic rewrites whose only r12 evidence was pytest + the
+# full in-round sims — tpch_q18, the dedup family rewrites, the fulltext
+# boolean/natural family, the geo staging + distance join, the four stream
+# rows), plus every path round 13 touches (minhash/simhash/pipeline/
+# recursive/bvt replay/ivf — rows-only rows included so the driver at
+# least re-executes them), plus the r12-rewritten rows kept window-resident
+# (q21/q2/q17/agg_basic) so this round's changes under them stay gated,
+# plus bench rows whose last pin predates r12 (q10, knn, text, timewin).
 _HEAD: "tuple[str, ...]" = (
-    # -- r12 rotation: every hash/rows row last driver-pinned <=r06 (45) --
-    "sample_fraction",
-    "stream_sliding_activity",
-    "approx_percentile_tdigest",
-    "ivfpq_search",
-    "multimodal_features",
-    "multimodal_metadata_stats",
-    "sample_per_group",
-    "sessionize_events",
-    "stream_dedup_exactly_once",
-    "stream_session_windows",
-    "tvf_random_deterministic",
-    "grouping_sets_rollup",
-    "cte_reuse",
-    "geo_s2_battery",
-    "geo_s2_bucket_join",
-    "geo_s2_join_bench",
-    "grouping_sets_cube",
-    "join_mark_null_aware",
-    "join_nonequi_range",
-    "join_single_scalar",
-    "json2_battery",
-    "json_construct_nested",
-    "json_extract_battery",
-    "json_mutators",
-    "json_objectagg_sorted",
-    "json_search_battery",
-    "json_type_quote_battery",
-    "json_unnest_array",
-    "limit_offset",
+    # -- r12 semantic rewrites with no driver hash pin yet (20) --
+    "tpch_q18",
+    "dedup_ngram_jaccard",
+    "dedup_exact_keep",
+    "dedup_components",
+    "fulltext_natural_bm25",
+    "geo_distance_join",
+    "geo_polygon_battery",
+    "geo_polygon_predicates",
+    "geo_linestring_metrics",
+    "stream_tumbling_counts",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stateful_user_stats",
+    "fulltext_boolean_phrase",
+    "fulltext_boolean_wildcard",
+    "fulltext_boolean_weights",
+    "fulltext_boolean_group",
+    "fulltext_natural_tfidf",
+    "fulltext_cjk",
+    "fulltext_cjk_dict",
+    # -- r13 touched paths (oracle-gated) --
+    "pipeline_clean_corpus",
     "recursive_cte_hierarchy",
-    "sample_deterministic",
-    "setop_except_all",
-    "setop_intersect_all",
-    "tpch_q1",
-    "tpch_q12",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q2",
+    # -- r13 touched paths (rows-only: driver re-executes them) --
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ivf_search",
+    "ivfpq_search",
+    # -- r12 rewrites kept window-resident + r13 guard rows --
     "tpch_q21",
-    "tpch_q22",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q9",
-    # -- overflow: oldest r08 rows, diverse families --
-    "fulltext_boolean",
-    "window_ranks",
+    "tpch_q2",
+    "tpch_q17",
     "agg_basic",
-    "join_full_outer",
-    "setop_union_all",
+    "fulltext_boolean",
+    "tpch_q9",
+    # -- bvt replay layer (re-pin if r13 touches the replay machinery) --
+    "bvt_select_battery",
+    "bvt_operator_battery",
+    "bvt_subquery_battery",
+    "bvt_union_battery",
+    "bvt_distinct_battery",
+    "bvt_expression_battery",
+    "bvt_operator_scripts_battery",
+    "bvt_join_battery",
+    # -- bench rows last pinned before r12 --
+    "tpch_q10",
+    "knn_exact_topk",
+    "text_token_stats",
+    "timewin_tumbling",
+    # -- family-adjacent rows sharing helpers with r13-touched paths --
+    "dedup_exact_groups",
+    "text_lang_guess",
+    "text_quality_filter",
+    "text_fingerprint",
+    "vec_distances",
+    "knn_join_per_query",
 )
 
 # Module order for everything else (module name without package prefix).

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import os
 import uuid
-from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,12 +37,17 @@ from pyspark.sql import functions as F
 _STATE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
 
 
-@contextmanager
-def _stream_run_confs(spark: SparkSession):
-    """Scoped confs for one bounded streaming drain (set at query start —
-    which is when Structured Streaming reads them — restored after).
+# appId -> isolated SparkSession for bounded streaming drains.
+_STREAM_SESSION: "dict[str, SparkSession]" = {}
 
-    - shuffle.partitions: state-store partition count (see _STATE_PARTITIONS).
+
+def _stream_session(spark: SparkSession) -> SparkSession:
+    """Isolated session (shared SparkContext, own SQLConf) for bounded
+    streaming drains, with the drain confs set ONCE:
+
+    - shuffle.partitions: state-store partition count (see _STATE_PARTITIONS)
+      — Structured Streaming reads it at query start to size the stateful
+      operator's partitioning.
     - noDataMicroBatches off: with an event-time watermark, availableNow
       otherwise appends a trailing EMPTY micro-batch purely to advance the
       watermark and evict state — a full extra pass over every state store.
@@ -52,17 +56,27 @@ def _stream_run_confs(spark: SparkSession):
       firsts in the data batch itself, so the empty batch adds no rows on any
       of these queries at any scale; eviction matters only for a LONG-RUNNING
       query, which the production path (real sink + processingTime trigger)
-      re-enables by simply not entering this scope.
+      re-enables by simply not using this session.
+
+    r12 ran drains under a set/restore context manager on the CALLER's
+    session; any query planned concurrently on that session during the window
+    silently picked up the streaming shuffle-partition count (r12 advice).
+    A child session has its own SQLConf, so batch work on the caller's
+    session is never affected; one child per application, reused across
+    drains. Correctness confs (UTC, nanosAsLong) are re-applied on the child
+    by Catalog's ensure_session_confs when the stream source is built.
     """
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    old_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    spark.conf.set("spark.sql.shuffle.partitions", _STATE_PARTITIONS)
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old_nodata)
+    key = spark.sparkContext.applicationId
+    ss = _STREAM_SESSION.get(key)
+    if ss is None:
+        ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", _STATE_PARTITIONS)
+        ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        _STREAM_SESSION[key] = ss
+        if len(_STREAM_SESSION) > 4:  # stale appIds from restarted tests
+            for k in list(_STREAM_SESSION)[:-4]:
+                del _STREAM_SESSION[k]
+    return ss
 
 
 # (appId, path) -> parquet schema: footer-sniffing costs a driver job per
@@ -99,21 +113,21 @@ def run_streaming_aggregate(
 ) -> DataFrame:
     """Run a streaming aggregation to completion (availableNow) and return
     the final result as a batch DataFrame."""
-    stream = _events_stream(spark, sf_dir)
+    ss = _stream_session(spark)
+    stream = _events_stream(ss, sf_dir)
     if watermark:
         stream = stream.withWatermark(*watermark)
     agg = agg_builder(stream)
     name = f"stream_result_{uuid.uuid4().hex[:8]}"
-    with _stream_run_confs(spark):
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ss.table(name)
 
 
 def tumbling_event_counts(stream: DataFrame) -> DataFrame:
@@ -201,8 +215,9 @@ def stream_stream_interval_join(
     that equality is the oracle gate. (CDC-analogue surface, SURVEY §2.11:
     the reference joins change feeds by tailing logs, pkg/cdc/.)
     """
+    ss = _stream_session(spark)
     views = (
-        _events_stream(spark, sf_dir)
+        _events_stream(ss, sf_dir)
         .filter(F.col("event_type") == "view")
         .select(
             F.col("event_id").alias("v_id"),
@@ -212,7 +227,7 @@ def stream_stream_interval_join(
         .withWatermark("v_ts", "1 hour")
     )
     clicks = (
-        _events_stream(spark, sf_dir)
+        _events_stream(ss, sf_dir)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("c_id"),
@@ -234,16 +249,15 @@ def stream_stream_interval_join(
         (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"),
     )
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    with _stream_run_confs(spark):
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ss.table(name)
 
 
 def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -287,27 +301,27 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.update((n, cents))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]})
 
-    stream = _events_stream(spark, sf_dir).select("user_id", "value", "ts")
+    ss = _stream_session(spark)
+    stream = _events_stream(ss, sf_dir).select("user_id", "value", "ts")
     updated = stream.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
     name = f"sus_{uuid.uuid4().hex[:8]}"
-    with _stream_run_confs(spark):
-        q = (
-            updated.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    q = (
+        updated.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     # multiple micro-batches emit successive totals; the final row per user
     # (max n_events) is the converged state
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
-        spark.table(name)
+        ss.table(name)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
@@ -316,17 +330,17 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_streaming_append(agg: DataFrame) -> DataFrame:
     """Run an append-mode streaming transform to completion (availableNow)
-    and return the emitted rows as a batch DataFrame."""
+    and return the emitted rows as a batch DataFrame. The stream must have
+    been built on the _stream_session (its confs are read at query start)."""
     name = f"stream_result_{uuid.uuid4().hex[:8]}"
-    with _stream_run_confs(agg.sparkSession):
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return agg.sparkSession.table(name)
 
 
@@ -338,8 +352,9 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark horizon — the scale-critical property: unbounded-key dedup
     state OOMs a 100 TB stream; watermarked state is O(events per horizon).
     """
-    a = _events_stream(spark, sf_dir).filter(F.col("user_id") <= 5)
-    b = _events_stream(spark, sf_dir).filter(F.col("user_id") <= 5)
+    ss = _stream_session(spark)
+    a = _events_stream(ss, sf_dir).filter(F.col("user_id") <= 5)
+    b = _events_stream(ss, sf_dir).filter(F.col("user_id") <= 5)
     doubled = a.unionAll(b).withWatermark("ts", "1 hour")
     return run_streaming_append(
         doubled.dropDuplicatesWithinWatermark(["event_id"]).select(

@@ -75,6 +75,42 @@ def test_simhash_identity_and_stability(spark):
     assert h[0].h == h[1].h != h[2].h
 
 
+def test_simhash_block_cap_is_subset(spark):
+    """max_block_len (the r13 skew bound mirroring ngram's max_posting_len)
+    may only REMOVE pairs: capped output ⊆ uncapped at every cap, a pair
+    inside an over-full block is dropped whole, and a generous cap is a
+    no-op. Uses a corpus where several docs share a block (identical text →
+    identical signature → same 16-bit prefix)."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(1, 6)]
+    rows += [(10, "a completely different sentence about spark engines"),
+             (11, "a completely different sentence about spark engines")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    uncapped = {
+        (p.id_a, p.id_b)
+        for p in simhash_pairs(df, "id", "text", max_hamming=0).collect()
+    }
+    # 5-doc clique (10 pairs) + 2-doc pair
+    assert len(uncapped) == 11
+    for cap in (2, 4):
+        capped = {
+            (p.id_a, p.id_b)
+            for p in simhash_pairs(
+                df, "id", "text", max_hamming=0, max_block_len=cap
+            ).collect()
+        }
+        assert capped <= uncapped, f"cap={cap} invented pairs"
+        # the 5-doc block exceeds both caps and must vanish whole;
+        # the 2-doc block fits and must survive
+        assert capped == {(10, 11)}, f"cap={cap}: {capped}"
+    huge = {
+        (p.id_a, p.id_b)
+        for p in simhash_pairs(
+            df, "id", "text", max_hamming=0, max_block_len=10**6
+        ).collect()
+    }
+    assert huge == uncapped
+
+
 def test_exact_dedup_keeps_lowest_id_full_rows(spark):
     """r12 internals change (min_by aggregate instead of window row_number):
     the survivor per digest must still be the LOWEST-id row, with every

@@ -52,3 +52,13 @@ def test_cache_hit_returns_same_index(spark):
         for idx in ft._INDEX_CACHE.values():
             idx.unpersist()
         ft._INDEX_CACHE.clear()
+
+
+def test_build_empty_corpus(spark):
+    """r13 advice fix: a corpus with zero indexable docs (empty/NULL text)
+    must build (avg_dl NULL → 0.0, n_docs 0) and score to empty frames, not
+    raise TypeError at build time."""
+    empty = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
+    idx = ft.FullTextIndex.build(empty, "doc_id", "text")
+    assert idx.n_docs == 0 and idx.avg_dl == 0.0
+    assert idx.match_natural(["spark"], algo="bm25").collect() == []

@@ -137,3 +137,26 @@ def test_stateful_state_survives_micro_batches(spark, tmp_path):
     assert len(merged) == len(expect)
     assert (merged.n_events_s == merged.n_events_b).all()
     assert (merged.sum_cents_s == merged.sum_cents_b).all()
+
+
+def test_stream_session_isolates_caller_confs(spark):
+    """r13 advice fix: bounded drains run on an isolated child session — the
+    caller's session-global confs (shuffle.partitions) must never be mutated,
+    even transiently, and the child carries the drain confs."""
+    from matrixone_spark.streaming.events import (
+        _STATE_PARTITIONS,
+        _stream_session,
+        run_streaming_aggregate,
+        tumbling_event_counts,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = run_streaming_aggregate(spark, SF_DIR, tumbling_event_counts)
+    assert out.count() > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    ss = _stream_session(spark)
+    assert ss is not spark
+    assert ss.conf.get("spark.sql.shuffle.partitions") == _STATE_PARTITIONS
+    assert ss.conf.get("spark.sql.streaming.noDataMicroBatches.enabled") == "false"
+    # reused across drains (one child per application)
+    assert _stream_session(spark) is ss

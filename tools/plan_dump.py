@@ -1,8 +1,10 @@
 """Dump .explain('formatted') for bench-tagged (or named) queries.
 
 Usage:
-  python tools/plan_dump.py before            # all bench queries -> plans/r12/<q>_before.txt
-  python tools/plan_dump.py after q1 q2 ...   # named queries -> plans/r12/<q>_after.txt
+  python tools/plan_dump.py before            # all bench queries -> plans/$ROUND/<q>_before.txt
+  python tools/plan_dump.py after q1 q2 ...   # named queries -> plans/$ROUND/<q>_after.txt
+
+Round directory from $SPARK_GRAFT_PLAN_ROUND (default r13).
 """
 
 from __future__ import annotations
@@ -18,7 +20,8 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    rnd = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
     registry = load_all()
     if not names:
