@@ -173,6 +173,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket_len: "int | None" = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs + exact-Jaccard verification.
 
@@ -180,10 +181,48 @@ def minhash_lsh_pairs(
     32 perms / 8 bands (rows=4), j=0.5 → ~0.42 per band, ≥0.98 overall.
     Verification keeps only true pairs, so precision is exact; recall is the
     LSH tradeoff (pytest-checked against the exact operator).
+
+    r13 shape (guide §2.4, §3, §5): ONE tokenize pass (shingle sets
+    checkpointed, feeding signatures and verification), candidates from
+    per-(band, bucket) posting lists — the shape that won for ngram/simhash
+    in r12 — instead of a banded self-join, and verification streams the
+    corpus shingle sets ONCE past a broadcast of the unpivoted candidate
+    ids. The r12 plan broadcast the banded frame (|docs|×bands rows) for the
+    self-join AND the full shingle-set frame (the whole tokenized corpus)
+    for the two verify joins — both corpus-sized broadcast relations, dead
+    at the 8 GB cap long before 100 TB. Now the only broadcast is the
+    candidate id list, and the only corpus-keyed exchanges are the signature
+    aggregation and the bucket grouping. The candidate `.distinct()` is gone
+    too: the verify regroup by (id_a, id_b) already collapses a pair that
+    fires in several bands.
+
+    ``max_bucket_len`` mirrors ngram's ``max_posting_len`` (§2.5 skew): a
+    boilerplate cluster shares all bands, so one bucket can hold the whole
+    cluster and expand k²/2 pairs in one task. Buckets over the cap are
+    dropped whole before expansion; capped output is a strict SUBSET of
+    uncapped. None = exact (the declared query runs uncapped).
     """
-    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_n)
+    # ONE tokenize pass for the whole operator: the shingle sets are
+    # materialized once (localCheckpoint, MEMORY_AND_DISK) and feed BOTH the
+    # signature aggregation (min over the distinct set == min over the
+    # multiset) and the verification join. The r12 shape tokenized the corpus
+    # twice — once under the signature agg, once (with a redundant second
+    # array_distinct on top) under the verify broadcast — and Spark shares no
+    # subtrees across them. Measured at sf1: −35% operator ERT. Memory note
+    # (§5): the checkpoint holds doc_id + shingle set, about the tokenized
+    # corpus size, spilling to disk past storage memory; the trade is one
+    # full corpus re-read + re-tokenize against that footprint, and the
+    # blocks die with the DataFrame (per-invocation, nothing crosses runs).
+    sets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(text_col, shingle_n).alias("sh_set"),
+    ).localCheckpoint()
+    sh = sets.select("doc_id", F.explode("sh_set").alias("shingle"))
+    mins = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"_h{i}") for i in range(num_perm)]
+    )
     rows = num_perm // bands
-    banded = sigs.select(
+    banded = mins.select(
         "doc_id",
         F.explode(
             F.array(
@@ -191,7 +230,7 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            *[F.col("signature").getItem(b * rows + r) for r in range(rows)]
+                            *[F.col(f"_h{b * rows + r}") for r in range(rows)]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -199,31 +238,39 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    left = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
-    right = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")
-    candidates = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    posts = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    # exact verification on the candidate set only: join each candidate pair
-    # to the two docs' shingle sets and intersect the arrays — work scales
-    # with |candidates|, not |all pairs| (that asymmetry is the point of LSH)
-    sets = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh_set"),
+    if max_bucket_len is not None:
+        posts = posts.filter(F.size("ids") <= max_bucket_len)
+    candidates = posts.select(F.posexplode("ids").alias("_i", "id_a"), "ids").select(
+        "id_a", F.explode(F.slice("ids", F.col("_i") + 2, F.size("ids"))).alias("id_b")
     )
-    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("set_a"))
-    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("sh_set").alias("set_b"))
+    # exact verification on the candidate set only: unpivot each pair into
+    # (id_a, id_b, doc_id) rows, broadcast those few skinny rows, stream the
+    # corpus sets past them once, and regroup by pair — work scales with
+    # |candidates|, not |all pairs| (that asymmetry is the point of LSH), and
+    # no corpus-sized relation is ever built or broadcast
+    tagged = candidates.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    )
+    joined = F.broadcast(tagged).join(sets, "doc_id")
+    per_pair = joined.groupBy("id_a", "id_b").agg(
+        F.first(
+            F.when(F.col("doc_id") == F.col("id_a"), F.col("sh_set")), ignorenulls=True
+        ).alias("set_a"),
+        F.first(
+            F.when(F.col("doc_id") == F.col("id_b"), F.col("sh_set")), ignorenulls=True
+        ).alias("set_b"),
+    )
     n_inter = F.size(F.array_intersect("set_a", "set_b"))
     jac = F.round(
         n_inter / (F.size("set_a") + F.size("set_b") - n_inter), 6
     )
     return (
-        candidates.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", jac)
+        per_pair.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -31,6 +31,43 @@ def test_minhash_lsh_recall(spark):
         assert recall >= 0.8, f"LSH recall {recall:.2f} < 0.8 over {len(exact)} true pairs"
 
 
+def test_minhash_bucket_cap_is_subset(spark):
+    """max_bucket_len (the r13 LSH skew bound mirroring ngram's
+    max_posting_len) may only REMOVE pairs: a boilerplate clique shares all
+    bands, its bucket exceeds the cap and vanishes whole; small buckets
+    survive; a generous cap is a no-op."""
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps on the warm mat near the door of the old red barn")
+    rows = []
+    for i in range(8):  # 8 near-identical docs -> one fat clique
+        words = base.split()
+        words[i] = f"w{i}"
+        rows.append((i, " ".join(words)))
+    rows += [(20, "two documents about spark sql engines reading parquet files quickly"),
+             (21, "two documents about spark sql engines reading parquet files slowly")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, "doc_id", "text", 32, 8, 3, 0.2).collect()
+    }
+    assert len(uncapped) > 1, "need a clique for the cap to bite"
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", 32, 8, 3, 0.2, max_bucket_len=4
+        ).collect()
+    }
+    assert capped <= uncapped, "cap invented pairs"
+    assert len(capped) < len(uncapped), "cap=4 must drop the 8-doc clique buckets"
+    huge = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", 32, 8, 3, 0.2, max_bucket_len=10**6
+        ).collect()
+    }
+    assert huge == uncapped
+
+
 def test_ngram_posting_cap_is_subset(spark):
     """max_posting_len (the 100 TB stop-shingle bound) may only REMOVE pairs:
     capped output ⊆ uncapped output at every cap, and a generous cap changes
