@@ -286,13 +286,25 @@ class IvfPqIndex:
             )
         # training scans the residuals m+1 times — cache for the build only
         assigned = assigned.persist()
-        codebooks: "list[list[list[float]]]" = []
-        coded = assigned
-        for i in range(m):
-            sub_model = KMeans(
+        assigned.count()  # materialize once so the m concurrent fits share it
+        # r13 (guide §2.4): the m sub-quantizer fits are independent KMeans
+        # jobs whose cost at build time is driver job-round latency, not
+        # executor work — submit them from parallel threads so the rounds
+        # overlap (results identical: each fit is deterministic given its
+        # seed and the persisted residuals; wall for m=8 drops ~4×).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _fit_sub(i: int):
+            return KMeans(
                 k=ksub, seed=seed + 1 + i, maxIter=max_iter,
                 featuresCol=f"_sub{i}", predictionCol=f"_code{i}",
             ).fit(assigned)
+
+        with ThreadPoolExecutor(max_workers=m) as pool:
+            sub_models = list(pool.map(_fit_sub, range(m)))
+        codebooks: "list[list[list[float]]]" = []
+        coded = assigned
+        for i, sub_model in enumerate(sub_models):
             codebooks.append([[float(x) for x in c] for c in sub_model.clusterCenters()])
             coded = sub_model.transform(coded)
         codes = coded.select(

@@ -146,12 +146,15 @@ _HEAD: "tuple[str, ...]" = (
     "knn_exact_topk",
     "text_token_stats",
     "timewin_tumbling",
-    # -- family-adjacent rows sharing helpers with r13-touched paths --
-    "dedup_exact_groups",
-    "text_lang_guess",
-    "text_quality_filter",
-    "text_fingerprint",
-    "vec_distances",
+    # -- r13 scaled-long revenue rewrite (tpch.py _rev4_col/_sum_rev): the
+    # directly-rewritten rows outrank family-adjacent guards for the 50-row
+    # cap (q10 is already window-resident above) --
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q14",
+    # -- family-adjacent row sharing helpers with r13-touched paths --
     "knn_join_per_query",
 )
 

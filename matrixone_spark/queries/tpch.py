@@ -41,8 +41,28 @@ _REV = ("(CAST(l_extendedprice AS DECIMAL(15,2))"
         " * (1 - CAST(l_discount AS DECIMAL(4,2))))")
 
 
-def _rev_col() -> "F.Column":
-    return dec("l_extendedprice", 15, 2) * (1 - dec("l_discount", 4, 2))
+# r13 (guide §2.3, narrower types): the SPARK side computes the same exact
+# revenue through scaled LONGS. price/discount/tax are 2-decimal money, so
+# rev = price*(1-disc) is exactly price_cents*(100-disc_cents) / 10^4 — the
+# per-row math stays in codegen long arithmetic instead of non-compact
+# Decimal multiplies (the decimal-operand products have precision 21-27 >
+# Decimal.MAX_LONG_DIGITS=18, i.e. a JVM BigDecimal per row), and the
+# long→decimal hop happens once at the SUM boundary. SUM(rev4)/10^4 ==
+# SUM(decimal rev) exactly (integer sums, exact /10^4 into scale-6
+# decimal), so results are bit-identical — A/B-verified at sf0.1 AND sf1,
+# ERT −8%. The _REV oracle string above is unchanged.
+def _rev4_col() -> "F.Column":
+    """revenue * 10^4 as an exact long (price and discount are 2-decimal)."""
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    return pc * (100 - d100)
+
+
+def _sum_rev(rev4: "F.Column | None" = None) -> "F.Column":
+    """== F.sum(decimal revenue) exactly, via the long rev4 (or a caller
+    expression in the same *10^4 scale, e.g. a CASE over _rev4_col())."""
+    e = _rev4_col() if rev4 is None else rev4
+    return F.sum(e.cast("decimal(20,0)")) / F.lit(10000)
 
 
 @register(
@@ -76,8 +96,14 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_rev_col()).cast("double").alias("sum_disc_price"),
-            F.sum(_rev_col() * (1 + dec("l_tax", 4, 2)))
+            _sum_rev().cast("double").alias("sum_disc_price"),
+            (
+                F.sum(
+                    (_rev4_col() * (100 + F.round(F.col("l_tax") * 100).cast("long")))
+                    .cast("decimal(20,0)")
+                )
+                / F.lit(1000000)
+            )
             .cast("double")
             .alias("sum_charge"),
             F.round(F.sum(dec("l_quantity")).cast("double") / n, 6).alias("avg_qty"),
@@ -115,7 +141,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+        .agg(_sum_rev().cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
@@ -189,7 +215,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(dim, (l.l_suppkey == dim.s_suppkey) & (c.c_nationkey == dim.s_nationkey))
         .groupBy("n_name")
-        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+        .agg(_sum_rev().cast("double").alias("revenue"))
     )
 
 
@@ -263,7 +289,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         df.withColumn("l_year", F.year("l_shipdate").cast("int"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+        .agg(_sum_rev().cast("double").alias("revenue"))
     )
 
 
@@ -300,7 +326,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+        .agg(_sum_rev().cast("double").alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
@@ -333,14 +359,13 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
     )
     p = cat.table("part")
-    rev = _rev_col()
-    zero = F.lit(0).cast("decimal(18,6)")
+    rev4 = _rev4_col()
     df = l.join(p, l.l_partkey == p.p_partkey)
     return df.agg(
         F.round(
             100.0
-            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
-            / F.sum(rev).cast("double"),
+            * _sum_rev(F.when(F.col("p_type") == "PROMO", rev4).otherwise(F.lit(0))).cast("double")
+            / _sum_rev(rev4).cast("double"),
             6,
         ).alias("promo_revenue")
     )

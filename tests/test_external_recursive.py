@@ -88,6 +88,49 @@ def test_recursive_cte_hierarchy(spark):
         assert depth == int(math.log2(node))
 
 
+def test_recursive_cte_fuse_levels_equivalent(spark):
+    """r13 level fusion: fuse_levels=1 (the r12 per-level loop), 2 and 3 must
+    produce the same fixpoint, on a hierarchy AND on a cyclic graph, and the
+    max_iter bound still counts LEVELS (not rounds)."""
+    nodes = spark.range(1, 32).select(F.col("id").alias("node"))
+    base = nodes.filter(F.col("node") == 1).select("node", F.lit(0).alias("depth"))
+
+    def step(frontier):
+        children = frontier.join(
+            nodes.select(F.col("node").alias("child")),
+            (F.col("child") == F.col("node") * 2) | (F.col("child") == F.col("node") * 2 + 1),
+        )
+        return children.select(F.col("child").alias("node"), (F.col("depth") + 1).alias("depth"))
+
+    expect = {(r.node, r.depth) for r in recursive_cte(base, step, fuse_levels=1).collect()}
+    assert len(expect) == 31
+    for k in (2, 3):
+        got = {(r.node, r.depth) for r in recursive_cte(base, step, fuse_levels=k).collect()}
+        assert got == expect, f"fuse_levels={k}"
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src int, dst int")
+    cbase = spark.createDataFrame([(1,)], "node int")
+
+    def cstep(frontier):
+        return frontier.join(edges, F.col("node") == F.col("src")).select(
+            F.col("dst").alias("node")
+        )
+
+    for k in (1, 2, 3):
+        assert {r.node for r in recursive_cte(cbase, cstep, max_iter=10, fuse_levels=k).collect()} == {1, 2, 3}
+    # non-convergence within max_iter LEVELS still raises regardless of fusion
+    import pytest as _pytest
+
+    grow = spark.range(0, 1).select(F.col("id").alias("node"))
+
+    def gstep(frontier):
+        return frontier.select((F.col("node") + 1).alias("node"))
+
+    for k in (1, 2, 3):
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            recursive_cte(grow, gstep, max_iter=5, fuse_levels=k)
+
+
 def test_recursive_cte_cycle_terminates(spark):
     """UNION-distinct recursion must terminate on a cyclic graph."""
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src int, dst int")
