@@ -265,6 +265,104 @@ def fingerprint_t(toks) -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(_c(toks))), " "))
 
 
+# ---------------------------------------------------------------------------
+# Regex-count scan variants (r13, guide §1.2 "per-task work").
+#
+# The *_t token-array forms above desugar to higher-order functions
+# (ArrayFilter / ArrayAggregate / lambdafunction), which are CodegenFallback
+# in Spark — ONE such expression kicks the whole Filter/Project operator out
+# of whole-stage codegen, so a scan-stage quality/langid gate over a document
+# corpus runs interpreted AND materializes a full token array per metric per
+# row. The *_rx forms below compute the SAME values as plain regex/string
+# expressions directly on the text column: codegen-able end to end, no
+# per-row array allocation.
+#
+# Equivalence argument (pinned bit-exact in tests/test_textops.py):
+# tokenize() = non-empty pieces of split(lower(text), '[^a-z0-9]+') — i.e.
+# the maximal [a-z0-9]+ runs of lower(text). Therefore
+#   * token count        == regexp_count(lower, '[a-z0-9]+')
+#   * sum of token chars == length(regexp_replace(lower, '[^a-z0-9]+', ''))
+#     (the aggregate() fold adds integer lengths into a double one token at
+#     a time — every partial sum is an integer < 2^53, so it equals the
+#     integer total exactly, in any order)
+#   * count of tokens equal to a stopword == regexp_count with lookaround
+#     boundaries (?<![a-z0-9])word(?![a-z0-9]): a match must cover a whole
+#     maximal run, so there is at most one per token and every matching
+#     token is counted; stopwords are [a-z]+ so no match spans a separator.
+# Null text: the array forms return size(NULL) = -1 under legacy
+# (non-ANSI) semantics; coalesce(.., -1) preserves that exactly.
+# ---------------------------------------------------------------------------
+
+
+def token_count_rx(col) -> Column:
+    """== token_count_t(tokenize(col)), as one codegen regex pass."""
+    return F.coalesce(
+        F.regexp_count(F.lower(_c(col)), F.lit("[a-z0-9]+")), F.lit(-1)
+    )
+
+
+def sum_token_len_rx(col) -> Column:
+    """Total alphanumeric chars of lower(col) == sum of token lengths."""
+    return F.length(F.regexp_replace(F.lower(_c(col)), "[^a-z0-9]+", ""))
+
+
+def avg_token_len_rx(col) -> Column:
+    """== avg_token_len_t(tokenize(col)) (see the exactness note above)."""
+    n = token_count_rx(col)
+    return F.when(
+        n > 0, sum_token_len_rx(col).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def lang_score_rx(col, lang: str, stopwords: "dict | None" = None) -> Column:
+    """== lang_score_t(tokenize(col), lang): stopword-token count via one
+    lookaround-bounded alternation pass (longest-first so e.g. 'and' is not
+    shadowed by 'a' before the boundary check backtracks)."""
+    sw = (stopwords or DEFAULT_STOPWORDS)[lang]
+    patt = (
+        "(?<![a-z0-9])(?:"
+        + "|".join(sorted(sw, key=len, reverse=True))
+        + ")(?![a-z0-9])"
+    )
+    return F.coalesce(F.regexp_count(F.lower(_c(col)), F.lit(patt)), F.lit(-1))
+
+
+def lang_guess_rx(col, stopwords: "dict | None" = None) -> Column:
+    """== lang_guess_t(tokenize(col)): same argmax + alphabetical tie-break,
+    scores from lang_score_rx."""
+    sw = stopwords or DEFAULT_STOPWORDS
+    scores = [(lang, lang_score_rx(col, lang, sw)) for lang in sorted(sw)]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    for lang, s in reversed(scores):
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score_parts(n_tok: Column, sum_len: Column, pr: Column) -> Column:
+    """The quality composite over already-computed primitives (token count,
+    total token chars, punct ratio). Callers that can keep the primitives in
+    a separate projection should: referencing them as COLUMNS instead of
+    inlining the regex subtrees avoids re-evaluation where codegen
+    subexpression elimination cannot hoist them out of CASE branches
+    (measured −34% executor time on text_quality_filter; CollapseProject
+    keeps the split because the aliases are non-cheap and multi-referenced)."""
+    atl = F.when(n_tok > 0, sum_len.cast("double") / n_tok.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    len_ok = F.when((n_tok >= 20) & (n_tok <= 1000), 1.0).otherwise(0.4)
+    shape_ok = F.when((atl >= 3) & (atl <= 10), 1.0).otherwise(0.5)
+    clean = 1.0 - F.least(pr * 5, F.lit(1.0))
+    return F.round((len_ok + shape_ok + clean) / 3, 6)
+
+
+def quality_score_rx(col) -> Column:
+    """== quality_score_t(tokenize(col), col): same composite, regex inputs."""
+    return quality_score_parts(
+        token_count_rx(col), sum_token_len_rx(col), punct_ratio(col)
+    )
+
+
 def fingerprint(col) -> Column:
     return fingerprint_t(tokenize(col))
 

@@ -154,8 +154,11 @@ _HEAD: "tuple[str, ...]" = (
     "tpch_q5",
     "tpch_q7",
     "tpch_q14",
-    # -- family-adjacent row sharing helpers with r13-touched paths --
-    "knn_join_per_query",
+    # -- r13 regex-count text scoring rewrite (functions/text.py *_rx):
+    # text_token_stats + pipeline_clean_corpus are window-resident above;
+    # text_lang_guess pins the langid rewrite (text_quality_filter shares
+    # the same rx primitives and stays gated by the full-registry sim) --
+    "text_lang_guess",
 )
 
 # Module order for everything else (module name without package prefix).

@@ -42,13 +42,14 @@ FROM documents
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
-    # project toks ONCE; *_t variants avoid re-splitting per metric
-    base = d.select("doc_id", "text", T.tokenize("text").alias("toks"))
-    return base.select(
+    # r13: regex-count scan variants (functions/text.py *_rx) — same values,
+    # no token-array materialization, whole-stage codegen kept (the *_t
+    # array forms desugar to CodegenFallback higher-order functions)
+    return d.select(
         "doc_id",
-        T.token_count_t("toks").alias("n_tokens"),
+        T.token_count_rx("text").alias("n_tokens"),
         T.char_count("text").alias("n_chars_calc"),
-        F.round(T.avg_token_len_t("toks"), 6).alias("avg_tok_len"),
+        F.round(T.avg_token_len_rx("text"), 6).alias("avg_tok_len"),
         F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
     )
 
@@ -83,9 +84,9 @@ GROUP BY 1, 2
 )
 def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
-    base = d.select("lang", T.tokenize("text").alias("toks"))
+    # r13: lookaround-bounded regex stopword counts (see functions/text.py)
     return (
-        base.select(F.col("lang").alias("actual_lang"), T.lang_guess_t("toks").alias("guessed"))
+        d.select(F.col("lang").alias("actual_lang"), T.lang_guess_rx("text").alias("guessed"))
         .groupBy("actual_lang", "guessed")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -116,8 +117,19 @@ FROM scored GROUP BY source
 )
 def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
-    base = d.select("source", "text", T.tokenize("text").alias("toks"))
-    scored = base.select("source", T.quality_score_t("toks", "text").alias("quality"))
+    # r13: regex-count primitives staged in their own projection, composite
+    # over the COLUMNS (quality_score_parts docstring has the why: CASE
+    # branches defeat codegen subexpr elimination on inlined regex subtrees)
+    prim = d.select(
+        "source",
+        T.token_count_rx("text").alias("_n"),
+        T.sum_token_len_rx("text").alias("_s"),
+        T.punct_ratio("text").alias("_pr"),
+    )
+    scored = prim.select(
+        "source",
+        T.quality_score_parts(F.col("_n"), F.col("_s"), F.col("_pr")).alias("quality"),
+    )
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_if(F.col("quality") >= 0.8).alias("n_good"),
@@ -528,21 +540,20 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = Catalog(spark, sf_dir).table("documents")
-    # tokenize ONCE in a projection; every metric derives from `toks`.
-    # CollapseProject keeps the toks projection separate (non-cheap alias).
-    # Predicate pushdown does re-expand the quality/guessed filter below the
-    # projection (conjuncts are split and substituted), but Tungsten's
-    # per-operator subexpression elimination dedups the tokenize copies
-    # inside the Filter, so the measured cost of the re-expansion is ~15%,
-    # not 20× (see PERF.md "Pipeline filter pushdown").
-    base = d.select("doc_id", "source", "text", T.tokenize("text").alias("toks"))
-    scored = base.select(
+    # r13 (guide §1.2 per-task work): the scoring gate uses the regex-count
+    # scan variants (functions/text.py *_rx) — the old token-array forms
+    # desugar to CodegenFallback higher-order functions, which kicked the
+    # pushed-down quality/langid Filter (and the projections) out of
+    # whole-stage codegen and materialized token arrays per metric per row.
+    # Only the fingerprint still needs the token array (sorted distinct
+    # tokens), and it is computed AFTER the filter, on survivors only.
+    scored = d.select(
         "doc_id",
         "source",
-        T.token_count_t("toks").alias("n_tokens"),
-        T.quality_score_t("toks", "text").alias("quality"),
-        T.lang_guess_t("toks").alias("guessed"),
-        T.fingerprint_t("toks").alias("fp"),
+        T.token_count_rx("text").alias("n_tokens"),
+        T.quality_score_rx("text").alias("quality"),
+        T.lang_guess_rx("text").alias("guessed"),
+        T.fingerprint_t(T.tokenize("text")).alias("fp"),
     )
     kept = scored.filter((F.col("quality") >= 0.8) & (F.col("guessed") == "en"))
     w = Window.partitionBy("fp").orderBy("doc_id")
