@@ -44,7 +44,19 @@ def tokenize(col, mode: str = "simple") -> Column:
         from matrixone_spark.functions.cjk_dict import tokenize_dict
 
         return tokenize_dict(col)
+    # r13 (guide §5, driver work): for a plain column name, build the whole
+    # expression as ONE SQL string parsed JVM-side — the Column-API chain
+    # cost ~10 py4j round-trips per call; the string parses to the identical
+    # expression tree (lambda variable naming aside, which Catalyst ignores).
+    if isinstance(col, str):
+        return F.expr(tokenize_sql(col))
     return F.filter(F.split(F.lower(_c(col)), _TOKEN_SPLIT), lambda t: t != "")
+
+
+def tokenize_sql(col_sql: str) -> str:
+    """SQL-string form of simple-mode tokenize (col_sql is a column name or
+    any SQL expression producing the text)."""
+    return f"filter(split(lower({col_sql}), '{_TOKEN_SPLIT}'), t -> t != '')"
 
 
 # Breakers, reference monlp/tokenizer/simple.go isBreakerRune: ASCII
@@ -294,42 +306,102 @@ def fingerprint_t(toks) -> Column:
 # ---------------------------------------------------------------------------
 
 
+# r13 (guide §5, driver work): each *_rx function has a *_rx_sql twin that
+# renders the SAME expression as one SQL string; the public functions
+# dispatch on a plain string column name to a single F.expr parse call —
+# the Column-API chains cost hundreds of py4j round-trips per plan build
+# (pipeline_clean_corpus: ~1100). The strings mirror the Column trees node
+# for node (nested CASE chain, operand order, `D`-suffixed double literals
+# — bare `0.4` parses as DECIMAL in Spark SQL), so the parsed plans are
+# identical; plan-diff-verified and pinned by the existing bit-exact tests.
+
+
+def token_count_rx_sql(col_sql: str) -> str:
+    return f"coalesce(regexp_count(lower({col_sql}), '[a-z0-9]+'), -1)"
+
+
 def token_count_rx(col) -> Column:
     """== token_count_t(tokenize(col)), as one codegen regex pass."""
+    if isinstance(col, str):
+        return F.expr(token_count_rx_sql(col))
     return F.coalesce(
         F.regexp_count(F.lower(_c(col)), F.lit("[a-z0-9]+")), F.lit(-1)
     )
 
 
+def sum_token_len_rx_sql(col_sql: str) -> str:
+    return f"length(regexp_replace(lower({col_sql}), '[^a-z0-9]+', ''))"
+
+
 def sum_token_len_rx(col) -> Column:
     """Total alphanumeric chars of lower(col) == sum of token lengths."""
+    if isinstance(col, str):
+        return F.expr(sum_token_len_rx_sql(col))
     return F.length(F.regexp_replace(F.lower(_c(col)), "[^a-z0-9]+", ""))
+
+
+def avg_token_len_rx_sql(col_sql: str) -> str:
+    n = token_count_rx_sql(col_sql)
+    return (
+        f"CASE WHEN {n} > 0 THEN CAST({sum_token_len_rx_sql(col_sql)} AS DOUBLE)"
+        f" / CAST({n} AS DOUBLE) ELSE 0.0D END"
+    )
 
 
 def avg_token_len_rx(col) -> Column:
     """== avg_token_len_t(tokenize(col)) (see the exactness note above)."""
+    if isinstance(col, str):
+        return F.expr(avg_token_len_rx_sql(col))
     n = token_count_rx(col)
     return F.when(
         n > 0, sum_token_len_rx(col).cast("double") / n.cast("double")
     ).otherwise(F.lit(0.0))
 
 
-def lang_score_rx(col, lang: str, stopwords: "dict | None" = None) -> Column:
-    """== lang_score_t(tokenize(col), lang): stopword-token count via one
-    lookaround-bounded alternation pass (longest-first so e.g. 'and' is not
-    shadowed by 'a' before the boundary check backtracks)."""
+def _stopword_patt(lang: str, stopwords: "dict | None") -> str:
     sw = (stopwords or DEFAULT_STOPWORDS)[lang]
-    patt = (
+    return (
         "(?<![a-z0-9])(?:"
         + "|".join(sorted(sw, key=len, reverse=True))
         + ")(?![a-z0-9])"
     )
+
+
+def lang_score_rx_sql(col_sql: str, lang: str, stopwords: "dict | None" = None) -> str:
+    return (
+        f"coalesce(regexp_count(lower({col_sql}),"
+        f" '{_stopword_patt(lang, stopwords)}'), -1)"
+    )
+
+
+def lang_score_rx(col, lang: str, stopwords: "dict | None" = None) -> Column:
+    """== lang_score_t(tokenize(col), lang): stopword-token count via one
+    lookaround-bounded alternation pass (longest-first so e.g. 'and' is not
+    shadowed by 'a' before the boundary check backtracks)."""
+    if isinstance(col, str):
+        return F.expr(lang_score_rx_sql(col, lang, stopwords))
+    patt = _stopword_patt(lang, stopwords)
     return F.coalesce(F.regexp_count(F.lower(_c(col)), F.lit(patt)), F.lit(-1))
+
+
+def lang_guess_rx_sql(col_sql: str, stopwords: "dict | None" = None) -> str:
+    sw = stopwords or DEFAULT_STOPWORDS
+    scores = [(lang, lang_score_rx_sql(col_sql, lang, sw)) for lang in sorted(sw)]
+    best = "greatest(" + ", ".join(s for _, s in scores) + ")"
+    expr = "'und'"
+    for lang, s in reversed(scores):
+        expr = (
+            f"CASE WHEN (({s}) = {best}) AND ({best} > 0)"
+            f" THEN '{lang}' ELSE {expr} END"
+        )
+    return expr
 
 
 def lang_guess_rx(col, stopwords: "dict | None" = None) -> Column:
     """== lang_guess_t(tokenize(col)): same argmax + alphabetical tie-break,
     scores from lang_score_rx."""
+    if isinstance(col, str):
+        return F.expr(lang_guess_rx_sql(col, stopwords))
     sw = stopwords or DEFAULT_STOPWORDS
     scores = [(lang, lang_score_rx(col, lang, sw)) for lang in sorted(sw)]
     best = F.greatest(*[s for _, s in scores])
@@ -356,14 +428,44 @@ def quality_score_parts(n_tok: Column, sum_len: Column, pr: Column) -> Column:
     return F.round((len_ok + shape_ok + clean) / 3, 6)
 
 
+def punct_ratio_sql(col_sql: str) -> str:
+    return (
+        f"CASE WHEN length({col_sql}) > 0"
+        f" THEN length(regexp_replace({col_sql}, '[A-Za-z0-9 ]', ''))"
+        f" / length({col_sql}) ELSE 0.0D END"
+    )
+
+
+def quality_score_rx_sql(col_sql: str) -> str:
+    n = token_count_rx_sql(col_sql)
+    atl = avg_token_len_rx_sql(col_sql)
+    pr = punct_ratio_sql(col_sql)
+    len_ok = f"CASE WHEN ({n} >= 20) AND ({n} <= 1000) THEN 1.0D ELSE 0.4D END"
+    shape_ok = (
+        f"CASE WHEN (({atl}) >= 3) AND (({atl}) <= 10) THEN 1.0D ELSE 0.5D END"
+    )
+    clean = f"(1.0D - least(({pr}) * 5, 1.0D))"
+    return f"round((({len_ok} + {shape_ok}) + {clean}) / 3, 6)"
+
+
 def quality_score_rx(col) -> Column:
     """== quality_score_t(tokenize(col), col): same composite, regex inputs."""
+    if isinstance(col, str):
+        return F.expr(quality_score_rx_sql(col))
     return quality_score_parts(
         token_count_rx(col), sum_token_len_rx(col), punct_ratio(col)
     )
 
 
+def fingerprint_sql(col_sql: str) -> str:
+    return (
+        f"md5(array_join(array_sort(array_distinct({tokenize_sql(col_sql)})), ' '))"
+    )
+
+
 def fingerprint(col) -> Column:
+    if isinstance(col, str):
+        return F.expr(fingerprint_sql(col))
     return fingerprint_t(tokenize(col))
 
 

@@ -105,8 +105,16 @@ def subvector(col, start: int, length: "int | None" = None) -> Column:
 
 
 def lit_vector(vec: "list[float]") -> Column:
-    """Constant query vector as an array<double> literal."""
-    return F.array(*[F.lit(float(v)) for v in vec])
+    """Constant query vector as an array<double> literal.
+
+    r13 (guide §5, driver work): built as ONE SQL expression string parsed
+    JVM-side — the Column-API form (`F.array(*[F.lit(v) ...])`) cost a py4j
+    round-trip per element (65 for a 64-dim query vector) of driver-side
+    Python latency per plan build. `repr(float)` is the shortest exact
+    round-trip decimal, and the `D` suffix makes each element a DoubleType
+    literal, so the parsed array is bit-identical to the old literals.
+    """
+    return F.expr("array({})".format(", ".join(f"{float(v)!r}D" for v in vec)))
 
 
 # --- base64 vector codecs (func_unary.go:5849 VecFromBase64: base64 of the

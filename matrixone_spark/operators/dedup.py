@@ -51,11 +51,35 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 
 def word_shingles(col, n: int = 3):
-    """Distinct word n-grams of a text column (array expression)."""
+    """Distinct word n-grams of a text column (array expression).
+
+    r13 (guide §5, driver work): for a plain column name the expression is
+    built as ONE SQL string parsed JVM-side — the Column-API chain cost ~40
+    py4j round-trips per call; identical expression tree either way (the
+    `toks` subtree is duplicated per use in both forms; Catalyst's
+    subexpression elimination handles it).
+    """
+    if isinstance(col, str):
+        return F.expr(word_shingles_sql(col, n))
     toks = tokenize(col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
+
+
+def word_shingles_sql(col_sql: str, n: int = 3) -> str:
+    """SQL-string form of word_shingles."""
+    from matrixone_spark.functions.text import tokenize_sql
+
+    toks = tokenize_sql(col_sql)
+    grams = (
+        f"transform(sequence(0, greatest(size({toks}) - {n}, 0)),"
+        f" i -> array_join(slice({toks}, i + 1, {n}), ' '))"
+    )
+    return (
+        f"array_distinct(CASE WHEN size({toks}) >= {n} THEN {grams}"
+        f" ELSE array() END)"
+    )
 
 
 def ngram_jaccard_pairs(
@@ -98,44 +122,44 @@ def ngram_jaccard_pairs(
     # array_sort over (doc_id, sz) structs orders by doc_id first (doc_id is
     # unique within a posting list), so pair order matches the old
     # array_sort(collect_list(doc_id)) exactly.
+    # r13 (guide §5, driver work): the chain below is built from SQL strings
+    # parsed JVM-side — the Column-API form cost ~250 py4j round-trips of
+    # driver-side Python latency per plan build; identical expression trees
+    # (plan-diff-verified).
     sh = docs.select(
-        F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("_sh")
-    ).select("doc_id", F.size("_sh").alias("sz"), F.explode("_sh").alias("shingle"))
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"{word_shingles_sql(text_col, n)} AS _sh"),
+    ).selectExpr("doc_id", "size(_sh) AS sz", "explode(_sh) AS shingle")
     posts = (
         sh.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sz"))).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .agg(F.expr("array_sort(collect_list(struct(doc_id, sz))) AS ids"))
+        .filter("size(ids) > 1")
     )
     if max_posting_len is not None:
-        posts = posts.filter(F.size("ids") <= max_posting_len)
+        posts = posts.filter(f"size(ids) <= {int(max_posting_len)}")
     # pair expansion as two flat generators (posexplode the anchor, explode
     # the tail slice) — same pairs as a nested-transform struct array but a
     # far smaller expression tree, which keeps analysis + codegen cheap
-    pairs = posts.select(F.posexplode("ids").alias("_i", "a"), "ids").select(
-        "a", F.explode(F.slice("ids", F.col("_i") + 2, F.size("ids"))).alias("b")
+    pairs = posts.select(F.posexplode("ids").alias("_i", "a"), "ids").selectExpr(
+        "a", "explode(slice(ids, _i + 2, size(ids))) AS b"
     )
     inter = (
-        pairs.select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.sz").alias("size_a"),
-            F.col("b.sz").alias("size_b"),
+        pairs.selectExpr(
+            "a.doc_id AS id_a", "b.doc_id AS id_b", "a.sz AS size_a", "b.sz AS size_b"
         )
         .groupBy("id_a", "id_b")
         .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.min("size_a").alias("size_a"),
-            F.min("size_b").alias("size_b"),
+            F.expr("count(1) AS n_inter"),
+            F.expr("min(size_a) AS size_a"),
+            F.expr("min(size_b) AS size_b"),
         )
     )
     return (
         inter.withColumn(
             "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 6
-            ),
+            F.expr("round(n_inter / ((size_a + size_b) - n_inter), 6)"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(f"jaccard >= {float(threshold)!r}D")
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -223,25 +247,23 @@ def minhash_lsh_pairs(
         word_shingles(text_col, shingle_n).alias("sh_set"),
     ).localCheckpoint()
     sh = sets.select("doc_id", F.explode("sh_set").alias("shingle"))
+    # r13 (guide §5, driver work): the per-permutation min-aggregates and the
+    # band-struct array are built as SQL strings parsed JVM-side in one call
+    # each — the Column-API form cost ~200 py4j round-trips of driver-side
+    # Python latency per INVOCATION (same fix as the signature builders;
+    # expressions parse to the identical plan).
     mins = sh.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"_h{i}") for i in range(num_perm)]
+        *[F.expr(f"min(xxhash64(shingle, {i})) AS _h{i}") for i in range(num_perm)]
     )
     rows = num_perm // bands
-    banded = mins.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"_h{b * rows + r}") for r in range(rows)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', xxhash64({hs}))".format(
+            b=b, hs=", ".join(f"_h{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    banded = mins.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS bb"
     ).select("doc_id", "bb.band", "bb.bucket")
     posts = (
         banded.groupBy("band", "bucket")
@@ -258,25 +280,23 @@ def minhash_lsh_pairs(
     # corpus sets past them once, and regroup by pair — work scales with
     # |candidates|, not |all pairs| (that asymmetry is the point of LSH), and
     # no corpus-sized relation is ever built or broadcast
-    tagged = candidates.select(
-        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    tagged = candidates.selectExpr(
+        "id_a", "id_b", "explode(array(id_a, id_b)) AS doc_id"
     )
     joined = F.broadcast(tagged).join(sets, "doc_id")
     per_pair = joined.groupBy("id_a", "id_b").agg(
-        F.first(
-            F.when(F.col("doc_id") == F.col("id_a"), F.col("sh_set")), ignorenulls=True
-        ).alias("set_a"),
-        F.first(
-            F.when(F.col("doc_id") == F.col("id_b"), F.col("sh_set")), ignorenulls=True
-        ).alias("set_b"),
+        F.expr("first(CASE WHEN doc_id = id_a THEN sh_set END, true) AS set_a"),
+        F.expr("first(CASE WHEN doc_id = id_b THEN sh_set END, true) AS set_b"),
     )
-    n_inter = F.size(F.array_intersect("set_a", "set_b"))
-    jac = F.round(
-        n_inter / (F.size("set_a") + F.size("set_b") - n_inter), 6
-    )
+    n_inter = "size(array_intersect(set_a, set_b))"
     return (
-        per_pair.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
+        per_pair.withColumn(
+            "jaccard",
+            F.expr(
+                f"round({n_inter} / ((size(set_a) + size(set_b)) - {n_inter}), 6)"
+            ),
+        )
+        .filter(f"jaccard >= {float(threshold)!r}D")
         .select("id_a", "id_b", "jaccard")
     )
 

@@ -58,14 +58,18 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over a handful of rows at any scale. Same results, measured sf0.1:
     # executor-run-time 1.34s -> 0.99s; at 100 TB it replaces a fact-table
     # sort with a 2-column pruned rescan.
+    # r13 (guide §5, driver work): aggregates as SQL strings parsed JVM-side
+    # in one call each — the Column-API form cost ~320 py4j round-trips
+    # (~0.15 s driver-side Python) per plan build; expressions parse to the
+    # identical plan (plans/r13b/agg_basic_{before,after}.txt diff clean).
     o = Catalog(spark, sf_dir).table("orders")
     num = o.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.countDistinct("o_custkey").alias("uniq_cust"),
-        F.min("o_totalprice").cast("double").alias("min_price"),
-        F.max("o_totalprice").cast("double").alias("max_price"),
-        F.min("o_orderdate").alias("first_date"),
-        F.sum(dec("o_totalprice")).cast("double").alias("sum_price"),
+        F.expr("count(1) AS cnt"),
+        F.expr("count(DISTINCT o_custkey) AS uniq_cust"),
+        F.expr("CAST(min(o_totalprice) AS DOUBLE) AS min_price"),
+        F.expr("CAST(max(o_totalprice) AS DOUBLE) AS max_price"),
+        F.expr("min(o_orderdate) AS first_date"),
+        F.expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price"),
     )
     # NOTE: a plain .distinct() here gets collapsed by the optimizer (max is
     # duplicate-agnostic), reinstating partial_max(string) + full-table Sort;
@@ -75,10 +79,10 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~|status|x|priority| rows BEFORE any sort (plans/r12/agg_basic_after.txt).
     prio = (
         o.groupBy("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") > 0)
+        .agg(F.expr("count(1) AS _c"))
+        .filter("_c > 0")
         .groupBy("o_orderstatus")
-        .agg(F.max("o_orderpriority").alias("max_prio"))
+        .agg(F.expr("max(o_orderpriority) AS max_prio"))
     )
     return num.join(F.broadcast(prio), "o_orderstatus").select(
         "o_orderstatus", "cnt", "uniq_cust", "min_price", "max_price",

@@ -30,11 +30,15 @@ _S2_BASE_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 _S2_BASE_CACHE_MAX = 4
 
 
-def _s2_bench_base(df: DataFrame, sf_dir: str) -> DataFrame:
-    key = (df.sparkSession.sparkContext.applicationId, sf_dir)
+def _s2_bench_base(spark, sf_dir: str, build) -> DataFrame:
+    """``build`` is a thunk returning the frame to persist — lazy so a warm
+    cache hit skips the whole plan construction (r13, guide §5 driver work:
+    the eager form built ~500 py4j calls of pts+S2-bucket expressions per
+    invocation only to discard them on the cache hit)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _S2_BASE_CACHE.get(key)
     if cached is None:
-        cached = df.persist()
+        cached = build().persist()
         _S2_BASE_CACHE[key] = cached
         while len(_S2_BASE_CACHE) > _S2_BASE_CACHE_MAX:
             _, old = _S2_BASE_CACHE.popitem(last=False)
@@ -720,27 +724,28 @@ def geo_s2_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def geo_s2_join_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matrixone_spark.functions import s2cell as S2
 
-    c = Catalog(spark, sf_dir).table("customer")
-    k = F.col("c_custkey")
-    # sf0.1 customer is one small parquet split; spread it so the cell math
-    # and the verify run on all cores (at real scale the scan is already
-    # partitioned and the shuffle keys this by cell anyway)
-    pts = c.select(
-        k.alias("id"),
-        ((k % 720).cast("double") / 2.0 - 179.5).alias("lon"),
-        ((k % 340).cast("double") / 2.0 - 84.5).alias("lat"),
-    )
     # ONE fused mapInArrow pass (cell id + neighbor buckets, round-5): the
     # cold path pays a single Python-worker launch on the scan's natural
     # partitioning; the bucket equi-join's shuffle then spreads the verify
     # across all cores. Both join branches read the same persisted frame.
     # Bounded cache keyed by (app, sf_dir) — at 100 TB this is the table
     # you'd write out partitioned by cell; persisting the annotated points
-    # is the in-session analogue.
-    base = _s2_bench_base(
-        S2.with_s2_buckets(pts, "lon", "lat", "cell", "buckets", level=5),
-        sf_dir,
-    )
+    # is the in-session analogue. Built lazily: a warm cache hit skips the
+    # pts + S2-bucket plan construction entirely.
+    def _build() -> DataFrame:
+        c = Catalog(spark, sf_dir).table("customer")
+        k = F.col("c_custkey")
+        # sf0.1 customer is one small parquet split; spread it so the cell
+        # math and the verify run on all cores (at real scale the scan is
+        # already partitioned and the shuffle keys this by cell anyway)
+        pts = c.select(
+            k.alias("id"),
+            ((k % 720).cast("double") / 2.0 - 179.5).alias("lon"),
+            ((k % 340).cast("double") / 2.0 - 84.5).alias("lat"),
+        )
+        return S2.with_s2_buckets(pts, "lon", "lat", "cell", "buckets", level=5)
+
+    base = _s2_bench_base(spark, sf_dir, _build)
     expanded = base.select(
         F.col("id").alias("id_b"),
         F.col("lon").alias("lon_b"),
@@ -752,20 +757,28 @@ def geo_s2_join_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").alias("bucket"),
     )
     # haversine on raw lon/lat columns — pure codegen math in the verify, no
-    # WKT string round-trip on the candidate set
-    la1, la2 = F.radians("lat_a"), F.radians("lat_b")
-    dlat, dlon = la2 - la1, F.radians("lon_b") - F.radians("lon_a")
-    h = (F.sin(dlat / 2) * F.sin(dlat / 2)
-         + F.cos(la1) * F.cos(la2) * F.sin(dlon / 2) * F.sin(dlon / 2))
-    dist = 2.0 * F.asin(F.sqrt(h)) * G.EARTH_RADIUS_M
+    # WKT string round-trip on the candidate set. SQL strings (r13 guide §5
+    # driver work — one parse call instead of ~60 py4j round-trips; the `D`
+    # suffixes keep every non-integral literal a DOUBLE, matching the old
+    # F.lit floats — bare `2.0` parses as DECIMAL in Spark SQL).
+    la1, la2 = "radians(lat_a)", "radians(lat_b)"
+    dlat = f"({la2} - {la1})"
+    dlon = "(radians(lon_b) - radians(lon_a))"
+    h = (
+        f"(sin({dlat} / 2) * sin({dlat} / 2)"
+        f" + cos({la1}) * cos({la2}) * sin({dlon} / 2) * sin({dlon} / 2))"
+    )
+    # (asin(..) * 2.0) keeps the old Column form's operand order (Python's
+    # `2.0 * col` went through __rmul__) so the plan stays byte-identical
+    dist = f"((asin(sqrt({h})) * 2.0D) * {G.EARTH_RADIUS_M!r}D)"
     return (
         a.join(expanded, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist_m", dist)
-        .filter(F.col("dist_m") <= 120000.0)
+        .filter("id_a < id_b")
+        .withColumn("dist_m", F.expr(dist))
+        .filter("dist_m <= 120000.0D")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.sum(F.col("dist_m")) / 1000.0, 0).alias("sum_km"),
+            F.expr("count(1) AS n_pairs"),
+            F.expr("round(sum(dist_m) / 1000.0D, 0) AS sum_km"),
         )
     )
 

@@ -547,21 +547,25 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole-stage codegen and materialized token arrays per metric per row.
     # Only the fingerprint still needs the token array (sorted distinct
     # tokens), and it is computed AFTER the filter, on survivors only.
-    scored = d.select(
+    # r13 (guide §5, driver work): the whole scored projection and the final
+    # aggregates are SQL strings (one parse call each) — the Column-API form
+    # cost ~1100 py4j round-trips (~0.24 s driver-side Python) per plan build
+    scored = d.selectExpr(
         "doc_id",
         "source",
-        T.token_count_rx("text").alias("n_tokens"),
-        T.quality_score_rx("text").alias("quality"),
-        T.lang_guess_rx("text").alias("guessed"),
-        T.fingerprint_t(T.tokenize("text")).alias("fp"),
+        f"{T.token_count_rx_sql('text')} AS n_tokens",
+        f"{T.quality_score_rx_sql('text')} AS quality",
+        f"{T.lang_guess_rx_sql('text')} AS guessed",
+        f"{T.fingerprint_sql('text')} AS fp",
     )
-    kept = scored.filter((F.col("quality") >= 0.8) & (F.col("guessed") == "en"))
+    kept = scored.filter("quality >= 0.8D AND guessed = 'en'")
     w = Window.partitionBy("fp").orderBy("doc_id")
     dedup = kept.withColumn("rn", F.row_number().over(w))
     return dedup.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_candidates"),
-        F.count_if(F.col("rn") == 1).alias("n_kept"),
-        F.coalesce(F.sum(F.when(F.col("rn") == 1, F.col("n_tokens"))), F.lit(0))
-        .cast("bigint")
-        .alias("tokens_kept"),
+        F.expr("count(1) AS n_candidates"),
+        F.expr("count_if(rn = 1) AS n_kept"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN rn = 1 THEN n_tokens END), 0) AS BIGINT)"
+            " AS tokens_kept"
+        ),
     )

@@ -51,18 +51,30 @@ _REV = ("(CAST(l_extendedprice AS DECIMAL(15,2))"
 # SUM(decimal rev) exactly (integer sums, exact /10^4 into scale-6
 # decimal), so results are bit-identical — A/B-verified at sf0.1 AND sf1,
 # ERT −8%. The _REV oracle string above is unchanged.
+# r13 (guide §5, driver work): these helpers build SQL strings parsed
+# JVM-side in one F.expr call — the Column-API form cost ~40 py4j
+# round-trips per use of pure driver-side Python latency per plan build;
+# the strings parse to the identical expression tree (plan-diff-verified).
+_REV4_SQL = (
+    "(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+)
+
+
 def _rev4_col() -> "F.Column":
     """revenue * 10^4 as an exact long (price and discount are 2-decimal)."""
-    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
-    d100 = F.round(F.col("l_discount") * 100).cast("long")
-    return pc * (100 - d100)
+    return F.expr(_REV4_SQL)
 
 
-def _sum_rev(rev4: "F.Column | None" = None) -> "F.Column":
-    """== F.sum(decimal revenue) exactly, via the long rev4 (or a caller
-    expression in the same *10^4 scale, e.g. a CASE over _rev4_col())."""
-    e = _rev4_col() if rev4 is None else rev4
-    return F.sum(e.cast("decimal(20,0)")) / F.lit(10000)
+def _sum_rev_sql(rev4_sql: "str | None" = None) -> str:
+    """== SUM(decimal revenue) exactly, via the long rev4 (or a caller
+    expression string in the same *10^4 scale, e.g. a CASE over _REV4_SQL)."""
+    e = _REV4_SQL if rev4_sql is None else rev4_sql
+    return f"(sum(CAST({e} AS DECIMAL(20,0))) / 10000)"
+
+
+def _sum_rev(rev4_sql: "str | None" = None) -> "F.Column":
+    return F.expr(_sum_rev_sql(rev4_sql))
 
 
 @register(
@@ -89,27 +101,38 @@ GROUP BY l_returnflag, l_linestatus
 )
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).table("lineitem")
-    n = F.count(F.lit(1))
+    # r13 (guide §5, driver work): every aggregate as ONE SQL string — the
+    # Column-API form cost ~300 py4j round-trips (~0.13 s of driver-side
+    # Python) per plan build; the strings parse to the identical expression
+    # tree (plans/r13b/tpch_q1_{before,after}.txt diff clean).
+    charge4 = f"({_REV4_SQL} * (100 + CAST(round(l_tax * 100) AS BIGINT)))"
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            _sum_rev().cast("double").alias("sum_disc_price"),
-            (
-                F.sum(
-                    (_rev4_col() * (100 + F.round(F.col("l_tax") * 100).cast("long")))
-                    .cast("decimal(20,0)")
-                )
-                / F.lit(1000000)
-            )
-            .cast("double")
-            .alias("sum_charge"),
-            F.round(F.sum(dec("l_quantity")).cast("double") / n, 6).alias("avg_qty"),
-            F.round(F.sum(dec("l_extendedprice")).cast("double") / n, 6).alias("avg_price"),
-            F.round(F.sum(dec("l_discount")).cast("double") / n, 6).alias("avg_disc"),
-            n.alias("count_order"),
+            F.expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty"),
+            F.expr(
+                "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+                " AS sum_base_price"
+            ),
+            F.expr(f"CAST({_sum_rev_sql()} AS DOUBLE) AS sum_disc_price"),
+            F.expr(
+                f"CAST((sum(CAST({charge4} AS DECIMAL(20,0))) / 1000000) AS DOUBLE)"
+                " AS sum_charge"
+            ),
+            F.expr(
+                "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+                " / count(1), 6) AS avg_qty"
+            ),
+            F.expr(
+                "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+                " / count(1), 6) AS avg_price"
+            ),
+            F.expr(
+                "round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)"
+                " / count(1), 6) AS avg_disc"
+            ),
+            F.expr("count(1) AS count_order"),
         )
     )
 
@@ -141,7 +164,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(_sum_rev().cast("double").alias("revenue"))
+        .agg(F.expr(f"CAST({_sum_rev_sql()} AS DOUBLE) AS revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
@@ -215,7 +238,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(dim, (l.l_suppkey == dim.s_suppkey) & (c.c_nationkey == dim.s_nationkey))
         .groupBy("n_name")
-        .agg(_sum_rev().cast("double").alias("revenue"))
+        .agg(F.expr(f"CAST({_sum_rev_sql()} AS DOUBLE) AS revenue"))
     )
 
 
@@ -289,7 +312,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         df.withColumn("l_year", F.year("l_shipdate").cast("int"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(_sum_rev().cast("double").alias("revenue"))
+        .agg(F.expr(f"CAST({_sum_rev_sql()} AS DOUBLE) AS revenue"))
     )
 
 
@@ -326,7 +349,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(_sum_rev().cast("double").alias("revenue"))
+        .agg(F.expr(f"CAST({_sum_rev_sql()} AS DOUBLE) AS revenue"))
         .select(
             "c_custkey",
             "c_name",
@@ -359,13 +382,11 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
     )
     p = cat.table("part")
-    rev4 = _rev4_col()
+    promo4 = f"(CASE WHEN p_type = 'PROMO' THEN {_REV4_SQL} ELSE 0 END)"
     df = l.join(p, l.l_partkey == p.p_partkey)
     return df.agg(
-        F.round(
-            100.0
-            * _sum_rev(F.when(F.col("p_type") == "PROMO", rev4).otherwise(F.lit(0))).cast("double")
-            / _sum_rev(rev4).cast("double"),
-            6,
-        ).alias("promo_revenue")
+        F.expr(
+            f"round(100.0 * CAST({_sum_rev_sql(promo4)} AS DOUBLE)"
+            f" / CAST({_sum_rev_sql()} AS DOUBLE), 6) AS promo_revenue"
+        )
     )

@@ -464,13 +464,15 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("_late"),
         )
     )
-    late_supp = F.when(F.col("_late"), F.col("l_suppkey"))
+    # r13 (guide §5, driver work): aggregates as SQL strings — one parse
+    # call each instead of ~40 py4j round-trips; identical expression tree
+    late_supp = "(CASE WHEN _late THEN l_suppkey END)"
     g = j.groupBy("l_orderkey").agg(
-        F.min("l_suppkey").alias("_smin"),
-        F.max("l_suppkey").alias("_smax"),
-        F.min(late_supp).alias("_lmin"),
-        F.max(late_supp).alias("_lmax"),
-        F.count(late_supp).alias("_lcnt"),
+        F.expr("min(l_suppkey) AS _smin"),
+        F.expr("max(l_suppkey) AS _smax"),
+        F.expr(f"min({late_supp}) AS _lmin"),
+        F.expr(f"max({late_supp}) AS _lmax"),
+        F.expr(f"count({late_supp}) AS _lcnt"),
     )
     q = g.filter((F.col("_smin") != F.col("_smax")) & (F.col("_lmin") == F.col("_lmax")))
     return (

@@ -86,3 +86,31 @@ def test_token_stats_no_higher_order_functions(spark):
         .toString()
     )
     assert "lambdafunction" not in plan, plan[:2000]
+
+
+def test_sql_string_dispatch_equals_column_path(spark):
+    """r13 driver-work conversions: every function that dispatches a plain
+    column NAME to a one-call F.expr SQL string must stay bit-equal to its
+    Column-API fallback path (same expression tree, just parsed JVM-side)."""
+    from matrixone_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame([(t,) for t in NASTY], "text string")
+    c = F.col("text")
+    pairs = [
+        ("tokenize", T.tokenize("text"), T.tokenize(c)),
+        ("shingles", word_shingles("text", 3), word_shingles(c, 3)),
+        ("fingerprint", T.fingerprint("text"), T.fingerprint(c)),
+        ("token_count", T.token_count_rx("text"), T.token_count_rx(c)),
+        ("sum_len", T.sum_token_len_rx("text"), T.sum_token_len_rx(c)),
+        ("avg_len", T.avg_token_len_rx("text"), T.avg_token_len_rx(c)),
+        ("lang_en", T.lang_score_rx("text", "en"), T.lang_score_rx(c, "en")),
+        ("guess", T.lang_guess_rx("text"), T.lang_guess_rx(c)),
+        ("quality", T.quality_score_rx("text"), T.quality_score_rx(c)),
+    ]
+    cols = []
+    for name, s_form, c_form in pairs:
+        cols.append(s_form.alias(f"s_{name}"))
+        cols.append(c_form.alias(f"c_{name}"))
+    for r in df.select(*cols).collect():
+        for name, _, _ in pairs:
+            assert r[f"s_{name}"] == r[f"c_{name}"], (name, r)
