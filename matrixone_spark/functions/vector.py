@@ -114,7 +114,28 @@ def lit_vector(vec: "list[float]") -> Column:
     round-trip decimal, and the `D` suffix makes each element a DoubleType
     literal, so the parsed array is bit-identical to the old literals.
     """
-    return F.expr("array({})".format(", ".join(f"{float(v)!r}D" for v in vec)))
+    return F.expr(lit_vector_sql(vec))
+
+
+def lit_vector_sql(vec: "list[float]") -> str:
+    """SQL-string form of lit_vector (composable into larger expressions)."""
+    return "array({})".format(", ".join(f"{float(v)!r}D" for v in vec))
+
+
+def _d_sql(col_sql: str) -> str:
+    return f"transform({col_sql}, v -> CAST(v AS DOUBLE))"
+
+
+def _fold_sum_sql(arr_sql: str) -> str:
+    return f"aggregate({arr_sql}, 0.0D, (acc, v) -> acc + v)"
+
+
+def l2_distance_sql(a_sql: str, b_sql: str) -> str:
+    """SQL-string form of l2_distance — same expression tree, one parse call
+    (r13 guide §5 driver work; the Column-API lambda chain costs ~40 py4j
+    round-trips per use)."""
+    zw = f"zip_with({_d_sql(a_sql)}, {_d_sql(b_sql)}, (x, y) -> (x - y) * (x - y))"
+    return f"sqrt({_fold_sum_sql(zw)})"
 
 
 # --- base64 vector codecs (func_unary.go:5849 VecFromBase64: base64 of the
